@@ -1,0 +1,48 @@
+"""The driver-facing catalog: named queries + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 appears here as a
+``(spark, sf_dir) -> DataFrame`` callable with a matching oracle SQL
+string (omitted only for genuinely non-SQL-expressible operators, which
+the driver then checks rows-only). Registration happens in layers —
+jaffle pipeline models first, then standalone operator-family queries,
+then beyond-reference extensions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..models import marts_core, raw_layer, staging
+from .oracle_jaffle import jaffle_sql
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle_sql: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle_sql is not None:
+        ORACLE[name] = oracle_sql
+
+
+# --------------------------------------------------------- jaffle pipeline
+_JAFFLE_MODELS: dict[str, Callable] = {
+    # staging (P1/P2/F1/F5/F8/F13 — SURVEY §2.12)
+    "jaffle_stg_customers": staging.stg_customers,
+    "jaffle_stg_orders": staging.stg_orders,
+    "jaffle_stg_order_items": staging.stg_order_items,
+    "jaffle_stg_products": staging.stg_products,
+    "jaffle_stg_supplies": staging.stg_supplies,
+    "jaffle_stg_locations": staging.stg_locations,
+    # core marts (A11/J2/J3/J1/A1-A4/W1/F7/F8)
+    "jaffle_order_items": marts_core.order_items,
+    "jaffle_orders": marts_core.orders,
+    "jaffle_customers": marts_core.customers,
+}
+
+for _name, _fn in _JAFFLE_MODELS.items():
+    register(_name, _fn, jaffle_sql(_name.removeprefix("jaffle_")))

@@ -1,0 +1,61 @@
+"""Source registry (reference: models/staging/__sources.yml:3-22).
+
+The reference declares sources as named pre-existing warehouse tables in a
+``raw`` schema; our engine's analogue is a registry of parquet-backed tables
+with explicit expected schemas, resolved per scale-factor directory.
+
+Schema-on-read parquet keeps the scan columnar with filter/column pushdown
+(Catalyst pushes projections and predicates into the parquet reader); at
+100 TB the same registry would point at a partitioned table root (e.g.
+``orders/o_orderdate_month=.../*.parquet``) and partition pruning applies
+without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Driver-generated TPC-H-ish star schema + LLM-pipeline extension tables
+# (TESTDATA.md). Column lists are documentation + validation, not casts:
+# parquet files carry their own (columnar) schema.
+TESTDATA_TABLES: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Scan one source table (SURVEY §2.1 S1).
+
+    Lazy: returns the unexecuted scan; Catalyst prunes columns/predicates
+    from whatever the caller builds on top.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown source table {name!r}; known: {sorted(TESTDATA_TABLES)}")
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    missing = [c for c in TESTDATA_TABLES[name] if c not in df.columns]
+    if missing:
+        raise ValueError(f"source {name!r} missing expected columns {missing}")
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every source table as a temp view for the SQL entry point."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
