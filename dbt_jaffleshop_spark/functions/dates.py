@@ -14,8 +14,10 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Frozen "as-of" anchor for the TPC-H-ish testdata (dates span 1992..1998).
-DEFAULT_AS_OF = dt.date(1998, 12, 31)
+# Frozen "as-of" anchor for the TPC-H-ish testdata (o_orderdate spans
+# 1992..1998-08); one month past the data's end so recency bands
+# (30/60/90/180 days) spread across real values.
+DEFAULT_AS_OF = dt.date(1998, 9, 1)
 
 
 def day(col: Column | str) -> Column:

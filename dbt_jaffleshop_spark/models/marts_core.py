@@ -129,6 +129,9 @@ def customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         "count_lifetime_orders",
         "first_ordered_at",
         "last_ordered_at",
+        "lifetime_spend_pretax_cents",
+        "lifetime_tax_paid_cents",
+        "lifetime_spend_cents",
         cents_to_dollars_double(F.col("lifetime_spend_pretax_cents")).alias(
             "lifetime_spend_pretax"
         ),

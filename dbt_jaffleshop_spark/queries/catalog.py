@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..models import marts_core, raw_layer, staging
+from ..models import marts_analytics, marts_core, marts_segmentation, raw_layer, staging
 from .oracle_jaffle import jaffle_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -42,6 +42,23 @@ _JAFFLE_MODELS: dict[str, Callable] = {
     "jaffle_order_items": marts_core.order_items,
     "jaffle_orders": marts_core.orders,
     "jaffle_customers": marts_core.customers,
+    # analytics marts (J4/J5/A5-A10/W2/F6/F7/F9/F11)
+    "jaffle_product_performance": marts_analytics.product_performance,
+    "jaffle_products": marts_analytics.products,
+    "jaffle_supply_performance": marts_analytics.supply_performance,
+    "jaffle_supplier_analysis": marts_analytics.supplier_analysis,
+    "jaffle_supplies": marts_analytics.supplies,
+    "jaffle_locations": marts_analytics.locations,
+    # segmentation & time marts (S5/F3/F4/F7/F10/A8/J6/W3/F1/F2/P3/P4)
+    "jaffle_metricflow_time_spine": marts_segmentation.metricflow_time_spine,
+    "jaffle_customer_segmentation": marts_segmentation.customer_segmentation,
+    "jaffle_daily_summary": marts_segmentation.daily_summary,
+    "jaffle_weekly_summary": marts_segmentation.weekly_summary,
+    "jaffle_monthly_summary": marts_segmentation.monthly_summary,
+    "jaffle_cohort_retention": marts_segmentation.cohort_retention,
+    "jaffle_seasonal_trends": marts_segmentation.seasonal_trends,
+    "jaffle_growth_metrics": marts_segmentation.growth_metrics,
+    "jaffle_time_analytics": marts_segmentation.time_analytics,
 }
 
 for _name, _fn in _JAFFLE_MODELS.items():
