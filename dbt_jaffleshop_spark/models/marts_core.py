@@ -31,13 +31,11 @@ from ..functions.money import cents_to_dollars_double
 from . import staging
 
 
-def order_items(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """reference: models/marts/order_items.sql:1-66."""
-    items = staging.stg_order_items(spark, sf_dir)
-    orders_ = staging.stg_orders(spark, sf_dir)
-    products = staging.stg_products(spark, sf_dir)
-    supplies = staging.stg_supplies(spark, sf_dir)
-
+def order_items_logic(
+    items: DataFrame, orders_: DataFrame, products: DataFrame, supplies: DataFrame
+) -> DataFrame:
+    """order_items over explicit inputs — the unit-test seam (SURVEY §2.9
+    T6: fixture rows replace each ref()/source() input)."""
     # A11: supplies carries N rows per product — aggregate to product grain
     # first (order_items.sql:28-38; semantics pinned by order_items.yml:15-41).
     order_supplies_summary = supplies.groupBy("product_id").agg(
@@ -73,11 +71,18 @@ def order_items(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
-def orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """reference: models/marts/orders.sql:1-77."""
-    orders_ = staging.stg_orders(spark, sf_dir)
-    items = order_items(spark, sf_dir)
+def order_items(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """reference: models/marts/order_items.sql:1-66."""
+    return order_items_logic(
+        staging.stg_order_items(spark, sf_dir),
+        staging.stg_orders(spark, sf_dir),
+        staging.stg_products(spark, sf_dir),
+        staging.stg_supplies(spark, sf_dir),
+    )
 
+
+def orders_logic(orders_: DataFrame, items: DataFrame) -> DataFrame:
+    """orders over explicit inputs — the unit-test seam."""
     # order_items_summary (orders.sql:15-40): A3 conditional counts.
     items_summary = items.groupBy("order_id").agg(
         F.sum("supply_cost_cents").alias("order_cost_cents"),
@@ -87,8 +92,20 @@ def orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         F.sum(F.when(F.col("is_drink_item"), 1).otherwise(0)).alias("count_drink_items"),
     )
 
-    # compute_booleans (orders.sql:42-66): F8 count→boolean.
+    # compute_booleans (orders.sql:42-66): F8 count→boolean. Orders with no
+    # items (possible in the synthetic data) get zeroed summaries so the
+    # reference invariant order_items_subtotal = subtotal holds (F6).
     with_summary = orders_.join(items_summary, "order_id", "left").withColumns(
+        {
+            "order_cost_cents": F.coalesce(F.col("order_cost_cents"), F.lit(0)),
+            "order_items_subtotal_cents": F.coalesce(
+                F.col("order_items_subtotal_cents"), F.lit(0)
+            ),
+            "count_order_items": F.coalesce(F.col("count_order_items"), F.lit(0)),
+            "count_food_items": F.coalesce(F.col("count_food_items"), F.lit(0)),
+            "count_drink_items": F.coalesce(F.col("count_drink_items"), F.lit(0)),
+        }
+    ).withColumns(
         {
             "order_cost": cents_to_dollars_double(F.col("order_cost_cents")),
             "order_items_subtotal": cents_to_dollars_double(
@@ -106,12 +123,13 @@ def orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return with_summary.withColumn("customer_order_number", F.row_number().over(w))
 
 
-def customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """reference: models/marts/customers.sql:1-58 (A1/A2 lifetime summary,
-    J1 dim←agg left join, F7 new/returning ladder)."""
-    custs = staging.stg_customers(spark, sf_dir)
-    orders_ = orders(spark, sf_dir)
+def orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """reference: models/marts/orders.sql:1-77."""
+    return orders_logic(staging.stg_orders(spark, sf_dir), order_items(spark, sf_dir))
 
+
+def customers_logic(custs: DataFrame, orders_: DataFrame) -> DataFrame:
+    """customers over explicit inputs — the unit-test seam."""
     summary = orders_.groupBy("customer_id").agg(
         F.countDistinct("order_id").alias("count_lifetime_orders"),
         (F.countDistinct("order_id") > 1).alias("is_repeat_buyer"),
@@ -143,3 +161,9 @@ def customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .otherwise(F.lit("new"))
         .alias("customer_type"),
     )
+
+
+def customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """reference: models/marts/customers.sql:1-58 (A1/A2 lifetime summary,
+    J1 dim←agg left join, F7 new/returning ladder)."""
+    return customers_logic(staging.stg_customers(spark, sf_dir), orders(spark, sf_dir))

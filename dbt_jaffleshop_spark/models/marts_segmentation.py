@@ -46,8 +46,8 @@ ANALYTICS_START = dt.date(1995, 1, 1)
 # 100/75/50/25 dollars).
 RECENCY_BANDS = (30, 60, 90, 180)
 FREQUENCY_BANDS = (10, 7, 4, 2)
-MONETARY_BANDS = (2_000_000.0, 1_500_000.0, 1_000_000.0, 500_000.0)
-CLV_BANDS = (2_000_000.0, 1_000_000.0, 300_000.0)
+MONETARY_BANDS = (1000.0, 750.0, 500.0, 250.0)
+CLV_BANDS = (1500.0, 750.0, 250.0)
 
 
 def metricflow_time_spine(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:

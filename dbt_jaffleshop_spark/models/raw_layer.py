@@ -45,10 +45,35 @@ def raw_customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 
 def raw_orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """raw_orders with the reference's conservation laws BY CONSTRUCTION
+    (FIXTURES.md §1): subtotal = Σ item prices of the order's items (pinned
+    by orders.yml:5-7), tax = 8% of subtotal rounded down to a cent, and
+    order_total = subtotal + tax (stg_orders.yml:5-7). The item-price
+    aggregation is a map-side-combinable hash agg on l_orderkey followed by
+    an equi-join — at 100 TB both shuffle on the order key once."""
     o = load_table(spark, "orders", sf_dir)
-    subtotal = dollars_to_cents(F.col("o_totalprice"))
-    tax_paid = F.round(F.col("o_totalprice") * 8, 0).cast("long")
-    return o.select(
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+
+    item_prices = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            part.select(
+                F.col("p_partkey").alias("l_partkey"),
+                dollars_to_cents(F.col("p_retailprice")).alias("price_cents"),
+            ),
+            "l_partkey",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("price_cents").alias("items_subtotal"))
+    )
+    joined = o.join(
+        item_prices, o["o_orderkey"] == item_prices["l_orderkey"], "left"
+    )
+    subtotal = F.coalesce(F.col("items_subtotal"), F.lit(0))
+    # integer 8% tax: (s*8 - (s*8) % 100) / 100 — exact in both engines
+    tax_paid = ((subtotal * 8 - (subtotal * 8) % 100) / 100).cast("long")
+    return joined.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_custkey").alias("customer"),
         F.col("o_orderdate").alias("ordered_at"),
@@ -61,8 +86,20 @@ def raw_orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 def raw_items(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    # The synthetic lineitem contains duplicate (l_orderkey, l_linenumber)
+    # pairs (including fully identical rows), so the item id needs a
+    # disambiguator. A row_number PARTITIONED by the pair shuffles on the
+    # key (scales; no global window); identical rows get interchangeable
+    # sequence numbers, so the resulting relation is value-deterministic.
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+    )
     return li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        ((F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 100 + rn).alias("id"),
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("sku"),
     )

@@ -85,16 +85,22 @@ def stg_supplies(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
-def stg_locations(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """reference: models/staging/stg_locations.sql:11-29 (P2 + F1
-    timestamp→date truncation, pinned by the unit test
-    stg_locations.yml:11-43)."""
-    return raw_layer.raw_stores(spark, sf_dir).select(
+def stg_locations_logic(raw_stores: DataFrame) -> DataFrame:
+    """stg_locations over an explicit input — the unit-test seam
+    (stg_locations.yml:11-43)."""
+    return raw_stores.select(
         F.col("id").alias("location_id"),
         F.col("name").alias("location_name"),
         F.col("tax_rate").alias("tax_rate"),
         F.col("opened_at").cast("date").alias("opened_date"),
     )
+
+
+def stg_locations(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """reference: models/staging/stg_locations.sql:11-29 (P2 + F1
+    timestamp→date truncation, pinned by the unit test
+    stg_locations.yml:11-43)."""
+    return stg_locations_logic(raw_layer.raw_stores(spark, sf_dir))
 
 
 STAGING_BUILDERS = {

@@ -1,0 +1,224 @@
+"""Pipeline DAG: the engine's analogue of `dbt build` (SURVEY §3.1).
+
+The reference's pipeline semantics: models form a dependency DAG via
+ref()/source() (SURVEY §0.2), staging models materialize as views
+(dbt_project.yml:33-34), marts as tables (:35-36), and each model's
+attached data tests run right after it materializes — failures skip
+descendants (dbt `build` semantics).
+
+Spark mapping:
+
+* **view** → the model stays a lazy DataFrame registered as a temp view;
+  Catalyst inlines it into consumers, so filters/pruning push through to
+  the parquet scans and nothing is computed twice unless used twice.
+* **table** → the DataFrame is written to parquet under the warehouse dir
+  and re-read, exactly the reference's compute-once/read-many contract for
+  marts consumed by many downstreams (`orders` feeds 5 models — SURVEY
+  §4.1). At 100 TB this is where you'd write Delta/Iceberg partitioned by
+  order month; partitioning hooks are on ModelSpec.
+* scheduling → topological order; independent models could run on separate
+  scheduler pools (local mode runs them serially; the order is the
+  contract).
+
+The registry also records each model's declared tests (SURVEY §5-1/2) so
+``run_pipeline`` is a faithful `dbt build`: materialize → test → continue
+or skip descendants.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Literal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..models import marts_analytics, marts_core, marts_segmentation, staging
+from ..testing import generic
+
+Materialization = Literal["view", "table"]
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    builder: Callable[[SparkSession, str | None], DataFrame]
+    depends_on: list[str]
+    materialization: Materialization = "view"
+    # (test_name, factory(df_by_name) -> violations DataFrame)
+    tests: list[tuple[str, Callable[[dict[str, DataFrame]], DataFrame]]] = field(
+        default_factory=list
+    )
+    partition_by: list[str] = field(default_factory=list)
+
+
+def _pk_tests(model: str, col: str):
+    """The reference's unique + not_null pair on every primary key
+    (SURVEY §5-1: 13 sites)."""
+    return [
+        (f"not_null_{model}_{col}", lambda dfs, m=model, c=col: generic.not_null(dfs[m], c)),
+        (f"unique_{model}_{col}", lambda dfs, m=model, c=col: generic.unique(dfs[m], c)),
+    ]
+
+
+MODELS: dict[str, ModelSpec] = {}
+
+
+def _register(spec: ModelSpec) -> None:
+    MODELS[spec.name] = spec
+
+
+_register(ModelSpec("stg_customers", staging.stg_customers, [],
+                    tests=_pk_tests("stg_customers", "customer_id")))
+_register(ModelSpec(
+    "stg_orders", staging.stg_orders, [],
+    tests=_pk_tests("stg_orders", "order_id") + [
+        # stg_orders.yml:5-7 — order_total - tax_paid = subtotal
+        ("orders_conservation", lambda dfs: generic.expression_is_true(
+            dfs["stg_orders"], "order_total_cents - tax_paid_cents = subtotal_cents")),
+    ],
+))
+_register(ModelSpec(
+    "stg_order_items", staging.stg_order_items, [],
+    tests=_pk_tests("stg_order_items", "order_item_id") + [
+        # stg_order_items.yml:13-17 — FK to stg_orders
+        ("fk_items_orders", lambda dfs: generic.relationships(
+            dfs["stg_order_items"], "order_id", dfs["stg_orders"], "order_id")),
+    ],
+))
+_register(ModelSpec("stg_products", staging.stg_products, [],
+                    tests=_pk_tests("stg_products", "product_id")))
+_register(ModelSpec("stg_supplies", staging.stg_supplies, [],
+                    tests=_pk_tests("stg_supplies", "supply_uuid")))
+_register(ModelSpec("stg_locations", staging.stg_locations, [],
+                    tests=_pk_tests("stg_locations", "location_id")))
+
+_register(ModelSpec(
+    "order_items", marts_core.order_items,
+    ["stg_order_items", "stg_orders", "stg_products", "stg_supplies"],
+    materialization="table",
+    tests=_pk_tests("order_items", "order_item_id") + [
+        # order_items.yml:9-13 — FK to orders... tested against stg_orders
+        # here to keep the test local to materialized inputs.
+        ("fk_order_items_orders", lambda dfs: generic.relationships(
+            dfs["order_items"], "order_id", dfs["stg_orders"], "order_id")),
+    ],
+    partition_by=[],
+))
+_register(ModelSpec(
+    "orders", marts_core.orders, ["stg_orders", "order_items"],
+    materialization="table",
+    tests=_pk_tests("orders", "order_id") + [
+        # orders.yml:5-10 — two row-level invariants
+        ("order_items_subtotal_matches", lambda dfs: generic.expression_is_true(
+            dfs["orders"], "order_items_subtotal_cents = subtotal_cents")),
+        ("order_total_conservation", lambda dfs: generic.expression_is_true(
+            dfs["orders"], "order_total_cents = subtotal_cents + tax_paid_cents")),
+        ("fk_orders_customers", lambda dfs: generic.relationships(
+            dfs["orders"], "customer_id", dfs["stg_customers"], "customer_id")),
+    ],
+))
+_register(ModelSpec(
+    "customers", marts_core.customers, ["stg_customers", "orders"],
+    materialization="table",
+    tests=_pk_tests("customers", "customer_id") + [
+        # customers.yml:5-7 — pretax + tax = lifetime_spend
+        ("lifetime_conservation", lambda dfs: generic.expression_is_true(
+            dfs["customers"],
+            "lifetime_spend_pretax_cents + lifetime_tax_paid_cents = lifetime_spend_cents"
+            " or count_lifetime_orders is null")),
+        # customers.yml:30-33 — accepted_values
+        ("customer_type_values", lambda dfs: generic.accepted_values(
+            dfs["customers"], "customer_type", ["new", "returning"])),
+    ],
+))
+_register(ModelSpec("metricflow_time_spine", marts_segmentation.metricflow_time_spine,
+                    [], materialization="table",
+                    tests=_pk_tests("metricflow_time_spine", "date_day")))
+_register(ModelSpec("products", marts_analytics.products,
+                    ["stg_products", "order_items", "orders"],
+                    materialization="table",
+                    tests=_pk_tests("products", "product_id")))
+_register(ModelSpec("supplies", marts_analytics.supplies,
+                    ["stg_supplies", "order_items"],
+                    materialization="table",
+                    tests=_pk_tests("supplies", "supply_uuid")))
+_register(ModelSpec("locations", marts_analytics.locations,
+                    ["stg_locations", "orders", "customers"],
+                    materialization="table",
+                    tests=_pk_tests("locations", "location_id")))
+_register(ModelSpec("customer_segmentation", marts_segmentation.customer_segmentation,
+                    ["customers", "orders", "order_items"],
+                    materialization="table",
+                    tests=_pk_tests("customer_segmentation", "customer_id")))
+_register(ModelSpec("time_analytics", marts_segmentation.time_analytics,
+                    ["orders", "metricflow_time_spine"],
+                    materialization="table",
+                    tests=_pk_tests("time_analytics", "date_day")))
+
+
+def topological_order(names: list[str] | None = None) -> list[str]:
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(n: str, stack: tuple[str, ...] = ()) -> None:
+        if n in seen:
+            return
+        if n in stack:
+            raise ValueError(f"cycle: {' -> '.join(stack)} -> {n}")
+        for d in MODELS[n].depends_on:
+            visit(d, stack + (n,))
+        seen.add(n)
+        order.append(n)
+
+    for n in names or list(MODELS):
+        visit(n)
+    return order
+
+
+def build(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Build one model (and implicitly its upstream lazy graph)."""
+    return MODELS[name].builder(spark, sf_dir)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    warehouse_dir: str | None = None,
+    fail_fast: bool = True,
+) -> dict[str, dict]:
+    """`dbt build`: materialize every model in DAG order, run its tests,
+    skip descendants of failures. Returns per-model status."""
+    results: dict[str, dict] = {}
+    materialized: dict[str, DataFrame] = {}
+    failed: set[str] = set()
+
+    for name in topological_order():
+        spec = MODELS[name]
+        if any(d in failed for d in spec.depends_on):
+            results[name] = {"status": "skipped", "reason": "upstream failure"}
+            failed.add(name)
+            continue
+        df = spec.builder(spark, sf_dir)
+        if spec.materialization == "table" and warehouse_dir:
+            path = os.path.join(warehouse_dir, name)
+            writer = df.write.mode("overwrite")
+            if spec.partition_by:
+                writer = writer.partitionBy(*spec.partition_by)
+            writer.parquet(path)
+            df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        materialized[name] = df
+
+        test_failures = {}
+        for test_name, factory in spec.tests:
+            n_bad = factory(materialized).count()
+            if n_bad:
+                test_failures[test_name] = n_bad
+        if test_failures:
+            results[name] = {"status": "test_failed", "failures": test_failures}
+            if fail_fast:
+                failed.add(name)
+        else:
+            results[name] = {"status": "ok"}
+    return results

@@ -20,18 +20,33 @@ from __future__ import annotations
 RAW_CTES: dict[str, str] = {
     "raw_customers": "SELECT c_custkey AS id, c_name AS name FROM customer",
     "raw_orders": """
-        SELECT o_orderkey AS id,
-               o_custkey AS customer,
-               o_orderdate AS ordered_at,
-               o_orderkey % 5 AS store_id,
-               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS subtotal,
-               CAST(ROUND(o_totalprice * 8, 0) AS BIGINT) AS tax_paid,
-               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                 + CAST(ROUND(o_totalprice * 8, 0) AS BIGINT) AS order_total
-        FROM orders
+        SELECT o.o_orderkey AS id,
+               o.o_custkey AS customer,
+               o.o_orderdate AS ordered_at,
+               o.o_orderkey % 5 AS store_id,
+               COALESCE(ip.items_subtotal, 0) AS subtotal,
+               CAST((COALESCE(ip.items_subtotal, 0) * 8
+                     - (COALESCE(ip.items_subtotal, 0) * 8) % 100) / 100 AS BIGINT)
+                 AS tax_paid,
+               COALESCE(ip.items_subtotal, 0)
+                 + CAST((COALESCE(ip.items_subtotal, 0) * 8
+                         - (COALESCE(ip.items_subtotal, 0) * 8) % 100) / 100 AS BIGINT)
+                 AS order_total
+        FROM orders o
+        LEFT JOIN (
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+                     AS items_subtotal
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ) ip ON o.o_orderkey = ip.l_orderkey
     """,
     "raw_items": """
-        SELECT l_orderkey * 10 + l_linenumber AS id,
+        SELECT (l_orderkey * 10 + l_linenumber) * 100
+                 + ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                      ORDER BY l_partkey, l_suppkey,
+                                               l_quantity, l_extendedprice) AS id,
                l_orderkey AS order_id,
                l_partkey AS sku
         FROM lineitem
@@ -136,15 +151,15 @@ MART_CTES: dict[str, str] = {
     """,
     "orders": """
         SELECT o.*,
-               s.order_cost_cents,
-               s.order_items_subtotal_cents,
-               s.count_order_items,
-               s.count_food_items,
-               s.count_drink_items,
-               s.order_cost_cents / 100.0 AS order_cost,
-               s.order_items_subtotal_cents / 100.0 AS order_items_subtotal,
-               s.count_food_items > 0 AS is_food_order,
-               s.count_drink_items > 0 AS is_drink_order,
+               COALESCE(s.order_cost_cents, 0) AS order_cost_cents,
+               COALESCE(s.order_items_subtotal_cents, 0) AS order_items_subtotal_cents,
+               COALESCE(s.count_order_items, 0) AS count_order_items,
+               COALESCE(s.count_food_items, 0) AS count_food_items,
+               COALESCE(s.count_drink_items, 0) AS count_drink_items,
+               COALESCE(s.order_cost_cents, 0) / 100.0 AS order_cost,
+               COALESCE(s.order_items_subtotal_cents, 0) / 100.0 AS order_items_subtotal,
+               COALESCE(s.count_food_items, 0) > 0 AS is_food_order,
+               COALESCE(s.count_drink_items, 0) > 0 AS is_drink_order,
                ROW_NUMBER() OVER (PARTITION BY o.customer_id
                                   ORDER BY o.ordered_at ASC, o.order_id ASC)
                  AS customer_order_number
@@ -483,10 +498,10 @@ MART_CTES["customer_segmentation"] = f"""
                     WHEN c.count_lifetime_orders >= 4 THEN 3
                     WHEN c.count_lifetime_orders >= 2 THEN 2
                     ELSE 1 END AS frequency_quintile,
-               CASE WHEN c.lifetime_spend >= 2000000.0 THEN 5
-                    WHEN c.lifetime_spend >= 1500000.0 THEN 4
-                    WHEN c.lifetime_spend >= 1000000.0 THEN 3
-                    WHEN c.lifetime_spend >= 500000.0 THEN 2
+               CASE WHEN c.lifetime_spend >= 1000.0 THEN 5
+                    WHEN c.lifetime_spend >= 750.0 THEN 4
+                    WHEN c.lifetime_spend >= 500.0 THEN 3
+                    WHEN c.lifetime_spend >= 250.0 THEN 2
                     ELSE 1 END AS monetary_quintile
         FROM customers c
         WHERE c.customer_id IS NOT NULL
@@ -509,9 +524,9 @@ MART_CTES["customer_segmentation"] = f"""
     ),
     customer_lifetime_value AS (
         SELECT customer_id,
-            CASE WHEN lifetime_spend >= 2000000.0 THEN 'High Value'
-                 WHEN lifetime_spend >= 1000000.0 THEN 'Medium Value'
-                 WHEN lifetime_spend >= 300000.0 THEN 'Low Value'
+            CASE WHEN lifetime_spend >= 1500.0 THEN 'High Value'
+                 WHEN lifetime_spend >= 750.0 THEN 'Medium Value'
+                 WHEN lifetime_spend >= 250.0 THEN 'Low Value'
                  ELSE 'Minimal Value' END AS clv_tier,
             CASE WHEN count_lifetime_orders >= 8 THEN 'Very Frequent'
                  WHEN count_lifetime_orders >= 5 THEN 'Frequent'
