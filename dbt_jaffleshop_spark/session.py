@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or os.cpu_count() or 8)
+    return int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
 
 
 def get_spark(app_name: str = "dbt_jaffleshop_spark") -> SparkSession:
