@@ -1,0 +1,108 @@
+"""Shared constants and cross-engine expression builders for the
+LLM-data-pipeline operators (beyond-reference extensions; SURVEY §7.5,
+BASELINE.json north star).
+
+Everything here is designed for EXACT Spark↔DuckDB parity: hashing is
+md5-hex → int64 (identical in both engines), minhash permutations are
+fixed literal coefficients embedded in both the Spark expressions and the
+generated oracle SQL, and all similarity arithmetic is integer-exact up
+to a final IEEE-deterministic divide/sqrt, so the driver's value-hash
+compare holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- hashing
+
+# 60-bit token hash from the md5 hex digest — identical in Spark
+# (conv(substr(md5(s),1,15),16,10)) and DuckDB (('0x'||substr)::BIGINT).
+def hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+HASH60_SQL = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+# ------------------------------------------------------------- tokenizing
+
+SHINGLE_K = 3  # word-shingle width for near-dup detection
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens. Mirror: string_split(s, ' ') in DuckDB."""
+    return F.split(col, " ")
+
+
+TOKENS_SQL = "string_split({s}, ' ')"
+
+# --------------------------------------------------- minhash permutations
+
+# perm_i(h) = (A[i] * (h mod P) + B[i]) mod P over the 60-bit token hash.
+# P = 2^31 - 1 keeps A[i] * (h mod P) < 2^62: no int64 overflow in either
+# engine. Coefficients fixed (seeded once offline) so the generated oracle
+# SQL embeds the identical literals.
+MINHASH_P = 2147483647
+NUM_PERM = 16
+LSH_BANDS = 8  # 8 bands x 2 rows -> ~50% candidate recall at J~0.35;
+LSH_ROWS = 2   # the planted near-dups in testdata sit at J >= 0.7.
+
+MINHASH_A = [
+    53710185, 186699715, 220106709, 239081665, 299655413, 479341425,
+    525901257, 590620973, 1171165723, 1268073013, 1373158607, 1453201079,
+    1581559893, 1590571867, 1592467583, 1915941033,
+]
+MINHASH_B = [
+    56985561, 63989047, 68252793, 201209005, 427000596, 469521477,
+    499635468, 900911954, 906070220, 1085242216, 1170252923, 1205264595,
+    1292825378, 1395616196, 1506083910, 1537640408,
+]
+
+# ------------------------------------------------------ simhash parameters
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4          # 4 bands x 8 bits: guaranteed recall for
+SIMHASH_MAX_HAMMING = 3    # hamming <= 3 (pigeonhole), verified exactly.
+
+# ------------------------------------------------- random-hyperplane LSH
+
+# 8 fixed ±1 hyperplanes over the 64-dim embeddings (seeded once offline);
+# bucket id = 8 sign bits of the integer-exact dot products.
+SIM_LSH_PLANES: list[list[int]] = [
+    [1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1],
+    [1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, 1, -1],
+    [1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1],
+    [-1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1],
+    [-1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1],
+    [-1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1],
+    [-1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1],
+    [-1, 1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1],
+]
+
+# ---------------------------------------------------- embedding arithmetic
+
+# Embeddings are quantized float → int64 at 1e-6 resolution; dot products
+# and norms are then order-free integer sums (exact in any engine), and
+# cosine = dot / (sqrt(na) * sqrt(nb)) is a fixed chain of correctly-
+# rounded IEEE ops — bit-identical across Spark and DuckDB.
+EMB_SCALE = 1_000_000
+
+# ------------------------------------------------------ language lexicons
+
+# Tiny function-word lexicons; score = total token hits per language,
+# argmax with a fixed tie-break order. (The synthetic corpus shares one
+# vocabulary across langs, so this demonstrates the mechanism — lexicon
+# scoring — rather than recovering the generator's labels.)
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "los", "las", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["的", "是", "在", "了", "和", "有"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break
+
+# ------------------------------------------------------- quality scoring
+
+STOPWORDS_EN = LANG_LEXICONS["en"]

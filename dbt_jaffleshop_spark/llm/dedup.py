@@ -1,0 +1,451 @@
+"""Deduplication operators over `documents` / `embeddings` (beyond-
+reference extension; BASELINE.json north star: "dedup" for LLM data
+pipelines).
+
+Five dedup families, each expressed as pure DataFrame algebra (no Python
+UDFs) so every stage shuffles on an explicit key and scales:
+
+* exact        — hash-groupBy on a normalized-text md5 (one shuffle).
+* n-gram Jaccard — inverted-index join on shared word-shingles, exact
+                 Jaccard verify. Shuffles on the shingle key; candidate
+                 generation is the standard all-pairs-with-overlap join.
+* MinHash+LSH  — shingle→16-perm minhash signature→8 bands×2 rows→bucket
+                 join→exact-Jaccard verify on candidates only. The scale
+                 path: the signature table is O(docs), candidate
+                 verification touches only bucket-colliding pairs.
+* SimHash      — 32-bit weighted token simhash, banded hamming blocking
+                 (4×8 bits: guaranteed recall for hamming ≤ 3), exact
+                 bit_count verify.
+* Embedding cosine — integer-quantized dot products (order-free, exact);
+                 brute-force pair scan here, LSH-bucketed variant in
+                 similarity.py for the 100 TB path.
+
+All hashing is md5-derived with fixed coefficients (common.py), so the
+generated DuckDB oracles run the *identical* algorithm — exact parity,
+including the approximate (LSH/SimHash) operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .common import (
+    EMB_SCALE,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_PERM,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.5
+
+_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_TOKS = "split(text, ' ')"
+_SHINGLES = (
+    f"case when size({_TOKS}) >= 3 then "
+    f"transform(sequence(1, size({_TOKS}) - 2),"
+    f" i -> concat_ws(' ', slice({_TOKS}, i, 3))) "
+    f"else array(text) end"
+)
+_HASH60 = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as long)"
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index base relation."""
+    return docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")
+    ).distinct()
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Exact dedup: md5 over normalized text, keep-lowest-id policy.
+
+    One hash shuffle on the fingerprint; at 100 TB this is the cheapest
+    dedup pass and always runs first to shrink the corpus for the
+    near-dup passes."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", F.expr(f"md5({_NORM})").alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 via inverted-index
+    join: only pairs sharing ≥1 shingle are ever materialized."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = _shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.where(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).select(
+        "doc_a", "doc_b", "inter", "na", "nb", "jaccard"
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 16 minhash values (one groupBy over exploded shingles;
+    the 16 mins are map-side-combinable aggregates — a single shuffle)."""
+    hashed = _shingle_table(docs).select(
+        "doc_id",
+        (F.expr(_HASH60.format(s="shingle")) % MINHASH_P).alias("hm"),
+    )
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("hm") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.5.
+
+    Pipeline: shingle → 16-perm signature → 8 bands × 2 rows → band-hash
+    bucket join → candidates → exact Jaccard on candidates only. At scale
+    the expensive all-pairs work is bounded by bucket collisions, not
+    corpus size²."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _minhash_signatures(docs)
+
+    band_exprs = []
+    for j in range(LSH_BANDS):
+        cols = ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_exprs.append(f"{j}, md5(concat_ws(',', {cols}))")
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {', '.join(band_exprs)}) as (band, bv)"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = _shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.where(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit weighted token simhash, 4×8-bit
+    band blocking (guaranteed recall for hamming ≤ 3), exact verify."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok_counts = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.expr(_HASH60.format(s="tok")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.col("cnt")
+            * (F.lit(2) * F.expr(f"(shiftright(h, {i}) & 1)") - F.lit(1))
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bitsums = tok_counts.groupBy("doc_id").agg(*bit_aggs)
+    simhash_expr = " + ".join(
+        f"(case when s{i} > 0 then {1 << i}L else 0L end)" for i in range(SIMHASH_BITS)
+    )
+    sims = bitsums.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"{j}, (shiftright(simhash, {j * width}) & {mask})"
+        for j in range(SIMHASH_BANDS)
+    )
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({SIMHASH_BANDS}, {band_exprs}) as (band, bv)"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _quantized_embeddings(spark: SparkSession, sf_dir: str | None) -> DataFrame:
+    """vec_id, int64-quantized embedding, integer squared norm.
+
+    float→double widening is exact; round(x*1e6)→int64 makes every dot
+    product an order-free integer sum — the key to cross-engine (and
+    cross-partitioning) determinism."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
+        ).alias("e"),
+    ).withColumn("nrm", F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+
+
+_COS = (
+    "cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))"
+)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ 0.5 over integer-quantized
+    vectors. Brute-force pair scan (correctness baseline); the LSH-bucketed
+    variant in similarity.py is the 100 TB path."""
+    q = _quantized_embeddings(spark, sf_dir)
+    pairs = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.expr(
+                "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        )
+    )
+    return (
+        pairs.withColumn("cos_sim", F.expr(_COS))
+        .where(F.col("cos_sim") >= F.lit(COSINE_DUP_THRESHOLD))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_NORM_D = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_D = "string_split(text, ' ')"
+_SHINGLES_D = (
+    f"CASE WHEN len({_TOKS_D}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOKS_D}) - 2),"
+    f" i -> array_to_string(({_TOKS_D})[i:i+2], ' ')) "
+    f"ELSE [text] END"
+)
+_HASH60_D = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+_SHINGLE_CTE = f"""
+sh AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (SELECT doc_id, unnest({_SHINGLES_D}) AS shingle FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_VERIFY = """
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS na, sb.n_sh AS nb,
+           CAST(i.inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    band_rows = []
+    for j in range(LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{j * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {j} AS band, md5({cols}) AS bv FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+    h = _HASH60_D.format(s="shingle")
+    return f"""
+WITH {_SHINGLE_CTE},
+hashed AS (SELECT doc_id, {h} % {MINHASH_P} AS hm FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands_sql}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cands c
+    JOIN sh sa ON c.doc_a = sa.doc_id
+    JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def _simhash_oracle() -> str:
+    h = _HASH60_D.format(s="tok")
+    bit_cols = ",\n           ".join(
+        f"sum(cnt * (2 * ((h >> {i}) & 1) - 1)) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band,"
+        f" (simhash >> {j * width}) & {mask} AS bv FROM sims"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH tok_counts AS (
+    SELECT doc_id, tok, count(*) AS cnt, {h} AS h
+    FROM (SELECT doc_id, unnest({_TOKS_D}) AS tok FROM documents)
+    GROUP BY doc_id, tok
+),
+bitsums AS (SELECT doc_id, {bit_cols} FROM tok_counts GROUP BY doc_id),
+sims AS (SELECT doc_id, {simhash} AS simhash FROM bitsums),
+bands AS ({band_rows}),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                    b.doc_id AS doc_b, b.simhash AS sim_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+_QUANT_CTE = f"""
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, e,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
+    FROM q
+)
+"""
+
+_COS_D = "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_D}) AS fingerprint FROM documents),
+canon AS (
+    SELECT fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS group_size
+    FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.fingerprint, c.canonical_doc_id, c.group_size,
+       f.doc_id != c.canonical_doc_id AS is_duplicate
+FROM fp f JOIN canon c ON f.fingerprint = c.fingerprint
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+{_JACCARD_VERIFY.strip().rstrip()}
+SELECT doc_a, doc_b, inter, na, nb, jaccard
+FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    "dedup_minhash_pairs": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": f"""
+WITH {_QUANT_CTE.strip()},
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(list_zip(a.e, b.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           a.nrm AS na, b.nrm AS nb
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_COS_D} AS cos_sim
+FROM p
+WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
+""",
+}

@@ -1,0 +1,125 @@
+"""Event-stream batch operators over the `events` table: sessionization
+and JSON property extraction (beyond-reference extensions; the reference
+has no streaming/event surface — SURVEY §2.11).
+
+Sessionization is the classic gap-based algorithm: lag() per user, flag
+gaps > 30 min, running sum of flags = session index, then aggregate per
+session. Both windows shuffle once on user_id (explicit ROWS frames; all
+arithmetic integer microseconds/cents, so parity is exact). At 100 TB
+this partitions by user — no global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(order) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(running)
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum("value_cents").alias("session_value_cents"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """JSON extraction (`props` is a JSON string column) + per-type rollup.
+    get_json_object is a JVM-side expression — no Python in the path."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("cast(get_json_object(props, '$.k') as bigint)").alias("k"),
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count("k").cast("double")).alias("avg_k"),
+        F.sum("value_cents").alias("sum_value_cents"),
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+ORACLES: dict[str, str] = {
+    "events_sessionize": f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+    SELECT *,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_idx
+    FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(sum(value_cents) AS BIGINT) AS session_value_cents,
+       count(DISTINCT event_type) AS n_event_types
+FROM sessions
+GROUP BY user_id, session_idx
+""",
+    "events_json_stats": """
+WITH ev AS (
+    SELECT event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) AS avg_k,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM ev
+GROUP BY event_type
+""",
+}

@@ -1,0 +1,169 @@
+"""Similarity search over the `embeddings` table (beyond-reference
+extension; BASELINE.json north star: "similarity search").
+
+Two operators:
+
+* sim_topk_cosine — brute-force exact top-k (the correctness baseline).
+  Query rows broadcast against the candidate corpus; rank is a window
+  partitioned per query (no global window — scales with #queries).
+* sim_lsh_topk   — random-hyperplane LSH-bucketed approximate top-k (the
+  100 TB path): 8 fixed ±1 hyperplanes → 8 sign bits → bucket id; the
+  candidate join touches only same-bucket pairs (corpus/256 per bucket in
+  expectation), turning an O(Q·N) scan into a bucket-colocated join.
+
+All dot products are integer-exact (common.py quantization), cosine is a
+fixed IEEE chain — the DuckDB oracles run the identical algorithm, so
+even the *approximate* operator has exact result parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import EMB_SCALE, SIM_LSH_PLANES
+from .dedup import _COS, _COS_D, _QUANT_CTE, _quantized_embeddings
+
+TOP_K = 5
+LSH_TOP_K = 3
+QUERY_STRIDE = 50  # vec_id % 50 == 0 → 10 queries at sf0.01, 40 at sf0.1
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id ≡ 0 mod 50),
+    deterministic tie-break on neighbor id."""
+    q = _quantized_embeddings(spark, sf_dir)
+    queries = q.where(F.col("vec_id") % QUERY_STRIDE == 0)
+    scored = (
+        F.broadcast(queries.alias("q"))
+        .join(q.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(q.e, c.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("q.nrm").alias("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _bucket_expr(e_col: str) -> str:
+    """8 sign bits of integer hyperplane dot products → bucket id."""
+    terms = []
+    for j, plane in enumerate(SIM_LSH_PLANES):
+        arr = ", ".join(f"{v}L" for v in plane)
+        dot = (
+            f"aggregate(zip_with({e_col}, array({arr}),"
+            f" (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return " + ".join(terms)
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Same output shape as sim_topk_cosine; recall < 1 by design — the
+    bucket join is what survives a 1000-executor scale-up."""
+    q = _quantized_embeddings(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_expr("e"))
+    )
+    queries = q.where(F.col("vec_id") % QUERY_STRIDE == 0)
+    scored = (
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("nrm").alias("na"),
+                F.col("bucket"),
+            )
+        )
+        .join(q.alias("c"), "bucket")
+        .where(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qe, c.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LSH_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+
+def _bucket_expr_duck() -> str:
+    terms = []
+    for j, plane in enumerate(SIM_LSH_PLANES):
+        arr = ", ".join(str(v) for v in plane)
+        dot = (
+            f"CAST(list_sum(list_transform(list_zip(e, [{arr}]),"
+            f" pr -> pr[1] * pr[2])) AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+ORACLES: dict[str, str] = {
+    "sim_topk_cosine": f"""
+WITH {_QUANT_CTE.strip()},
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.e, c.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           q.nrm AS na, c.nrm AS nb
+    FROM n q JOIN n c ON q.vec_id % {QUERY_STRIDE} = 0 AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_COS_D} AS cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    "sim_lsh_topk": f"""
+WITH {_QUANT_CTE.strip()},
+b AS (SELECT vec_id, e, nrm, {_bucket_expr_duck()} AS bucket FROM n),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.e, c.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           q.nrm AS na, c.nrm AS nb
+    FROM b q JOIN b c
+      ON q.bucket = c.bucket AND q.vec_id % {QUERY_STRIDE} = 0
+         AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_COS_D} AS cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+FROM ranked WHERE rank <= {LSH_TOP_K}
+""",
+}

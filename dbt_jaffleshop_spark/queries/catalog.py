@@ -63,3 +63,21 @@ _JAFFLE_MODELS: dict[str, Callable] = {
 
 for _name, _fn in _JAFFLE_MODELS.items():
     register(_name, _fn, jaffle_sql(_name.removeprefix("jaffle_")))
+
+
+# ----------------------------------------- beyond-reference extensions
+# LLM-data-pipeline operators (llm/) + Structured Streaming (streaming/).
+# Every entry carries an exact DuckDB oracle — the approximate operators
+# (MinHash-LSH, SimHash, hyperplane-LSH) run fixed-seed algorithms the
+# oracle reproduces verbatim.
+from ..llm import LLM_CATALOG
+from ..streaming import daily as _streaming_daily
+
+for _name, (_fn, _sql) in LLM_CATALOG.items():
+    register(_name, _fn, _sql)
+
+register(
+    "streaming_daily_events",
+    _streaming_daily.streaming_daily_events,
+    _streaming_daily.ORACLES["streaming_daily_events"],
+)

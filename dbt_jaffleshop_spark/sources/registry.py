@@ -48,6 +48,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown source table {name!r}; known: {sorted(TESTDATA_TABLES)}")
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name == "events":
+        # The events parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read nanos as int64 and rebuild a microsecond
+        # timestamp (floor division — matches DuckDB's µs truncation on
+        # the same file, so oracle parity is exact).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     missing = [c for c in TESTDATA_TABLES[name] if c not in df.columns]
     if missing:

@@ -1,0 +1,87 @@
+"""Structured Streaming extension (beyond-reference; the reference is
+batch-only — SURVEY §2.11): a tumbling-window daily event summary with a
+watermark, mirroring the batch `daily_summary` semantics over `events`.
+
+Shape: readStream(parquet) → event-time window agg with watermark →
+availableNow trigger → memory sink. In production the source is a
+directory/Kafka feed and the sink is Delta; availableNow gives the
+batch-equivalent result here, which is why this query can carry a real
+DuckDB oracle (single-file source ⇒ one micro-batch ⇒ the watermark
+drops nothing).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Matches the events parquet with nanos-as-long in effect (registry.py).
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanoseconds
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def streaming_daily_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Tumbling 1-day window × event_type counts/sums over a parquet
+    stream, processed to completion with availableNow."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value_cents", F.expr("cast(round(value * 100) as bigint)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+    )
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").cast("date").alias("date_day"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+ORACLES: dict[str, str] = {
+    "streaming_daily_events": """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS date_day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+}

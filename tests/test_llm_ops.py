@@ -1,0 +1,50 @@
+"""Oracle parity for the LLM-data-pipeline extension operators (dedup,
+similarity, text analysis, multimodal plumbing, events, streaming)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import assert_parity
+
+from dbt_jaffleshop_spark.llm import LLM_CATALOG
+from dbt_jaffleshop_spark.streaming import daily as streaming_daily
+
+
+@pytest.mark.parametrize("name", sorted(LLM_CATALOG))
+def test_llm_operator_parity(spark, oracle, sf_dir, name):
+    fn, sql = LLM_CATALOG[name]
+    assert sql is not None, f"{name} should carry an oracle"
+    assert_parity(fn(spark, sf_dir), oracle, sql)
+
+
+def test_streaming_daily_events_parity(spark, oracle, sf_dir):
+    df = streaming_daily.streaming_daily_events(spark, sf_dir)
+    assert_parity(df, oracle, streaming_daily.ORACLES["streaming_daily_events"])
+
+
+def test_near_dup_detection_finds_planted_pairs(spark):
+    """The sf0.01 corpus contains planted near-duplicates (bimodal 3-gram
+    Jaccard: chance pairs < 0.1, planted ≥ ~0.7) — the exact inverted-index
+    pass and the MinHash-LSH pass must both surface them."""
+    from dbt_jaffleshop_spark.llm.dedup import dedup_minhash_pairs, dedup_ngram_jaccard
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_pairs(spark, sf).collect()
+    }
+    assert len(exact) >= 20  # planted pairs exist
+    # LSH candidates are verified with the same exact Jaccard, so LSH ⊆ exact;
+    # at J ≥ 0.5 with 8×2 bands recall should be total on this corpus.
+    assert lsh == exact
+
+
+def test_multimodal_decode_stub_raises():
+    from dbt_jaffleshop_spark.llm.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image")
