@@ -58,28 +58,38 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     )
 
 
-def _extract_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction: one pandas frame per batch in,
-    one per batch out — the canonical mapInPandas shape."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n_bytes.astype("int64"),
-                "content_md5": payloads.map(
-                    lambda b: hashlib.md5(b).hexdigest()
-                ),
-                # deterministic stand-ins for decoder output (see oracle)
-                "width": (100 + n_bytes % 800).astype("int32"),
-                "height": (100 + (n_bytes * 7) % 600).astype("int32"),
-                "n_frames": (1 + n_bytes % 24).astype("int32"),
-            }
-        )
+def _make_extract_batches():
+    """Build the Arrow-batched extraction function as a CLOSURE so
+    cloudpickle serializes it by value — Python workers on executors do
+    not have this package on their import path (only the driver does),
+    so a module-level function reference would fail to unpickle there."""
+
+    def extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: _hashlib.md5(b).hexdigest()
+                    ),
+                    # deterministic stand-ins for decoder output (see oracle)
+                    "width": (100 + n_bytes % 800).astype("int32"),
+                    "height": (100 + (n_bytes * 7) % 600).astype("int32"),
+                    "n_frames": (1 + n_bytes % 24).astype("int32"),
+                }
+            )
+
+    return extract_batches
 
 
 def multimodal_extract(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
@@ -96,7 +106,7 @@ def multimodal_extract(spark: SparkSession, sf_dir: str | None = None) -> DataFr
             " when doc_id % 3 = 1 then 'audio' else 'video' end"
         ).alias("media_type"),
     )
-    return media.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    return media.mapInPandas(_make_extract_batches(), schema=EXTRACT_SCHEMA)
 
 
 # ------------------------------------------------------------- oracle SQL

@@ -81,3 +81,19 @@ register(
     _streaming_daily.streaming_daily_events,
     _streaming_daily.ORACLES["streaming_daily_events"],
 )
+
+# --------------------------------------------- semantic layer (SURVEY §2.10)
+# Saved queries (M6) compiled by the metric layer; oracle SQL is generated
+# from the same declarations the Spark plan compiles from.
+from ..semantic import SEMANTIC_CATALOG
+
+for _name, (_fn, _sql) in SEMANTIC_CATALOG.items():
+    register(_name, _fn, _sql)
+
+# ------------------------------------------- test operators (SURVEY §2.9)
+# T1–T5 as violation queries (0 rows on valid data, dbt failure-row
+# contract) — the declarative test engine's operator shapes, driver-checked.
+from .test_suite import TEST_SUITE_CATALOG
+
+for _name, (_fn, _sql) in TEST_SUITE_CATALOG.items():
+    register(_name, _fn, _sql)

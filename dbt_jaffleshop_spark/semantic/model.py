@@ -1,0 +1,297 @@
+"""Semantic/metric layer (SURVEY §2.10, M1–M7).
+
+The reference declares semantic models (entities / dimensions / measures)
+and metrics (simple / ratio / derived / cumulative, with filters and
+offset windows) in YAML over the marts, compiled to GROUP BY queries at
+request time (models/marts/orders.yml:54-159, order_items.yml:43-181,
+customers.yml:35-109). Our analogue: the same declarations as Python
+dataclasses, compiled by `MetricQuery` into ONE DataFrame —
+
+    mart → [filtered] measure aggregation by resolved dimensions
+         → post-aggregation metric expressions (ratio/derived)
+         → time windows (cumulative / offset) over the aggregated grain.
+
+Design notes for scale:
+* simple-metric filters compile to CASE-inside-aggregate (one pass, no
+  per-metric scans) — A3/A4 in the operator inventory.
+* cumulative/offset windows order by metric_time over the *aggregated*
+  result (cardinality = #periods, not #rows), so the unpartitioned
+  window is safe by construction (SURVEY §7.4).
+* every expression is declared as a (spark_sql, duck_sql) pair — usually
+  the identical string — so the compiler emits both the DataFrame plan
+  and the DuckDB oracle from one declaration. Exact parity, no drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """Categorical dimension (M1). expr defaults to the column name."""
+
+    name: str
+    expr: str | None = None
+
+    def sql(self) -> str:
+        return self.expr or self.name
+
+
+@dataclass(frozen=True)
+class Measure:
+    """Aggregatable measure (M1/A12): agg ∈ sum, count, count_distinct,
+    avg, median over a row-level expression."""
+
+    name: str
+    agg: str
+    expr: str
+    duck_expr: str | None = None  # only when the dialect differs
+
+    def agg_sql(self, dialect: str, filter_sql: str | None) -> str:
+        e = self.expr if dialect == "spark" else (self.duck_expr or self.expr)
+        if filter_sql:
+            e = f"case when {filter_sql} then {e} end"
+        if self.agg == "sum":
+            inner = f"sum({e})"
+            # DuckDB sum(BIGINT) returns HUGEINT; pin both engines to BIGINT
+            return f"cast({inner} as bigint)" if dialect == "duck" else inner
+        if self.agg == "count":
+            return f"count({e})"
+        if self.agg == "count_distinct":
+            return f"count(distinct {e})"
+        if self.agg == "avg":
+            # exact integer sum, then one correctly-rounded division —
+            # engine-native avg() may accumulate in fp (order-dependent)
+            return f"cast(sum({e}) as double) / cast(count({e}) as double)"
+        if self.agg == "median":
+            return f"median({e})"
+        raise ValueError(f"unknown agg {self.agg!r}")
+
+
+@dataclass(frozen=True)
+class Metric:
+    """M2–M5. kinds:
+    * simple      — aggregate `measure`, optional row filter (P6)
+    * ratio       — numerator / denominator (both metric names)
+    * derived     — post-aggregation `expr` over sibling metric names;
+                    offset inputs appear as lag_1(<metric>)
+    * cumulative  — running sum of `measure`'s simple metric over
+                    metric_time
+    """
+
+    name: str
+    kind: str = "simple"
+    measure: str | None = None
+    filter: str | None = None          # row-level, pre-aggregation
+    duck_filter: str | None = None
+    numerator: str | None = None
+    denominator: str | None = None
+    expr: str | None = None            # derived: over metric names
+    offset_inputs: tuple[str, ...] = ()  # metrics consumed at 1-period lag
+
+
+@dataclass(frozen=True)
+class SemanticModel:
+    """M1: a mart + its declared dimensions/measures/metrics."""
+
+    name: str
+    mart: str                       # jaffle model name (oracle CTE source)
+    base: object                    # (spark, sf_dir) -> DataFrame
+    agg_time_dimension: str         # column holding event time
+    dimensions: dict[str, Dimension] = field(default_factory=dict)
+    measures: dict[str, Measure] = field(default_factory=dict)
+    metrics: dict[str, Metric] = field(default_factory=dict)
+
+
+GRAIN_OK = ("day", "week", "month")
+
+
+class MetricQuery:
+    """Compile (metrics × group_by [× where]) into one DataFrame and the
+    matching DuckDB oracle SQL (M6 saved queries are frozen instances)."""
+
+    def __init__(
+        self,
+        model: SemanticModel,
+        metrics: list[str],
+        group_by: list[str],
+        where: str | None = None,
+        duck_where: str | None = None,
+    ):
+        self.model = model
+        self.metrics = metrics
+        self.group_by = group_by
+        self.where = where
+        self.duck_where = duck_where
+        for m in metrics:
+            if m not in model.metrics:
+                raise KeyError(f"unknown metric {m!r} in model {model.name}")
+
+    # ------------------------------------------------------- resolution
+
+    def _dims(self, dialect: str) -> list[tuple[str, str]]:
+        """[(output_name, sql_expr)] — resolves metric_time__grain (M7)."""
+        out = []
+        for g in self.group_by:
+            if g.startswith("metric_time__"):
+                grain = g.removeprefix("metric_time__")
+                if grain not in GRAIN_OK:
+                    raise ValueError(f"unsupported grain {grain!r}")
+                t = self.model.agg_time_dimension
+                expr = f"cast(date_trunc('{grain}', {t}) as date)"
+                out.append(("metric_time", expr))
+            else:
+                dim = self.model.dimensions[g]
+                out.append((dim.name, dim.sql()))
+        return out
+
+    def _needed_simple(self) -> list[str]:
+        """Simple/input metric names required by the request, in stable
+        order: requested simples first, then ratio/derived inputs."""
+        needed: list[str] = []
+
+        def add(name: str) -> None:
+            if name not in needed:
+                needed.append(name)
+
+        for m in self.metrics:
+            met = self.model.metrics[m]
+            if met.kind == "simple":
+                add(m)
+            elif met.kind == "ratio":
+                add(met.numerator)
+                add(met.denominator)
+            elif met.kind == "cumulative":
+                add(met.measure)
+            elif met.kind == "derived":
+                for inp in met.offset_inputs:
+                    add(inp)
+                # non-offset inputs must be declared simple metrics named
+                # inside expr; callers list them via offset_inputs or the
+                # expr references requested simples — collect by scan:
+                for name, cand in self.model.metrics.items():
+                    if cand.kind == "simple" and name in (met.expr or ""):
+                        add(name)
+        return needed
+
+    # ------------------------------------------------------ spark plan
+
+    def to_df(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        df = self.model.base(spark, sf_dir)
+        if self.where:
+            df = df.where(F.expr(self.where))
+
+        dims = self._dims("spark")
+        dim_cols = [F.expr(e).alias(n) for n, e in dims]
+        aggs: list[Column] = []
+        for name in self._needed_simple():
+            met = self.model.metrics[name]
+            meas = self.model.measures[met.measure]
+            aggs.append(
+                F.expr(meas.agg_sql("spark", met.filter)).alias(name)
+            )
+        grouped = df.groupBy(*dim_cols).agg(*aggs) if dim_cols else df.agg(*aggs)
+
+        # post-aggregation phase (ratio / derived / cumulative / offset)
+        w_time = Window.orderBy("metric_time")
+        for name in self.metrics:
+            met = self.model.metrics[name]
+            if met.kind == "simple":
+                continue
+            if met.kind == "ratio":
+                grouped = grouped.withColumn(
+                    name,
+                    F.col(met.numerator).cast("double")
+                    / F.col(met.denominator).cast("double"),
+                )
+            elif met.kind == "cumulative":
+                grouped = grouped.withColumn(
+                    name,
+                    F.sum(met.measure).over(
+                        w_time.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                )
+            elif met.kind == "derived":
+                tmp = grouped
+                expr = met.expr
+                for inp in met.offset_inputs:
+                    lag_name = f"lag_1_{inp}"
+                    tmp = tmp.withColumn(lag_name, F.lag(inp, 1).over(w_time))
+                    expr = expr.replace(f"lag_1({inp})", lag_name)
+                grouped = tmp.withColumn(name, F.expr(expr))
+                grouped = grouped.drop(
+                    *[f"lag_1_{inp}" for inp in met.offset_inputs]
+                )
+        out_cols = [n for n, _ in self._dims("spark")] + list(self.metrics)
+        return grouped.select(*out_cols)
+
+    # ----------------------------------------------------- duckdb oracle
+
+    def to_oracle_sql(self) -> str:
+        from ..queries.oracle_jaffle import _CTE_NAME, jaffle_sql
+
+        src = _CTE_NAME.get(self.model.mart, self.model.mart)
+        dims = self._dims("duck")
+        dim_sql = [f"{e} AS {n}" for n, e in dims]
+        agg_sql = []
+        for name in self._needed_simple():
+            met = self.model.metrics[name]
+            meas = self.model.measures[met.measure]
+            agg_sql.append(
+                f"{meas.agg_sql('duck', met.duck_filter or met.filter)} AS {name}"
+            )
+        where = f"WHERE {self.duck_where or self.where}" if self.where else ""
+        group = (
+            "GROUP BY " + ", ".join(str(i + 1) for i in range(len(dims)))
+            if dims
+            else ""
+        )
+        inner = (
+            f"SELECT {', '.join(dim_sql + agg_sql)} FROM {src} {where} {group}"
+        )
+
+        post: list[str] = []
+        for name in self.metrics:
+            met = self.model.metrics[name]
+            if met.kind == "simple":
+                continue
+            if met.kind == "ratio":
+                post.append(
+                    f"CAST({met.numerator} AS DOUBLE)"
+                    f" / CAST({met.denominator} AS DOUBLE) AS {name}"
+                )
+            elif met.kind == "cumulative":
+                post.append(
+                    f"CAST(sum({met.measure}) OVER (ORDER BY metric_time"
+                    f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                    f" AS BIGINT) AS {name}"
+                )
+            elif met.kind == "derived":
+                expr = met.expr if met.expr else name
+                for inp in met.offset_inputs:
+                    expr = expr.replace(
+                        f"lag_1({inp})",
+                        f"lag({inp}, 1) OVER (ORDER BY metric_time)",
+                    )
+                post.append(f"{expr} AS {name}")
+
+        out_names = [n for n, _ in dims] + list(self.metrics)
+        if post:
+            simple_names = [
+                m for m in self.metrics if self.model.metrics[m].kind == "simple"
+            ]
+            keep = [n for n, _ in dims] + self._needed_simple()
+            outer_cols = ", ".join(keep_n for keep_n in keep) + (
+                ", " + ",\n       ".join(post) if post else ""
+            )
+            final = (
+                f"SELECT {', '.join(out_names)} FROM "
+                f"(SELECT {outer_cols} FROM (\n{inner}\n) g) h"
+            )
+        else:
+            final = f"SELECT {', '.join(out_names)} FROM (\n{inner}\n) g"
+        return jaffle_sql(self.model.mart, extra_select=final)

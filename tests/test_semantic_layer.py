@@ -1,0 +1,52 @@
+"""Semantic/metric layer: saved-query oracle parity + compiler behavior
+(SURVEY §2.10 M1–M7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import assert_parity
+
+from dbt_jaffleshop_spark.semantic import (
+    ORDERS_MODEL,
+    SAVED_QUERIES,
+    SEMANTIC_CATALOG,
+    MetricQuery,
+)
+
+
+@pytest.mark.parametrize("name", sorted(SEMANTIC_CATALOG))
+def test_saved_query_parity(spark, oracle, sf_dir, name):
+    fn, sql = SEMANTIC_CATALOG[name]
+    assert_parity(fn(spark, sf_dir), oracle, sql)
+
+
+def test_unknown_metric_rejected():
+    with pytest.raises(KeyError):
+        MetricQuery(ORDERS_MODEL, metrics=["nope"], group_by=[])
+
+
+def test_bad_grain_rejected(spark, sf_dir):
+    q = MetricQuery(ORDERS_MODEL, metrics=["orders"], group_by=["metric_time__hour"])
+    with pytest.raises(ValueError):
+        q.to_df(spark, sf_dir)
+
+
+def test_adhoc_metric_query_with_filter_dim(spark, oracle, sf_dir):
+    """Ad-hoc (non-saved) request: filtered metrics grouped by a boolean
+    dimension — the M2 filter path × M1 categorical dims."""
+    q = MetricQuery(
+        ORDERS_MODEL,
+        metrics=["orders", "new_customer_orders", "large_orders"],
+        group_by=["is_food_order"],
+    )
+    assert_parity(q.to_df(spark, sf_dir), oracle, q.to_oracle_sql())
+
+
+def test_derived_offset_metric_nulls_first_period(spark, sf_dir):
+    """revenue_growth_pct uses a 1-month offset (W5): the earliest month
+    must be NULL (no prior period)."""
+    q = SAVED_QUERIES["sq_order_metrics_monthly"]
+    rows = q.to_df(spark, sf_dir).orderBy("metric_time").collect()
+    assert rows[0]["revenue_growth_pct"] is None
+    assert any(r["revenue_growth_pct"] is not None for r in rows[1:])
