@@ -53,6 +53,27 @@ def main() -> None:
     names = [n for n in headline + extras if n in queries]
 
     timings: dict[str, float] = {}
+
+    # the flagship workload: the full `dbt build` analogue — materialize
+    # all 16 models (staging views cached, marts written as tables) and
+    # run every declared data test (SURVEY §3.1/§5).
+    import tempfile
+
+    from dbt_jaffleshop_spark.plans.dag import run_pipeline
+
+    with tempfile.TemporaryDirectory() as wh:
+        t0 = time.perf_counter()
+        res = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+        timings["pipeline_build"] = round(time.perf_counter() - t0, 3)
+    bad = [k for k, v in res.items() if v["status"] != "ok"]
+    if bad:
+        print(f"pipeline failures: {bad}", file=sys.stderr)
+
+    # fresh session for the per-query timings: isolates them from the
+    # pipeline run's cached state / GC pressure
+    spark.stop()
+    spark = get_spark("bench-queries")
+
     for name in names:
         fn = queries[name]
         t0 = time.perf_counter()

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import marts_core, staging
+from .base import ref
 
 
 def _dollars(cents_sum: Column) -> Column:
@@ -55,7 +56,7 @@ def _guarded_avg(cents_col: str, count_col: Column) -> Column:
 def product_performance(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """products.sql:20-52 — J4 fan-out + multi-agg with safe division."""
     prods = staging.stg_products(spark, sf_dir).drop("product_price_cents")
-    items = marts_core.order_items(spark, sf_dir).select(
+    items = ref("order_items", marts_core.order_items, spark, sf_dir).select(
         "product_id", "order_id", "order_item_id",
         F.col("product_price_cents").alias("item_price_cents"),
         F.col("supply_cost_cents").alias("item_supply_cost_cents"),
@@ -87,9 +88,9 @@ def product_performance(spark: SparkSession, sf_dir: str | None = None) -> DataF
 
 def products(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/products.sql:1-172."""
-    perf = product_performance(spark, sf_dir)
-    items = marts_core.order_items(spark, sf_dir)
-    orders_ = marts_core.orders(spark, sf_dir).select("order_id", "location_id")
+    perf = ref("product_performance", product_performance, spark, sf_dir)
+    items = ref("order_items", marts_core.order_items, spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir).select("order_id", "location_id")
 
     def rank(col: str) -> Column:
         return F.row_number().over(
@@ -169,42 +170,56 @@ def products(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 # --------------------------------------------------------------- supplies
 def supply_performance(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """supplies.sql:20-54 — J4 fan-out at (supply_uuid × items) grain."""
+    """supplies.sql:20-54 — J4 fan-out at (supply_uuid × items) grain.
+
+    Scale rewrite (A11 agg-before-join): the reference's shape joins every
+    supply row to every item of its product and re-aggregates — an N:M
+    blow-up (~150M intermediate rows at sf0.1; unbounded at 100 TB). But
+    each supply of a product sees the *identical* item set, so the item
+    aggregates are computed once per product (|products| rows) and joined
+    to supplies afterwards — bit-identical output (same aggregate inputs,
+    same derived-expression shapes), fan-out eliminated. The per-product
+    aggregate is map-side combinable and the join side is broadcastable.
+    """
     supplies = staging.stg_supplies(spark, sf_dir)
-    items = marts_core.order_items(spark, sf_dir).select(
+    items = ref("order_items", marts_core.order_items, spark, sf_dir).select(
         "product_id", "order_id", "order_item_id", "product_price_cents",
         F.col("supply_cost_cents").alias("item_supply_cost_cents"),
     )
     n_items = F.count("order_item_id")
     sum_price = F.sum("product_price_cents")
     sum_incurred = F.sum("item_supply_cost_cents")
-    return (
-        supplies.join(items, "product_id", "left")
-        .groupBy(
-            "supply_uuid", "supply_id", "supply_name", "product_id",
-            "supply_cost", "supply_cost_cents", "is_perishable_supply",
-        )
-        .agg(
-            F.countDistinct("order_id").alias("orders_using_supply"),
-            n_items.alias("total_usage_quantity"),
-            F.sum("product_price_cents").alias("revenue_generated_cents"),
-            _dollars(sum_price).alias("revenue_generated"),
-            sum_incurred.alias("supply_cost_incurred_cents"),
-            _dollars(sum_incurred).alias("total_supply_cost_incurred"),
-            F.when(
-                sum_incurred > 0,
-                _dollars(sum_price) / _dollars(sum_incurred),
-            ).alias("revenue_to_cost_ratio"),
-            _guarded_avg("product_price_cents", n_items).alias("avg_product_selling_price"),
-        )
-        .withColumn(
-            "avg_cost_per_usage",
-            F.when(
-                F.col("total_usage_quantity") > 0,
-                (F.col("supply_cost_incurred_cents") / F.lit(100.0))
-                / F.col("total_usage_quantity"),
-            ).otherwise(F.col("supply_cost")),
-        )
+    per_product = items.groupBy("product_id").agg(
+        F.countDistinct("order_id").alias("orders_using_supply"),
+        n_items.alias("total_usage_quantity"),
+        sum_price.alias("revenue_generated_cents"),
+        sum_incurred.alias("supply_cost_incurred_cents"),
+    )
+    joined = supplies.select(
+        "supply_uuid", "supply_id", "supply_name", "product_id",
+        "supply_cost", "supply_cost_cents", "is_perishable_supply",
+    ).join(per_product, "product_id", "left")
+    # products with no items: counts aggregate to 0 over an empty group,
+    # sums to NULL — reproduce exactly after the outer join.
+    usage = F.coalesce(F.col("total_usage_quantity"), F.lit(0))
+    rev = F.col("revenue_generated_cents")
+    incurred = F.col("supply_cost_incurred_cents")
+    return joined.select(
+        "supply_uuid", "supply_id", "supply_name", "product_id",
+        "supply_cost", "supply_cost_cents", "is_perishable_supply",
+        F.coalesce(F.col("orders_using_supply"), F.lit(0)).alias("orders_using_supply"),
+        usage.alias("total_usage_quantity"),
+        rev.alias("revenue_generated_cents"),
+        _dollars(rev).alias("revenue_generated"),
+        incurred.alias("supply_cost_incurred_cents"),
+        _dollars(incurred).alias("total_supply_cost_incurred"),
+        F.when(incurred > 0, _dollars(rev) / _dollars(incurred)).alias(
+            "revenue_to_cost_ratio"
+        ),
+        F.when(usage > 0, _dollars(rev) / usage).alias("avg_product_selling_price"),
+        F.when(
+            usage > 0, (incurred / F.lit(100.0)) / usage
+        ).otherwise(F.col("supply_cost")).alias("avg_cost_per_usage"),
     )
 
 
@@ -214,7 +229,7 @@ def supplier_analysis(spark: SparkSession, sf_dir: str | None = None) -> DataFra
     supplies = staging.stg_supplies(spark, sf_dir).select(
         "supply_uuid", "supply_name", "product_id", "supply_cost_cents"
     )
-    perf = supply_performance(spark, sf_dir).select(
+    perf = ref("supply_performance", supply_performance, spark, sf_dir).select(
         "supply_uuid",
         "total_usage_quantity",
         "revenue_generated_cents",
@@ -240,19 +255,32 @@ def supplier_analysis(spark: SparkSession, sf_dir: str | None = None) -> DataFra
 
 def supplies(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/supplies.sql:1-185."""
-    perf = supply_performance(spark, sf_dir)
+    perf = ref("supply_performance", supply_performance, spark, sf_dir)
 
     def rank(col: str) -> Column:
         return F.row_number().over(
             Window.orderBy(F.col(col).desc_nulls_last(), F.col("supply_uuid").asc())
         )
 
-    rankings = (
-        perf.withColumn("usage_rank", rank("total_usage_quantity"))
+    # W2 global ranks: the supply grain grows with data (unlike the other
+    # W2 sites), so rank over a NARROW (key, 4 sort cols) projection —
+    # four single-partition sorts of ~40 bytes/row instead of the full
+    # wide mart row — then hash-join the ranks back on supply_uuid.
+    rank_frame = (
+        perf.select(
+            "supply_uuid", "total_usage_quantity", "revenue_generated",
+            "revenue_to_cost_ratio", "total_supply_cost_incurred",
+        )
+        .withColumn("usage_rank", rank("total_usage_quantity"))
         .withColumn("revenue_contribution_rank", rank("revenue_generated"))
         .withColumn("efficiency_rank", rank("revenue_to_cost_ratio"))
         .withColumn("cost_rank", rank("total_supply_cost_incurred"))
+        .select(
+            "supply_uuid", "usage_rank", "revenue_contribution_rank",
+            "efficiency_rank", "cost_rank",
+        )
     )
+    rankings = perf.join(rank_frame, "supply_uuid")
 
     # inventory_turnover (supplies.sql:99-122) + cost_variance (:124-143),
     # both at supply_uuid grain (see module docstring for the deviation).
@@ -305,8 +333,8 @@ def locations(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/locations.sql:1-156 (A4 conditional distinct
     counts, A7 avg/stddev, J7 mart←mart join, W2 rankings, J5 assembly)."""
     locs = staging.stg_locations(spark, sf_dir)
-    orders_ = marts_core.orders(spark, sf_dir)
-    customers_ = marts_core.customers(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
+    customers_ = ref("customers", marts_core.customers, spark, sf_dir)
 
     n_orders = F.countDistinct("order_id")
     sum_total = F.sum("order_total_cents")

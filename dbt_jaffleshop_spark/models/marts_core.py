@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import cents_to_dollars_double
 from . import staging
+from .base import ref
 
 
 def order_items_logic(
@@ -125,7 +126,10 @@ def orders_logic(orders_: DataFrame, items: DataFrame) -> DataFrame:
 
 def orders(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/orders.sql:1-77."""
-    return orders_logic(staging.stg_orders(spark, sf_dir), order_items(spark, sf_dir))
+    return orders_logic(
+        staging.stg_orders(spark, sf_dir),
+        ref("order_items", order_items, spark, sf_dir),
+    )
 
 
 def customers_logic(custs: DataFrame, orders_: DataFrame) -> DataFrame:
@@ -166,4 +170,7 @@ def customers_logic(custs: DataFrame, orders_: DataFrame) -> DataFrame:
 def customers(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/customers.sql:1-58 (A1/A2 lifetime summary,
     J1 dim←agg left join, F7 new/returning ladder)."""
-    return customers_logic(staging.stg_customers(spark, sf_dir), orders(spark, sf_dir))
+    return customers_logic(
+        staging.stg_customers(spark, sf_dir),
+        ref("orders", orders, spark, sf_dir),
+    )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import DEFAULT_AS_OF, date_spine
 from . import marts_core
+from .base import ref
 
 SPINE_START = dt.date(1992, 1, 1)
 ANALYTICS_START = dt.date(1995, 1, 1)
@@ -57,9 +58,9 @@ def metricflow_time_spine(spark: SparkSession, sf_dir: str | None = None) -> Dat
 
 def customer_segmentation(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/customer_segmentation.sql:1-222."""
-    customers_ = marts_core.customers(spark, sf_dir)
-    orders_ = marts_core.orders(spark, sf_dir)
-    items = marts_core.order_items(spark, sf_dir)
+    customers_ = ref("customers", marts_core.customers, spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
+    items = ref("order_items", marts_core.order_items, spark, sf_dir)
     as_of = F.lit(DEFAULT_AS_OF.isoformat()).cast("date")
 
     # rfm_analysis (:21-66): P3 filter + F3 datediff + three band ladders.
@@ -231,7 +232,7 @@ def customer_segmentation(spark: SparkSession, sf_dir: str | None = None) -> Dat
 # ------------------------------------------------------------ time marts
 def daily_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:15-37 — daily grain rollup (A1/A3/A4)."""
-    orders_ = marts_core.orders(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
     sum_total = F.sum("order_total_cents")
     sum_cost = F.sum("order_cost_cents")
     n_vals = F.count("order_total_cents")
@@ -257,7 +258,7 @@ def daily_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 def weekly_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:39-54 — F1 week truncation (Monday start)."""
-    orders_ = marts_core.orders(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
     sum_total = F.sum("order_total_cents")
     sum_cost = F.sum("order_cost_cents")
     n_vals = F.count("order_total_cents")
@@ -277,7 +278,7 @@ def weekly_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 def monthly_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:56-76 — A5 positional multi-key group by + F2."""
-    orders_ = marts_core.orders(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
     sum_total = F.sum("order_total_cents")
     sum_cost = F.sum("order_cost_cents")
     n_vals = F.count("order_total_cents")
@@ -301,7 +302,7 @@ def monthly_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
 def cohort_retention(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:78-109 — cohort grid with month-boundary diff
     (dbt.datediff month semantics = calendar-month delta)."""
-    orders_ = marts_core.orders(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
     cohort = orders_.groupBy(
         F.date_trunc("month", F.col("ordered_at")).cast("date").alias("cohort_month"),
         F.col("customer_id"),
@@ -319,7 +320,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str | None = None) -> DataFram
 
 def seasonal_trends(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:111-126 — F2 extracts incl. dayofweek (1=Sunday)."""
-    orders_ = marts_core.orders(spark, sf_dir)
+    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
     sum_total = F.sum("order_total_cents")
     n_vals = F.count("order_total_cents")
     return orders_.groupBy(
@@ -337,7 +338,7 @@ def seasonal_trends(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
 
 def growth_metrics(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """time_analytics.sql:128-149 — W3 lag over the monthly grain."""
-    monthly = monthly_summary(spark, sf_dir)
+    monthly = ref("monthly_summary", monthly_summary, spark, sf_dir)
     w = Window.orderBy("order_month")
     prev_rev = F.lag("monthly_revenue", 1).over(w)
     prev_ord = F.lag("monthly_orders", 1).over(w)
@@ -361,8 +362,8 @@ def time_analytics(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     densification + P4 date-range filter. Only the spine+daily columns reach
     the final table (SURVEY §2.12 note); the other CTEs are the standalone
     analyses above."""
-    spine = metricflow_time_spine(spark, sf_dir)
-    daily = daily_summary(spark, sf_dir)
+    spine = ref("metricflow_time_spine", metricflow_time_spine, spark, sf_dir)
+    daily = ref("daily_summary", daily_summary, spark, sf_dir)
     as_of = F.lit(DEFAULT_AS_OF.isoformat()).cast("date")
     return (
         spine.filter(

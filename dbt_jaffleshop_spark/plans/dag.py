@@ -193,13 +193,30 @@ def run_pipeline(
     materialized: dict[str, DataFrame] = {}
     failed: set[str] = set()
 
+    import time as _time
+
     for name in topological_order():
         spec = MODELS[name]
         if any(d in failed for d in spec.depends_on):
             results[name] = {"status": "skipped", "reason": "upstream failure"}
             failed.add(name)
             continue
-        df = spec.builder(spark, sf_dir)
+        _t0 = _time.perf_counter()
+        # ref() resolution: builders consume already-materialized upstream
+        # models (for table marts: the re-read of the written parquet)
+        # instead of recomputing their lineage — compute-once/read-many
+        # (SURVEY §4.1; `orders` feeds 5 downstream models).
+        from ..models import materialization_context
+
+        with materialization_context(materialized):
+            df = spec.builder(spark, sf_dir)
+        if spec.materialization == "view":
+            # Engine cache policy (SURVEY §4.1): a view consumed by N
+            # downstream models + its own tests would recompute its plan
+            # N+k times within one pipeline run; cache for the run's
+            # duration (unpersisted at the end). Matches dbt view
+            # semantics externally while avoiding recompute internally.
+            df = df.cache()
         if spec.materialization == "table" and warehouse_dir:
             path = os.path.join(warehouse_dir, name)
             writer = df.write.mode("overwrite")
@@ -215,10 +232,15 @@ def run_pipeline(
             n_bad = factory(materialized).count()
             if n_bad:
                 test_failures[test_name] = n_bad
+        _secs = round(_time.perf_counter() - _t0, 2)
         if test_failures:
-            results[name] = {"status": "test_failed", "failures": test_failures}
+            results[name] = {"status": "test_failed", "failures": test_failures,
+                             "seconds": _secs}
             if fail_fast:
                 failed.add(name)
         else:
-            results[name] = {"status": "ok"}
+            results[name] = {"status": "ok", "seconds": _secs}
+    for name, df in materialized.items():
+        if MODELS[name].materialization == "view":
+            df.unpersist()
     return results
