@@ -69,6 +69,59 @@ def events_json_stats(spark: SparkSession, sf_dir: str | None = None) -> DataFra
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """As-of join (a relational operator Spark SQL lacks natively):
+    attach to every 'purchase' event the most recent prior-or-same-time
+    'click' by the same user.
+
+    Implementation: the union-and-fill composition — tag both sides, union,
+    and carry the latest click forward with last_value(ignoreNulls) over a
+    (user_id, time) window; then keep only purchase rows. ONE shuffle on
+    user_id, no range-explosion — at 100 TB this beats an inequality join
+    (which Spark would execute as a broadcast-nested-loop or a range-bucket
+    blowup). Clicks are pre-deduplicated to (user, ts) grain (max event_id)
+    so tie behavior is deterministic and matches DuckDB's native ASOF JOIN,
+    which the oracle uses as an independent implementation."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts_us", F.lit(0).alias("kind"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", F.lit(1).alias("kind")
+    )
+    tagged = clicks.unionByName(purchases)
+    # clicks sort before a same-timestamp purchase (kind 0 < 1) → '<=' asof
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumns(
+        {
+            "click_event_id": F.last(
+                F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True
+            ).over(w),
+            "click_ts_us": F.last(
+                F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True
+            ).over(w),
+        }
+    )
+    return filled.where(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "click_event_id",
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 ORACLES: dict[str, str] = {
@@ -103,6 +156,27 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        count(DISTINCT event_type) AS n_event_types
 FROM sessions
 GROUP BY user_id, session_idx
+""",
+    "events_asof_join": """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+clicks AS (
+    SELECT user_id, ts_us, max(event_id) AS event_id
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+),
+purchases AS (
+    SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_event_id,
+       p.user_id,
+       p.ts_us AS purchase_ts_us,
+       c.event_id AS click_event_id,
+       c.ts_us AS click_ts_us,
+       p.ts_us - c.ts_us AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 """,
     "events_json_stats": """
 WITH ev AS (

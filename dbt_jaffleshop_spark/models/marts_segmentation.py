@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import DEFAULT_AS_OF, date_spine
-from . import marts_core
+from . import marts_core, staging
 from .base import ref
 
 SPINE_START = dt.date(1992, 1, 1)
@@ -57,10 +57,30 @@ def metricflow_time_spine(spark: SparkSession, sf_dir: str | None = None) -> Dat
 
 
 def customer_segmentation(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """reference: models/marts/customer_segmentation.sql:1-222."""
-    customers_ = ref("customers", marts_core.customers, spark, sf_dir)
-    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
-    items = ref("order_items", marts_core.order_items, spark, sf_dir)
+    """reference: models/marts/customer_segmentation.sql:1-222.
+
+    Cache policy (SURVEY §4.1/§7.4): the six analysis CTEs each consume
+    the same three mart inputs; without materialization Catalyst replans
+    the whole upstream join tree per branch (9 orders scans / 6 lineitem
+    scans in the physical plan). Inside a pipeline run ref() resolves to
+    the written tables; standalone, cache each input once — they are
+    customer/order-grain frames, orders of magnitude smaller than the
+    raw fact tables they derive from."""
+    items = ref("order_items", marts_core.order_items, spark, sf_dir).cache()
+    # chain through the _logic seams so each cached level feeds the next —
+    # the order_items subtree is built once, not once per mart input
+    orders_ = ref(
+        "orders",
+        lambda s, sf: marts_core.orders_logic(staging.stg_orders(s, sf), items),
+        spark, sf_dir,
+    ).cache()
+    customers_ = ref(
+        "customers",
+        lambda s, sf: marts_core.customers_logic(
+            staging.stg_customers(s, sf), orders_
+        ),
+        spark, sf_dir,
+    ).cache()
     as_of = F.lit(DEFAULT_AS_OF.isoformat()).cast("date")
 
     # rfm_analysis (:21-66): P3 filter + F3 datediff + three band ladders.

@@ -82,6 +82,14 @@ register(
     _streaming_daily.ORACLES["streaming_daily_events"],
 )
 
+from ..streaming import sessionize as _streaming_sessionize
+
+register(
+    "streaming_sessionize",
+    _streaming_sessionize.streaming_sessionize,
+    _streaming_sessionize.ORACLES["streaming_sessionize"],
+)
+
 # --------------------------------------------- semantic layer (SURVEY §2.10)
 # Saved queries (M6) compiled by the metric layer; oracle SQL is generated
 # from the same declarations the Spark plan compiles from.

@@ -48,3 +48,27 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image")
+
+
+def test_events_asof_join_parity(spark, oracle, sf_dir):
+    """As-of join composition vs DuckDB's native ASOF JOIN — two
+    independent implementations of the same operator."""
+    from dbt_jaffleshop_spark.llm import events
+
+    assert_parity(
+        events.events_asof_join(spark, sf_dir),
+        oracle,
+        events.ORACLES["events_asof_join"],
+    )
+
+
+def test_streaming_sessionize_matches_batch_oracle(spark, oracle, sf_dir):
+    """applyInPandasWithState sessionizer: single availableNow batch ⇒
+    output identical to the batch window-algebra operator."""
+    from dbt_jaffleshop_spark.streaming import sessionize
+
+    assert_parity(
+        sessionize.streaming_sessionize(spark, sf_dir),
+        oracle,
+        sessionize.ORACLES["streaming_sessionize"],
+    )
