@@ -118,10 +118,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str | None = None) -> DataF
     )
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
+def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     """doc_id → 16 minhash values (one groupBy over exploded shingles;
     the 16 mins are map-side-combinable aggregates — a single shuffle)."""
-    hashed = _shingle_table(docs).select(
+    hashed = sh.select(
         "doc_id",
         (F.expr(_HASH60.format(s="shingle")) % MINHASH_P).alias("hm"),
     )
@@ -140,7 +140,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     the expensive all-pairs work is bounded by bucket collisions, not
     corpus size²."""
     docs = load_table(spark, "documents", sf_dir)
-    sig = _minhash_signatures(docs)
+    # the shingle relation feeds the signature build AND both sides of the
+    # candidate verification join — cache it once (SURVEY §4.1 policy; at
+    # 100 TB this is a persisted intermediate table keyed by shingle)
+    sh = _shingle_table(docs).cache()
+    sig = _minhash_signatures_from(sh)
 
     band_exprs = []
     for j in range(LSH_BANDS):
@@ -158,7 +162,6 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
         .distinct()
     )
 
-    sh = _shingle_table(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
