@@ -59,10 +59,19 @@ _HASH60 = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as long)"
 
 
 def _shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct — the inverted-index base relation."""
-    return docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")
-    ).distinct()
+    """(doc_id, shingle) distinct — the inverted-index base relation.
+
+    The source is a single parquet file (one input split), so without a
+    repartition the shingle explode runs in ONE task; spreading rows
+    first costs a tiny shuffle and parallelizes the expensive per-doc
+    work. On a many-file 100 TB corpus the splits already parallelize
+    and AQE coalesces this to a no-op-sized exchange."""
+    return (
+        docs.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:

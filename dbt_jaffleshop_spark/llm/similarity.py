@@ -111,6 +111,71 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+N_CELLS = 16
+IVF_TOP_K = 3
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every
+    vector to its nearest of 16 fixed centroids (the embeddings of
+    vec_ids 0..15 — a deterministic stand-in for trained k-means cells);
+    queries probe only their own cell (nprobe=1).
+
+    Scale shape: the centroid table is broadcast (16 rows); assignment is
+    a map-side argmax, and the candidate join shuffles on cell id — cells
+    are corpus/16 in expectation, so per-query work drops accordingly.
+    Exact integer cosine throughout ⇒ the DuckDB oracle (same algorithm)
+    matches bit-for-bit."""
+    q = _quantized_embeddings(spark, sf_dir)
+    cents = q.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cell")
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(e, ce, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"),
+        )
+        .withColumn("na", F.col("nrm"))
+        .withColumn("nb", F.col("cn"))
+        .withColumn("c_cos", F.expr(_COS))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "e", "nrm", "cell")
+    )
+    queries = assigned.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        queries.join(assigned.alias("c"), "cell")
+        .where(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qe, c.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("qn").alias("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 
@@ -144,6 +209,41 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rank <= {TOP_K}
+""",
+    "sim_ivf_topk": f"""
+WITH {_QUANT_CTE.strip()},
+cents AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+assign_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, e, nrm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY {_COS_D} DESC, cell ASC) AS rn
+        FROM assign_scored
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.e, c.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           q.nrm AS na, c.nrm AS nb
+    FROM assigned q JOIN assigned c
+      ON q.cell = c.cell AND q.vec_id % {QUERY_STRIDE} = 0
+         AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_COS_D} AS cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
+FROM ranked WHERE rank <= {IVF_TOP_K}
 """,
     "sim_lsh_topk": f"""
 WITH {_QUANT_CTE.strip()},

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) — a test dimension the reference
+lacks entirely (SURVEY §5 'Absent'). Two surfaces where randomized
+inputs genuinely strengthen coverage:
+
+* the metric compiler: ANY subset of metrics × group-by must compile to
+  a DataFrame that matches its own generated DuckDB oracle, not just the
+  frozen saved queries;
+* cross-operator invariants that must hold for any data the operators
+  accept (sessionization conservation, dedup candidate containment).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import assert_parity
+
+from dbt_jaffleshop_spark.semantic import ORDERS_MODEL, MetricQuery
+
+_ORDER_METRICS = sorted(ORDERS_MODEL.metrics)
+_GROUP_BYS = [[], ["metric_time__month"], ["location"], ["is_food_order"],
+              ["metric_time__week", "location"]]
+
+_prop_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    metrics=st.lists(st.sampled_from(_ORDER_METRICS), min_size=1, max_size=4,
+                     unique=True),
+    group_by=st.sampled_from(_GROUP_BYS),
+)
+@_prop_settings
+def test_metric_compiler_parity_any_request(spark, oracle, sf_dir, metrics, group_by):
+    """Every compilable (metrics × group_by) request must match the
+    oracle generated from the same declaration."""
+    needs_time = any(
+        ORDERS_MODEL.metrics[m].kind in ("cumulative",)
+        or ORDERS_MODEL.metrics[m].offset_inputs
+        for m in metrics
+    )
+    if needs_time and not any(g.startswith("metric_time") for g in group_by):
+        group_by = ["metric_time__month"]
+    q = MetricQuery(ORDERS_MODEL, metrics=list(metrics), group_by=list(group_by))
+    assert_parity(q.to_df(spark, sf_dir), oracle, q.to_oracle_sql())
+
+
+def test_sessionize_conserves_events(spark, sf_dir):
+    """Σ session n_events == |events| and every intra-session gap bound
+    implies duration ≤ (n_events − 1) × gap."""
+    from dbt_jaffleshop_spark.llm.events import SESSION_GAP_US, events_sessionize
+    from dbt_jaffleshop_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sessions = events_sessionize(spark, sf_dir)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, "events", sf_dir).count()
+    bad = sessions.where(
+        F.col("duration_us") > (F.col("n_events") - 1) * SESSION_GAP_US
+    ).count()
+    assert bad == 0
+
+
+def test_lsh_candidates_subset_of_exact(spark, sf_dir):
+    """Verified LSH pairs are always a subset of exact-Jaccard pairs at
+    the same threshold (the verify step guarantees no false positives)."""
+    from dbt_jaffleshop_spark.llm.dedup import dedup_minhash_pairs, dedup_ngram_jaccard
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_pairs(spark, sf_dir).collect()}
+    assert lsh <= exact
