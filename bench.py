@@ -48,7 +48,9 @@ def main() -> None:
         "dedup_simhash",
         "text_quality",
         "sim_topk_cosine",
+        "sim_ivf_topk",
         "events_sessionize",
+        "events_asof_join",
     ]
     names = [n for n in headline + extras if n in queries]
 
