@@ -59,6 +59,31 @@ def expression_is_true(df: DataFrame, expression: str) -> DataFrame:
     return df.filter(~F.coalesce(F.expr(expression), F.lit(False)))
 
 
+def source_freshness(
+    df: DataFrame,
+    loaded_at_col: str,
+    max_age_seconds: int,
+    as_of,
+) -> DataFrame:
+    """T7 — source freshness (reference: __sources.yml:13,18 declares
+    ``loaded_at_field`` for staleness checks). Violation-row contract:
+    one row (max_loaded_at, age_seconds) iff the newest record is older
+    than ``max_age_seconds`` relative to the injected ``as_of`` instant
+    (frozen clock — SURVEY §4.3-1), else empty. A single agg over a
+    pruned column scan."""
+    agg = df.agg(F.max(loaded_at_col).alias("max_loaded_at")).select(
+        "max_loaded_at",
+        (
+            F.lit(as_of).cast("timestamp").cast("long")
+            - F.col("max_loaded_at").cast("timestamp").cast("long")
+        ).alias("age_seconds"),
+    )
+    return agg.filter(
+        F.col("max_loaded_at").isNull()
+        | (F.col("age_seconds") > max_age_seconds)
+    )
+
+
 @dataclass
 class CheckResult:
     name: str

@@ -54,3 +54,23 @@ def test_malformed_seed_fails_fast(spark, tmp_path):
 def test_registry_rejects_unknown_table(spark):
     with pytest.raises(KeyError):
         load_table(spark, "nope")
+
+
+def test_source_freshness_t7(spark, sf_dir):
+    """T7: events are fresh relative to an as-of just after the data's
+    max ts, stale relative to a far-future as-of."""
+    import datetime as dt
+
+    from dbt_jaffleshop_spark.sources import load_table
+    from dbt_jaffleshop_spark.testing.generic import source_freshness
+
+    ev = load_table(spark, "events", sf_dir)
+    fresh = source_freshness(
+        ev, "ts", max_age_seconds=10 * 366 * 86400, as_of=dt.datetime(2025, 1, 1)
+    )
+    assert fresh.count() == 0
+    stale = source_freshness(
+        ev, "ts", max_age_seconds=86400, as_of=dt.datetime(2079, 1, 1)
+    )
+    rows = stale.collect()
+    assert len(rows) == 1 and rows[0]["age_seconds"] > 86400
