@@ -774,3 +774,13 @@ def jaffle_sql(model: str, extra_select: str | None = None) -> str:
     )
     final = extra_select or f"SELECT * FROM {_CTE_NAME.get(model, model)}"
     return f"WITH {ctes}\n{final}"
+
+
+def jaffle_sql_multi(models: list[str], final_select: str) -> str:
+    """WITH chain covering the dependency closure of several models at
+    once (digest queries verify a whole model group in one driver slot)."""
+    names = _closure(list(models))
+    ctes = ",\n".join(
+        f"{_CTE_NAME.get(n, n)} AS (\n{_ALL_CTES[n]}\n)" for n in names
+    )
+    return f"WITH {ctes}\n{final_select}"

@@ -1,14 +1,22 @@
 """Declared semantic models + saved queries mirroring the reference's
-semantic layer (orders.yml:54-159, customers.yml:35-109,
-order_items.yml:43-181; SURVEY §2.10 M1–M7).
+semantic layer — ALL EIGHT reference semantic models (orders.yml:54-159,
+customers.yml:35-109, order_items.yml:43-181, products.yml:39-125,
+supplies.yml:41-131, locations.yml:35-125,
+customer_segmentation.yml:35-130, time_analytics.yml:33-122;
+SURVEY §2.10 M1–M7).
 
 Money metrics aggregate exact integer cents (parity-stable under any
-shuffle order); dollar values derive at the edge when needed.
+shuffle order); dollar-typed mart columns are quantized back to cents
+(`cast(round(x * 1e2) as bigint)` — exact, they derive from cents) before
+summing. avg measures run only over singleton entity groups (primary-key
+group-bys, faithful to the reference's `group_by: Entity(...)` saved
+queries) or exact integers, so no cross-row float accumulation exists
+anywhere in the layer.
 """
 
 from __future__ import annotations
 
-from ..models import marts_core
+from ..models import marts_analytics, marts_core, marts_segmentation
 from .model import Dimension, Measure, Metric, MetricQuery, SemanticModel
 
 # --------------------------------------------------------------- orders
@@ -70,6 +78,13 @@ CUSTOMERS_MODEL = SemanticModel(
         "lifetime_spend_cents_m": Measure("lifetime_spend_cents_m", "sum", "lifetime_spend_cents"),
         "avg_lifetime_spend_m": Measure("avg_lifetime_spend_m", "avg", "lifetime_spend_cents"),
         "median_lifetime_spend_m": Measure("median_lifetime_spend_m", "median", "lifetime_spend_cents"),
+        # customers.yml measures feeding the derived average_order_value
+        "lifetime_spend_pretax_cents_m": Measure(
+            "lifetime_spend_pretax_cents_m", "sum", "lifetime_spend_pretax_cents"
+        ),
+        "count_lifetime_orders_m": Measure(
+            "count_lifetime_orders_m", "sum", "count_lifetime_orders"
+        ),
     },
     metrics={
         "customer_count": Metric("customer_count", "simple", measure="customer_count"),
@@ -81,6 +96,20 @@ CUSTOMERS_MODEL = SemanticModel(
         ),
         "median_lifetime_spend_cents": Metric(
             "median_lifetime_spend_cents", "simple", measure="median_lifetime_spend_m"
+        ),
+        "lifetime_spend_pretax_cents": Metric(
+            "lifetime_spend_pretax_cents", "simple",
+            measure="lifetime_spend_pretax_cents_m",
+        ),
+        "count_lifetime_orders": Metric(
+            "count_lifetime_orders", "simple", measure="count_lifetime_orders_m"
+        ),
+        # customers.yml:87-95 — derived M4: LTV pre-tax / number of orders
+        # (bigint / bigint is float division in BOTH engines: one
+        # correctly-rounded IEEE op over exact integers)
+        "average_order_value_cents": Metric(
+            "average_order_value_cents", "derived",
+            expr="lifetime_spend_pretax_cents / count_lifetime_orders",
         ),
     },
 )
@@ -119,6 +148,226 @@ ORDER_ITEMS_MODEL = SemanticModel(
     },
 )
 
+# --------------------------------------------------------------- products
+
+# products.yml:39-125 — entity-grained performance metrics. The reference
+# saved query groups by Entity('product'), i.e. the mart's primary key:
+# every group is a single row, so the avg measure is exact by construction.
+PRODUCTS_MODEL = SemanticModel(
+    name="products",
+    mart="products",
+    base=marts_analytics.products,
+    agg_time_dimension="",  # products.yml declares no time dimension
+    dimensions={
+        "product_id": Dimension("product_id"),
+        "product_type": Dimension("product_type"),
+        "performance_tier": Dimension("performance_tier"),
+    },
+    measures={
+        "products_m": Measure("products_m", "count_distinct", "product_id"),
+        "total_revenue_cents_m": Measure(
+            "total_revenue_cents_m", "sum",
+            "cast(round(total_revenue * 1e2) as bigint)",
+        ),
+        "total_profit_cents_m": Measure(
+            "total_profit_cents_m", "sum",
+            "cast(round(total_profit * 1e2) as bigint)",
+        ),
+        "total_quantity_m": Measure("total_quantity_m", "sum", "total_quantity_sold"),
+        "avg_profit_margin_m": Measure(
+            "avg_profit_margin_m", "avg", "profit_margin_ratio"
+        ),
+    },
+    metrics={
+        "product_revenue_cents": Metric(
+            "product_revenue_cents", "simple", measure="total_revenue_cents_m"
+        ),
+        "product_profit_cents": Metric(
+            "product_profit_cents", "simple", measure="total_profit_cents_m"
+        ),
+        "product_count": Metric("product_count", "simple", measure="products_m"),
+        "avg_profit_margin": Metric(
+            "avg_profit_margin", "simple", measure="avg_profit_margin_m"
+        ),
+    },
+)
+
+# --------------------------------------------------------------- supplies
+
+# supplies.yml:41-131. Entity('supply') resolves to supply_uuid — the
+# mart's actual grain (same documented deviation as the mart itself:
+# supply_id repeats across products, supply_uuid is the dbt surrogate key).
+SUPPLIES_MODEL = SemanticModel(
+    name="supplies",
+    mart="supplies",
+    base=marts_analytics.supplies,
+    agg_time_dimension="",
+    dimensions={
+        "supply_uuid": Dimension("supply_uuid"),
+        "usage_tier": Dimension("usage_tier"),
+        "efficiency_tier": Dimension("efficiency_tier"),
+        "risk_category": Dimension("risk_category"),
+    },
+    measures={
+        "supplies_m": Measure("supplies_m", "count_distinct", "supply_uuid"),
+        "supply_cost_cents_m": Measure(
+            "supply_cost_cents_m", "sum", "supply_cost_incurred_cents"
+        ),
+        "supply_revenue_cents_m": Measure(
+            "supply_revenue_cents_m", "sum", "revenue_generated_cents"
+        ),
+        "avg_efficiency_m": Measure(
+            "avg_efficiency_m", "avg", "revenue_to_cost_ratio"
+        ),
+    },
+    metrics={
+        "supply_cost_cents": Metric(
+            "supply_cost_cents", "simple", measure="supply_cost_cents_m"
+        ),
+        "supply_revenue_cents": Metric(
+            "supply_revenue_cents", "simple", measure="supply_revenue_cents_m"
+        ),
+        "supply_count": Metric("supply_count", "simple", measure="supplies_m"),
+        "avg_supply_efficiency": Metric(
+            "avg_supply_efficiency", "simple", measure="avg_efficiency_m"
+        ),
+    },
+)
+
+# -------------------------------------------------------------- locations
+
+# locations.yml:35-125 — Entity('location') saved query (5 singleton groups).
+LOCATIONS_MODEL = SemanticModel(
+    name="locations",
+    mart="locations",
+    base=marts_analytics.locations,
+    agg_time_dimension="opened_date",  # locations.yml defaults
+    dimensions={
+        "location_id": Dimension("location_id"),
+        "performance_tier": Dimension("performance_tier"),
+        "retention_tier": Dimension("retention_tier"),
+    },
+    measures={
+        "locations_m": Measure("locations_m", "count_distinct", "location_id"),
+        "location_revenue_cents_m": Measure(
+            "location_revenue_cents_m", "sum",
+            "cast(round(total_revenue * 1e2) as bigint)",
+        ),
+        "location_profit_cents_m": Measure(
+            "location_profit_cents_m", "sum",
+            "cast(round(total_profit * 1e2) as bigint)",
+        ),
+        "avg_order_value_m": Measure("avg_order_value_m", "avg", "avg_order_value"),
+    },
+    metrics={
+        "location_revenue_cents": Metric(
+            "location_revenue_cents", "simple", measure="location_revenue_cents_m"
+        ),
+        "location_profit_cents": Metric(
+            "location_profit_cents", "simple", measure="location_profit_cents_m"
+        ),
+        "location_count": Metric("location_count", "simple", measure="locations_m"),
+        "avg_location_order_value": Metric(
+            "avg_location_order_value", "simple", measure="avg_order_value_m"
+        ),
+    },
+)
+
+# ------------------------------------------------- customer_segmentation
+
+# customer_segmentation.yml:35-130 — includes the filtered
+# high_value_customers metric (`clv_tier = 'High Value'`), the reference's
+# last P6 metric-filter instance.
+CUSTOMER_SEGMENTATION_MODEL = SemanticModel(
+    name="customer_segmentation",
+    mart="customer_segmentation",
+    base=marts_segmentation.customer_segmentation,
+    agg_time_dimension="first_ordered_at",
+    dimensions={
+        "customer_id": Dimension("customer_id"),
+        "rfm_segment": Dimension("rfm_segment"),
+        "clv_tier": Dimension("clv_tier"),
+        "churn_risk": Dimension("churn_risk"),
+    },
+    measures={
+        "customers_m": Measure("customers_m", "count_distinct", "customer_id"),
+        "avg_rfm_score_m": Measure("avg_rfm_score_m", "avg", "rfm_score"),
+        "avg_lifetime_spend_seg_m": Measure(
+            "avg_lifetime_spend_seg_m", "avg",
+            "cast(round(lifetime_spend * 1e2) as bigint)",
+        ),
+        "avg_lifetime_orders_m": Measure(
+            "avg_lifetime_orders_m", "avg", "count_lifetime_orders"
+        ),
+    },
+    metrics={
+        "customer_segments": Metric(
+            "customer_segments", "simple", measure="customers_m"
+        ),
+        "avg_customer_rfm_score": Metric(
+            "avg_customer_rfm_score", "simple", measure="avg_rfm_score_m"
+        ),
+        "avg_customer_lifetime_value_cents": Metric(
+            "avg_customer_lifetime_value_cents", "simple",
+            measure="avg_lifetime_spend_seg_m",
+        ),
+        # P6: filtered simple metric (customer_segmentation.yml:114-115)
+        "high_value_customers": Metric(
+            "high_value_customers", "simple", measure="customers_m",
+            filter="clv_tier = 'High Value'",
+        ),
+    },
+)
+
+# ---------------------------------------------------------- time_analytics
+
+# time_analytics.yml:33-122 — saved query grouped by
+# TimeDimension('metric_time', 'month'). Groups span many days, so every
+# sum runs over exact integers (cents recovered from the mart's
+# coalesce-filled dollar doubles).
+TIME_ANALYTICS_MODEL = SemanticModel(
+    name="time_analytics",
+    mart="time_analytics",
+    base=marts_segmentation.time_analytics,
+    agg_time_dimension="date_day",
+    dimensions={
+        "year": Dimension("year"),
+        "quarter": Dimension("quarter"),
+        "day_of_week": Dimension("day_of_week"),
+    },
+    measures={
+        "daily_orders_m": Measure("daily_orders_m", "sum", "daily_orders"),
+        "daily_revenue_cents_m": Measure(
+            "daily_revenue_cents_m", "sum",
+            "cast(round(daily_revenue * 1e2) as bigint)",
+        ),
+        "daily_profit_cents_m": Measure(
+            "daily_profit_cents_m", "sum",
+            "cast(round(daily_profit * 1e2) as bigint)",
+        ),
+        "daily_customers_m": Measure(
+            "daily_customers_m", "sum", "daily_unique_customers"
+        ),
+    },
+    metrics={
+        "total_daily_orders": Metric(
+            "total_daily_orders", "simple", measure="daily_orders_m"
+        ),
+        "total_daily_revenue_cents": Metric(
+            "total_daily_revenue_cents", "simple", measure="daily_revenue_cents_m"
+        ),
+        "total_daily_profit_cents": Metric(
+            "total_daily_profit_cents", "simple", measure="daily_profit_cents_m"
+        ),
+        # time_analytics.yml metric avg_daily_customers uses the
+        # daily_unique_customers measure, whose declared agg is SUM — the
+        # reference's own naming quirk, preserved faithfully.
+        "avg_daily_customers": Metric(
+            "avg_daily_customers", "simple", measure="daily_customers_m"
+        ),
+    },
+)
+
 # ------------------------------------------------------- saved queries (M6)
 
 SAVED_QUERIES: dict[str, MetricQuery] = {
@@ -141,11 +390,14 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         group_by=["metric_time__month"],
     ),
     # entity-grouped rollup with count_distinct / exact-avg / median (A12)
+    # + the customers.yml:87-95 derived average_order_value (M4)
     "sq_customer_metrics_by_type": MetricQuery(
         CUSTOMERS_MODEL,
         metrics=[
             "customer_count", "lifetime_spend_cents_total",
             "avg_lifetime_spend_cents", "median_lifetime_spend_cents",
+            "count_lifetime_orders", "lifetime_spend_pretax_cents",
+            "average_order_value_cents",
         ],
         group_by=["customer_type"],
     ),
@@ -163,5 +415,51 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         ORDERS_MODEL,
         metrics=["orders", "order_total_cents", "food_orders"],
         group_by=["location"],
+    ),
+    # products.yml:112-125 — product_performance_metrics by Entity('product')
+    "sq_product_performance": MetricQuery(
+        PRODUCTS_MODEL,
+        metrics=[
+            "product_revenue_cents", "product_profit_cents",
+            "product_count", "avg_profit_margin",
+        ],
+        group_by=["product_id"],
+    ),
+    # supplies.yml:118-131 — supply_chain_metrics by Entity('supply')
+    "sq_supply_chain": MetricQuery(
+        SUPPLIES_MODEL,
+        metrics=[
+            "supply_cost_cents", "supply_revenue_cents",
+            "supply_count", "avg_supply_efficiency",
+        ],
+        group_by=["supply_uuid"],
+    ),
+    # locations.yml:112-125 — location_performance_metrics by Entity('location')
+    "sq_location_performance": MetricQuery(
+        LOCATIONS_MODEL,
+        metrics=[
+            "location_revenue_cents", "location_profit_cents",
+            "location_count", "avg_location_order_value",
+        ],
+        group_by=["location_id"],
+    ),
+    # customer_segmentation.yml:117-130 — incl. filtered high_value_customers (P6)
+    "sq_customer_segmentation": MetricQuery(
+        CUSTOMER_SEGMENTATION_MODEL,
+        metrics=[
+            "customer_segments", "avg_customer_rfm_score",
+            "avg_customer_lifetime_value_cents", "high_value_customers",
+        ],
+        group_by=["customer_id"],
+    ),
+    # time_analytics.yml:109-122 — time_analytics_metrics by
+    # TimeDimension('metric_time', 'month')
+    "sq_time_analytics_monthly": MetricQuery(
+        TIME_ANALYTICS_MODEL,
+        metrics=[
+            "total_daily_orders", "total_daily_revenue_cents",
+            "total_daily_profit_cents", "avg_daily_customers",
+        ],
+        group_by=["metric_time__month"],
     ),
 }
