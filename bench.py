@@ -7,22 +7,41 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The headline set covers the full jaffle DAG (the reference's `dbt build`
 analogue) plus the heaviest beyond-reference operators, so the number
 tracks end-to-end pipeline throughput, not a cherry-picked fast query.
-Each query is forced with `.count()` (executes the whole plan; no
-driver-side collect of the result rows).
+
+Measurement protocol (recorded in BASELINE.md):
+* forcing — every query is materialized with a `noop`-format write, which
+  executes the FULL plan. (`.count()` is wrong for this: Catalyst prunes
+  all columns under a count aggregate, so projection-heavy plans skip
+  their expensive expressions.)
+* repetitions — one un-timed warm-up run, then median of 3 timed runs,
+  per query and for the pipeline build (this VM shows 2-4× single-run
+  noise; the median is the comparable number). Override the timed-run
+  count with $SPARK_GRAFT_BENCH_RUNS.
+* caches — operator-managed caches (models.base.cached memo) are released
+  between timed runs, so each timed run pays its own cache population,
+  matching how the driver invokes queries cold.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
+def _force(df) -> None:
+    """Execute the whole plan without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS") or 3)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    from dbt_jaffleshop_spark.models.base import release_cached
     from dbt_jaffleshop_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -46,6 +65,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_pairs",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "text_quality",
         "sim_topk_cosine",
         "sim_ivf_topk",
@@ -63,13 +83,18 @@ def main() -> None:
 
     from dbt_jaffleshop_spark.plans.dag import run_pipeline
 
-    with tempfile.TemporaryDirectory() as wh:
-        t0 = time.perf_counter()
-        res = run_pipeline(spark, sf_dir, warehouse_dir=wh)
-        timings["pipeline_build"] = round(time.perf_counter() - t0, 3)
-    bad = [k for k, v in res.items() if v["status"] != "ok"]
-    if bad:
-        print(f"pipeline failures: {bad}", file=sys.stderr)
+    build_times: list[float] = []
+    for i in range(runs + 1):  # first run is the un-timed warm-up
+        with tempfile.TemporaryDirectory() as wh:
+            t0 = time.perf_counter()
+            res = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+            dt = time.perf_counter() - t0
+        if i > 0:
+            build_times.append(dt)
+        bad = [k for k, v in res.items() if v["status"] != "ok"]
+        if bad:
+            print(f"pipeline failures: {bad}", file=sys.stderr)
+    timings["pipeline_build"] = round(statistics.median(build_times), 3)
 
     # fresh session for the per-query timings: isolates them from the
     # pipeline run's cached state / GC pressure
@@ -78,9 +103,15 @@ def main() -> None:
 
     for name in names:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        per_run: list[float] = []
+        for i in range(runs + 1):
+            release_cached(spark)  # each run pays its own cache population
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            if i > 0:
+                per_run.append(time.perf_counter() - t0)
+        release_cached(spark)
+        timings[name] = round(statistics.median(per_run), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -96,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "protocol": f"noop-write forcing; warm-up + median of {runs}",
             }
         )
     )

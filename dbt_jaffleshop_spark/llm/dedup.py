@@ -39,6 +39,7 @@ from .common import (
     MINHASH_B,
     MINHASH_P,
     NUM_PERM,
+    SIM_LSH_PLANES,
     SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
@@ -148,11 +149,17 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     bucket join → candidates → exact Jaccard on candidates only. At scale
     the expensive all-pairs work is bounded by bucket collisions, not
     corpus size²."""
-    docs = load_table(spark, "documents", sf_dir)
     # the shingle relation feeds the signature build AND both sides of the
     # candidate verification join — cache it once (SURVEY §4.1 policy; at
-    # 100 TB this is a persisted intermediate table keyed by shingle)
-    sh = _shingle_table(docs).cache()
+    # 100 TB this is a persisted intermediate table keyed by shingle);
+    # memoized per session so repeated invocations don't stack cached RDDs
+    from ..models.base import cached
+
+    sh = cached(
+        "minhash_shingles",
+        lambda s, sf: _shingle_table(load_table(s, "documents", sf)),
+        spark, sf_dir,
+    )
     sig = _minhash_signatures_from(sh)
 
     band_exprs = []
@@ -289,6 +296,98 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str | None = None) -> Da
     )
     return (
         pairs.withColumn("cos_sim", F.expr(_COS))
+        .where(F.col("cos_sim") >= F.lit(COSINE_DUP_THRESHOLD))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+# Fixed band composition over SIM_LSH_PLANES (banding ≈ minhash bands:
+# a pair is a candidate when ALL sign bits of either band agree).
+EMB_LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 3, 4, 5), (1, 2, 6, 7))
+
+
+def _band_bucket_expr(e_col: str, band: int, dialect: str) -> str:
+    """Bucket id from the sign bits of 4 hyperplane dot products (the
+    plane indices of EMB_LSH_BANDS[band]). Integer dots, so both engines
+    compute identical buckets."""
+    terms = []
+    for j, plane_idx in enumerate(EMB_LSH_BANDS[band]):
+        plane = SIM_LSH_PLANES[plane_idx]
+        if dialect == "spark":
+            arr = ", ".join(f"{v}L" for v in plane)
+            dot = (
+                f"aggregate(zip_with({e_col}, array({arr}),"
+                f" (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            )
+        else:
+            arr = ", ".join(str(v) for v in plane)
+            dot = (
+                f"CAST(list_sum(list_transform(list_zip({e_col}, [{arr}]),"
+                f" pr -> pr[1] * pr[2])) AS BIGINT)"
+            )
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return " + ".join(terms)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Bucketed cosine near-dup pairs — the 100 TB path for
+    dedup_embedding_cosine's semantics (same threshold, same output shape).
+
+    Banded random-hyperplane LSH: each vector gets 2 band buckets (4 sign
+    bits each); candidate pairs share a bucket in EITHER band (minhash-style
+    banding — union of two equi-joins, never an all-pairs scan). The
+    candidate join carries only (vec_id, bucket) — narrow payload — and the
+    exact integer-cosine verify runs on candidates alone. Recall < 1 by
+    design (pairs disagreeing in both bands are missed); the DuckDB oracle
+    runs the identical fixed-plane algorithm, so parity is exact."""
+    q = _quantized_embeddings(spark, sf_dir)
+    buckets = q.select(
+        "vec_id",
+        F.expr(_band_bucket_expr("e", 0, "spark")).alias("b0"),
+        F.expr(_band_bucket_expr("e", 1, "spark")).alias("b1"),
+    )
+    cands = None
+    for col in ("b0", "b1"):
+        c = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), F.col(f"a.{col}") == F.col(f"b.{col}"))
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    verify = (
+        cands.join(
+            q.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
+    )
+    return (
+        verify.withColumn("cos_sim", F.expr(_COS))
         .where(F.col("cos_sim") >= F.lit(COSINE_DUP_THRESHOLD))
         .select("id_a", "id_b", "cos_sim")
     )
@@ -455,6 +554,34 @@ p AS (
                pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
            a.nrm AS na, b.nrm AS nb
     FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_COS_D} AS cos_sim
+FROM p
+WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
+""",
+    "dedup_embedding_lsh": f"""
+WITH {_QUANT_CTE.strip()},
+bk AS (
+    SELECT vec_id,
+           {_band_bucket_expr("e", 0, "duck")} AS b0,
+           {_band_bucket_expr("e", 1, "duck")} AS b1
+    FROM n
+),
+cand AS (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM bk a JOIN bk c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+    UNION
+    SELECT a.vec_id, c.vec_id
+    FROM bk a JOIN bk c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+),
+p AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(list_sum(list_transform(list_zip(x.e, y.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           x.nrm AS na, y.nrm AS nb
+    FROM cand
+    JOIN n x ON cand.id_a = x.vec_id
+    JOIN n y ON cand.id_b = y.vec_id
 )
 SELECT id_a, id_b, {_COS_D} AS cos_sim
 FROM p

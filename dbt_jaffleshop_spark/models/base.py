@@ -38,3 +38,38 @@ def ref(name: str, builder, spark, sf_dir):
     if _MATERIALIZED is not None and name in _MATERIALIZED:
         return _MATERIALIZED[name]
     return builder(spark, sf_dir)
+
+
+# ----------------------------------------------------- shared cache memo
+#
+# Multi-consumer subtrees (customer_segmentation's three mart inputs, the
+# MinHash shingle relation) are .cache()d so Catalyst doesn't replan the
+# upstream tree per branch. Calling .cache() on a FRESH DataFrame each
+# invocation would stack a new cached RDD per call and leak executor
+# storage in a long-lived session — so cached frames are memoized per
+# (session, name, sf_dir): repeated invocations reuse the same cached
+# plan (bounded), and `release_cached()` unpersists explicitly.
+# Inside a pipeline materialization context the memo is bypassed: ref()
+# already resolves to written tables there (cheap re-reads, no caching).
+
+_CACHE_MEMO: dict[tuple[int, str, str | None], DataFrame] = {}
+
+
+def cached(name: str, builder, spark, sf_dir) -> DataFrame:
+    """Memoized .cache() of `builder(spark, sf_dir)` (see note above)."""
+    if _MATERIALIZED is not None:
+        return ref(name, builder, spark, sf_dir)
+    key = (id(spark), name, sf_dir)
+    df = _CACHE_MEMO.get(key)
+    if df is None:
+        df = builder(spark, sf_dir).cache()
+        _CACHE_MEMO[key] = df
+    return df
+
+
+def release_cached(spark=None) -> None:
+    """Unpersist memoized caches (all sessions, or one)."""
+    for key, df in list(_CACHE_MEMO.items()):
+        if spark is None or key[0] == id(spark):
+            df.unpersist()
+            del _CACHE_MEMO[key]

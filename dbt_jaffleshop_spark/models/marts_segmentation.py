@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import DEFAULT_AS_OF, date_spine
 from . import marts_core, staging
-from .base import ref
+from .base import cached, ref
 
 SPINE_START = dt.date(1992, 1, 1)
 ANALYTICS_START = dt.date(1995, 1, 1)
@@ -66,21 +66,24 @@ def customer_segmentation(spark: SparkSession, sf_dir: str | None = None) -> Dat
     the written tables; standalone, cache each input once — they are
     customer/order-grain frames, orders of magnitude smaller than the
     raw fact tables they derive from."""
-    items = ref("order_items", marts_core.order_items, spark, sf_dir).cache()
+    # cached() memoizes per (session, name, sf_dir) so repeated standalone
+    # invocations reuse ONE cached plan instead of leaking a new cached RDD
+    # per call; release via models.base.release_cached().
+    items = cached("order_items", marts_core.order_items, spark, sf_dir)
     # chain through the _logic seams so each cached level feeds the next —
     # the order_items subtree is built once, not once per mart input
-    orders_ = ref(
+    orders_ = cached(
         "orders",
         lambda s, sf: marts_core.orders_logic(staging.stg_orders(s, sf), items),
         spark, sf_dir,
-    ).cache()
-    customers_ = ref(
+    )
+    customers_ = cached(
         "customers",
         lambda s, sf: marts_core.customers_logic(
             staging.stg_customers(s, sf), orders_
         ),
         spark, sf_dir,
-    ).cache()
+    )
     as_of = F.lit(DEFAULT_AS_OF.isoformat()).cast("date")
 
     # rfm_analysis (:21-66): P3 filter + F3 datediff + three band ladders.

@@ -20,7 +20,9 @@ Mapping contract (keep in sync with queries/oracle_jaffle.py RAW_CTES):
       store_id = o_orderkey % 5; tax = 8% of subtotal (cents) so the
       reference invariant order_total - tax_paid = subtotal holds.
 * raw_items(id, order_id, sku)                 ← lineitem
-      id = l_orderkey*10 + l_linenumber (linenumber ≤ 7)
+      id = (l_orderkey*10 + l_linenumber)*100 + row_number over
+      (l_orderkey, l_linenumber) ordered by (partkey, suppkey, quantity,
+      extendedprice) — the *100+rn disambiguates duplicate line numbers
 * raw_products(sku, name, type, price, description)  ← part
       type = 'jaffle' if p_partkey even else 'beverage'
 * raw_supplies(id, name, cost, perishable, sku)      ← distinct lineitem

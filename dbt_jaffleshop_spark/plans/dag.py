@@ -50,6 +50,12 @@ class ModelSpec:
         default_factory=list
     )
     partition_by: list[str] = field(default_factory=list)
+    # partition columns derived at WRITE time (name -> SQL expr over the
+    # model's output): added before the partitioned write, dropped from
+    # the re-read so the model's declared schema contract is unchanged.
+    # The 100 TB layout: month-partitioned marts let any month-bounded
+    # consumer read via partition pruning instead of a full scan.
+    partition_expr: dict[str, str] = field(default_factory=dict)
 
 
 def _pk_tests(model: str, col: str):
@@ -106,8 +112,15 @@ _register(ModelSpec(
     partition_by=[],
 ))
 _register(ModelSpec(
-    "orders", marts_core.orders, ["stg_orders", "order_items"],
+    # stg_customers is a declared dep because fk_orders_customers reads it:
+    # a stg_customers failure must skip orders (dbt skip-descendants), and
+    # topological_order(['orders']) must include it or the test KeyErrors.
+    "orders", marts_core.orders, ["stg_orders", "order_items", "stg_customers"],
     materialization="table",
+    # SURVEY §7.4: partition the orders mart by ordered_at month — the
+    # 5-consumer mart whose downstream reads are typically month-bounded.
+    partition_by=["order_month"],
+    partition_expr={"order_month": "cast(date_trunc('month', ordered_at) as date)"},
     tests=_pk_tests("orders", "order_id") + [
         # orders.yml:5-10 — two row-level invariants
         ("order_items_subtotal_matches", lambda dfs: generic.expression_is_true(
@@ -219,11 +232,16 @@ def run_pipeline(
             df = df.cache()
         if spec.materialization == "table" and warehouse_dir:
             path = os.path.join(warehouse_dir, name)
-            writer = df.write.mode("overwrite")
+            out = df
+            for col, expr in spec.partition_expr.items():
+                from pyspark.sql import functions as F
+
+                out = out.withColumn(col, F.expr(expr))
+            writer = out.write.mode("overwrite")
             if spec.partition_by:
                 writer = writer.partitionBy(*spec.partition_by)
             writer.parquet(path)
-            df = spark.read.parquet(path)
+            df = spark.read.parquet(path).drop(*spec.partition_expr.keys())
         df.createOrReplaceTempView(name)
         materialized[name] = df
 

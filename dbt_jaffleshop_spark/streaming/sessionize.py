@@ -11,9 +11,12 @@ what makes it hold on a real cluster.
 Batch-boundary note: the tail (still-open) session is emitted at the end
 of every batch AND carried in state, so with a single availableNow batch
 (one parquet file — our case) the output is exactly the batch result and
-the DuckDB oracle from events_sessionize applies verbatim. A production
-deployment would instead hold the tail and emit on event-time timeout;
-that path needs a live trigger and is documented rather than simulated.
+the DuckDB oracle from events_sessionize applies verbatim. A multi-batch
+run would emit partial sessions, so streaming_sessionize now FAILS LOUDLY
+if the run processed more than one data batch instead of silently
+diverging from the oracle. A production deployment would hold the tail
+and emit on event-time timeout; that path needs a live trigger and is
+documented rather than simulated.
 """
 
 from __future__ import annotations
@@ -58,9 +61,13 @@ STATE_SCHEMA = StructType(
 
 def _make_sessionizer(gap_us: int):
     """Closure (pickled by value — executors lack this package) that
-    sessionizes one user's events within a micro-batch."""
+    sessionizes one user's events within a micro-batch. Fully vectorized:
+    numpy gap-flag + reduceat segment aggregates (int64 — no float
+    accumulation), pandas nunique for distinct event types; no per-event
+    Python loop."""
 
     def sessionize(key, pdf_iter, state):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
@@ -69,38 +76,40 @@ def _make_sessionizer(gap_us: int):
         if state.exists:
             base_idx, _last = state.get
 
-        sessions = []
-        cur = None
-        for ts, cents, etype in zip(
-            events["ts_us"], events["value_cents"], events["event_type"]
-        ):
-            if cur is None or ts - cur["end"] > gap_us:
-                if cur is not None:
-                    sessions.append(cur)
-                cur = {
-                    "start": ts, "end": ts, "n": 0,
-                    "cents": 0, "types": set(),
+        ts = events["ts_us"].to_numpy(np.int64)
+        cents = events["value_cents"].to_numpy(np.int64)
+        k = 0
+        if len(ts):
+            new_sess = np.ones(len(ts), dtype=bool)
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+            starts_idx = np.flatnonzero(new_sess)
+            ends_idx = np.append(starts_idx[1:], len(ts)) - 1
+            k = len(starts_idx)
+            n_events = np.diff(np.append(starts_idx, len(ts)))
+            cents_sum = np.add.reduceat(cents, starts_idx)
+            seg = np.cumsum(new_sess)
+            n_types = (
+                events["event_type"].groupby(seg).nunique().to_numpy(np.int64)
+            )
+            out = pd.DataFrame(
+                {
+                    "user_id": np.full(k, int(user_id), dtype=np.int64),
+                    "session_idx": base_idx + 1 + np.arange(k, dtype=np.int64),
+                    "n_events": n_events,
+                    "start_us": ts[starts_idx],
+                    "end_us": ts[ends_idx],
+                    "duration_us": ts[ends_idx] - ts[starts_idx],
+                    "session_value_cents": cents_sum,
+                    "n_event_types": n_types,
                 }
-            cur["end"] = ts
-            cur["n"] += 1
-            cur["cents"] += int(cents)
-            cur["types"].add(etype)
-        if cur is not None:
-            sessions.append(cur)
+            )
+        else:
+            out = pd.DataFrame(
+                {f.name: pd.Series(dtype="int64") for f in OUTPUT_SCHEMA}
+            )
 
-        state.update((base_idx + len(sessions), sessions[-1]["end"] if sessions else 0))
-        yield pd.DataFrame(
-            {
-                "user_id": [int(user_id)] * len(sessions),
-                "session_idx": [base_idx + i + 1 for i in range(len(sessions))],
-                "n_events": [s["n"] for s in sessions],
-                "start_us": [s["start"] for s in sessions],
-                "end_us": [s["end"] for s in sessions],
-                "duration_us": [s["end"] - s["start"] for s in sessions],
-                "session_value_cents": [s["cents"] for s in sessions],
-                "n_event_types": [len(s["types"]) for s in sessions],
-            }
-        )
+        state.update((base_idx + k, int(ts[-1]) if len(ts) else 0))
+        yield out
 
     return sessionize
 
@@ -138,6 +147,23 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str | None = None) -> Data
         .start()
     )
     q.awaitTermination()
+    # Correctness guard: the per-batch tail-session emission is only
+    # equivalent to the batch oracle when the whole run was ONE micro-batch
+    # (one parquet file, no maxFilesPerTrigger split). A multi-batch run
+    # would emit partial sessions — fail loudly instead of diverging.
+    import json as _json
+
+    data_batches = 0
+    for p in q.recentProgress:
+        prog = _json.loads(p.json) if hasattr(p, "json") else p
+        if int(prog.get("numInputRows", 0)) > 0:
+            data_batches += 1
+    if data_batches > 1:
+        raise RuntimeError(
+            f"streaming_sessionize ran {data_batches} micro-batches; "
+            "tail-session emission is single-batch-only (see module "
+            "docstring) — do not split the source into multiple triggers"
+        )
     return spark.table(name)
 
 

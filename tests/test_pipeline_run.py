@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_jaffleshop_spark.plans.dag import MODELS, run_pipeline, topological_order
@@ -18,10 +19,41 @@ def test_topological_order_respects_deps():
     assert len(order) == len(MODELS) == 15
 
 
-def test_run_pipeline_all_green(spark, sf_dir, tmp_path):
-    results = run_pipeline(spark, sf_dir, warehouse_dir=str(tmp_path / "warehouse"))
+@pytest.fixture(scope="module")
+def built_warehouse(spark, sf_dir, tmp_path_factory):
+    """One full pipeline build shared by the module's tests."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    return wh, results
+
+
+def test_run_pipeline_all_green(built_warehouse):
+    _, results = built_warehouse
     bad = {k: v for k, v in results.items() if v["status"] != "ok"}
     assert not bad, f"pipeline failures: {bad}"
+
+
+def test_orders_mart_partition_pruning(spark, built_warehouse):
+    """The materialized orders mart is month-partitioned (SURVEY §7.4):
+    a month-bounded read must prune at the PARTITION level — the physical
+    scan carries a PartitionFilters entry on order_month and reads only
+    the matching month's files, not the whole mart."""
+    wh, _ = built_warehouse
+    df = spark.read.parquet(f"{wh}/orders")
+    assert "order_month" in df.columns  # partition column round-trips
+    months = [r[0] for r in df.select("order_month").distinct().collect()]
+    assert len(months) > 1, "need multiple month partitions to prove pruning"
+    target = sorted(months)[0]
+
+    bounded = df.filter(F.col("order_month") == F.lit(target))
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_month" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    # pruning is real: the bounded scan touches one partition's rows only
+    per_month = df.groupBy("order_month").count().collect()
+    expect = {r["order_month"]: r["count"] for r in per_month}[target]
+    assert bounded.count() == expect
 
 
 def test_generic_tests_catch_violations(spark):
