@@ -194,6 +194,46 @@ def build(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
     return MODELS[name].builder(spark, sf_dir)
 
 
+# Which row-level column each derived partition column truncates, per
+# model: lets read_mart() INJECT partition predicates from row filters
+# (SURVEY §4.3-5 stretch — "date-partition pruning injection", done as an
+# engine-level rewrite: the same effect a custom Catalyst rule would
+# have, without a JVM extension).
+_PARTITION_SOURCE: dict[str, dict[str, str]] = {
+    "orders": {"order_month": "ordered_at"},
+}
+
+
+def read_mart(
+    spark: SparkSession,
+    warehouse_dir: str,
+    name: str,
+    date_between: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Read a materialized mart; a (start, end) date range on the mart's
+    event-time column is applied as BOTH a row filter and an injected
+    month-partition predicate, so the scan prunes whole partitions
+    (PartitionFilters) instead of reading every file and filtering rows.
+    At 100 TB this is the difference between touching ~n months and the
+    full table."""
+    df = spark.read.parquet(os.path.join(warehouse_dir, name))
+    if date_between is None:
+        return df
+    start, end = date_between
+    from pyspark.sql import functions as F
+
+    for part_col, src_col in _PARTITION_SOURCE.get(name, {}).items():
+        if part_col not in df.columns:
+            continue
+        df = df.filter(
+            (F.col(src_col) >= F.lit(start)) & (F.col(src_col) <= F.lit(end))
+        ).filter(
+            (F.col(part_col) >= F.expr(f"cast(date_trunc('month', date'{start}') as date)"))
+            & (F.col(part_col) <= F.expr(f"cast(date_trunc('month', date'{end}') as date)"))
+        )
+    return df
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str | None = None,
