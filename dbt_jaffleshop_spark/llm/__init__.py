@@ -11,10 +11,13 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from . import dedup, events, multimodal, similarity, text
+from . import corpus, dedup, events, multimodal, similarity, text
 
 LLM_CATALOG: dict[str, tuple[Callable, str | None]] = {}
 
-for _mod in (text, dedup, similarity, events, multimodal):
+# registration order = driver check order; the cheap text scans go LAST
+# so that if the driver's budget truncates anything, it is the ~0.5 s
+# queries, not the heavy dedup/streaming evidence.
+for _mod in (dedup, corpus, similarity, events, multimodal, text):
     for _name, _sql in _mod.ORACLES.items():
         LLM_CATALOG[_name] = (getattr(_mod, _name), _sql)

@@ -47,20 +47,44 @@ def text_token_stats(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     )
 
 
+def quality_exprs(dialect: str) -> dict[str, str]:
+    """The quality-score expression family, per dialect (shared by
+    text_quality, its oracle, and llm/corpus.py::corpus_curate)."""
+    spark = dialect == "spark"
+    toks = _TOKS if spark else _TOKS_D
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    n = f"size({toks})" if spark else f"len({toks})"
+    if spark:
+        stop_hits = f"size(filter({toks}, x -> array_contains(array({sw}), x)))"
+        long_hits = f"size(filter({toks}, x -> length(x) >= 7))"
+        distinct_n = f"size(array_distinct({toks}))"
+    else:
+        stop_hits = f"len(list_filter({toks}, x -> list_contains([{sw}], x)))"
+        long_hits = f"len(list_filter({toks}, x -> len(x) >= 7))"
+        distinct_n = f"len(list_distinct({toks}))"
+    cast_t = "double" if spark else "DOUBLE"
+    score = (
+        f"0.4e0 * least(1.0e0, {n} / 80e0)"
+        f" + 0.3e0 * ({distinct_n} / cast({n} as {cast_t}))"
+        f" + 0.2e0 * ({stop_hits} / cast({n} as {cast_t}))"
+        f" + 0.1e0 * (1.0e0 - {long_hits} / cast({n} as {cast_t}))"
+    )
+    band = (
+        f"case when {score} >= 0.55 then 'high'"
+        f" when {score} >= 0.40 then 'medium' else 'low' end"
+    )
+    return {"n": n, "stop_hits": stop_hits, "long_hits": long_hits,
+            "distinct_n": distinct_n, "score": score, "band": band,
+            "cast_t": cast_t}
+
+
 def text_quality(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Quality scoring: length/stopword/long-word signals combined into a
     fixed-shape score with a CASE band ladder (first-match-wins)."""
     docs = load_table(spark, "documents", sf_dir)
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    n = f"size({_TOKS})"
-    stop_hits = f"size(filter({_TOKS}, x -> array_contains(array({sw}), x)))"
-    long_hits = f"size(filter({_TOKS}, x -> length(x) >= 7))"
-    distinct_n = f"size(array_distinct({_TOKS}))"
-    score = (
-        f"0.4e0 * least(1.0e0, {n} / 80e0)"
-        f" + 0.3e0 * ({distinct_n} / cast({n} as double))"
-        f" + 0.2e0 * ({stop_hits} / cast({n} as double))"
-        f" + 0.1e0 * (1.0e0 - {long_hits} / cast({n} as double))"
+    e = quality_exprs("spark")
+    n, stop_hits, long_hits, score = (
+        e["n"], e["stop_hits"], e["long_hits"], e["score"]
     )
     return docs.select(
         "doc_id",
@@ -133,16 +157,9 @@ _TOKS_D = "string_split(text, ' ')"
 
 
 def _quality_oracle() -> str:
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    n = f"len({_TOKS_D})"
-    stop_hits = f"len(list_filter({_TOKS_D}, x -> list_contains([{sw}], x)))"
-    long_hits = f"len(list_filter({_TOKS_D}, x -> len(x) >= 7))"
-    distinct_n = f"len(list_distinct({_TOKS_D}))"
-    score = (
-        f"0.4e0 * least(1.0e0, {n} / 80e0)"
-        f" + 0.3e0 * ({distinct_n} / CAST({n} AS DOUBLE))"
-        f" + 0.2e0 * ({stop_hits} / CAST({n} AS DOUBLE))"
-        f" + 0.1e0 * (1.0e0 - {long_hits} / CAST({n} AS DOUBLE))"
+    e = quality_exprs("duck")
+    n, stop_hits, long_hits, score = (
+        e["n"], e["stop_hits"], e["long_hits"], e["score"]
     )
     return f"""
 SELECT doc_id,

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import marts_core, staging
-from .base import ref
+from .base import cached, ref
 
 
 def _dollars(cents_sum: Column) -> Column:
@@ -333,8 +333,18 @@ def locations(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/locations.sql:1-156 (A4 conditional distinct
     counts, A7 avg/stddev, J7 mart←mart join, W2 rankings, J5 assembly)."""
     locs = staging.stg_locations(spark, sf_dir)
-    orders_ = ref("orders", marts_core.orders, spark, sf_dir)
-    customers_ = ref("customers", marts_core.customers, spark, sf_dir)
+    # orders feeds BOTH the performance and behavior branches, and the
+    # customers mart rebuilds the orders tree internally — cache orders
+    # once and chain customers through it (same policy as
+    # customer_segmentation; memoized, released via release_cached()).
+    orders_ = cached("orders", marts_core.orders, spark, sf_dir)
+    customers_ = cached(
+        "customers",
+        lambda s, sf: marts_core.customers_logic(
+            staging.stg_customers(s, sf), orders_
+        ),
+        spark, sf_dir,
+    )
 
     n_orders = F.countDistinct("order_id")
     sum_total = F.sum("order_total_cents")

@@ -239,30 +239,32 @@ def run_pipeline(
     sf_dir: str | None = None,
     warehouse_dir: str | None = None,
     fail_fast: bool = True,
+    threads: int = 4,
 ) -> dict[str, dict]:
     """`dbt build`: materialize every model in DAG order, run its tests,
-    skip descendants of failures. Returns per-model status."""
+    skip descendants of failures. Returns per-model status.
+
+    Independent models materialize CONCURRENTLY (the dbt `threads`
+    analogue): a wave scheduler submits every dependency-satisfied model
+    to a thread pool; each thread drives its own Spark actions, so
+    independent mart writes overlap instead of serializing driver-side.
+    On a real cluster this is scheduler-pool parallelism; on local[N]
+    it overlaps IO/codegen phases that leave cores idle. threads=1
+    reproduces the serial behavior exactly."""
+    import threading as _threading
+    import time as _time
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
     results: dict[str, dict] = {}
     materialized: dict[str, DataFrame] = {}
     failed: set[str] = set()
+    done: set[str] = set()
+    lock = _threading.Lock()
 
-    import time as _time
-
-    for name in topological_order():
+    def _run_model(name: str) -> None:
         spec = MODELS[name]
-        if any(d in failed for d in spec.depends_on):
-            results[name] = {"status": "skipped", "reason": "upstream failure"}
-            failed.add(name)
-            continue
         _t0 = _time.perf_counter()
-        # ref() resolution: builders consume already-materialized upstream
-        # models (for table marts: the re-read of the written parquet)
-        # instead of recomputing their lineage — compute-once/read-many
-        # (SURVEY §4.1; `orders` feeds 5 downstream models).
-        from ..models import materialization_context
-
-        with materialization_context(materialized):
-            df = spec.builder(spark, sf_dir)
+        df = spec.builder(spark, sf_dir)
         if spec.materialization == "view":
             # Engine cache policy (SURVEY §4.1): a view consumed by N
             # downstream models + its own tests would recompute its plan
@@ -283,7 +285,8 @@ def run_pipeline(
             writer.parquet(path)
             df = spark.read.parquet(path).drop(*spec.partition_expr.keys())
         df.createOrReplaceTempView(name)
-        materialized[name] = df
+        with lock:
+            materialized[name] = df
 
         test_failures = {}
         for test_name, factory in spec.tests:
@@ -291,13 +294,52 @@ def run_pipeline(
             if n_bad:
                 test_failures[test_name] = n_bad
         _secs = round(_time.perf_counter() - _t0, 2)
-        if test_failures:
-            results[name] = {"status": "test_failed", "failures": test_failures,
-                             "seconds": _secs}
-            if fail_fast:
-                failed.add(name)
-        else:
-            results[name] = {"status": "ok", "seconds": _secs}
+        with lock:
+            if test_failures:
+                results[name] = {"status": "test_failed",
+                                 "failures": test_failures, "seconds": _secs}
+                if fail_fast:
+                    failed.add(name)
+            else:
+                results[name] = {"status": "ok", "seconds": _secs}
+
+    # ref() resolution: builders consume already-materialized upstream
+    # models (for table marts: the re-read of the written parquet)
+    # instead of recomputing their lineage — compute-once/read-many
+    # (SURVEY §4.1; `orders` feeds 5 downstream models). The context is
+    # active for the whole run; wave ordering guarantees every upstream
+    # entry exists before a downstream builder runs.
+    from ..models import materialization_context
+
+    order = topological_order()
+    pending = list(order)
+    with materialization_context(materialized), ThreadPoolExecutor(
+        max_workers=max(1, threads)
+    ) as pool:
+        futures: dict = {}
+        while pending or futures:
+            ready = []
+            for name in pending:
+                deps = MODELS[name].depends_on
+                if any(d in failed for d in deps):
+                    results[name] = {"status": "skipped",
+                                     "reason": "upstream failure"}
+                    failed.add(name)
+                elif all(d in done for d in deps):
+                    ready.append(name)
+            pending = [n for n in pending
+                       if n not in failed and n not in ready]
+            for name in ready:
+                futures[pool.submit(_run_model, name)] = name
+            if not futures:
+                continue
+            finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+            for fut in finished:
+                name = futures.pop(fut)
+                fut.result()  # propagate builder/test exceptions
+                done.add(name)
+
+    results = {n: results[n] for n in order if n in results}
     for name, df in materialized.items():
         if MODELS[name].materialization == "view":
             df.unpersist()

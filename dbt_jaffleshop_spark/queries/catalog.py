@@ -96,23 +96,21 @@ for _name, (_fn, _sql) in SEMANTIC_CATALOG.items():
 # oracle reproduces verbatim.
 from ..llm import LLM_CATALOG
 from ..streaming import daily as _streaming_daily
-
-for _name, (_fn, _sql) in LLM_CATALOG.items():
-    register(_name, _fn, _sql)
+from ..streaming import sessionize as _streaming_sessionize
 
 register(
     "streaming_daily_events",
     _streaming_daily.streaming_daily_events,
     _streaming_daily.ORACLES["streaming_daily_events"],
 )
-
-from ..streaming import sessionize as _streaming_sessionize
-
 register(
     "streaming_sessionize",
     _streaming_sessionize.streaming_sessionize,
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
+
+for _name, (_fn, _sql) in LLM_CATALOG.items():
+    register(_name, _fn, _sql)
 
 assert len(QUERIES) <= 50, (
     f"driver records only the first 50 queries; got {len(QUERIES)} — "

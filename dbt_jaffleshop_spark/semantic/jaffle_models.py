@@ -55,11 +55,14 @@ ORDERS_MODEL = SemanticModel(
             "order_gross_profit_cents", "derived",
             expr="order_total_cents - order_cost_cents",
         ),
-        # derived with offset_window 1 month (order_items.yml:138-149 — W5)
+        # derived with offset_window 1 month (order_items.yml:138-149 — W5).
+        # nullif guards the zero-revenue previous period (possible at fine
+        # grains: itemless orders sum to 0) — NULL growth in both engines
+        # instead of an ANSI divide-by-zero error.
         "revenue_growth_pct": Metric(
             "revenue_growth_pct", "derived",
             expr="(order_total_cents - lag_1(order_total_cents)) * 100e0"
-                 " / lag_1(order_total_cents)",
+                 " / nullif(lag_1(order_total_cents), 0)",
             offset_inputs=("order_total_cents",),
         ),
     },
@@ -72,7 +75,10 @@ CUSTOMERS_MODEL = SemanticModel(
     mart="customers",
     base=marts_core.customers,
     agg_time_dimension="first_ordered_at",
-    dimensions={"customer_type": Dimension("customer_type")},
+    dimensions={
+        "customer_type": Dimension("customer_type"),
+        "customer_id": Dimension("customer_id"),
+    },
     measures={
         "customer_count": Measure("customer_count", "count_distinct", "customer_id"),
         "lifetime_spend_cents_m": Measure("lifetime_spend_cents_m", "sum", "lifetime_spend_cents"),
@@ -415,6 +421,16 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         ORDERS_MODEL,
         metrics=["orders", "order_total_cents", "food_orders"],
         group_by=["location"],
+    ),
+    # customers.yml:97-109 — customer_order_metrics by Entity('customer'):
+    # the reference's own saved query for the derived average_order_value
+    "sq_customer_order_metrics": MetricQuery(
+        CUSTOMERS_MODEL,
+        metrics=[
+            "count_lifetime_orders", "lifetime_spend_pretax_cents",
+            "average_order_value_cents",
+        ],
+        group_by=["customer_id"],
     ),
     # products.yml:112-125 — product_performance_metrics by Entity('product')
     "sq_product_performance": MetricQuery(

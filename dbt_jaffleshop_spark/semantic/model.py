@@ -196,8 +196,28 @@ class MetricQuery:
             )
         grouped = df.groupBy(*dim_cols).agg(*aggs) if dim_cols else df.agg(*aggs)
 
-        # post-aggregation phase (ratio / derived / cumulative / offset)
-        w_time = Window.orderBy("metric_time")
+        # post-aggregation phase (ratio / derived / cumulative / offset).
+        # Time windows partition by every non-time dimension: with e.g.
+        # group_by [metric_time__week, location] the lag/running-sum must
+        # advance along time WITHIN each location, not across interleaved
+        # (time, location) rows. Cardinality per partition = #periods, so
+        # the window stays safe at scale (SURVEY §7.4) — and partitioned
+        # windows also drop the single-partition WindowExec warning.
+        other_dims = [n for n, _ in self._dims("spark") if n != "metric_time"]
+        needs_time = any(
+            self.model.metrics[m].kind == "cumulative"
+            or self.model.metrics[m].offset_inputs
+            for m in self.metrics
+        )
+        if needs_time and "metric_time" not in [n for n, _ in dims]:
+            raise ValueError(
+                "cumulative/offset metrics require a metric_time group_by"
+            )
+        w_time = (
+            Window.partitionBy(*other_dims).orderBy("metric_time")
+            if other_dims
+            else Window.orderBy("metric_time")
+        )
         for name in self.metrics:
             met = self.model.metrics[name]
             if met.kind == "simple":
@@ -254,6 +274,12 @@ class MetricQuery:
             f"SELECT {', '.join(dim_sql + agg_sql)} FROM {src} {where} {group}"
         )
 
+        other_dims = [n for n, _ in dims if n != "metric_time"]
+        over_time = (
+            f"PARTITION BY {', '.join(other_dims)} ORDER BY metric_time"
+            if other_dims
+            else "ORDER BY metric_time"
+        )
         post: list[str] = []
         for name in self.metrics:
             met = self.model.metrics[name]
@@ -266,7 +292,7 @@ class MetricQuery:
                 )
             elif met.kind == "cumulative":
                 post.append(
-                    f"CAST(sum({met.measure}) OVER (ORDER BY metric_time"
+                    f"CAST(sum({met.measure}) OVER ({over_time}"
                     f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
                     f" AS BIGINT) AS {name}"
                 )
@@ -275,7 +301,7 @@ class MetricQuery:
                 for inp in met.offset_inputs:
                     expr = expr.replace(
                         f"lag_1({inp})",
-                        f"lag({inp}, 1) OVER (ORDER BY metric_time)",
+                        f"lag({inp}, 1) OVER ({over_time})",
                     )
                 post.append(f"{expr} AS {name}")
 

@@ -90,3 +90,29 @@ def test_generic_tests_catch_violations(spark):
     child = spark.createDataFrame([(2,)], "id: long")
     assert generic.relationships(child, "id", parent, "id").count() == 1
     assert generic.expression_is_true(df.filter(F.col("id").isNotNull()), "id > 0").count() == 0
+
+
+def test_fail_fast_skips_descendants(spark, sf_dir, tmp_path, monkeypatch):
+    """dbt build semantics under the threaded scheduler: a failing test
+    marks the model failed and every transitive descendant is skipped,
+    while independent branches still build."""
+    import dataclasses
+
+    from dbt_jaffleshop_spark.plans import dag
+
+    bad = dataclasses.replace(
+        dag.MODELS["stg_customers"],
+        tests=dag.MODELS["stg_customers"].tests
+        + [("always_fails", lambda dfs: dfs["stg_customers"].limit(1))],
+    )
+    monkeypatch.setitem(dag.MODELS, "stg_customers", bad)
+    results = dag.run_pipeline(spark, sf_dir, warehouse_dir=str(tmp_path / "wh"))
+    assert results["stg_customers"]["status"] == "test_failed"
+    # orders declares stg_customers (fk test input); customers reads it
+    assert results["orders"]["status"] == "skipped"
+    assert results["customers"]["status"] == "skipped"
+    assert results["customer_segmentation"]["status"] == "skipped"
+    # independent branches are unaffected
+    assert results["stg_orders"]["status"] == "ok"
+    assert results["stg_products"]["status"] == "ok"
+    assert results["metricflow_time_spine"]["status"] == "ok"
