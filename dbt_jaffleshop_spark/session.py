@@ -1,9 +1,11 @@
 """SparkSession factory.
 
 Single place where execution-engine knobs live. The settings are chosen for
-oracle parity (UTC session timezone, non-ANSI like the warehouses the
-reference targets) and for scale (AQE on, skew-join handling on, shuffle
-partition count sized to the environment instead of the 200 default).
+oracle parity (UTC session timezone; ANSI mode pinned ON — the Spark 4
+default — so arithmetic errors fail loudly instead of silently nulling,
+and every model null-guards divisions explicitly) and for scale (AQE on,
+skew-join handling on, shuffle partition count sized to the environment
+instead of the 200 default).
 
 On a real cluster the same factory applies — only ``master`` and the
 shuffle-partition count change (shuffle partitions ~ 2-3x total cores, and
@@ -42,6 +44,7 @@ def get_spark(app_name: str = "dbt_jaffleshop_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
