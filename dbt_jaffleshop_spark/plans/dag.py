@@ -56,6 +56,14 @@ class ModelSpec:
     # The 100 TB layout: month-partitioned marts let any month-bounded
     # consumer read via partition pruning instead of a full scan.
     partition_expr: dict[str, str] = field(default_factory=dict)
+    # event-time watermark column enabling incremental materialization
+    # (run_pipeline(incremental=True)): partitions containing rows newer
+    # than the stored max(watermark_col) are recomputed and dynamically
+    # overwritten; untouched partitions are never rewritten. Requires
+    # partition_by/partition_expr. The dbt `incremental` materialization,
+    # done the Spark-native way — at 100 TB this rewrites days/months,
+    # not the table.
+    watermark_col: str | None = None
 
 
 def _pk_tests(model: str, col: str):
@@ -121,6 +129,7 @@ _register(ModelSpec(
     # 5-consumer mart whose downstream reads are typically month-bounded.
     partition_by=["order_month"],
     partition_expr={"order_month": "cast(date_trunc('month', ordered_at) as date)"},
+    watermark_col="ordered_at",
     tests=_pk_tests("orders", "order_id") + [
         # orders.yml:5-10 — two row-level invariants
         ("order_items_subtotal_matches", lambda dfs: generic.expression_is_true(
@@ -240,6 +249,7 @@ def run_pipeline(
     warehouse_dir: str | None = None,
     fail_fast: bool = True,
     threads: int = 4,
+    incremental: bool = False,
 ) -> dict[str, dict]:
     """`dbt build`: materialize every model in DAG order, run its tests,
     skip descendants of failures. Returns per-model status.
@@ -273,16 +283,50 @@ def run_pipeline(
             # semantics externally while avoiding recompute internally.
             df = df.cache()
         if spec.materialization == "table" and warehouse_dir:
+            from pyspark.sql import functions as F
+
             path = os.path.join(warehouse_dir, name)
             out = df
             for col, expr in spec.partition_expr.items():
-                from pyspark.sql import functions as F
-
                 out = out.withColumn(col, F.expr(expr))
-            writer = out.write.mode("overwrite")
-            if spec.partition_by:
-                writer = writer.partitionBy(*spec.partition_by)
-            writer.parquet(path)
+            part_col = spec.partition_by[0] if spec.partition_by else None
+            if (
+                incremental
+                and spec.watermark_col
+                and part_col
+                and os.path.isdir(path)
+            ):
+                # Incremental: find partitions containing rows newer than
+                # the stored watermark, recompute ONLY those from the full
+                # frame (late rows inside an existing partition get their
+                # whole partition rebuilt — idempotent), and dynamically
+                # overwrite them; untouched partitions keep their files.
+                existing = spark.read.parquet(path)
+                hwm = existing.agg(
+                    F.max(spec.watermark_col)
+                ).collect()[0][0]
+                affected = [
+                    r[0]
+                    for r in out.where(F.col(spec.watermark_col) > F.lit(hwm))
+                    .select(part_col)
+                    .distinct()
+                    .collect()
+                ]
+                if affected:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                    )
+                    (
+                        out.where(F.col(part_col).isin(affected))
+                        .write.mode("overwrite")
+                        .partitionBy(*spec.partition_by)
+                        .parquet(path)
+                    )
+            else:
+                writer = out.write.mode("overwrite")
+                if spec.partition_by:
+                    writer = writer.partitionBy(*spec.partition_by)
+                writer.parquet(path)
             df = spark.read.parquet(path).drop(*spec.partition_expr.keys())
         df.createOrReplaceTempView(name)
         with lock:

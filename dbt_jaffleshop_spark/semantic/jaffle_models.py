@@ -8,10 +8,11 @@ SURVEY §2.10 M1–M7).
 Money metrics aggregate exact integer cents (parity-stable under any
 shuffle order); dollar-typed mart columns are quantized back to cents
 (`cast(round(x * 1e2) as bigint)` — exact, they derive from cents) before
-summing. avg measures run only over singleton entity groups (primary-key
-group-bys, faithful to the reference's `group_by: Entity(...)` saved
-queries) or exact integers, so no cross-row float accumulation exists
-anywhere in the layer.
+summing. avg measures over float-typed columns use `avg_q9` (1e-9
+quantization → exact integer sum → one shared IEEE division chain), so no
+order-dependent float accumulation exists anywhere in the layer — any
+metrics × group_by request is deterministic, not just the frozen saved
+queries (enforced by tests/test_property_based.py over all 8 models).
 """
 
 from __future__ import annotations
@@ -181,7 +182,7 @@ PRODUCTS_MODEL = SemanticModel(
         ),
         "total_quantity_m": Measure("total_quantity_m", "sum", "total_quantity_sold"),
         "avg_profit_margin_m": Measure(
-            "avg_profit_margin_m", "avg", "profit_margin_ratio"
+            "avg_profit_margin_m", "avg_q9", "profit_margin_ratio"
         ),
     },
     metrics={
@@ -223,7 +224,7 @@ SUPPLIES_MODEL = SemanticModel(
             "supply_revenue_cents_m", "sum", "revenue_generated_cents"
         ),
         "avg_efficiency_m": Measure(
-            "avg_efficiency_m", "avg", "revenue_to_cost_ratio"
+            "avg_efficiency_m", "avg_q9", "revenue_to_cost_ratio"
         ),
     },
     metrics={
@@ -263,7 +264,7 @@ LOCATIONS_MODEL = SemanticModel(
             "location_profit_cents_m", "sum",
             "cast(round(total_profit * 1e2) as bigint)",
         ),
-        "avg_order_value_m": Measure("avg_order_value_m", "avg", "avg_order_value"),
+        "avg_order_value_m": Measure("avg_order_value_m", "avg_q9", "avg_order_value"),
     },
     metrics={
         "location_revenue_cents": Metric(
@@ -297,7 +298,7 @@ CUSTOMER_SEGMENTATION_MODEL = SemanticModel(
     },
     measures={
         "customers_m": Measure("customers_m", "count_distinct", "customer_id"),
-        "avg_rfm_score_m": Measure("avg_rfm_score_m", "avg", "rfm_score"),
+        "avg_rfm_score_m": Measure("avg_rfm_score_m", "avg_q9", "rfm_score"),
         "avg_lifetime_spend_seg_m": Measure(
             "avg_lifetime_spend_seg_m", "avg",
             "cast(round(lifetime_spend * 1e2) as bigint)",

@@ -44,7 +44,14 @@ class Dimension:
 @dataclass(frozen=True)
 class Measure:
     """Aggregatable measure (M1/A12): agg ∈ sum, count, count_distinct,
-    avg, median over a row-level expression."""
+    avg, avg_q9, median over a row-level expression.
+
+    `avg` requires an INTEGER row expression (exact sum, one division).
+    `avg_q9` is the float-typed variant: the row value is quantized to
+    1e-9 before an exact integer sum, so the average is identical under
+    ANY grouping and shuffle order in both engines — engine-native avg()
+    over doubles accumulates in partition order and diverges in the last
+    ulp for multi-row groups (caught by property-based testing)."""
 
     name: str
     agg: str
@@ -67,6 +74,15 @@ class Measure:
             # exact integer sum, then one correctly-rounded division —
             # engine-native avg() may accumulate in fp (order-dependent)
             return f"cast(sum({e}) as double) / cast(count({e}) as double)"
+        if self.agg == "avg_q9":
+            q = f"cast(round(({e}) * 1e9) as bigint)"
+            inner = f"sum({q})"
+            if dialect == "duck":
+                inner = f"cast({inner} as bigint)"
+            return (
+                f"cast({inner} as double) / 1e9"
+                f" / cast(count({q}) as double)"
+            )
         if self.agg == "median":
             return f"median({e})"
         raise ValueError(f"unknown agg {self.agg!r}")

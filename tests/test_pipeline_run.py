@@ -116,3 +116,34 @@ def test_fail_fast_skips_descendants(spark, sf_dir, tmp_path, monkeypatch):
     assert results["stg_orders"]["status"] == "ok"
     assert results["stg_products"]["status"] == "ok"
     assert results["metricflow_time_spine"]["status"] == "ok"
+
+
+def test_incremental_rebuilds_only_affected_partitions(spark, sf_dir, built_warehouse):
+    """Incremental materialization (dbt `incremental`, Spark-native):
+    after dropping the newest month partition of the orders mart, an
+    incremental run restores exactly that partition — and the files of
+    every untouched partition are NOT rewritten."""
+    import glob
+    import os as _os
+    import shutil
+
+    wh, _ = built_warehouse
+    orders_path = f"{wh}/orders"
+    full_count = spark.read.parquet(orders_path).count()
+    parts = sorted(glob.glob(f"{orders_path}/order_month=*"))
+    assert len(parts) > 2
+    victim = parts[-1]  # newest month: regresses the stored watermark
+    keep_files = {
+        f: _os.path.getmtime(f)
+        for p in parts[:-1]
+        for f in glob.glob(p + "/*.parquet")
+    }
+    shutil.rmtree(victim)
+    assert spark.read.parquet(orders_path).count() < full_count
+
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh, incremental=True)
+    assert results["orders"]["status"] == "ok"
+    assert spark.read.parquet(orders_path).count() == full_count
+    assert _os.path.isdir(victim)
+    for f, mtime in keep_files.items():
+        assert _os.path.getmtime(f) == mtime, f"untouched partition rewritten: {f}"

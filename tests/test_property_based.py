@@ -18,6 +18,15 @@ from hypothesis import strategies as st
 from conftest import assert_parity
 
 from dbt_jaffleshop_spark.semantic import ORDERS_MODEL, MetricQuery
+from dbt_jaffleshop_spark.semantic.jaffle_models import (
+    CUSTOMER_SEGMENTATION_MODEL,
+    CUSTOMERS_MODEL,
+    LOCATIONS_MODEL,
+    ORDER_ITEMS_MODEL,
+    PRODUCTS_MODEL,
+    SUPPLIES_MODEL,
+    TIME_ANALYTICS_MODEL,
+)
 
 _ORDER_METRICS = sorted(ORDERS_MODEL.metrics)
 _GROUP_BYS = [[], ["metric_time__month"], ["location"], ["is_food_order"],
@@ -47,6 +56,52 @@ def test_metric_compiler_parity_any_request(spark, oracle, sf_dir, metrics, grou
     if needs_time and not any(g.startswith("metric_time") for g in group_by):
         group_by = ["metric_time__month"]
     q = MetricQuery(ORDERS_MODEL, metrics=list(metrics), group_by=list(group_by))
+    assert_parity(q.to_df(spark, sf_dir), oracle, q.to_oracle_sql())
+
+
+_ALL_MODELS = [
+    ORDERS_MODEL, CUSTOMERS_MODEL, ORDER_ITEMS_MODEL, PRODUCTS_MODEL,
+    SUPPLIES_MODEL, LOCATIONS_MODEL, CUSTOMER_SEGMENTATION_MODEL,
+    TIME_ANALYTICS_MODEL,
+]
+
+
+@st.composite
+def _any_model_request(draw):
+    model = draw(st.sampled_from(_ALL_MODELS))
+    metrics = draw(
+        st.lists(st.sampled_from(sorted(model.metrics)), min_size=1,
+                 max_size=3, unique=True)
+    )
+    dims = sorted(model.dimensions)
+    choices = [[d] for d in dims] + [[]]
+    if model.agg_time_dimension:
+        choices += [["metric_time__month"], ["metric_time__month"] + dims[:1]]
+    group_by = list(draw(st.sampled_from([tuple(c) for c in choices])))
+    needs_time = any(
+        model.metrics[m].kind == "cumulative" or model.metrics[m].offset_inputs
+        for m in metrics
+    )
+    if needs_time:
+        if not model.agg_time_dimension:
+            metrics = [m for m in metrics
+                       if model.metrics[m].kind != "cumulative"
+                       and not model.metrics[m].offset_inputs] or ["__drop__"]
+        elif not any(g.startswith("metric_time") for g in group_by):
+            group_by = ["metric_time__month"] + group_by
+    return model, metrics, group_by
+
+
+@given(req=_any_model_request())
+@_prop_settings
+def test_metric_compiler_parity_all_models(spark, oracle, sf_dir, req):
+    """The compiler invariant holds across ALL EIGHT declared semantic
+    models, not just orders: any metrics × group_by request matches its
+    own generated oracle."""
+    model, metrics, group_by = req
+    if metrics == ["__drop__"]:
+        return  # nothing compilable drawn for a time-less model
+    q = MetricQuery(model, metrics=metrics, group_by=group_by)
     assert_parity(q.to_df(spark, sf_dir), oracle, q.to_oracle_sql())
 
 
