@@ -88,3 +88,29 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     plan = _plan(multimodal.multimodal_extract(spark, sf_dir))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain join on skewed
+    data, and its shuffle key must include the salt (N-way spread of the
+    hot key's work)."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.functions.joins import salted_join
+
+    # one dominant key (90% of rows) + a long tail
+    fact = spark.range(0, 10_000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k"),
+    )
+    dim = spark.range(0, 10_000, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    plain = fact.join(dim, "k", "left").select("row_id", "k", "v")
+    salted = salted_join(fact, dim, on=["k"], salt_cols=["row_id"], how="left").select(
+        "row_id", "k", "v"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    plan = _plan(salted)
+    assert "__salt" in plan  # the join key carries the salt
