@@ -38,7 +38,7 @@ def _force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS") or 3)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS") or 3))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from dbt_jaffleshop_spark.models.base import release_cached

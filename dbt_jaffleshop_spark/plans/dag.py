@@ -34,7 +34,6 @@ from typing import Callable, Literal
 from pyspark.sql import DataFrame, SparkSession
 
 from ..models import marts_analytics, marts_core, marts_segmentation, staging
-from ..testing import generic
 
 Materialization = Literal["view", "table"]
 
@@ -66,13 +65,14 @@ class ModelSpec:
     watermark_col: str | None = None
 
 
-def _pk_tests(model: str, col: str):
-    """The reference's unique + not_null pair on every primary key
-    (SURVEY §5-1: 13 sites)."""
-    return [
-        (f"not_null_{model}_{col}", lambda dfs, m=model, c=col: generic.not_null(dfs[m], c)),
-        (f"unique_{model}_{col}", lambda dfs, m=model, c=col: generic.unique(dfs[m], c)),
-    ]
+# Declarative test surface: every generic data test (the reference's 13
+# unique+not_null PK pairs, 3 FK relationships, 4 row-level invariants,
+# 1 accepted_values) is declared in config/models.yml — the engine
+# analogue of the reference's per-model schema YAML, honoring the nested
+# `arguments:` form — and parsed into (name, factory) tuples here.
+from .yaml_config import load_model_tests
+
+_YAML_TESTS = load_model_tests()
 
 
 MODELS: dict[str, ModelSpec] = {}
@@ -83,40 +83,27 @@ def _register(spec: ModelSpec) -> None:
 
 
 _register(ModelSpec("stg_customers", staging.stg_customers, [],
-                    tests=_pk_tests("stg_customers", "customer_id")))
+                    tests=_YAML_TESTS["stg_customers"]))
 _register(ModelSpec(
     "stg_orders", staging.stg_orders, [],
-    tests=_pk_tests("stg_orders", "order_id") + [
-        # stg_orders.yml:5-7 — order_total - tax_paid = subtotal
-        ("orders_conservation", lambda dfs: generic.expression_is_true(
-            dfs["stg_orders"], "order_total_cents - tax_paid_cents = subtotal_cents")),
-    ],
+    tests=_YAML_TESTS["stg_orders"],
 ))
 _register(ModelSpec(
-    "stg_order_items", staging.stg_order_items, [],
-    tests=_pk_tests("stg_order_items", "order_item_id") + [
-        # stg_order_items.yml:13-17 — FK to stg_orders
-        ("fk_items_orders", lambda dfs: generic.relationships(
-            dfs["stg_order_items"], "order_id", dfs["stg_orders"], "order_id")),
-    ],
+    "stg_order_items", staging.stg_order_items, ["stg_orders"],
+    tests=_YAML_TESTS["stg_order_items"],
 ))
 _register(ModelSpec("stg_products", staging.stg_products, [],
-                    tests=_pk_tests("stg_products", "product_id")))
+                    tests=_YAML_TESTS["stg_products"]))
 _register(ModelSpec("stg_supplies", staging.stg_supplies, [],
-                    tests=_pk_tests("stg_supplies", "supply_uuid")))
+                    tests=_YAML_TESTS["stg_supplies"]))
 _register(ModelSpec("stg_locations", staging.stg_locations, [],
-                    tests=_pk_tests("stg_locations", "location_id")))
+                    tests=_YAML_TESTS["stg_locations"]))
 
 _register(ModelSpec(
     "order_items", marts_core.order_items,
     ["stg_order_items", "stg_orders", "stg_products", "stg_supplies"],
     materialization="table",
-    tests=_pk_tests("order_items", "order_item_id") + [
-        # order_items.yml:9-13 — FK to orders... tested against stg_orders
-        # here to keep the test local to materialized inputs.
-        ("fk_order_items_orders", lambda dfs: generic.relationships(
-            dfs["order_items"], "order_id", dfs["stg_orders"], "order_id")),
-    ],
+    tests=_YAML_TESTS["order_items"],
     partition_by=[],
 ))
 _register(ModelSpec(
@@ -130,53 +117,36 @@ _register(ModelSpec(
     partition_by=["order_month"],
     partition_expr={"order_month": "cast(date_trunc('month', ordered_at) as date)"},
     watermark_col="ordered_at",
-    tests=_pk_tests("orders", "order_id") + [
-        # orders.yml:5-10 — two row-level invariants
-        ("order_items_subtotal_matches", lambda dfs: generic.expression_is_true(
-            dfs["orders"], "order_items_subtotal_cents = subtotal_cents")),
-        ("order_total_conservation", lambda dfs: generic.expression_is_true(
-            dfs["orders"], "order_total_cents = subtotal_cents + tax_paid_cents")),
-        ("fk_orders_customers", lambda dfs: generic.relationships(
-            dfs["orders"], "customer_id", dfs["stg_customers"], "customer_id")),
-    ],
+    tests=_YAML_TESTS["orders"],
 ))
 _register(ModelSpec(
     "customers", marts_core.customers, ["stg_customers", "orders"],
     materialization="table",
-    tests=_pk_tests("customers", "customer_id") + [
-        # customers.yml:5-7 — pretax + tax = lifetime_spend
-        ("lifetime_conservation", lambda dfs: generic.expression_is_true(
-            dfs["customers"],
-            "lifetime_spend_pretax_cents + lifetime_tax_paid_cents = lifetime_spend_cents"
-            " or count_lifetime_orders is null")),
-        # customers.yml:30-33 — accepted_values
-        ("customer_type_values", lambda dfs: generic.accepted_values(
-            dfs["customers"], "customer_type", ["new", "returning"])),
-    ],
+    tests=_YAML_TESTS["customers"],
 ))
 _register(ModelSpec("metricflow_time_spine", marts_segmentation.metricflow_time_spine,
                     [], materialization="table",
-                    tests=_pk_tests("metricflow_time_spine", "date_day")))
+                    tests=_YAML_TESTS["metricflow_time_spine"]))
 _register(ModelSpec("products", marts_analytics.products,
                     ["stg_products", "order_items", "orders"],
                     materialization="table",
-                    tests=_pk_tests("products", "product_id")))
+                    tests=_YAML_TESTS["products"]))
 _register(ModelSpec("supplies", marts_analytics.supplies,
                     ["stg_supplies", "order_items"],
                     materialization="table",
-                    tests=_pk_tests("supplies", "supply_uuid")))
+                    tests=_YAML_TESTS["supplies"]))
 _register(ModelSpec("locations", marts_analytics.locations,
                     ["stg_locations", "orders", "customers"],
                     materialization="table",
-                    tests=_pk_tests("locations", "location_id")))
+                    tests=_YAML_TESTS["locations"]))
 _register(ModelSpec("customer_segmentation", marts_segmentation.customer_segmentation,
                     ["customers", "orders", "order_items"],
                     materialization="table",
-                    tests=_pk_tests("customer_segmentation", "customer_id")))
+                    tests=_YAML_TESTS["customer_segmentation"]))
 _register(ModelSpec("time_analytics", marts_segmentation.time_analytics,
                     ["orders", "metricflow_time_spine"],
                     materialization="table",
-                    tests=_pk_tests("time_analytics", "date_day")))
+                    tests=_YAML_TESTS["time_analytics"]))
 
 
 def topological_order(names: list[str] | None = None) -> list[str]:
