@@ -72,3 +72,26 @@ def test_streaming_sessionize_matches_batch_oracle(spark, oracle, sf_dir):
         oracle,
         sessionize.ORACLES["streaming_sessionize"],
     )
+
+
+def test_streaming_dedup_drops_replayed_file(spark, sf_dir, tmp_path):
+    """streaming_dedup_events: a replayed source file (same event_ids
+    delivered twice — the at-least-once case) deduplicates to exactly
+    the distinct id set; watermark-scoped state, not stream-history
+    state."""
+    import shutil
+
+    from dbt_jaffleshop_spark.streaming.dedup import streaming_dedup_events
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-1.parquet")  # replay
+
+    out = streaming_dedup_events(spark, str(src))
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id").distinct().count()
+    )
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
