@@ -195,7 +195,13 @@ def read_mart(
     (PartitionFilters) instead of reading every file and filtering rows.
     At 100 TB this is the difference between touching ~n months and the
     full table."""
-    df = spark.read.parquet(os.path.join(warehouse_dir, name))
+    from .acid import AcidTable
+
+    table = AcidTable(os.path.join(warehouse_dir, name))
+    if table.exists():  # snapshot table (marts written by run_pipeline)
+        df = table.read(spark)
+    else:  # plain parquet directory (external/legacy layout)
+        df = spark.read.parquet(os.path.join(warehouse_dir, name))
     if date_between is None:
         return df
     start, end = date_between
@@ -255,23 +261,28 @@ def run_pipeline(
         if spec.materialization == "table" and warehouse_dir:
             from pyspark.sql import functions as F
 
+            from .acid import AcidTable
+
             path = os.path.join(warehouse_dir, name)
             out = df
             for col, expr in spec.partition_expr.items():
                 out = out.withColumn(col, F.expr(expr))
             part_col = spec.partition_by[0] if spec.partition_by else None
+            table = AcidTable(path)
             if (
                 incremental
                 and spec.watermark_col
                 and part_col
-                and os.path.isdir(path)
+                and table.exists()
             ):
                 # Incremental: find partitions containing rows newer than
                 # the stored watermark, recompute ONLY those from the full
                 # frame (late rows inside an existing partition get their
-                # whole partition rebuilt — idempotent), and dynamically
-                # overwrite them; untouched partitions keep their files.
-                existing = spark.read.parquet(path)
+                # whole partition rebuilt — idempotent), and commit ONE new
+                # snapshot that reuses every untouched partition's files by
+                # reference (plans/acid.py — atomic under concurrent
+                # readers; cost O(changed partitions)).
+                existing = table.read(spark)
                 hwm = existing.agg(
                     F.max(spec.watermark_col)
                 ).collect()[0][0]
@@ -283,21 +294,14 @@ def run_pipeline(
                     .collect()
                 ]
                 if affected:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                    )
-                    (
-                        out.where(F.col(part_col).isin(affected))
-                        .write.mode("overwrite")
-                        .partitionBy(*spec.partition_by)
-                        .parquet(path)
-                    )
+                    table.overwrite_partitions(out, part_col, affected)
             else:
-                writer = out.write.mode("overwrite")
-                if spec.partition_by:
-                    writer = writer.partitionBy(*spec.partition_by)
-                writer.parquet(path)
-            df = spark.read.parquet(path).drop(*spec.partition_expr.keys())
+                table.overwrite(out, spec.partition_by)
+            # Bound on-disk growth: keep the committed snapshot plus its
+            # predecessor (readers that resolved the pointer just before
+            # this commit still see an intact snapshot), drop older files.
+            table.vacuum(keep_last=2)
+            df = table.read(spark).drop(*spec.partition_expr.keys())
         df.createOrReplaceTempView(name)
         with lock:
             materialized[name] = df
@@ -353,7 +357,42 @@ def run_pipeline(
                 fut.result()  # propagate builder/test exceptions
                 done.add(name)
 
-    results = {n: results[n] for n in order if n in results}
+        # -------- saved-query exports (`export_as: table`, plans/exports.py)
+        # dbt builds each mart YAML's export right after the mart; same
+        # contract here: evaluate inside the materialization context (the
+        # query's base resolves via ref() to the written mart — no lineage
+        # recompute) and commit as an atomic snapshot table. Exports whose
+        # mart failed/skipped are skipped, like any other descendant.
+        if warehouse_dir:
+            from ..semantic.jaffle_models import SAVED_QUERIES
+            from .acid import AcidTable
+            from .exports import EXPORTS
+
+            def _run_export(spec) -> None:
+                _t0 = _time.perf_counter()
+                edf = SAVED_QUERIES[spec.saved_query].to_df(spark, sf_dir)
+                AcidTable(os.path.join(warehouse_dir, spec.name)).overwrite(edf)
+                with lock:
+                    results[f"export:{spec.name}"] = {
+                        "status": "ok",
+                        "seconds": round(_time.perf_counter() - _t0, 2),
+                    }
+
+            efutures = {}
+            for spec in EXPORTS.values():
+                if spec.depends_on in failed:
+                    results[f"export:{spec.name}"] = {
+                        "status": "skipped", "reason": "upstream failure"
+                    }
+                else:
+                    efutures[pool.submit(_run_export, spec)] = spec.name
+            for fut in efutures:
+                fut.result()
+
+    export_keys = [k for k in results if k.startswith("export:")]
+    results = {
+        n: results[n] for n in order if n in results
+    } | {k: results[k] for k in export_keys}
     for name, df in materialized.items():
         if MODELS[name].materialization == "view":
             df.unpersist()

@@ -39,7 +39,9 @@ def test_orders_mart_partition_pruning(spark, built_warehouse):
     scan carries a PartitionFilters entry on order_month and reads only
     the matching month's files, not the whole mart."""
     wh, _ = built_warehouse
-    df = spark.read.parquet(f"{wh}/orders")
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    df = AcidTable(f"{wh}/orders").read(spark)
     assert "order_month" in df.columns  # partition column round-trips
     months = [r[0] for r in df.select("order_month").distinct().collect()]
     assert len(months) > 1, "need multiple month partitions to prove pruning"
@@ -70,8 +72,10 @@ def test_read_mart_injects_partition_pruning(spark, built_warehouse):
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "order_month" in pf[1].split("]", 1)[0], plan
 
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
     naive = (
-        spark.read.parquet(f"{wh}/orders")
+        AcidTable(f"{wh}/orders").read(spark)
         .filter((F.col("ordered_at") >= start) & (F.col("ordered_at") <= end))
     )
     assert pruned.count() == naive.count()
@@ -119,31 +123,156 @@ def test_fail_fast_skips_descendants(spark, sf_dir, tmp_path, monkeypatch):
 
 
 def test_incremental_rebuilds_only_affected_partitions(spark, sf_dir, built_warehouse):
-    """Incremental materialization (dbt `incremental`, Spark-native):
-    after dropping the newest month partition of the orders mart, an
-    incremental run restores exactly that partition — and the files of
-    every untouched partition are NOT rewritten."""
-    import glob
+    """Incremental materialization (dbt `incremental` with Iceberg-style
+    commits): regress the orders mart to a snapshot missing its newest
+    month, then run incrementally — the new commit writes ONLY that
+    month's files and carries every untouched partition's files forward
+    by reference (same paths, untouched mtimes)."""
     import os as _os
-    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
 
     wh, _ = built_warehouse
-    orders_path = f"{wh}/orders"
-    full_count = spark.read.parquet(orders_path).count()
-    parts = sorted(glob.glob(f"{orders_path}/order_month=*"))
-    assert len(parts) > 2
-    victim = parts[-1]  # newest month: regresses the stored watermark
-    keep_files = {
-        f: _os.path.getmtime(f)
-        for p in parts[:-1]
-        for f in glob.glob(p + "/*.parquet")
+    table = AcidTable(f"{wh}/orders")
+    full = table.read(spark)
+    full_count = full.count()
+    months = sorted(
+        r[0] for r in full.select("order_month").distinct().collect()
+    )
+    assert len(months) > 2
+    newest = months[-1]
+
+    # regress: commit a snapshot without the newest month (watermark moves
+    # back, so the incremental run must detect + restore exactly it)
+    table.overwrite(
+        full.where(F.col("order_month") < F.lit(newest)), ["order_month"]
+    )
+    regressed = table.manifest()
+    assert table.read(spark).count() < full_count
+    kept_mtimes = {
+        f: _os.path.getmtime(_os.path.join(table.data_dir, f))
+        for f in regressed["files"]
     }
-    shutil.rmtree(victim)
-    assert spark.read.parquet(orders_path).count() < full_count
 
     results = run_pipeline(spark, sf_dir, warehouse_dir=wh, incremental=True)
     assert results["orders"]["status"] == "ok"
-    assert spark.read.parquet(orders_path).count() == full_count
-    assert _os.path.isdir(victim)
-    for f, mtime in keep_files.items():
-        assert _os.path.getmtime(f) == mtime, f"untouched partition rewritten: {f}"
+    assert table.read(spark).count() == full_count
+
+    latest = table.manifest()
+    new_files = set(latest["files"]) - set(regressed["files"])
+    assert new_files, "incremental commit must add the missing month's files"
+    assert all(f"order_month={newest}" in f for f in new_files)
+    # untouched partitions: same files, by reference, never rewritten
+    assert set(regressed["files"]) <= set(latest["files"])
+    for f, mtime in kept_mtimes.items():
+        p = _os.path.join(table.data_dir, f)
+        assert _os.path.getmtime(p) == mtime, f"untouched file rewritten: {f}"
+
+
+def test_snapshot_isolation_reader_during_write(spark, sf_dir, tmp_path):
+    """The ACID guarantee the plain-parquet layout lacked: a reader that
+    resolved the table BEFORE a concurrent (incremental or full)
+    overwrite computes its full old-snapshot result AFTER the commit —
+    no partially-rewritten partition is ever visible."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.plans import dag
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    wh = str(tmp_path / "wh")
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    assert results["orders"]["status"] == "ok"
+
+    table = AcidTable(f"{wh}/orders")
+    v1 = table.current_version()
+    reader = table.read(spark)  # resolves the v1 snapshot's file list
+    before_count = reader.count()
+    before_sum = reader.agg(F.sum("order_total_cents")).collect()[0][0]
+
+    # concurrent writer: dynamic-partition overwrite of one month with
+    # DIFFERENT data (doubled totals) — under the old layout this deleted
+    # + rewrote files the reader had already resolved
+    newest = (
+        reader.agg(F.max("order_month").alias("m")).collect()[0][0]
+    )
+    mutated = table.read(spark).withColumn(
+        "order_total_cents",
+        F.when(
+            F.col("order_month") == F.lit(newest),
+            F.col("order_total_cents") * 2,
+        ).otherwise(F.col("order_total_cents")),
+    )
+    v2 = table.overwrite_partitions(mutated, "order_month", [newest])
+    assert v2 == v1 + 1
+
+    # the in-flight reader still sees v1, in full and unchanged
+    assert reader.count() == before_count
+    assert reader.agg(F.sum("order_total_cents")).collect()[0][0] == before_sum
+    # a new reader sees v2 (the mutated month)
+    after_sum = (
+        table.read(spark).agg(F.sum("order_total_cents")).collect()[0][0]
+    )
+    assert after_sum > before_sum
+    # old snapshots are explicitly addressable until vacuumed
+    assert (
+        table.read(spark, version=v1)
+        .agg(F.sum("order_total_cents"))
+        .collect()[0][0]
+        == before_sum
+    )
+
+    # vacuum(keep_last=1) expires v1: its exclusive files are deleted
+    removed = table.vacuum(keep_last=1)
+    assert removed, "v1's replaced month files should be reclaimed"
+    assert (
+        table.read(spark).agg(F.sum("order_total_cents")).collect()[0][0]
+        == after_sum
+    )
+
+
+def test_saved_query_exports_materialized(spark, sf_dir, built_warehouse):
+    """`export_as: table` (reference orders.yml:156-159 and the 7 sibling
+    mart YAMLs): after a build, every export exists as a snapshot table
+    in the warehouse and its content equals the saved query it exports."""
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+    from dbt_jaffleshop_spark.plans.exports import EXPORTS
+    from dbt_jaffleshop_spark.semantic.jaffle_models import SAVED_QUERIES
+
+    wh, results = built_warehouse
+    assert len(EXPORTS) == 8  # one per reference mart YAML exports block
+    for name, spec in EXPORTS.items():
+        assert results[f"export:{name}"]["status"] == "ok"
+        table = AcidTable(f"{wh}/{name}")
+        assert table.exists(), f"export table missing: {name}"
+        written = table.read(spark)
+        expected = SAVED_QUERIES[spec.saved_query].to_df(spark, sf_dir)
+        assert written.columns == expected.columns
+        assert written.count() == expected.count()
+        # full-content check on one representative export (cheap rollup)
+        if name == "order_metrics":
+            a = sorted(map(tuple, written.collect()))
+            b = sorted(map(tuple, expected.collect()))
+            assert a == b
+
+
+def test_exports_skipped_on_upstream_failure(spark, sf_dir, tmp_path, monkeypatch):
+    """An export whose mart failed its tests is skipped, like any other
+    descendant (dbt build semantics extended to exports)."""
+    import dataclasses
+
+    from dbt_jaffleshop_spark.plans import dag
+
+    bad = dataclasses.replace(
+        dag.MODELS["orders"],
+        tests=dag.MODELS["orders"].tests
+        + [("always_fails", lambda mats: mats["orders"].limit(1))],
+    )
+    monkeypatch.setitem(dag.MODELS, "orders", bad)
+    wh = str(tmp_path / "wh")
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    assert results["orders"]["status"] == "test_failed"
+    assert results["export:order_metrics"]["status"] == "skipped"
+    # exports of unaffected marts still build
+    assert results["export:supply_chain_metrics"]["status"] == "ok"
