@@ -46,6 +46,10 @@ from .common import (
 )
 
 JACCARD_THRESHOLD = 0.5
+# Inverted-index document-frequency cutoff for exact n-gram Jaccard: a
+# shingle appearing in more docs than this is boilerplate, not signal,
+# and would contribute O(df²) candidate pairs to the self-join.
+NGRAM_DF_CUTOFF = 128
 COSINE_DUP_THRESHOLD = 0.5
 
 _NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
@@ -105,11 +109,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+def _bounded_shingle_index(sh: DataFrame) -> DataFrame:
+    """Drop shingles with document frequency > NGRAM_DF_CUTOFF from the
+    inverted index. A shingle shared by k docs yields k·(k-1)/2 candidate
+    pairs in the self-join; one piece of ubiquitous boilerplate makes the
+    join quadratic in corpus size. Ubiquitous shingles also carry no
+    dedup signal (they're stopwords at the shingle level), so the index
+    treats them exactly like text stopwords: excluded from BOTH the
+    intersection and the set sizes — Jaccard stays exact over the
+    retained (discriminative) shingle universe, and the posting-list
+    join is bounded by CUTOFF² pairs per shingle.
+
+    One window over the existing sh_h partitioning — the downstream
+    self-join is on the same key, so the exchange is reused, not
+    repeated."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh_h")
+    return (
+        sh.withColumn("df", F.count("*").over(w))
+        .where(F.col("df") <= NGRAM_DF_CUTOFF)
+        .drop("df")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 via inverted-index
-    join: only pairs sharing ≥1 shingle are ever materialized."""
-    docs = load_table(spark, "documents", sf_dir)
-    sh = _shingle_table(docs)
+    join: only pairs sharing ≥1 retained (df ≤ NGRAM_DF_CUTOFF) shingle
+    are ever materialized — see _bounded_shingle_index."""
+    # The bounded index feeds 4 plan branches (both self-join sides +
+    # both size lookups); cache it once instead of recomputing the
+    # explode+window subtree per branch — same policy (and memo) as the
+    # MinHash shingle relation.
+    from ..models.base import cached
+
+    sh = cached(
+        "ngram_bounded_index",
+        lambda s, sf: _bounded_shingle_index(
+            _shingle_table(load_table(s, "documents", sf))
+        ),
+        spark, sf_dir,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -416,10 +456,18 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+# Mirrors _bounded_shingle_index: shingles with df > NGRAM_DF_CUTOFF are
+# excluded from index, intersections, AND sizes (stopword semantics).
 _JACCARD_VERIFY = """
+sh_idx AS (
+    SELECT doc_id, sh_h FROM (
+        SELECT doc_id, sh_h, count(*) OVER (PARTITION BY sh_h) AS df FROM sh
+    ) WHERE df <= {cutoff}
+),
+sizes_idx AS (SELECT doc_id, count(*) AS n_sh FROM sh_idx GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+    FROM sh_idx a JOIN sh_idx b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 ),
 jac AS (
@@ -427,8 +475,8 @@ jac AS (
            CAST(i.inter AS DOUBLE)
                / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
     FROM inter i
-    JOIN sizes sa ON i.doc_a = sa.doc_id
-    JOIN sizes sb ON i.doc_b = sb.doc_id
+    JOIN sizes_idx sa ON i.doc_a = sa.doc_id
+    JOIN sizes_idx sb ON i.doc_b = sb.doc_id
 )
 """
 
@@ -542,7 +590,7 @@ FROM fp f JOIN canon c ON f.fingerprint = c.fingerprint
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},
-{_JACCARD_VERIFY.strip().rstrip()}
+{_JACCARD_VERIFY.format(cutoff=NGRAM_DF_CUTOFF).strip()}
 SELECT doc_a, doc_b, inter, na, nb, jaccard
 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """,

@@ -95,3 +95,55 @@ def test_streaming_dedup_drops_replayed_file(spark, sf_dir, tmp_path):
     )
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_ngram_df_cutoff_bounds_hot_shingle_candidates(spark, tmp_path, monkeypatch):
+    """One ubiquitous shingle must not make the inverted-index self-join
+    quadratic: with a boilerplate 3-gram shared by every doc, the bounded
+    index drops it (df > cutoff) and candidate pairs collapse from
+    C(n,2) to only the genuinely-overlapping pairs — which are still
+    found with exact Jaccard over the retained shingles."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup
+
+    n = 40
+    boiler = "terms of service apply here"  # 5 tokens → 3 shingles, df = n+2
+    rows = []
+    for i in range(n):
+        unique = " ".join(f"tok{i}w{j}" for j in range(12))
+        rows.append({"doc_id": i, "text": f"{boiler} {unique}",
+                     "lang": "en", "source": "t", "n_chars": 0})
+    # one planted near-dup pair: doc 100 ≈ doc 101 (rare shingles shared)
+    base = " ".join(f"shared{j}" for j in range(20))
+    rows.append({"doc_id": 100, "text": f"{boiler} {base}",
+                 "lang": "en", "source": "t", "n_chars": 0})
+    rows.append({"doc_id": 101, "text": f"{boiler} {base} extraword",
+                 "lang": "en", "source": "t", "n_chars": 0})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    monkeypatch.setattr(dedup, "NGRAM_DF_CUTOFF", 8)
+
+    def n_candidate_pairs(idx):
+        a = idx.select(F.col("doc_id").alias("doc_a"), "sh_h")
+        b = idx.select(F.col("doc_id").alias("doc_b"), "sh_h")
+        return (
+            a.join(b, "sh_h")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+
+    sh = dedup._shingle_table(
+        dedup.load_table(spark, "documents", str(tmp_path))
+    )
+    unbounded = n_candidate_pairs(sh)
+    bounded = n_candidate_pairs(dedup._bounded_shingle_index(sh))
+    assert unbounded >= n * (n + 1) // 2  # boilerplate alone → quadratic
+    assert bounded == 1, f"expected only the planted pair, got {bounded}"
+
+    pairs = dedup.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(100, 101)]
+    assert pairs[0]["jaccard"] >= 0.5
