@@ -63,6 +63,10 @@ class ModelSpec:
     # done the Spark-native way — at 100 TB this rewrites days/months,
     # not the table.
     watermark_col: str | None = None
+    # declared (column, data_type) schema contract (dbt `contract:
+    # enforced`; config/contracts.yml), checked at materialization —
+    # deviation fails the model before anything is written.
+    contract: list[tuple[str, str]] | None = None
 
 
 # Declarative test surface: every generic data test (the reference's 13
@@ -147,6 +151,14 @@ _register(ModelSpec("time_analytics", marts_segmentation.time_analytics,
                     ["orders", "metricflow_time_spine"],
                     materialization="table",
                     tests=_YAML_TESTS["time_analytics"]))
+
+# Attach declared schema contracts (config/contracts.yml — the reference's
+# per-model column declarations, enforced at materialization).
+from .yaml_config import load_model_contracts
+
+for _name, _contract in load_model_contracts().items():
+    if _name in MODELS:
+        MODELS[_name].contract = _contract
 
 
 def topological_order(names: list[str] | None = None) -> list[str]:
@@ -251,6 +263,35 @@ def run_pipeline(
         spec = MODELS[name]
         _t0 = _time.perf_counter()
         df = spec.builder(spark, sf_dir)
+        # Contract enforcement (dbt `contract: enforced`): the built
+        # schema must equal the declared one exactly — names, order, and
+        # types — BEFORE anything is materialized or tested. Schema-only
+        # check: free (no job runs), catches drift at plan time.
+        if spec.contract is not None:
+            actual = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ]
+            if actual != spec.contract:
+                declared = dict(spec.contract)
+                got = dict(actual)
+                detail = {
+                    "missing": [c for c, _ in spec.contract if c not in got],
+                    "unexpected": [c for c, _ in actual if c not in declared],
+                    "type_drift": {
+                        c: {"declared": declared[c], "actual": got[c]}
+                        for c in declared
+                        if c in got and declared[c] != got[c]
+                    },
+                }
+                with lock:
+                    results[name] = {
+                        "status": "contract_failed",
+                        "contract": detail,
+                        "seconds": round(_time.perf_counter() - _t0, 2),
+                    }
+                    if fail_fast:
+                        failed.add(name)
+                return
         if spec.materialization == "view":
             # Engine cache policy (SURVEY §4.1): a view consumed by N
             # downstream models + its own tests would recompute its plan

@@ -83,6 +83,31 @@ def _normalize(entry, model: str, column: str | None, require_args: bool):
     return test, name, args
 
 
+_CONTRACTS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "config", "contracts.yml",
+)
+
+
+def load_model_contracts(
+    path: str = _CONTRACTS_PATH,
+) -> dict[str, list[tuple[str, str]]]:
+    """model name -> declared [(column, data_type)], for models whose
+    contract is `enforced` (config/contracts.yml — the reference's
+    per-model column declarations, dbt `contract: enforced` semantics)."""
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    out: dict[str, list[tuple[str, str]]] = {}
+    for m in doc.get("models", []):
+        cfg = (m.get("config") or {}).get("contract") or {}
+        if not cfg.get("enforced"):
+            continue
+        out[m["name"]] = [
+            (c["name"], c["data_type"]) for c in m.get("columns", [])
+        ]
+    return out
+
+
 def load_model_tests(
     path: str = _DEFAULT_PATH,
 ) -> dict[str, list[tuple[str, Callable]]]:

@@ -276,3 +276,57 @@ def test_exports_skipped_on_upstream_failure(spark, sf_dir, tmp_path, monkeypatc
     assert results["export:order_metrics"]["status"] == "skipped"
     # exports of unaffected marts still build
     assert results["export:supply_chain_metrics"]["status"] == "ok"
+
+
+def test_contracts_cover_all_models():
+    """Every pipeline model declares an enforced schema contract
+    (config/contracts.yml — the reference declares every model's columns
+    in its YAML)."""
+    for name, spec in MODELS.items():
+        assert spec.contract, f"{name} has no schema contract"
+
+
+def test_contract_violation_fails_model_and_skips_descendants(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """dbt `contract: enforced`: a model whose built schema drifts from
+    its declared contract fails BEFORE materialization and its
+    descendants (and exports) are skipped."""
+    import dataclasses
+
+    from dbt_jaffleshop_spark.plans import dag
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    spec = dag.MODELS["orders"]
+    drifted = [("wrong_col", "string")] + spec.contract[1:]
+    monkeypatch.setitem(
+        dag.MODELS, "orders", dataclasses.replace(spec, contract=drifted)
+    )
+    wh = str(tmp_path / "wh")
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    assert results["orders"]["status"] == "contract_failed"
+    detail = results["orders"]["contract"]
+    assert detail["missing"] == ["wrong_col"]
+    assert detail["unexpected"] == ["order_id"]
+    assert not AcidTable(f"{wh}/orders").exists(), "failed model must not write"
+    assert results["customers"]["status"] == "skipped"
+    assert results["export:order_metrics"]["status"] == "skipped"
+
+
+def test_contract_type_drift_detected(spark, sf_dir, tmp_path, monkeypatch):
+    import dataclasses
+
+    from dbt_jaffleshop_spark.plans import dag
+
+    spec = dag.MODELS["stg_customers"]
+    drifted = [
+        (c, "int" if c == "customer_id" else t) for c, t in spec.contract
+    ]
+    monkeypatch.setitem(
+        dag.MODELS, "stg_customers", dataclasses.replace(spec, contract=drifted)
+    )
+    results = run_pipeline(spark, sf_dir, warehouse_dir=str(tmp_path / "wh"))
+    assert results["stg_customers"]["status"] == "contract_failed"
+    assert results["stg_customers"]["contract"]["type_drift"] == {
+        "customer_id": {"declared": "int", "actual": "bigint"}
+    }
