@@ -231,6 +231,31 @@ def read_mart(
     return df
 
 
+# View-cache policy ceiling: don't pin plans whose Catalyst-estimated
+# output exceeds this (default 8 GiB; env-overridable). At 100 TB a
+# staging view projects the full fact table — blind caching would thrash
+# executor storage memory and evict genuinely-reused small frames.
+_CACHE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", 8 * 1024**3)
+)
+
+
+def _cache_policy(name: str, df: DataFrame) -> bool:
+    """Cache a view model only when the run will actually replay its plan
+    (≥2 consumers: downstream models + its own attached tests, each a
+    separate action) AND the Catalyst size estimate fits under
+    _CACHE_MAX_BYTES. Estimate comes from the optimized logical plan —
+    parquet row-count stats with per-column sizing, no job runs."""
+    spec = MODELS[name]
+    plan_reuses = sum(
+        name in m.depends_on for m in MODELS.values()
+    ) + len(spec.tests)
+    if plan_reuses < 2:
+        return False
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return est <= _CACHE_MAX_BYTES
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str | None = None,
@@ -292,12 +317,13 @@ def run_pipeline(
                     if fail_fast:
                         failed.add(name)
                 return
-        if spec.materialization == "view":
+        if spec.materialization == "view" and _cache_policy(name, df):
             # Engine cache policy (SURVEY §4.1): a view consumed by N
             # downstream models + its own tests would recompute its plan
             # N+k times within one pipeline run; cache for the run's
-            # duration (unpersisted at the end). Matches dbt view
-            # semantics externally while avoiding recompute internally.
+            # duration (unpersisted at the end) — but only when reuse is
+            # real and the size estimate fits (_cache_policy). Matches
+            # dbt view semantics externally either way.
             df = df.cache()
         if spec.materialization == "table" and warehouse_dir:
             from pyspark.sql import functions as F

@@ -330,3 +330,27 @@ def test_contract_type_drift_detected(spark, sf_dir, tmp_path, monkeypatch):
     assert results["stg_customers"]["contract"]["type_drift"] == {
         "customer_id": {"declared": "int", "actual": "bigint"}
     }
+
+
+def test_view_cache_policy_is_size_and_reuse_aware(spark, sf_dir, monkeypatch):
+    """Views are cached only when the run replays their plan (≥2
+    consumers) and the Catalyst size estimate fits the ceiling — a
+    100 TB staging view must NOT be pinned into executor storage."""
+    import dataclasses
+
+    from dbt_jaffleshop_spark.plans import dag
+
+    df = dag.MODELS["stg_orders"].builder(spark, sf_dir)
+    # stg_orders: 2 downstream consumers + tests → cached at test scale
+    assert dag._cache_policy("stg_orders", df) is True
+
+    # same frame, zero reuse → not cached
+    lonely = dataclasses.replace(
+        dag.MODELS["stg_orders"], name="lonely", depends_on=[], tests=[]
+    )
+    monkeypatch.setitem(dag.MODELS, "lonely", lonely)
+    assert dag._cache_policy("lonely", df) is False
+
+    # same reuse, huge estimated size → not cached
+    monkeypatch.setattr(dag, "_CACHE_MAX_BYTES", 1)
+    assert dag._cache_policy("stg_orders", df) is False
