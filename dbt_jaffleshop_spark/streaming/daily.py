@@ -38,15 +38,25 @@ _EVENTS_SCHEMA = StructType(
 )
 
 
-def streaming_daily_events(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def streaming_daily_events(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Tumbling 1-day window × event_type counts/sums over a parquet
-    stream, processed to completion with availableNow."""
+    stream, processed to completion with availableNow. With
+    ``max_files_per_trigger`` the run splits into multiple micro-batches
+    (the complete-mode window state carries across them; the final table
+    is the full aggregation either way)."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events*.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        reader.parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withColumn("value_cents", F.expr("cast(round(value * 100) as bigint)"))
     )
@@ -67,12 +77,22 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str | None = None) -> Da
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+
+    import json as _json
+
+    data_batches = 0
+    for p in q.recentProgress:
+        prog = _json.loads(p.json) if hasattr(p, "json") else p
+        if int(prog.get("numInputRows", 0)) > 0:
+            data_batches += 1
+    out = spark.table(name).select(
         F.col("w.start").cast("date").alias("date_day"),
         "event_type",
         "n_events",
         "sum_value_cents",
     )
+    out.num_data_batches = data_batches  # test introspection
+    return out
 
 
 ORACLES: dict[str, str] = {

@@ -3,20 +3,29 @@
 
 The batch equivalent lives in llm/events.py::events_sessionize (window
 algebra). This version is the streaming shape: events arrive per user,
-per-user state carries the open session's tail across micro-batches, and
-closed sessions are emitted in append mode. Grouping shuffles once on
-user_id — the same partitioning contract as the batch operator, which is
-what makes it hold on a real cluster.
+per-user state carries the OPEN session's full running aggregates
+(index, start, last event time, counts, value sum, distinct event-type
+set) across micro-batches, and every batch emits each session touched in
+that batch at its current extent. Grouping shuffles once on user_id —
+the same partitioning contract as the batch operator, which is what
+makes it hold on a real cluster.
 
-Batch-boundary note: the tail (still-open) session is emitted at the end
-of every batch AND carried in state, so with a single availableNow batch
-(one parquet file — our case) the output is exactly the batch result and
-the DuckDB oracle from events_sessionize applies verbatim. A multi-batch
-run would emit partial sessions, so streaming_sessionize now FAILS LOUDLY
-if the run processed more than one data batch instead of silently
-diverging from the oracle. A production deployment would hold the tail
-and emit on event-time timeout; that path needs a live trigger and is
-documented rather than simulated.
+Cross-batch semantics (upsert-by-replay): a session that spans a batch
+boundary is re-emitted by the later batch with merged aggregates under
+the SAME (user_id, session_idx) key, superseding the earlier partial
+row. The append-mode sink therefore accumulates a replay log, and the
+operator compacts it on read — keep the latest emission per session key
+(max n_events; strictly increasing across re-emissions, so the winner is
+unique). This is the standard append-sink + downstream-compaction
+pattern: the emitted stream is monotone per key, and the compacted view
+equals the batch result exactly — including sessions that straddle any
+number of micro-batches — so the batch DuckDB oracle applies verbatim
+for ANY batch split that is per-user time-ordered (file-source batches
+over time-partitioned files, the production layout).
+
+State stays bounded: one row per user holding scalar aggregates plus the
+open session's distinct event-type set (cardinality = event-type domain,
+a handful of values — not per-event growth).
 """
 
 from __future__ import annotations
@@ -24,10 +33,9 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -54,17 +62,24 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("session_idx", LongType()),
+        StructField("start_us", LongType()),
         StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+        StructField("types_csv", StringType()),  # sorted distinct, '\x1f'-joined
     ]
 )
+
+_SEP = "\x1f"
 
 
 def _make_sessionizer(gap_us: int):
     """Closure (pickled by value — executors lack this package) that
-    sessionizes one user's events within a micro-batch. Fully vectorized:
+    sessionizes one user's events within a micro-batch and merges the
+    first segment with the open tail carried in state. Fully vectorized:
     numpy gap-flag + reduceat segment aggregates (int64 — no float
-    accumulation), pandas nunique for distinct event types; no per-event
-    Python loop."""
+    accumulation); the only per-segment Python is the distinct-type set
+    handling (segment count, not event count)."""
 
     def sessionize(key, pdf_iter, state):
         import numpy as np
@@ -72,64 +87,93 @@ def _make_sessionizer(gap_us: int):
 
         (user_id,) = key
         events = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
-        base_idx = 0
-        if state.exists:
-            base_idx, _last = state.get
 
         ts = events["ts_us"].to_numpy(np.int64)
         cents = events["value_cents"].to_numpy(np.int64)
-        k = 0
-        if len(ts):
-            new_sess = np.ones(len(ts), dtype=bool)
-            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
-            starts_idx = np.flatnonzero(new_sess)
-            ends_idx = np.append(starts_idx[1:], len(ts)) - 1
-            k = len(starts_idx)
-            n_events = np.diff(np.append(starts_idx, len(ts)))
-            cents_sum = np.add.reduceat(cents, starts_idx)
-            seg = np.cumsum(new_sess)
-            n_types = (
-                events["event_type"].groupby(seg).nunique().to_numpy(np.int64)
-            )
-            out = pd.DataFrame(
-                {
-                    "user_id": np.full(k, int(user_id), dtype=np.int64),
-                    "session_idx": base_idx + 1 + np.arange(k, dtype=np.int64),
-                    "n_events": n_events,
-                    "start_us": ts[starts_idx],
-                    "end_us": ts[ends_idx],
-                    "duration_us": ts[ends_idx] - ts[starts_idx],
-                    "session_value_cents": cents_sum,
-                    "n_event_types": n_types,
-                }
-            )
-        else:
-            out = pd.DataFrame(
+        if not len(ts):
+            yield pd.DataFrame(
                 {f.name: pd.Series(dtype="int64") for f in OUTPUT_SCHEMA}
             )
+            return
 
-        state.update((base_idx + k, int(ts[-1]) if len(ts) else 0))
+        tail = state.get if state.exists else None
+        continuing = tail is not None and ts[0] - tail[2] <= gap_us
+
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts_idx = np.flatnonzero(new_sess)
+        ends_idx = np.append(starts_idx[1:], len(ts)) - 1
+        k = len(starts_idx)
+        n_events = np.diff(np.append(starts_idx, len(ts)))
+        cents_sum = np.add.reduceat(cents, starts_idx)
+        starts = ts[starts_idx].copy()
+        seg = np.cumsum(new_sess)  # 1-based segment id per event
+        type_sets = [
+            set(u) for u in events["event_type"].groupby(seg).unique()
+        ]
+
+        if tail is None:
+            first_idx = 1
+        elif continuing:
+            first_idx = tail[0]
+            n_events[0] += tail[3]
+            cents_sum[0] += tail[4]
+            starts[0] = tail[1]
+            type_sets[0] |= set(tail[5].split(_SEP)) if tail[5] else set()
+        else:
+            first_idx = tail[0] + 1
+
+        idx = first_idx + np.arange(k, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(k, int(user_id), dtype=np.int64),
+                "session_idx": idx,
+                "n_events": n_events.astype(np.int64),
+                "start_us": starts,
+                "end_us": ts[ends_idx],
+                "duration_us": ts[ends_idx] - starts,
+                "session_value_cents": cents_sum.astype(np.int64),
+                "n_event_types": np.array(
+                    [len(s) for s in type_sets], dtype=np.int64
+                ),
+            }
+        )
+
+        state.update(
+            (
+                int(idx[-1]),
+                int(starts[-1]),
+                int(ts[-1]),
+                int(n_events[-1]),
+                int(cents_sum[-1]),
+                _SEP.join(sorted(type_sets[-1])),
+            )
+        )
         yield out
 
     return sessionize
 
 
-def streaming_sessionize(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.expr("(ts div 1000)").alias("ts_us"),
-            F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
-        )
+    reader = spark.readStream.schema(_EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events*.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("(ts div 1000)").alias("ts_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         _make_sessionizer(SESSION_GAP_US),
@@ -147,10 +191,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str | None = None) -> Data
         .start()
     )
     q.awaitTermination()
-    # Correctness guard: the per-batch tail-session emission is only
-    # equivalent to the batch oracle when the whole run was ONE micro-batch
-    # (one parquet file, no maxFilesPerTrigger split). A multi-batch run
-    # would emit partial sessions — fail loudly instead of diverging.
+
     import json as _json
 
     data_batches = 0
@@ -158,16 +199,24 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str | None = None) -> Data
         prog = _json.loads(p.json) if hasattr(p, "json") else p
         if int(prog.get("numInputRows", 0)) > 0:
             data_batches += 1
-    if data_batches > 1:
-        raise RuntimeError(
-            f"streaming_sessionize ran {data_batches} micro-batches; "
-            "tail-session emission is single-batch-only (see module "
-            "docstring) — do not split the source into multiple triggers"
-        )
-    return spark.table(name)
+
+    # Compact the replay log: latest emission per session key wins
+    # (n_events strictly increases across re-emissions of one session).
+    # Window is per (user, session) — thousands of tiny partitions, safe.
+    w = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.desc("n_events")
+    )
+    out = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out.num_data_batches = data_batches  # test introspection
+    return out
 
 
-# single-batch availableNow ⇒ identical to the batch operator's oracle
+# compacted multi-batch result == batch operator ⇒ same oracle
 from ..llm.events import ORACLES as _EV_ORACLES  # noqa: E402
 
 ORACLES: dict[str, str] = {

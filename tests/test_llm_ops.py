@@ -147,3 +147,58 @@ def test_ngram_df_cutoff_bounds_hot_shingle_candidates(spark, tmp_path, monkeypa
     pairs = dedup.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(100, 101)]
     assert pairs[0]["jaccard"] >= 0.5
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, sf_dir, tmp_path_factory):
+    """The sf events table split into 4 time-contiguous parquet files
+    (global sort by ts → per-user time-ordered batches) with strictly
+    increasing mtimes, so the file stream source feeds them oldest-first
+    one per micro-batch."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    out = tmp_path_factory.mktemp("split_events")
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    chunks = 4
+    step = (len(pdf) + chunks - 1) // chunks
+    t0 = _time.time() - 100
+    for i in range(chunks):
+        p = out / f"events_{i:02d}.parquet"
+        pdf.iloc[i * step:(i + 1) * step].to_parquet(p)
+        _os.utime(p, (t0 + i * 10, t0 + i * 10))
+    return str(out)
+
+
+def test_streaming_daily_events_multibatch_matches_oracle(
+    spark, oracle, split_events_dir
+):
+    """≥3 micro-batches (maxFilesPerTrigger=1 over 4 files): the
+    complete-mode window state must carry across batches and the final
+    table equal the single-batch / batch-oracle result."""
+    df = streaming_daily.streaming_daily_events(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    assert df.num_data_batches >= 3, df.num_data_batches
+    assert_parity(df, oracle, streaming_daily.ORACLES["streaming_daily_events"])
+
+
+def test_streaming_sessionize_multibatch_matches_oracle(
+    spark, oracle, split_events_dir
+):
+    """≥3 micro-batches: sessions spanning batch boundaries are carried
+    in per-user state, re-emitted with merged aggregates, and the
+    compacted output equals the batch oracle exactly."""
+    from dbt_jaffleshop_spark.streaming import sessionize as streaming_sessionize_mod
+
+    df = streaming_sessionize_mod.streaming_sessionize(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    assert df.num_data_batches >= 3, df.num_data_batches
+    assert_parity(
+        df, oracle, streaming_sessionize_mod.ORACLES["streaming_sessionize"]
+    )
