@@ -92,7 +92,12 @@ class AcidTable:
             new_files.append(rel)
         return stage, sorted(new_files)
 
-    def _commit(self, files: list[str], partition_by: list[str]) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        partition_by: list[str],
+        meta: dict | None = None,
+    ) -> int:
         """Write the next manifest, then atomically swap ``_CURRENT``."""
         os.makedirs(self.versions_dir, exist_ok=True)
         next_v = (self.current_version() + 1) if self.exists() else 1
@@ -100,6 +105,9 @@ class AcidTable:
             "version": next_v,
             "partition_by": partition_by,
             "files": files,
+            # free-form commit metadata (e.g. the producing model's
+            # code+inputs fingerprint, for state-aware rebuild skip)
+            "meta": meta or {},
         }
         mpath = os.path.join(self.versions_dir, f"v{next_v:06d}.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -114,16 +122,22 @@ class AcidTable:
         os.replace(tmp, cur)  # the atomic commit point
         return next_v
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
         """Full-table overwrite as a new snapshot (old files untouched)."""
         partition_by = partition_by or []
         stage, files = self._stage(df, partition_by)
-        v = self._commit(files, partition_by)
+        v = self._commit(files, partition_by, meta)
         shutil.rmtree(stage, ignore_errors=True)
         return v
 
     def overwrite_partitions(
-        self, df: DataFrame, part_col: str, values: list
+        self, df: DataFrame, part_col: str, values: list,
+        meta: dict | None = None,
     ) -> int:
         """Dynamic-partition overwrite, atomically: stage files for the
         affected partitions, carry forward every other partition's files
@@ -144,7 +158,7 @@ class AcidTable:
             for f in prev["files"]
             if not any(part in f.split(os.sep) for part in affected_dirs)
         ]
-        v = self._commit(sorted(kept + new_files), partition_by)
+        v = self._commit(sorted(kept + new_files), partition_by, meta)
         shutil.rmtree(stage, ignore_errors=True)
         return v
 

@@ -263,6 +263,7 @@ def run_pipeline(
     fail_fast: bool = True,
     threads: int = 4,
     incremental: bool = False,
+    state_aware: bool = False,
 ) -> dict[str, dict]:
     """`dbt build`: materialize every model in DAG order, run its tests,
     skip descendants of failures. Returns per-model status.
@@ -273,7 +274,15 @@ def run_pipeline(
     independent mart writes overlap instead of serializing driver-side.
     On a real cluster this is scheduler-pool parallelism; on local[N]
     it overlaps IO/codegen phases that leave cores idle. threads=1
-    reproduces the serial behavior exactly."""
+    reproduces the serial behavior exactly.
+
+    ``state_aware=True`` (dbt state:modified / defer analogue,
+    plans/state.py): a table model whose stored snapshot fingerprint
+    (code + config + upstream fingerprints + source-data identity)
+    matches the current one is NOT re-materialized — its existing
+    snapshot is re-read and registered for downstreams, status
+    `reused`. A no-change rebuild therefore writes nothing; an edit
+    rebuilds exactly its subtree."""
     import threading as _threading
     import time as _time
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
@@ -329,6 +338,7 @@ def run_pipeline(
             from pyspark.sql import functions as F
 
             from .acid import AcidTable
+            from .state import model_fingerprint
 
             path = os.path.join(warehouse_dir, name)
             out = df
@@ -336,6 +346,25 @@ def run_pipeline(
                 out = out.withColumn(col, F.expr(expr))
             part_col = spec.partition_by[0] if spec.partition_by else None
             table = AcidTable(path)
+            fp = model_fingerprint(MODELS, name, sf_dir)
+            if (
+                state_aware
+                and table.exists()
+                and table.manifest().get("meta", {}).get("fingerprint") == fp
+            ):
+                # state:modified skip — code, config, upstreams, and
+                # source data all unchanged: re-read the committed
+                # snapshot, write nothing, skip re-testing (the snapshot
+                # passed its tests when it was built).
+                df = table.read(spark).drop(*spec.partition_expr.keys())
+                df.createOrReplaceTempView(name)
+                with lock:
+                    materialized[name] = df
+                    results[name] = {
+                        "status": "reused",
+                        "seconds": round(_time.perf_counter() - _t0, 2),
+                    }
+                return
             if (
                 incremental
                 and spec.watermark_col
@@ -361,9 +390,13 @@ def run_pipeline(
                     .collect()
                 ]
                 if affected:
-                    table.overwrite_partitions(out, part_col, affected)
+                    table.overwrite_partitions(
+                        out, part_col, affected, meta={"fingerprint": fp}
+                    )
             else:
-                table.overwrite(out, spec.partition_by)
+                table.overwrite(
+                    out, spec.partition_by, meta={"fingerprint": fp}
+                )
             # Bound on-disk growth: keep the committed snapshot plus its
             # predecessor (readers that resolved the pointer just before
             # this commit still see an intact snapshot), drop older files.
@@ -435,10 +468,27 @@ def run_pipeline(
             from .acid import AcidTable
             from .exports import EXPORTS
 
+            from .state import export_fingerprint
+
             def _run_export(spec) -> None:
                 _t0 = _time.perf_counter()
-                edf = SAVED_QUERIES[spec.saved_query].to_df(spark, sf_dir)
-                AcidTable(os.path.join(warehouse_dir, spec.name)).overwrite(edf)
+                query = SAVED_QUERIES[spec.saved_query]
+                table = AcidTable(os.path.join(warehouse_dir, spec.name))
+                efp = export_fingerprint(MODELS, spec, query, sf_dir)
+                if (
+                    state_aware
+                    and table.exists()
+                    and table.manifest().get("meta", {}).get("fingerprint")
+                    == efp
+                ):
+                    with lock:
+                        results[f"export:{spec.name}"] = {
+                            "status": "reused",
+                            "seconds": round(_time.perf_counter() - _t0, 2),
+                        }
+                    return
+                edf = query.to_df(spark, sf_dir)
+                table.overwrite(edf, meta={"fingerprint": efp})
                 with lock:
                     results[f"export:{spec.name}"] = {
                         "status": "ok",

@@ -354,3 +354,61 @@ def test_view_cache_policy_is_size_and_reuse_aware(spark, sf_dir, monkeypatch):
     # same reuse, huge estimated size → not cached
     monkeypatch.setattr(dag, "_CACHE_MAX_BYTES", 1)
     assert dag._cache_policy("stg_orders", df) is False
+
+
+def test_state_aware_rebuild_skips_unchanged_and_rebuilds_edited_subtree(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """dbt state:modified analogue: a no-change state-aware rebuild
+    re-materializes NOTHING (snapshot versions and data files untouched);
+    editing one model's code rebuilds exactly its downstream subtree."""
+    import dataclasses
+    import glob as _glob
+    import os as _os
+
+    from dbt_jaffleshop_spark.plans import dag
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    wh = str(tmp_path / "wh")
+    results = run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    assert all(v["status"] == "ok" for v in results.values())
+
+    tables = [n for n, s in dag.MODELS.items() if s.materialization == "table"]
+    v_before = {n: AcidTable(f"{wh}/{n}").current_version() for n in tables}
+    mtimes = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{wh}/**/*.parquet", recursive=True)
+    }
+
+    # no-change rebuild: everything reused, nothing written
+    results2 = run_pipeline(spark, sf_dir, warehouse_dir=wh, state_aware=True)
+    for n in tables:
+        assert results2[n]["status"] == "reused", (n, results2[n])
+        assert AcidTable(f"{wh}/{n}").current_version() == v_before[n]
+    for e in [k for k in results2 if k.startswith("export:")]:
+        assert results2[e]["status"] == "reused", (e, results2[e])
+    for f, mt in mtimes.items():
+        assert _os.path.getmtime(f) == mt, f"rewritten: {f}"
+
+    # edit one model's code (same output, different source): its subtree
+    # rebuilds, everything else stays reused
+    orig = dag.MODELS["orders"].builder
+
+    def orders_edited(spark, sf_dir=None):  # new source text = new fingerprint
+        return orig(spark, sf_dir)
+
+    monkeypatch.setitem(
+        dag.MODELS, "orders",
+        dataclasses.replace(dag.MODELS["orders"], builder=orders_edited),
+    )
+    results3 = run_pipeline(spark, sf_dir, warehouse_dir=wh, state_aware=True)
+    subtree = {"orders", "customers", "products", "locations",
+               "customer_segmentation", "time_analytics"}
+    for n in tables:
+        want = "ok" if n in subtree else "reused"
+        assert results3[n]["status"] == want, (n, results3[n])
+        want_v = v_before[n] + (1 if n in subtree else 0)
+        assert AcidTable(f"{wh}/{n}").current_version() == want_v
+    # exports follow their mart
+    assert results3["export:order_metrics"]["status"] == "ok"
+    assert results3["export:revenue_metrics"]["status"] == "reused"
