@@ -62,6 +62,66 @@ def corpus_curate(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+# ------------------------------------------- stratified sampling
+
+# Per-language keep rates in basis points of 10,000 — the standard
+# corpus-mixing move (down-weight over-represented strata, keep rare
+# ones whole). Deterministic: membership is a pure function of doc_id,
+# so the sample is reproducible across runs/engines and stable under
+# corpus growth (a doc's verdict never depends on other docs).
+SAMPLE_RATES_BP: dict[str, int] = {
+    "en": 5000, "de": 10000, "es": 2500, "fr": 10000, "zh": 7500,
+}
+_SAMPLE_MOD = 10_000
+_SAMPLE_SALT = "sample-v1:"
+
+
+def corpus_sample_stratified(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Stratified hash sampling: keep a doc iff its salted-md5 bucket
+    falls under its stratum's rate. Pure per-row filter — no shuffle, no
+    randomness (rand() would be irreproducible and break partition
+    retries); at 100 TB this is a predicate fused into the scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (
+        f"cast(conv(substring(md5(concat('{_SAMPLE_SALT}',"
+        f" cast(doc_id as string))), 1, 15), 16, 10) as long) % {_SAMPLE_MOD}"
+    )
+    rate = "case " + " ".join(
+        f"when lang = '{lg}' then {bp}" for lg, bp in SAMPLE_RATES_BP.items()
+    ) + " else 0 end"
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(bucket).alias("sample_bucket"),
+            F.expr(rate).alias("stratum_rate_bp"),
+        )
+        .where(F.col("sample_bucket") < F.col("stratum_rate_bp"))
+    )
+
+
+def _sample_oracle() -> str:
+    bucket = (
+        f"CAST('0x' || substr(md5('{_SAMPLE_SALT}'"
+        f" || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_SAMPLE_MOD}"
+    )
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {bp}" for lg, bp in SAMPLE_RATES_BP.items()
+    ) + " ELSE 0 END"
+    return f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           {bucket} AS sample_bucket,
+           {rate} AS stratum_rate_bp
+    FROM documents
+)
+SELECT doc_id, lang, sample_bucket, stratum_rate_bp
+FROM s WHERE sample_bucket < stratum_rate_bp
+"""
+
+
 def _corpus_oracle() -> str:
     e = quality_exprs("duck")
     return f"""
@@ -87,4 +147,7 @@ FROM d JOIN canon c ON d.fingerprint = c.fingerprint
 """
 
 
-ORACLES: dict[str, str] = {"corpus_curate": _corpus_oracle()}
+ORACLES: dict[str, str] = {
+    "corpus_curate": _corpus_oracle(),
+    "corpus_sample_stratified": _sample_oracle(),
+}

@@ -246,6 +246,69 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified MinHash near-dup pairs, so every document in a transitive
+    duplicate group maps to one canonical cluster id (the group's min
+    doc_id) — what an actual dedup pass keys its keep/drop policy on
+    when near-duplication is transitive (A~B, B~C, A≁C).
+
+    This is the engine's iterative-algorithm seam: connected components
+    has no single-pass DataFrame form, so it runs min-label propagation —
+    label(v) ← min(label(v), min over neighbors) — as a driver-side loop
+    of joins, each iteration one shuffle on node id, localCheckpoint()
+    truncating the lineage so plans don't stack. Convergence in
+    O(component diameter) rounds; near-dup clusters are small and dense,
+    and the 100 TB upgrade (alternating small-star/large-star, same
+    join shape) halves diameters per round. The DuckDB oracle is a
+    genuinely independent implementation: a recursive CTE enumerating
+    reachability, min-aggregated per node.
+    """
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # far above any real near-dup cluster diameter
+        neighbor_labels = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # eager: truncates lineage AND runs the step
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """SimHash near-dup pairs: 32-bit weighted token simhash, 4×8-bit
     band blocking (guaranteed recall for hamming ≤ 3), exact verify."""
@@ -595,6 +658,26 @@ SELECT doc_a, doc_b, inter, na, nb, jaccard
 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """,
     "dedup_minhash_pairs": _minhash_oracle(),
+    "dedup_clusters": f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, origin) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+""",
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": f"""
 WITH {_QUANT_CTE.strip()},

@@ -122,6 +122,72 @@ def events_asof_join(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     )
 
 
+FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day stage-to-stage window
+
+
+def events_funnel(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest view → the earliest
+    click within 7 days after it → the earliest purchase within 7 days
+    after that, plus the stage reached. The classic product-analytics
+    operator (and a training-data signal: which sessions convert).
+
+    Implementation: three chained conditional-min WINDOW aggregates over
+    the SAME user_id partitioning — stage N's anchor is stage N-1's
+    window result, which plain groupBy aggregation cannot express in one
+    pass. Catalyst plans all three Window operators after a single
+    exchange on user_id: one shuffle total, no self-joins, no
+    driver-side anything — the shape that survives 100 TB of events."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "view_ts_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "click_ts_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") >= F.col("view_ts_us"))
+                    & (F.col("ts_us") <= F.col("view_ts_us") + FUNNEL_WINDOW_US),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") >= F.col("click_ts_us"))
+                    & (F.col("ts_us") <= F.col("click_ts_us") + FUNNEL_WINDOW_US),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("view_ts_us").alias("view_ts_us"),
+        F.min("click_ts_us").alias("click_ts_us"),
+        F.min("purchase_ts_us").alias("purchase_ts_us"),
+    )
+    return per_user.select(
+        "user_id",
+        "view_ts_us",
+        "click_ts_us",
+        "purchase_ts_us",
+        F.expr(
+            "case when purchase_ts_us is not null then 3"
+            " when click_ts_us is not null then 2"
+            " when view_ts_us is not null then 1 else 0 end"
+        ).alias("reached_stage"),
+        F.col("purchase_ts_us").isNotNull().alias("converted"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 ORACLES: dict[str, str] = {
@@ -177,6 +243,46 @@ SELECT p.event_id AS purchase_event_id,
 FROM purchases p
 ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+""",
+    "events_funnel": f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER (PARTITION BY user_id) AS view_ts_us
+    FROM ev
+),
+s2 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'click'
+                         AND ts_us >= view_ts_us
+                         AND ts_us <= view_ts_us + {FUNNEL_WINDOW_US}
+                    THEN ts_us END)
+               OVER (PARTITION BY user_id) AS click_ts_us
+    FROM s1
+),
+s3 AS (
+    SELECT *,
+           min(CASE WHEN event_type = 'purchase'
+                         AND ts_us >= click_ts_us
+                         AND ts_us <= click_ts_us + {FUNNEL_WINDOW_US}
+                    THEN ts_us END)
+               OVER (PARTITION BY user_id) AS purchase_ts_us
+    FROM s2
+)
+SELECT user_id,
+       min(view_ts_us) AS view_ts_us,
+       min(click_ts_us) AS click_ts_us,
+       min(purchase_ts_us) AS purchase_ts_us,
+       CASE WHEN min(purchase_ts_us) IS NOT NULL THEN 3
+            WHEN min(click_ts_us) IS NOT NULL THEN 2
+            WHEN min(view_ts_us) IS NOT NULL THEN 1 ELSE 0 END
+           AS reached_stage,
+       min(purchase_ts_us) IS NOT NULL AS converted
+FROM s3
+GROUP BY user_id
 """,
     "events_json_stats": """
 WITH ev AS (

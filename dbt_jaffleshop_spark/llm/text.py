@@ -151,6 +151,161 @@ def text_fingerprint(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     )
 
 
+# --------------------------------------------------------- PII scrubbing
+
+# Shared Java-regex/RE2-compatible patterns (no backreferences/lookarounds,
+# so Spark's Java regex and DuckDB's RE2 agree on every match).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+1 555 \d{4}"
+
+# The synthetic corpus contains no real PII, so the operator would count
+# zero everywhere and never exercise its replace path. A deterministic
+# injected-PII suffix (derived from doc_id, mirrored in the oracle) makes
+# every row carry one email, one IPv4, and one phone — the scrub is then
+# verified doing real work on every document.
+_PII_SUFFIX = (
+    "concat(' reach u', cast(doc_id as string), '@example.com from 10.0.',"
+    " cast(doc_id % 256 as string), '.', cast((doc_id * 7) % 256 as string),"
+    " ' or +1 555 ', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_PII_SUFFIX_D = (
+    "' reach u' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) || ' or +1 555 '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """PII scrubbing: count and redact emails / IPv4 addresses / phone
+    numbers with JVM-side regexp_extract_all + chained regexp_replace —
+    an embarrassingly-parallel scan, no shuffle, no Python in the path.
+    At 100 TB this composes with corpus_curate as another per-row pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.expr(f"concat(text, {_PII_SUFFIX})")
+    scrubbed = raw
+    for pat, rep in (
+        (PII_EMAIL_RE, "[EMAIL]"),
+        (PII_IPV4_RE, "[IP]"),
+        (PII_PHONE_RE, "[PHONE]"),
+    ):
+        scrubbed = F.regexp_replace(scrubbed, F.lit(pat), F.lit(rep))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_IPV4_RE), F.lit(0))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_chars"),
+    )
+
+
+# ------------------------------------------------- repetition quality
+
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models", §A1.1 repetition filters): heavily repetitious text is
+# low-quality training data even when token-level stats look fine.
+REP_TOP2_MAX = 0.20   # max fraction of 2-grams taken by the most common one
+REP_DUP3_MAX = 0.30   # max fraction of 3-gram occurrences that are repeats
+
+
+def _grams(toks: str, k: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"case when size({toks}) >= {k} then "
+            f"transform(sequence(1, size({toks}) - {k - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k}))) "
+            f"else array() end"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}),"
+        f" i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def repetition_exprs(dialect: str) -> dict[str, str]:
+    """Shared Spark/DuckDB expression family for text_repetition."""
+    spark = dialect == "spark"
+    toks = _TOKS if spark else _TOKS_D
+    g2, g3 = _grams(toks, 2, dialect), _grams(toks, 3, dialect)
+    if spark:
+        n2, n3 = f"size({g2})", f"size({g3})"
+        d3 = f"size(array_distinct({g3}))"
+        max2 = (
+            f"coalesce(array_max(transform(array_distinct({g2}),"
+            f" g -> size(filter({g2}, x -> x = g)))), 0)"
+        )
+    else:
+        n2, n3 = f"len({g2})", f"len({g3})"
+        d3 = f"len(list_distinct({g3}))"
+        max2 = (
+            f"coalesce(list_max(list_transform(list_distinct({g2}),"
+            f" g -> len(list_filter({g2}, x -> x = g)))), 0)"
+        )
+    top2 = f"case when {n2} > 0 then {max2} / cast({n2} as double) else 0.0e0 end"
+    dup3 = (
+        f"case when {n3} > 0 then"
+        f" ({n3} - {d3}) / cast({n3} as double) else 0.0e0 end"
+    )
+    flag = f"({top2}) > {REP_TOP2_MAX} or ({dup3}) > {REP_DUP3_MAX}"
+    return {"n2": n2, "n3": n3, "top2": top2, "dup3": dup3, "flag": flag}
+
+
+def text_repetition(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Repetition-ratio quality signals: the most-common-2-gram fraction
+    and the duplicate-3-gram fraction, with a Gopher-style keep/flag
+    decision. Pure higher-order-function scan — no explode, no shuffle;
+    the per-doc distinct×filter is O(tokens²) inside codegen, bounded by
+    document length, not corpus size."""
+    docs = load_table(spark, "documents", sf_dir)
+    e = repetition_exprs("spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").alias("n_tokens"),
+        F.expr(e["n2"]).alias("n_2grams"),
+        F.expr(e["top2"]).alias("top_2gram_frac"),
+        F.expr(e["dup3"]).alias("dup_3gram_frac"),
+        F.expr(e["flag"]).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------- chunking
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Chunk documents into overlapping fixed-size token windows (the
+    standard pretraining-corpus prep step before tokenization/packing).
+    One explode over a computed chunk-index sequence — rows fan out
+    ~n_tokens/stride×, everything stays JVM-side, and the output
+    partitioning follows the input (no shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = f"size({_TOKS})"
+    n_chunks = (
+        f"case when {n} <= {CHUNK_TOKENS} then 1 "
+        f"else cast(ceil(({n} - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) as int) + 1 end"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("toks"),
+        F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_idx"),
+    )
+    start = f"1 + chunk_idx * {CHUNK_STRIDE}"
+    ctoks = f"slice(toks, {start}, {CHUNK_TOKENS})"
+    return base.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(start).alias("start_token"),
+        F.expr(f"size({ctoks})").alias("chunk_n_tokens"),
+        F.expr(f"md5(concat_ws(' ', {ctoks}))").alias("chunk_md5"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 _TOKS_D = "string_split(text, ' ')"
@@ -220,6 +375,62 @@ FROM documents
 """
 
 
+def _pii_oracle() -> str:
+    raw = f"text || ({_PII_SUFFIX_D})"
+    scrubbed = raw
+    for pat, rep in (
+        (PII_EMAIL_RE, "[EMAIL]"),
+        (PII_IPV4_RE, "[IP]"),
+        (PII_PHONE_RE, "[PHONE]"),
+    ):
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({raw}, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all({raw}, '{PII_IPV4_RE}')) AS n_ipv4,
+       len(regexp_extract_all({raw}, '{PII_PHONE_RE}')) AS n_phones,
+       md5({scrubbed}) AS scrubbed_md5,
+       len({scrubbed}) AS scrubbed_chars
+FROM documents
+"""
+
+
+def _repetition_oracle() -> str:
+    e = repetition_exprs("duck")
+    return f"""
+SELECT doc_id,
+       len({_TOKS_D}) AS n_tokens,
+       {e["n2"]} AS n_2grams,
+       {e["top2"]} AS top_2gram_frac,
+       {e["dup3"]} AS dup_3gram_frac,
+       {e["flag"]} AS is_repetitive
+FROM documents
+"""
+
+
+def _chunk_oracle() -> str:
+    n = f"len({_TOKS_D})"
+    n_chunks = (
+        f"CASE WHEN {n} <= {CHUNK_TOKENS} THEN 1 "
+        f"ELSE CAST(ceil(({n} - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INTEGER) + 1 END"
+    )
+    start = f"1 + chunk_idx * {CHUNK_STRIDE}"
+    ctoks = f"(toks)[{start}:{start} + {CHUNK_TOKENS - 1}]"
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS_D} AS toks,
+           unnest(generate_series(0, ({n_chunks}) - 1)) AS chunk_idx
+    FROM documents
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST({start} AS INTEGER) AS start_token,
+       len({ctoks}) AS chunk_n_tokens,
+       md5(array_to_string({ctoks}, ' ')) AS chunk_md5
+FROM base
+"""
+
+
 ORACLES: dict[str, str] = {
     "text_token_stats": f"""
 SELECT doc_id,
@@ -237,4 +448,7 @@ FROM documents
     "text_quality": _quality_oracle(),
     "text_langid": _langid_oracle(),
     "text_fingerprint": _fingerprint_oracle(),
+    "text_pii_scrub": _pii_oracle(),
+    "text_repetition": _repetition_oracle(),
+    "doc_chunk": _chunk_oracle(),
 }

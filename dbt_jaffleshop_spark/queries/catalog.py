@@ -75,11 +75,13 @@ register(
 
 # ------------------------------------------- test operators (SURVEY §2.9)
 # T1–T5 as violation queries (0 rows on valid data, dbt failure-row
-# contract) — the declarative test engine's operator shapes, driver-checked.
-from .test_suite import TEST_SUITE_CATALOG
+# contract). Consolidated into ONE digest slot (r3): each test's
+# (name, n_rows, content_digest) row pins the same failure-row contract
+# the five individual slots verified in rounds 1–2, freeing budget for
+# the round-3 operators below.
+from .op_digests import OP_DIGEST_CATALOG
 
-for _name, (_fn, _sql) in TEST_SUITE_CATALOG.items():
-    register(_name, _fn, _sql)
+register("jaffle_tests_digest", *OP_DIGEST_CATALOG["jaffle_tests_digest"])
 
 # --------------------------------------------- semantic layer (SURVEY §2.10)
 # Saved queries (M6) compiled by the metric layer; oracle SQL is generated
@@ -109,8 +111,16 @@ register(
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
 
+# text_token_stats / text_langid / text_fingerprint are consolidated
+# into ONE text_digest slot (r3); text_quality keeps its own slot (bench
+# headline continuity).
+_TEXT_DIGESTED = {"text_token_stats", "text_langid", "text_fingerprint"}
+
 for _name, (_fn, _sql) in LLM_CATALOG.items():
-    register(_name, _fn, _sql)
+    if _name not in _TEXT_DIGESTED:
+        register(_name, _fn, _sql)
+
+register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
 
 assert len(QUERIES) <= 50, (
     f"driver records only the first 50 queries; got {len(QUERIES)} — "

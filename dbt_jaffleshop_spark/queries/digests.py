@@ -160,7 +160,7 @@ _NULL = "chr(30)"  # explicit NULL sentinel — concat_ws would skip NULLs
 _SEP = "chr(31)"
 
 
-def _norm(col: str, dtype: str, dialect: str) -> str:
+def norm_expr(col: str, dtype: str, dialect: str) -> str:
     """Column -> text expression that stringifies identically in both
     engines. Doubles are quantized (round(x*1e6) as int64 — `1e6` stays a
     double literal in both dialects, decimal-looking literals would not);
@@ -181,35 +181,54 @@ def _norm(col: str, dtype: str, dialect: str) -> str:
     return f"coalesce({expr}, {_NULL})"
 
 
-def _row_hash(model: str, dialect: str) -> str:
+def row_hash_expr(schema: list[tuple[str, str]], dialect: str) -> str:
     """40-bit integer hash of the normalized row string (shared-md5
     technique: conv(hex) in Spark == '0x'-cast in DuckDB)."""
-    parts = ", ".join(_norm(c, t, dialect) for c, t in MODEL_SCHEMAS[model])
+    parts = ", ".join(norm_expr(c, t, dialect) for c, t in schema)
     s = f"concat_ws({_SEP}, {parts})"
     if dialect == "spark":
         return f"cast(conv(substr(md5({s}), 1, 10), 16, 10) as bigint)"
     return f"cast(('0x' || substr(md5({s}), 1, 10)) as bigint)"
 
 
-def _digest_select_duck(model: str, src: str) -> str:
-    h = _row_hash(model, "duck")
+def _row_hash(model: str, dialect: str) -> str:
+    return row_hash_expr(MODEL_SCHEMAS[model], dialect)
+
+
+def digest_select_duck(
+    name: str, schema: list[tuple[str, str]], src: str
+) -> str:
+    """One digest row — (name, n_rows, content_digest) — over `src`
+    (a table/CTE name or a parenthesized subquery), DuckDB dialect."""
+    h = row_hash_expr(schema, "duck")
     return (
-        f"SELECT '{model}' AS model_name,"
+        f"SELECT '{name}' AS model_name,"
         f" count(*) AS n_rows,"
         f" coalesce(cast(sum({h}) as bigint), cast(0 as bigint))"
         f" AS content_digest FROM {src}"
     )
 
 
-def _digest_df(df: DataFrame, model: str) -> DataFrame:
-    h = _row_hash(model, "spark")
+def _digest_select_duck(model: str, src: str) -> str:
+    return digest_select_duck(model, MODEL_SCHEMAS[model], src)
+
+
+def digest_df(
+    df: DataFrame, name: str, schema: list[tuple[str, str]]
+) -> DataFrame:
+    """Spark twin of digest_select_duck over an already-built DataFrame."""
+    h = row_hash_expr(schema, "spark")
     agg = df.select(F.expr(h).alias("h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum("h"), F.lit(0).cast("bigint")).alias("content_digest"),
     )
     return agg.select(
-        F.lit(model).alias("model_name"), "n_rows", "content_digest"
+        F.lit(name).alias("model_name"), "n_rows", "content_digest"
     )
+
+
+def _digest_df(df: DataFrame, model: str) -> DataFrame:
+    return digest_df(df, model, MODEL_SCHEMAS[model])
 
 
 def _group_query(group: str):
