@@ -39,6 +39,36 @@ TESTDATA_TABLES: dict[str, list[str]] = {
 }
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a microsecond timestamp whatever the file
+    stored: int64 nanos (legacy nanosAsLong read) → timestamp_micros, a
+    native timestamp column passes through unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # unix_micros/window functions expect TIMESTAMP; with the session
+        # time zone pinned to UTC this cast is wall-clock-preserving and
+        # epoch-equal to DuckDB's read of the same naive values.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_ts_is_long(spark: SparkSession, path: str) -> bool:
+    """Probe whether the events parquet at ``path`` reads ts as int64 nanos
+    (legacy driver generations) vs a native timestamp. Footer-only read —
+    used to pick the declared schema for streaming readers, which cannot
+    infer."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    return isinstance(schema["ts"].dataType, LongType)
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Scan one source table (SURVEY §2.1 S1).
 
@@ -49,15 +79,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         raise KeyError(f"unknown source table {name!r}; known: {sorted(TESTDATA_TABLES)}")
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name == "events":
-        # The events parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read nanos as int64 and rebuild a microsecond
-        # timestamp (floor division — matches DuckDB's µs truncation on
-        # the same file, so oracle parity is exact).
+        # Driver generations have shipped events.ts as either TIMESTAMP(NANOS)
+        # (which the vectorized reader rejects — read nanos as int64 with
+        # nanosAsLong and rebuild a microsecond timestamp; floor division
+        # matches DuckDB's µs truncation on the same file) or native
+        # TIMESTAMP(MICROS). Probe the footer schema and normalize so every
+        # downstream operator sees a microsecond-precision timestamp column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
+        # unix_micros over a TIMESTAMP_NTZ column goes through the session
+        # time zone; pin UTC so epoch extraction matches DuckDB's epoch_us
+        # on the same naive values even under a driver-created session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     missing = [c for c in TESTDATA_TABLES[name] if c not in df.columns]
     if missing:

@@ -25,7 +25,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Matches the events parquet with nanos-as-long in effect (registry.py).
+# Matches the events parquet with nanos-as-long in effect (registry.py) —
+# the legacy driver generation. Current generations ship ts as native
+# TIMESTAMP(MICROS); use events_stream_schema() to probe which one a given
+# source directory carries (streams can't infer schema).
 _EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -36,6 +39,19 @@ _EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+def events_stream_schema(
+    spark: SparkSession, source_dir: str, glob: str | None = "events*.parquet"
+) -> StructType:
+    """Declared schema for an events parquet stream: probe the footer with a
+    batch read (honoring nanosAsLong) so the stream sees exactly what the
+    batch oracle path sees, whichever ts physical type the files carry."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(source_dir).schema
 
 
 def streaming_daily_events(
@@ -49,16 +65,15 @@ def streaming_daily_events(
     (the complete-mode window state carries across them; the final table
     is the full aggregation either way)."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_SCHEMA).option(
+    from ..sources.registry import normalize_event_ts
+
+    reader = spark.readStream.schema(events_stream_schema(spark, sf_dir)).option(
         "pathGlobFilter", "events*.parquet"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = (
-        reader.parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value_cents", F.expr("cast(round(value * 100) as bigint)"))
+    stream = normalize_event_ts(reader.parquet(sf_dir)).withColumn(
+        "value_cents", F.expr("cast(round(value * 100) as bigint)")
     )
     agg = (
         stream.withWatermark("ts", "1 day")

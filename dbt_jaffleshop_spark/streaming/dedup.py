@@ -22,19 +22,20 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .daily import _EVENTS_SCHEMA
-
-
 def streaming_dedup_events(
     spark: SparkSession, source_dir: str, watermark: str = "1 day"
 ) -> DataFrame:
     """Deduplicate an events parquet feed on event_id, tolerating
     duplicates that arrive up to `watermark` after the original."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.registry import normalize_event_ts
+    from .daily import events_stream_schema
+
     stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_event_ts(
+            spark.readStream.schema(
+                events_stream_schema(spark, source_dir, glob=None)
+            ).parquet(source_dir)
+        )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

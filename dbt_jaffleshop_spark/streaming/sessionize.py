@@ -43,7 +43,6 @@ from pyspark.sql.types import (
 )
 
 from ..llm.events import SESSION_GAP_US
-from .daily import _EVENTS_SCHEMA
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -162,17 +161,19 @@ def streaming_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_SCHEMA).option(
+    from ..sources.registry import normalize_event_ts
+    from .daily import events_stream_schema
+
+    reader = spark.readStream.schema(events_stream_schema(spark, sf_dir)).option(
         "pathGlobFilter", "events*.parquet"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir).select(
+    stream = normalize_event_ts(reader.parquet(sf_dir)).select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("(ts div 1000)").alias("ts_us"),
+        F.expr("unix_micros(ts)").alias("ts_us"),
         F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(
