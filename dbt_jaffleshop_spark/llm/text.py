@@ -254,21 +254,55 @@ def repetition_exprs(dialect: str) -> dict[str, str]:
     return {"n2": n2, "n3": n3, "top2": top2, "dup3": dup3, "flag": flag}
 
 
+# Most-common-2-gram count as a sorted run-length scan: O(n log n) per doc
+# instead of the naive distinct×filter O(n²), and the gram array is bound
+# to a real column so it is materialized once per row rather than
+# re-expanded at every textual reference. Values are identical to the
+# naive form (the DuckDB oracle keeps it — repetition_exprs("duck")).
+_MAX_RUN = (
+    "aggregate(array_sort(g2),"
+    " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+    " (acc, x) -> named_struct("
+    "   'prev', x,"
+    "   'run', case when x <=> acc.prev then acc.run + 1 else 1L end,"
+    "   'best', greatest(acc.best,"
+    "       case when x <=> acc.prev then acc.run + 1 else 1L end)),"
+    " acc -> acc.best)"
+)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Repetition-ratio quality signals: the most-common-2-gram fraction
     and the duplicate-3-gram fraction, with a Gopher-style keep/flag
     decision. Pure higher-order-function scan — no explode, no shuffle;
-    the per-doc distinct×filter is O(tokens²) inside codegen, bounded by
-    document length, not corpus size."""
+    per-doc cost is O(tokens·log tokens) (array_sort + one-pass run-length
+    aggregate), bounded by document length, not corpus size."""
     docs = load_table(spark, "documents", sf_dir)
-    e = repetition_exprs("spark")
-    return docs.select(
+    scored = docs.select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    ).select(
         "doc_id",
-        F.expr(f"size({_TOKS})").alias("n_tokens"),
-        F.expr(e["n2"]).alias("n_2grams"),
-        F.expr(e["top2"]).alias("top_2gram_frac"),
-        F.expr(e["dup3"]).alias("dup_3gram_frac"),
-        F.expr(e["flag"]).alias("is_repetitive"),
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr(_grams("toks", 2, "spark")).alias("g2"),
+        F.expr(_grams("toks", 3, "spark")).alias("g3"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("size(g2)").alias("n_2grams"),
+        F.expr(
+            f"case when size(g2) > 0 then {_MAX_RUN} / cast(size(g2) as double)"
+            " else 0.0e0 end"
+        ).alias("top_2gram_frac"),
+        F.expr(
+            "case when size(g3) > 0 then"
+            " (size(g3) - size(array_distinct(g3))) / cast(size(g3) as double)"
+            " else 0.0e0 end"
+        ).alias("dup_3gram_frac"),
+    )
+    return scored.withColumn(
+        "is_repetitive",
+        (F.col("top_2gram_frac") > F.lit(REP_TOP2_MAX))
+        | (F.col("dup_3gram_frac") > F.lit(REP_DUP3_MAX)),
     )
 
 
