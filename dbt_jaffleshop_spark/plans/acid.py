@@ -76,6 +76,15 @@ class AcidTable:
         data-relative paths of the new files). Nothing is visible to
         readers until the manifest + pointer commit."""
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+        if partition_by:
+            # Co-locate each partition's rows into one task before the
+            # partitioned write: without this every task writes a file
+            # into every partition dir (tasks × partitions small files —
+            # measured 800 files for the sf0.1 orders mart, 25 after).
+            # At cluster scale substitute repartition(N, cols) /
+            # repartitionByRange to bound per-partition file size; AQE
+            # coalescing keeps the extra exchange cheap.
+            df = df.repartition(*partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
