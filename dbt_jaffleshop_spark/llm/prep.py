@@ -1,0 +1,265 @@
+"""Training-corpus preparation operators (beyond-reference extensions;
+SURVEY §7.5 / BASELINE.json north star — the ops a 100 TB pretraining
+pipeline runs between raw corpus and tokenizer):
+
+* ``corpus_decontaminate`` — benchmark-overlap flagging: a corpus document
+  is contaminated when it shares any 8-token n-gram with the held-out
+  eval set (the standard train/test decontamination step, e.g. GPT-3
+  appendix C / PaLM §6.1 n-gram collision checks). The eval set here is
+  the deterministic ``doc_id % 97 == 0`` slice of ``documents``.
+* ``doc_pack`` — sequence packing: concat-then-split documents into
+  fixed-size token contexts per language (the standard pretraining prep
+  that turns ragged docs into dense fixed-length training rows).
+* ``emb_quantize`` — int8 symmetric scalar quantization of embeddings
+  with exact integer reconstruction-error metrics (the storage/ANN
+  compression step; errors stay integer so parity is bit-exact).
+
+All three are pure DataFrame algebra (higher-order functions + one
+broadcast join); oracles are independent DuckDB SQL over the identical
+fixed constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .common import EMB_SCALE, HASH60_SQL
+
+# ------------------------------------------------- decontamination
+
+DECON_K = 8          # n-gram width for overlap detection
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 → held-out eval slice
+
+_TOKS = "split(text, ' ')"
+_TOKS_D = "string_split(text, ' ')"
+
+# Distinct hashed 8-gram shingles per doc, computed entirely per-row
+# (array_distinct BEFORE the explode → the dedup work is narrow; the
+# only shuffles are the tiny eval-distinct and the per-doc count).
+_G8_HASHES = (
+    f"case when size({_TOKS}) >= {DECON_K} then "
+    f"array_distinct(transform(sequence(1, size({_TOKS}) - {DECON_K - 1}),"
+    f" i -> cast(conv(substring(md5("
+    f"concat_ws(' ', slice({_TOKS}, i, {DECON_K}))), 1, 15), 16, 10) as long)))"
+    f" else array() end"
+)
+
+_G8_HASHES_D = (
+    f"CASE WHEN len({_TOKS_D}) >= {DECON_K} THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_TOKS_D}) - {DECON_K - 1}),"
+    " i -> " + HASH60_SQL.format(
+        s=f"array_to_string(({_TOKS_D})[i:i+{DECON_K - 1}], ' ')"
+    )
+    + ")) ELSE [] END"
+)
+
+
+def corpus_decontaminate(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Flag corpus documents sharing ≥1 8-gram with the eval slice.
+
+    Plan shape for 100 TB: the eval side is benchmark-sized (thousands of
+    docs), so its distinct shingle-hash set broadcasts; the corpus side is
+    one narrow explode → broadcast-hash semi-join → partial-aggregated
+    count per doc. No corpus-sized shuffle anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_G8_HASHES)).alias("h")
+    )
+    eval_h = (
+        sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    overlap = (
+        sh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(eval_h), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap_8grams"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap_8grams"), F.lit(0).cast("bigint")).alias(
+                "n_overlap_8grams"
+            ),
+            (F.coalesce(F.col("n_overlap_8grams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def _decontaminate_oracle() -> str:
+    return f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_G8_HASHES_D}) AS h FROM documents
+),
+eval_h AS (
+    SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0
+),
+ov AS (
+    SELECT s.doc_id, count(*) AS n_overlap
+    FROM sh s JOIN eval_h e USING (h)
+    WHERE s.doc_id % {DECON_EVAL_MOD} <> 0
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap_8grams,
+       COALESCE(o.n_overlap, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN ov o USING (doc_id)
+WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+
+# ------------------------------------------------- sequence packing
+
+PACK_CTX_TOKENS = 256  # fixed training-context width (tokens)
+
+
+def doc_pack(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Concat-then-split sequence packing: per language, documents are
+    laid end-to-end in doc_id order and cut into fixed 256-token
+    contexts; each doc reports its context id, offset, and whether it
+    spans a context boundary.
+
+    The running offset is a window cumsum PARTITIONED by language — the
+    packing unit — so parallelism is per-language, not single-partition.
+    At 100 TB a giant language is additionally sharded by a stable
+    doc_id-range sub-key (offsets then compose per shard exactly like
+    per-language offsets compose here)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = docs.select(
+        "doc_id", "lang", F.expr(f"size({_TOKS})").cast("bigint").alias("n_tokens")
+    ).withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+    )
+    ctx = F.col("cum_before")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (ctx / PACK_CTX_TOKENS).cast("bigint").alias("ctx_id"),
+        (ctx % PACK_CTX_TOKENS).alias("ctx_offset"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                ((ctx + F.col("n_tokens") - 1) / PACK_CTX_TOKENS).cast("bigint")
+                > (ctx / PACK_CTX_TOKENS).cast("bigint")
+            )
+        ).alias("spans_boundary"),
+    )
+
+
+def _pack_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sum(len({_TOKS_D})) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       cum_before // {PACK_CTX_TOKENS} AS ctx_id,
+       cum_before % {PACK_CTX_TOKENS} AS ctx_offset,
+       n_tokens > 0 AND
+           (cum_before + n_tokens - 1) // {PACK_CTX_TOKENS}
+           > cum_before // {PACK_CTX_TOKENS} AS spans_boundary
+FROM base
+"""
+
+
+# ------------------------------------------------- int8 quantization
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Symmetric int8 scalar quantization per embedding vector with exact
+    reconstruction-error metrics.
+
+    Inputs are first quantized to integer micro-units (float→double
+    widening is exact, round(x·1e6)→int64 — the same determinism trick as
+    dedup_embedding_cosine); scale = max|x|, code = round(x·127/scale).
+    The error metric |127·x − code·scale| stays integer, so max/sum
+    aggregate order-free and both engines agree bit-for-bit. Pure
+    higher-order-function scan: zero shuffle at any scale."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
+    q = emb.select(
+        "vec_id",
+        F.expr(e).alias("e"),
+    ).withColumn(
+        "max_abs_micro",
+        F.expr("aggregate(e, 0L, (acc, x) -> greatest(acc, abs(x)))"),
+    )
+    # int8 code per dim: round on an exactly-representable double ratio.
+    # greatest(scale, 1) makes the all-zero vector well-defined (codes and
+    # errors all 0) without a NaN-producing 0/0 in either engine.
+    codes = (
+        "transform(e, x -> cast(round(cast(x * 127 as double)"
+        " / cast(greatest(max_abs_micro, 1L) as double)) as bigint))"
+    )
+    err = (
+        f"zip_with(e, {codes}, (x, c) -> abs(x * 127 - c * max_abs_micro))"
+    )
+    return q.select(
+        "vec_id",
+        F.expr("size(e)").alias("n_dims"),
+        "max_abs_micro",
+        F.expr(f"aggregate({err}, 0L, (acc, x) -> greatest(acc, x))").alias(
+            "max_abs_err_q127"
+        ),
+        F.expr(f"aggregate({err}, 0L, (acc, x) -> acc + x)").alias(
+            "sum_abs_err_q127"
+        ),
+    )
+
+
+def _quantize_oracle() -> str:
+    e = (
+        "list_transform(embedding,"
+        f" x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT))"
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id, {e} AS e,
+           CAST(list_max(list_transform({e}, x -> abs(x))) AS BIGINT)
+               AS max_abs_micro
+    FROM embeddings
+),
+coded AS (
+    SELECT vec_id, e, max_abs_micro,
+           list_transform(list_zip(e,
+               list_transform(e, x -> CAST(round(CAST(x * 127 AS DOUBLE)
+                   / CAST(greatest(max_abs_micro, 1) AS DOUBLE)) AS BIGINT))),
+               p -> abs(p[1] * 127 - p[2] * max_abs_micro)) AS err
+    FROM q
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS n_dims,
+       max_abs_micro,
+       CAST(COALESCE(list_max(err), 0) AS BIGINT) AS max_abs_err_q127,
+       CAST(COALESCE(list_sum(err), 0) AS BIGINT) AS sum_abs_err_q127
+FROM coded
+"""
+
+
+ORACLES: dict[str, str] = {
+    "corpus_decontaminate": _decontaminate_oracle(),
+    "doc_pack": _pack_oracle(),
+    "emb_quantize": _quantize_oracle(),
+}

@@ -111,16 +111,25 @@ register(
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
 
-# text_token_stats / text_langid / text_fingerprint are consolidated
-# into ONE text_digest slot (r3); text_quality keeps its own slot (bench
-# headline continuity).
-_TEXT_DIGESTED = {"text_token_stats", "text_langid", "text_fingerprint"}
+# text_token_stats / text_langid / text_fingerprint / text_pii_scrub are
+# consolidated into ONE text_digest slot (r3); text_quality keeps its own
+# slot (bench headline continuity).
+_TEXT_DIGESTED = {
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_pii_scrub",
+}
 
 for _name, (_fn, _sql) in LLM_CATALOG.items():
     if _name not in _TEXT_DIGESTED:
         register(_name, _fn, _sql)
 
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
+
+# Round-3b corpus-preparation operators (llm/prep.py) — decontamination,
+# sequence packing, int8 embedding quantization — share ONE digest slot.
+register("prep_digest", *OP_DIGEST_CATALOG["prep_digest"])
 
 assert len(QUERIES) <= 50, (
     f"driver records only the first 50 queries; got {len(QUERIES)} — "

@@ -11,8 +11,11 @@ recording budget while every operator remains value-verified:
   (0 rows on valid data); the digest pins (name, n_rows, content_digest)
   for all five, which is exactly the dbt failure-row contract the
   individual slots verified in rounds 1–2.
-* ``text_digest`` — text_token_stats / text_langid / text_fingerprint
-  (text_quality keeps its own slot: it is in the bench headline set).
+* ``text_digest`` — text_token_stats / text_langid / text_fingerprint /
+  text_pii_scrub (text_quality keeps its own slot: it is in the bench
+  headline set).
+* ``prep_digest`` — the round-3 corpus-preparation operators
+  corpus_decontaminate / doc_pack / emb_quantize (llm/prep.py).
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -26,6 +29,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..llm import prep as llm_prep
 from ..llm import text as llm_text
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
@@ -145,6 +149,14 @@ _TEXT_MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("min_shingle_hash", "bigint"),
         ("norm_chars", "bigint"),
     ],
+    "text_pii_scrub": [
+        ("doc_id", "bigint"),
+        ("n_emails", "bigint"),
+        ("n_ipv4", "bigint"),
+        ("n_phones", "bigint"),
+        ("scrubbed_md5", "string"),
+        ("scrubbed_chars", "bigint"),
+    ],
 }
 
 
@@ -163,7 +175,49 @@ def _text_oracle() -> str:
     )
 
 
+# ---------------------------------------------- corpus-prep ops digest
+
+_PREP_MEMBERS: dict[str, list[tuple[str, str]]] = {
+    "corpus_decontaminate": [
+        ("doc_id", "bigint"),
+        ("n_overlap_8grams", "bigint"),
+        ("is_contaminated", "boolean"),
+    ],
+    "doc_pack": [
+        ("doc_id", "bigint"),
+        ("lang", "string"),
+        ("n_tokens", "bigint"),
+        ("ctx_id", "bigint"),
+        ("ctx_offset", "bigint"),
+        ("spans_boundary", "boolean"),
+    ],
+    "emb_quantize": [
+        ("vec_id", "bigint"),
+        ("n_dims", "bigint"),
+        ("max_abs_micro", "bigint"),
+        ("max_abs_err_q127", "bigint"),
+        ("sum_abs_err_q127", "bigint"),
+    ],
+}
+
+
+def prep_digest(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    parts = [
+        digest_df(getattr(llm_prep, name)(spark, sf_dir), name, schema)
+        for name, schema in _PREP_MEMBERS.items()
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _prep_oracle() -> str:
+    return " UNION ALL ".join(
+        digest_select_duck(name, schema, f"({llm_prep.ORACLES[name]})")
+        for name, schema in _PREP_MEMBERS.items()
+    )
+
+
 OP_DIGEST_CATALOG: dict[str, tuple] = {
     "jaffle_tests_digest": (jaffle_tests_digest, _tests_oracle()),
     "text_digest": (text_digest, _text_oracle()),
+    "prep_digest": (prep_digest, _prep_oracle()),
 }

@@ -5,8 +5,10 @@ from __future__ import annotations
 
 import pytest
 
+from dbt_jaffleshop_spark.llm import prep as llm_prep
 from dbt_jaffleshop_spark.llm import text as llm_text
 from dbt_jaffleshop_spark.queries.op_digests import (
+    _PREP_MEMBERS,
     _TEST_MEMBERS,
     _TEXT_MEMBERS,
     OP_DIGEST_CATALOG,
@@ -36,6 +38,9 @@ def test_declared_schemas_match_live_dataframes(spark, sf_dir):
     digest, so it fails loudly instead."""
     for name, (fn, schema) in _TEST_MEMBERS.items():
         live = fn(spark, sf_dir).columns
+        assert [c for c, _ in schema] == live, name
+    for name, schema in _PREP_MEMBERS.items():
+        live = getattr(llm_prep, name)(spark, sf_dir).columns
         assert [c for c, _ in schema] == live, name
     for name, schema in _TEXT_MEMBERS.items():
         live = getattr(llm_text, name)(spark, sf_dir).columns

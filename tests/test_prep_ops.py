@@ -1,0 +1,56 @@
+"""Corpus-preparation operators (llm/prep.py): Spark↔DuckDB parity and
+semantic invariants (decontamination excludes the eval slice, packing
+conserves tokens, quantization error stays inside the int8 bound)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dbt_jaffleshop_spark.llm import prep
+from tests.conftest import assert_parity
+
+
+@pytest.mark.parametrize("name", list(prep.ORACLES))
+def test_prep_operator_parity(spark, oracle, sf_dir, name):
+    assert_parity(getattr(prep, name)(spark, sf_dir), oracle, prep.ORACLES[name])
+
+
+def test_decontaminate_excludes_eval_slice(spark, sf_dir):
+    rows = prep.corpus_decontaminate(spark, sf_dir).collect()
+    assert rows, "corpus slice must be non-empty"
+    assert all(r.doc_id % prep.DECON_EVAL_MOD != 0 for r in rows)
+    assert all(
+        (r.n_overlap_8grams > 0) == r.is_contaminated for r in rows
+    )
+
+
+def test_doc_pack_conserves_tokens_per_language(spark, sf_dir):
+    """Packing is concat-then-split: per language the final document ends
+    at offset total_tokens-1, so the number of contexts touched is exactly
+    ceil(total_tokens / CTX)."""
+    import pandas as pd
+
+    pdf = prep.doc_pack(spark, sf_dir).toPandas()
+    for lang, g in pdf.groupby("lang"):
+        total = int(g.n_tokens.sum())
+        if total == 0:
+            continue
+        last_ctx = int(g.ctx_id.max())
+        n_ctx = math.ceil(total / prep.PACK_CTX_TOKENS)
+        assert last_ctx <= n_ctx - 1
+        # the doc with the greatest offset ends in the final context
+        g = g.assign(end=(g.ctx_id * prep.PACK_CTX_TOKENS
+                          + g.ctx_offset + g.n_tokens))
+        assert int(g.end.max()) == total
+
+
+def test_emb_quantize_error_within_int8_bound(spark, sf_dir):
+    """Symmetric int8 round-to-nearest: |127·x − code·scale| ≤ scale/2
+    (+1 integer-rounding slack) for every dimension."""
+    rows = prep.emb_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err_q127 <= r.max_abs_micro / 2 + 1, r
+        assert r.sum_abs_err_q127 >= r.max_abs_err_q127
