@@ -96,7 +96,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     missing = [c for c in TESTDATA_TABLES[name] if c not in df.columns]
     if missing:
         raise ValueError(f"source {name!r} missing expected columns {missing}")
-    return df
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-time TIMESTAMP (UTC pinned).
+
+    Driver testdata generations have shipped temporal columns as
+    TIMESTAMP(NANOS), TIMESTAMP(MICROS)-NTZ, or adjusted-to-UTC; with the
+    session zone pinned to UTC the cast is wall-clock-preserving, every
+    epoch/date function keeps the exact semantics the oracles assume, and
+    functions that reject NTZ inputs (unix_micros under ANSI) keep working."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz}
+    )
 
 
 def register_testdata(spark: SparkSession, sf_dir: str | None = None) -> None:
