@@ -56,7 +56,7 @@ def _guarded_avg(cents_col: str, count_col: Column) -> Column:
 def product_performance(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """products.sql:20-52 — J4 fan-out + multi-agg with safe division."""
     prods = staging.stg_products(spark, sf_dir).drop("product_price_cents")
-    items = ref("order_items", marts_core.order_items, spark, sf_dir).select(
+    items = cached("order_items", marts_core.order_items, spark, sf_dir).select(
         "product_id", "order_id", "order_item_id",
         F.col("product_price_cents").alias("item_price_cents"),
         F.col("supply_cost_cents").alias("item_supply_cost_cents"),
@@ -89,8 +89,8 @@ def product_performance(spark: SparkSession, sf_dir: str | None = None) -> DataF
 def products(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/products.sql:1-172."""
     perf = ref("product_performance", product_performance, spark, sf_dir)
-    items = ref("order_items", marts_core.order_items, spark, sf_dir)
-    orders_ = ref("orders", marts_core.orders, spark, sf_dir).select("order_id", "location_id")
+    items = cached("order_items", marts_core.order_items, spark, sf_dir)
+    orders_ = cached("orders", marts_core.orders, spark, sf_dir).select("order_id", "location_id")
 
     def rank(col: str) -> Column:
         return F.row_number().over(
@@ -182,7 +182,7 @@ def supply_performance(spark: SparkSession, sf_dir: str | None = None) -> DataFr
     aggregate is map-side combinable and the join side is broadcastable.
     """
     supplies = staging.stg_supplies(spark, sf_dir)
-    items = ref("order_items", marts_core.order_items, spark, sf_dir).select(
+    items = cached("order_items", marts_core.order_items, spark, sf_dir).select(
         "product_id", "order_id", "order_item_id", "product_price_cents",
         F.col("supply_cost_cents").alias("item_supply_cost_cents"),
     )
@@ -229,7 +229,7 @@ def supplier_analysis(spark: SparkSession, sf_dir: str | None = None) -> DataFra
     supplies = staging.stg_supplies(spark, sf_dir).select(
         "supply_uuid", "supply_name", "product_id", "supply_cost_cents"
     )
-    perf = ref("supply_performance", supply_performance, spark, sf_dir).select(
+    perf = cached("supply_performance", supply_performance, spark, sf_dir).select(
         "supply_uuid",
         "total_usage_quantity",
         "revenue_generated_cents",
@@ -255,7 +255,7 @@ def supplier_analysis(spark: SparkSession, sf_dir: str | None = None) -> DataFra
 
 def supplies(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/supplies.sql:1-185."""
-    perf = ref("supply_performance", supply_performance, spark, sf_dir)
+    perf = cached("supply_performance", supply_performance, spark, sf_dir)
 
     def rank(col: str) -> Column:
         return F.row_number().over(
