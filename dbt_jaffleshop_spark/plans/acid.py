@@ -144,6 +144,28 @@ class AcidTable:
         shutil.rmtree(stage, ignore_errors=True)
         return v
 
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Append ``df`` as a new snapshot: stage its files, commit the
+        previous snapshot's files + the new ones in one manifest. The
+        streaming-sink primitive — each micro-batch lands atomically, so a
+        reader always sees a consistent prefix of committed batches."""
+        if self.exists():
+            prev = self.manifest()
+            partition_by = prev["partition_by"]
+            prev_files = prev["files"]
+        else:
+            partition_by = partition_by or []
+            prev_files = []
+        stage, files = self._stage(df, partition_by)
+        v = self._commit(sorted(prev_files + files), partition_by, meta)
+        shutil.rmtree(stage, ignore_errors=True)
+        return v
+
     def overwrite_partitions(
         self, df: DataFrame, part_col: str, values: list,
         meta: dict | None = None,
