@@ -206,6 +206,34 @@ class AcidTable:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
 
+    # ---------------------------------------------------------- compaction
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files_per_partition: int = 1,
+        meta: dict | None = None,
+    ) -> int:
+        """Rewrite the current snapshot with coalesced files (one commit).
+
+        The maintenance job every streaming-append table needs: N
+        micro-batch commits leave N small files (per partition); compact
+        reads the live snapshot and commits an equivalent snapshot whose
+        file count is bounded, after which ``vacuum`` reclaims the small
+        files. Readers mid-compaction see the old or the new snapshot,
+        never a mix — same guarantee as any other commit. At cluster
+        scale, raise ``target_files_per_partition`` so each rewritten
+        file stays near the HDFS/object-store sweet spot instead of
+        forcing one giant file."""
+        m = self.manifest()
+        df = self.read(spark)
+        if not m["partition_by"] and target_files_per_partition >= 1:
+            df = df.coalesce(target_files_per_partition)
+        stage, files = self._stage(df, m["partition_by"])
+        v = self._commit(files, m["partition_by"], meta or {"compacted": True})
+        shutil.rmtree(stage, ignore_errors=True)
+        return v
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

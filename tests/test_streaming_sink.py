@@ -72,6 +72,40 @@ def test_restart_does_not_double_commit(spark, sf_dir, tmp_path):
     assert table2.read(spark).count() == n
 
 
+def test_compaction_bounds_files_preserves_content(spark, sf_dir, tmp_path):
+    """After N micro-batch appends, compact() commits an equivalent
+    snapshot with a bounded file count; vacuum then reclaims the small
+    files without touching the live snapshot."""
+    import glob
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    src = tmp_path / "feed"
+    src.mkdir()
+    third = t.num_rows // 3
+    for i in range(3):
+        s = t.slice(i * third, third if i < 2 else None)
+        pq.write_table(s, src / f"part-{i}.parquet")
+    table = streaming_events_to_acid(
+        spark, str(src), str(tmp_path / "tbl"), max_files_per_trigger=1
+    )
+    before_files = len(table.manifest()["files"])
+    before = table.read(spark)
+    before_rows = before.count()
+
+    v = table.compact(spark)
+    assert v == table.current_version()
+    after_files = len(table.manifest()["files"])
+    assert after_files < before_files
+    assert table.read(spark).count() == before_rows
+
+    removed = table.vacuum(keep_last=1)
+    assert removed, "small files reclaimed"
+    assert table.read(spark).count() == before_rows
+    on_disk = glob.glob(f"{table.data_dir}/**/*.parquet", recursive=True)
+    assert len(on_disk) == after_files
+
+
 def test_append_is_atomic_under_reader(spark, sf_dir, tmp_path):
     """A reader that resolved the pointer before an append still reads its
     full snapshot afterwards (old files untouched by the commit)."""
