@@ -109,6 +109,136 @@ def multimodal_extract(spark: SparkSession, sf_dir: str | None = None) -> DataFr
     return media.mapInPandas(_make_extract_batches(), schema=EXTRACT_SCHEMA)
 
 
+# --------------------------------------------------- frame sampling
+
+FRAME_SAMPLES = 4  # uniform-stride target: ≤4 sampled frames per video
+
+FRAMESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def _make_framesample_batches():
+    """Closure for cloudpickle-by-value (see _make_extract_batches)."""
+
+    def framesample_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).to_numpy()
+            content_md5 = pdf["payload"].map(
+                lambda b: _hashlib.md5(b).hexdigest()
+            )
+            n_frames = (1 + n_bytes % 24).astype("int64")
+            stride = -(-n_frames // FRAME_SAMPLES)  # ceil
+            doc_ids, frames, idxs, md5s = [], [], [], []
+            for doc, md, n, s in zip(
+                pdf["doc_id"], content_md5, n_frames, stride
+            ):
+                for i in range(0, int(n), int(s)):
+                    doc_ids.append(doc)
+                    frames.append(int(n))
+                    idxs.append(i)
+                    md5s.append(
+                        _hashlib.md5(f"{md}-{i}".encode()).hexdigest()
+                    )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _np.asarray(doc_ids, dtype="int64"),
+                    "n_frames": _np.asarray(frames, dtype="int32"),
+                    "frame_idx": _np.asarray(idxs, dtype="int32"),
+                    "frame_md5": md5s,
+                }
+            )
+
+    return framesample_batches
+
+
+def multimodal_framesample(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Uniform-stride frame sampling over video payloads: one output row
+    per sampled frame (≤4 per video), fanned out inside the Arrow batch —
+    exactly the shape a real `av`-based sampler produces. The frame
+    digest stands in for the decoded frame's content hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    videos = docs.where(F.expr("doc_id % 3 = 2")).select(
+        "doc_id", F.expr("encode(text, 'UTF-8')").alias("payload")
+    )
+    return videos.mapInPandas(
+        _make_framesample_batches(), schema=FRAMESAMPLE_SCHEMA
+    )
+
+
+# --------------------------------------------------------- resize
+
+RESIZE_TARGET = 224
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def _make_resize_batches():
+    """Closure for cloudpickle-by-value (see _make_extract_batches)."""
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            w = 100 + n_bytes % 800
+            h = 100 + (n_bytes * 7) % 600
+            m = w.combine(h, max)
+            # aspect-preserving fit into 224×224, integer-exact
+            new_w = (w * RESIZE_TARGET) // m
+            new_h = (h * RESIZE_TARGET) // m
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "new_width": new_w.astype("int32"),
+                    "new_height": new_h.astype("int32"),
+                    "resized_bytes": (new_w * new_h * 3).astype("int64"),
+                }
+            )
+
+    return resize_batches
+
+
+def multimodal_resize(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Aspect-preserving resize planning for image payloads (fit into
+    224×224): integer-exact target dimensions + decoded-buffer size, via
+    the same Arrow mapInPandas seam a real PIL resize would occupy."""
+    docs = load_table(spark, "documents", sf_dir)
+    images = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id", F.expr("encode(text, 'UTF-8')").alias("payload")
+    )
+    return images.mapInPandas(_make_resize_batches(), schema=RESIZE_SCHEMA)
+
+
 # ------------------------------------------------------------- oracle SQL
 
 # The Python path computes md5 over the UTF-8 payload and derives the fake
@@ -125,5 +255,37 @@ SELECT doc_id,
        CAST(100 + (strlen(text) * 7) % 600 AS INTEGER) AS height,
        CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
 FROM documents
+""",
+    "multimodal_framesample": f"""
+WITH v AS (
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(1 + strlen(text) % 24 AS INTEGER) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+s AS (
+    SELECT doc_id, n_frames, content_md5,
+           unnest(generate_series(0, n_frames - 1,
+               CAST(ceil(n_frames / {FRAME_SAMPLES}.0) AS INTEGER)))
+               AS frame_idx
+    FROM v
+)
+SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(content_md5 || '-' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM s
+""",
+    "multimodal_resize": f"""
+WITH i AS (
+    SELECT doc_id,
+           CAST(100 + strlen(text) % 800 AS BIGINT) AS w,
+           CAST(100 + (strlen(text) * 7) % 600 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST((w * {RESIZE_TARGET}) // greatest(w, h) AS INTEGER) AS new_width,
+       CAST((h * {RESIZE_TARGET}) // greatest(w, h) AS INTEGER) AS new_height,
+       CAST(((w * {RESIZE_TARGET}) // greatest(w, h))
+            * ((h * {RESIZE_TARGET}) // greatest(w, h)) * 3 AS BIGINT)
+           AS resized_bytes
+FROM i
 """,
 }

@@ -111,21 +111,25 @@ register(
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
 
-# text_token_stats / text_langid / text_fingerprint / text_pii_scrub are
-# consolidated into ONE text_digest slot (r3); text_quality keeps its own
-# slot (bench headline continuity).
-_TEXT_DIGESTED = {
+# Digest-consolidated operator groups (queries/op_digests.py): four text
+# ops share text_digest (text_quality keeps its own slot — bench headline
+# continuity) and the three multimodal ops share multimodal_digest.
+_GROUP_DIGESTED = {
     "text_token_stats",
     "text_langid",
     "text_fingerprint",
     "text_pii_scrub",
+    "multimodal_extract",
+    "multimodal_framesample",
+    "multimodal_resize",
 }
 
 for _name, (_fn, _sql) in LLM_CATALOG.items():
-    if _name not in _TEXT_DIGESTED:
+    if _name not in _GROUP_DIGESTED:
         register(_name, _fn, _sql)
 
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
+register("multimodal_digest", *OP_DIGEST_CATALOG["multimodal_digest"])
 
 # Round-3b corpus-preparation operators (llm/prep.py) — decontamination,
 # sequence packing, int8 embedding quantization — share ONE digest slot.

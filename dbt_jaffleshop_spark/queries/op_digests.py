@@ -29,6 +29,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
 from ..llm import text as llm_text
 from .digests import digest_df, digest_select_duck
@@ -216,8 +217,55 @@ def _prep_oracle() -> str:
     )
 
 
+# ---------------------------------------------- multimodal ops digest
+
+_MM_MEMBERS: dict[str, list[tuple[str, str]]] = {
+    "multimodal_extract": [
+        ("doc_id", "bigint"),
+        ("media_type", "string"),
+        ("n_bytes", "bigint"),
+        ("content_md5", "string"),
+        ("width", "bigint"),
+        ("height", "bigint"),
+        ("n_frames", "bigint"),
+    ],
+    "multimodal_framesample": [
+        ("doc_id", "bigint"),
+        ("n_frames", "bigint"),
+        ("frame_idx", "bigint"),
+        ("frame_md5", "string"),
+    ],
+    "multimodal_resize": [
+        ("doc_id", "bigint"),
+        ("width", "bigint"),
+        ("height", "bigint"),
+        ("new_width", "bigint"),
+        ("new_height", "bigint"),
+        ("resized_bytes", "bigint"),
+    ],
+}
+
+
+def multimodal_digest(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    parts = [
+        digest_df(getattr(llm_multimodal, name)(spark, sf_dir), name, schema)
+        for name, schema in _MM_MEMBERS.items()
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _mm_oracle() -> str:
+    return " UNION ALL ".join(
+        digest_select_duck(name, schema, f"({llm_multimodal.ORACLES[name]})")
+        for name, schema in _MM_MEMBERS.items()
+    )
+
+
 OP_DIGEST_CATALOG: dict[str, tuple] = {
     "jaffle_tests_digest": (jaffle_tests_digest, _tests_oracle()),
     "text_digest": (text_digest, _text_oracle()),
     "prep_digest": (prep_digest, _prep_oracle()),
+    "multimodal_digest": (multimodal_digest, _mm_oracle()),
 }

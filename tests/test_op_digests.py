@@ -5,9 +5,11 @@ from __future__ import annotations
 
 import pytest
 
+from dbt_jaffleshop_spark.llm import multimodal as llm_multimodal
 from dbt_jaffleshop_spark.llm import prep as llm_prep
 from dbt_jaffleshop_spark.llm import text as llm_text
 from dbt_jaffleshop_spark.queries.op_digests import (
+    _MM_MEMBERS,
     _PREP_MEMBERS,
     _TEST_MEMBERS,
     _TEXT_MEMBERS,
@@ -41,6 +43,9 @@ def test_declared_schemas_match_live_dataframes(spark, sf_dir):
         assert [c for c, _ in schema] == live, name
     for name, schema in _PREP_MEMBERS.items():
         live = getattr(llm_prep, name)(spark, sf_dir).columns
+        assert [c for c, _ in schema] == live, name
+    for name, schema in _MM_MEMBERS.items():
+        live = getattr(llm_multimodal, name)(spark, sf_dir).columns
         assert [c for c, _ in schema] == live, name
     for name, schema in _TEXT_MEMBERS.items():
         live = getattr(llm_text, name)(spark, sf_dir).columns
