@@ -90,6 +90,13 @@ def main() -> None:
 
     from dbt_jaffleshop_spark.plans.dag import run_pipeline
 
+    # Medians are the headline statistic; per-query minimums are ALSO
+    # recorded ("queries_min") because this VM shows sustained external
+    # contention windows (load >10 with zero local processes — see
+    # BASELINE.md round-3 notes) that can cover all three timed runs of a
+    # query: the min is the least-disturbed cold measurement.
+    mins: dict[str, float] = {}
+
     build_times: list[float] = []
     for i in range(runs + 1):  # first run is the un-timed warm-up
         with tempfile.TemporaryDirectory() as wh:
@@ -102,6 +109,7 @@ def main() -> None:
         if bad:
             print(f"pipeline failures: {bad}", file=sys.stderr)
     timings["pipeline_build"] = round(statistics.median(build_times), 3)
+    mins["pipeline_build"] = round(min(build_times), 3)
 
     # fresh session for the per-query timings: isolates them from the
     # pipeline run's cached state / GC pressure
@@ -119,6 +127,7 @@ def main() -> None:
                 per_run.append(time.perf_counter() - t0)
         release_cached(spark)
         timings[name] = round(statistics.median(per_run), 3)
+        mins[name] = round(min(per_run), 3)
 
     total = round(
         timings["pipeline_build"] + sum(timings[n] for n in names), 3
@@ -135,6 +144,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
                 "headline": ["pipeline_build"] + names,
                 "sf": sf_val,
                 "protocol": f"noop-write forcing; warm-up + median of {runs}",
