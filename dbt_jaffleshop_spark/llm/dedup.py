@@ -384,26 +384,50 @@ _COS = (
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Embedding near-dup pairs: exact cosine ≥ 0.5 over integer-quantized
-    vectors. Brute-force pair scan (correctness baseline); the LSH-bucketed
-    variant in similarity.py is the 100 TB path."""
+    vectors. All-pairs by design (correctness baseline); the LSH-bucketed
+    variant is the 100 TB path.
+
+    Vectorized execution: the quantized matrix plays the broadcast side —
+    the same data a broadcast pair-join would ship to every task — and
+    each Arrow batch computes one int64 GEMM (numpy matmul, exact: |terms|
+    ≤ dims·(EMB_SCALE·max|x|)² ≪ 2⁶³) against it instead of evaluating an
+    interpreted per-pair aggregate(zip_with(...)) expression. The cosine
+    is the identical float64 expression the oracle computes
+    (dot / (sqrt(na)·sqrt(nb))), so results stay bit-equal."""
+    import numpy as np
+
     q = _quantized_embeddings(spark, sf_dir)
-    pairs = (
-        q.alias("a")
-        .join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.expr(
-                "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-            ).alias("dot"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
-        )
-    )
-    return (
-        pairs.withColumn("cos_sim", F.expr(_COS))
-        .where(F.col("cos_sim") >= F.lit(COSINE_DUP_THRESHOLD))
-        .select("id_a", "id_b", "cos_sim")
+    pdf = q.toPandas()  # the broadcast build side, driver-staged once
+    order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
+    ids_all = pdf["vec_id"].to_numpy(np.int64)[order]
+    m_all = np.array(pdf["e"].tolist(), dtype=np.int64)[order]
+    nrm_all = pdf["nrm"].to_numpy(np.int64)[order]
+    b = spark.sparkContext.broadcast((ids_all, m_all, nrm_all))
+    thr = COSINE_DUP_THRESHOLD
+
+    def pair_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids2, m2, nrm2 = b.value
+        sq2 = _np.sqrt(nrm2.astype(_np.float64))
+        for pdf_b in batches:
+            if not len(pdf_b):
+                continue
+            ids1 = pdf_b["vec_id"].to_numpy(_np.int64)
+            m1 = _np.array(pdf_b["e"].tolist(), dtype=_np.int64)
+            sq1 = _np.sqrt(pdf_b["nrm"].to_numpy(_np.int64).astype(_np.float64))
+            dots = (m1 @ m2.T).astype(_np.float64)
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (sq1[:, None] * sq2[None, :])
+            mask = (ids1[:, None] < ids2[None, :]) & (cos >= thr)
+            r, c = _np.nonzero(mask)
+            yield _pd.DataFrame(
+                {"id_a": ids1[r], "id_b": ids2[c], "cos_sim": cos[r, c]}
+            )
+
+    return q.mapInPandas(
+        pair_batches, schema="id_a bigint, id_b bigint, cos_sim double"
     )
 
 
