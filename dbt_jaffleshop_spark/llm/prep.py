@@ -66,9 +66,12 @@ def corpus_decontaminate(
     one narrow explode → broadcast-hash semi-join → partial-aggregated
     count per doc. No corpus-sized shuffle anywhere."""
     docs = load_table(spark, "documents", sf_dir)
+    # cached: the eval-side distinct and the corpus-side join both consume
+    # the shingle relation — one explode instead of two (same pattern as
+    # the MinHash pipeline's shared shingle cache).
     sh = docs.select(
         "doc_id", F.explode(F.expr(_G8_HASHES)).alias("h")
-    )
+    ).cache()
     eval_h = (
         sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
         .select("h")
