@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Emission format (round-4 fix — BENCH_r03.json recorded ``parsed: null``
+because one giant final line outgrew the driver's tail capture):
+auxiliary records (per-query minimums, per-query load-average telemetry)
+are printed as their OWN earlier JSON lines, and the FINAL stdout line is
+a compact machine-readable record — medians only, 2-decimal rounding —
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} — small enough to always parse.
 
 The headline set covers the full jaffle DAG (the reference's `dbt build`
 analogue) plus the heaviest beyond-reference operators, so the number
@@ -91,13 +97,18 @@ def main() -> None:
     from dbt_jaffleshop_spark.plans.dag import run_pipeline
 
     # Medians are the headline statistic; per-query minimums are ALSO
-    # recorded ("queries_min") because this VM shows sustained external
-    # contention windows (load >10 with zero local processes — see
-    # BASELINE.md round-3 notes) that can cover all three timed runs of a
-    # query: the min is the least-disturbed cold measurement.
+    # recorded (own "queries_min" line) because this VM shows sustained
+    # external contention windows (load >10 with zero local processes —
+    # see BASELINE.md round-3 notes) that can cover all three timed runs
+    # of a query: the min is the least-disturbed cold measurement.
     mins: dict[str, float] = {}
+    # 1-min load average sampled at the start of each query's timed runs —
+    # makes contention-window rows machine-identifiable instead of
+    # judged post-hoc (round-3 verdict item 5).
+    loads: dict[str, float] = {}
 
     build_times: list[float] = []
+    loads["pipeline_build"] = round(os.getloadavg()[0], 1)
     for i in range(runs + 1):  # first run is the un-timed warm-up
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.perf_counter()
@@ -108,8 +119,8 @@ def main() -> None:
         bad = [k for k, v in res.items() if v["status"] != "ok"]
         if bad:
             print(f"pipeline failures: {bad}", file=sys.stderr)
-    timings["pipeline_build"] = round(statistics.median(build_times), 3)
-    mins["pipeline_build"] = round(min(build_times), 3)
+    timings["pipeline_build"] = round(statistics.median(build_times), 2)
+    mins["pipeline_build"] = round(min(build_times), 2)
 
     # fresh session for the per-query timings: isolates them from the
     # pipeline run's cached state / GC pressure
@@ -119,6 +130,7 @@ def main() -> None:
     for name in names + rest:
         fn = queries[name]
         per_run: list[float] = []
+        loads[name] = round(os.getloadavg()[0], 1)
         for i in range(runs + 1):
             release_cached(spark)  # each run pays its own cache population
             t0 = time.perf_counter()
@@ -126,17 +138,22 @@ def main() -> None:
             if i > 0:
                 per_run.append(time.perf_counter() - t0)
         release_cached(spark)
-        timings[name] = round(statistics.median(per_run), 3)
-        mins[name] = round(min(per_run), 3)
+        timings[name] = round(statistics.median(per_run), 2)
+        mins[name] = round(min(per_run), 2)
 
     total = round(
-        timings["pipeline_build"] + sum(timings[n] for n in names), 3
+        timings["pipeline_build"] + sum(timings[n] for n in names), 2
     )
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Auxiliary records first, each on its own line — the driver captures
+    # the tail of stdout and parses the LAST JSON line, which must stay
+    # compact (see module docstring).
+    print(json.dumps({"metric": "queries_min", "queries_min": mins}))
+    print(json.dumps({"metric": "load_avg_1m_at_start", "load_avg": loads}))
     print(
         json.dumps(
             {
@@ -144,11 +161,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_min": mins,
-                "headline": ["pipeline_build"] + names,
                 "sf": sf_val,
-                "protocol": f"noop-write forcing; warm-up + median of {runs}",
-            }
+                "protocol": f"noop-write; warmup+median of {runs}",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

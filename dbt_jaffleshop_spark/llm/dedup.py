@@ -51,6 +51,15 @@ JACCARD_THRESHOLD = 0.5
 # and would contribute O(df²) candidate pairs to the self-join.
 NGRAM_DF_CUTOFF = 128
 COSINE_DUP_THRESHOLD = 0.5
+# dedup_embedding_cosine stages the quantized embedding table on the
+# driver to build its broadcast GEMM operand — correct and fast at
+# benchmark scale, but a misuse hazard on a real corpus (it would OOM the
+# DRIVER, not an executor). The guard bounds the collect: above this many
+# vectors the operator refuses with a pointer to dedup_embedding_lsh,
+# whose bucketed join is the 100 TB path for the same semantics.
+# 2M vectors × 40 dims × 8 B int64 ≈ 640 MB — comfortably inside a
+# typical driver heap while far above any sane all-pairs workload.
+GEMM_GUARD_MAX_ROWS = 2_000_000
 
 _NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
 _TOKS = "split(text, ' ')"
@@ -397,6 +406,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str | None = None) -> Da
     import numpy as np
 
     q = _quantized_embeddings(spark, sf_dir)
+    # Guard the driver-staged collect: count-star over parquet is nearly
+    # free (row-group metadata), and failing HERE with a pointer to the
+    # scale path beats an opaque driver OOM mid-toPandas.
+    n = load_table(spark, "embeddings", sf_dir).count()
+    if n > GEMM_GUARD_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the all-pairs correctness baseline "
+            f"and stages all embeddings on the driver; {n} rows exceeds the "
+            f"{GEMM_GUARD_MAX_ROWS}-row guard. Use dedup_embedding_lsh "
+            f"(bucketed, same threshold/output shape) for corpus-scale data."
+        )
     pdf = q.toPandas()  # the broadcast build side, driver-staged once
     order = np.argsort(pdf["vec_id"].to_numpy(np.int64))
     ids_all = pdf["vec_id"].to_numpy(np.int64)[order]

@@ -47,11 +47,40 @@ EXTRACT_SCHEMA = StructType(
 )
 
 
+def _image_codec():
+    """Capability check: returns PIL's Image module when the optional
+    dependency is installed, else None. The engine never requires it —
+    the Spark-side plumbing (schema, partitioning, Arrow batch shape)
+    runs on the deterministic metadata path either way."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
+HAS_IMAGE_CODEC = _image_codec() is not None
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """STUB: real decode (PIL / librosa / av) is unavailable in this
-    environment. The deterministic metadata below stands in for the
-    decoder output; swapping in a real codec changes only this function.
-    """
+    """Decode one media payload to metadata. Images decode for real when
+    PIL is installed (capability-gated — absent in this container); audio/
+    video codecs (librosa / av) remain honestly stubbed. Swapping in a
+    codec changes only this function; extract_features' deterministic
+    metadata path is unaffected."""
+    if media_type == "image":
+        image_mod = _image_codec()
+        if image_mod is not None:
+            import io
+
+            with image_mod.open(io.BytesIO(payload)) as im:
+                im.load()
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                }
     raise NotImplementedError(
         "media decoding requires image/audio libraries not present here; "
         "use extract_features' deterministic metadata path instead"

@@ -46,6 +46,13 @@ _DATA = "data"
 _STAGING = "_staging"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this commit's parent snapshot was
+    read. The staged files are still valid — re-read the current manifest,
+    recompute the file list, and retry the commit (``append`` does this
+    internally; see its retry loop)."""
+
+
 class AcidTable:
     """A snapshot-versioned parquet table rooted at ``path``."""
 
@@ -70,7 +77,12 @@ class AcidTable:
 
     # -------------------------------------------------------------- commit
 
-    def _stage(self, df: DataFrame, partition_by: list[str]) -> tuple[str, list[str]]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        max_records_per_file: int | None = None,
+    ) -> tuple[str, list[str]]:
         """Write ``df`` into a staging dir; move the produced parquet files
         into ``data/`` under their partition dirs. Returns (staging dir,
         data-relative paths of the new files). Nothing is visible to
@@ -81,11 +93,14 @@ class AcidTable:
             # partitioned write: without this every task writes a file
             # into every partition dir (tasks × partitions small files —
             # measured 800 files for the sf0.1 orders mart, 25 after).
-            # At cluster scale substitute repartition(N, cols) /
-            # repartitionByRange to bound per-partition file size; AQE
-            # coalescing keeps the extra exchange cheap.
             df = df.repartition(*partition_by)
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            # Bounds each task's output file size — the mechanism behind
+            # compact()'s target_files_per_partition knob. Deterministic
+            # (unlike a salted repartition, which AQE's partition
+            # coalescing silently collapses back to one task).
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
@@ -106,10 +121,30 @@ class AcidTable:
         files: list[str],
         partition_by: list[str],
         meta: dict | None = None,
+        expected_parent: int | None = None,
     ) -> int:
-        """Write the next manifest, then atomically swap ``_CURRENT``."""
+        """Write the next manifest, then atomically swap ``_CURRENT``.
+
+        Optimistic concurrency (the Iceberg commit protocol's conflict
+        check): ``expected_parent`` records the snapshot this commit was
+        computed against. The manifest slot ``v<parent+1>.json`` is
+        claimed with an EXCLUSIVE create (O_CREAT|O_EXCL — atomic on
+        POSIX; on an object store this is the catalog's compare-and-swap),
+        so when two writers race the same parent, exactly one wins and
+        the loser gets :class:`CommitConflictError` instead of silently
+        overwriting the winner's manifest (last-write-wins lost update).
+        ``expected_parent=None`` (single-writer callers, e.g. the
+        pipeline scheduler which never runs two writers on one table)
+        resolves the parent at commit time — the exclusive create still
+        protects the slot."""
         os.makedirs(self.versions_dir, exist_ok=True)
-        next_v = (self.current_version() + 1) if self.exists() else 1
+        cur_v = self.current_version() if self.exists() else 0
+        if expected_parent is not None and cur_v != expected_parent:
+            raise CommitConflictError(
+                f"{self.path}: expected parent v{expected_parent}, "
+                f"current is v{cur_v} — another writer committed first"
+            )
+        next_v = (expected_parent if expected_parent is not None else cur_v) + 1
         manifest = {
             "version": next_v,
             "partition_by": partition_by,
@@ -119,10 +154,15 @@ class AcidTable:
             "meta": meta or {},
         }
         mpath = os.path.join(self.versions_dir, f"v{next_v:06d}.json")
-        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
+        try:
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{self.path}: manifest slot v{next_v} already claimed by "
+                f"a concurrent (or crashed) writer"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, mpath)
 
         cur = os.path.join(self.path, _CURRENT)
         tmp = cur + f".tmp-{uuid.uuid4().hex}"
@@ -137,34 +177,84 @@ class AcidTable:
         partition_by: list[str] | None = None,
         meta: dict | None = None,
     ) -> int:
-        """Full-table overwrite as a new snapshot (old files untouched)."""
+        """Full-table overwrite as a new snapshot (old files untouched).
+
+        On a commit conflict the staged files ARE the complete new table,
+        so the retry only refreshes the parent version — by overwrite
+        semantics the concurrent commit's content is replaced."""
         partition_by = partition_by or []
         stage, files = self._stage(df, partition_by)
-        v = self._commit(files, partition_by, meta)
-        shutil.rmtree(stage, ignore_errors=True)
-        return v
+        try:
+            for attempt in range(6):
+                parent = self.current_version() if self.exists() else 0
+                try:
+                    return self._commit(
+                        files, partition_by, meta, expected_parent=parent
+                    )
+                except CommitConflictError:
+                    if attempt == 5:
+                        raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise AssertionError("unreachable")
 
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         meta: dict | None = None,
+        max_retries: int = 5,
     ) -> int:
         """Append ``df`` as a new snapshot: stage its files, commit the
         previous snapshot's files + the new ones in one manifest. The
         streaming-sink primitive — each micro-batch lands atomically, so a
-        reader always sees a consistent prefix of committed batches."""
+        reader always sees a consistent prefix of committed batches.
+
+        Concurrent-writer safe: the commit records the parent snapshot it
+        merged against; if another writer lands first, the staged files
+        (already unique-named in ``data/``) are RE-merged against the new
+        current manifest and the commit retried — both appends survive,
+        no lost update (Iceberg's append-retry semantics)."""
         if self.exists():
-            prev = self.manifest()
-            partition_by = prev["partition_by"]
-            prev_files = prev["files"]
+            existing = self.manifest()["partition_by"]
+            if partition_by is not None and list(partition_by) != existing:
+                raise ValueError(
+                    f"{self.path}: append partition_by={partition_by} "
+                    f"conflicts with the table's layout {existing}"
+                )
+            partition_by = existing
         else:
             partition_by = partition_by or []
-            prev_files = []
         stage, files = self._stage(df, partition_by)
-        v = self._commit(sorted(prev_files + files), partition_by, meta)
-        shutil.rmtree(stage, ignore_errors=True)
-        return v
+        try:
+            for attempt in range(max_retries + 1):
+                if self.exists():
+                    prev = self.manifest()
+                    parent = prev["version"]
+                    prev_files = prev["files"]
+                    if prev["partition_by"] != partition_by:
+                        # a concurrent creator raced us with a different
+                        # layout — our staged files don't fit its dirs
+                        raise ValueError(
+                            f"{self.path}: concurrent writer created the "
+                            f"table with partition_by="
+                            f"{prev['partition_by']}, staged {partition_by}"
+                        )
+                else:
+                    parent, prev_files = 0, []
+                try:
+                    return self._commit(
+                        sorted(prev_files + files),
+                        partition_by,
+                        meta,
+                        expected_parent=parent,
+                    )
+                except CommitConflictError:
+                    if attempt == max_retries:
+                        raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise AssertionError("unreachable")
 
     def overwrite_partitions(
         self, df: DataFrame, part_col: str, values: list,
@@ -184,14 +274,31 @@ class AcidTable:
 
         sub = df.where(F.col(part_col).isin(list(values)))
         stage, new_files = self._stage(sub, partition_by)
-        kept = [
-            f
-            for f in prev["files"]
-            if not any(part in f.split(os.sep) for part in affected_dirs)
-        ]
-        v = self._commit(sorted(kept + new_files), partition_by, meta)
-        shutil.rmtree(stage, ignore_errors=True)
-        return v
+        try:
+            # Retry-merge like append: on conflict, re-read the winner's
+            # manifest and recompute the kept (untouched-partition) files
+            # against IT, so a concurrent append to another partition
+            # survives this commit.
+            for attempt in range(6):
+                cur = self.manifest()
+                kept = [
+                    f
+                    for f in cur["files"]
+                    if not any(part in f.split(os.sep) for part in affected_dirs)
+                ]
+                try:
+                    return self._commit(
+                        sorted(kept + new_files),
+                        partition_by,
+                        meta,
+                        expected_parent=cur["version"],
+                    )
+                except CommitConflictError:
+                    if attempt == 5:
+                        raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise AssertionError("unreachable")
 
     # --------------------------------------------------------------- read
 
@@ -224,15 +331,52 @@ class AcidTable:
         never a mix — same guarantee as any other commit. At cluster
         scale, raise ``target_files_per_partition`` so each rewritten
         file stays near the HDFS/object-store sweet spot instead of
-        forcing one giant file."""
+        forcing one giant file (honored for partitioned tables too via a
+        deterministic row-hash sub-key in the staging repartition).
+
+        The prior manifest's ``meta`` is carried forward: compaction
+        rewrites the snapshot's LAYOUT, not its logical state — in
+        particular the streaming sink's ``stream_batch_id`` high-water
+        mark must survive, or a micro-batch replayed after a
+        crash→compact→restart sequence would be re-appended (exactly-once
+        violation; round-4 advisor fix).
+
+        On a commit conflict (a concurrent append landed while compacting)
+        the compacted snapshot would silently DROP the new batch's files,
+        so compact never retries — it raises and the caller re-runs
+        compaction against the new snapshot."""
         m = self.manifest()
         df = self.read(spark)
+        max_records = None
         if not m["partition_by"] and target_files_per_partition >= 1:
             df = df.coalesce(target_files_per_partition)
-        stage, files = self._stage(df, m["partition_by"])
-        v = self._commit(files, m["partition_by"], meta or {"compacted": True})
-        shutil.rmtree(stage, ignore_errors=True)
-        return v
+        elif m["partition_by"] and target_files_per_partition > 1:
+            # Bound file size so the LARGEST partition splits into the
+            # target count (smaller ones proportionally fewer) — one tiny
+            # count aggregation, cheap next to the full rewrite compact
+            # already pays.
+            from pyspark.sql import functions as F
+
+            biggest = (
+                df.groupBy(*m["partition_by"])
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            if biggest:
+                max_records = -(-int(biggest) // target_files_per_partition)
+        stage, files = self._stage(
+            df, m["partition_by"], max_records_per_file=max_records
+        )
+        try:
+            return self._commit(
+                files,
+                m["partition_by"],
+                {**m.get("meta", {}), "compacted": True, **(meta or {})},
+                expected_parent=m["version"],
+            )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     # ------------------------------------------------------------- vacuum
 
@@ -240,11 +384,21 @@ class AcidTable:
         """Delete data files referenced ONLY by expired snapshots (all but
         the newest ``keep_last``), then drop their manifests. keep_last≥2
         leaves the previous snapshot intact for readers that resolved it
-        just before the latest commit."""
-        versions = sorted(
+        just before the latest commit.
+
+        A manifest ABOVE the committed pointer is an aborted commit (a
+        writer crashed between claiming the manifest slot and swapping
+        ``_CURRENT``); it and its unreferenced data files are reclaimed
+        here, which also unblocks the slot for the next committer. Like
+        Iceberg's ``remove_orphan_files``, vacuum must not run concurrent
+        with an in-flight writer — it is a maintenance op the scheduler
+        serializes with writes."""
+        committed = self.current_version()
+        all_versions = sorted(
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))
         )
+        versions = [v for v in all_versions if v <= committed]
         keep = set(versions[-keep_last:])
         live: set[str] = set()
         for v in keep:
@@ -257,7 +411,8 @@ class AcidTable:
             if rel not in live:
                 os.remove(f)
                 removed.append(rel)
-        for v in versions:
+        for v in all_versions:
+            # expired snapshots AND aborted (above-pointer) manifests
             if v not in keep:
                 os.remove(os.path.join(self.versions_dir, f"v{v:06d}.json"))
         return removed

@@ -1,0 +1,149 @@
+"""AcidTable optimistic concurrency (plans/acid.py): interleaved writers
+retry-merge instead of losing updates, compaction preserves logical commit
+metadata (streaming exactly-once), aborted commits are repairable, and the
+partitioned-compaction file-count knob is honored."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dbt_jaffleshop_spark.plans.acid import AcidTable, CommitConflictError
+
+
+def _df(spark, lo: int, hi: int):
+    return spark.range(lo, hi).selectExpr("id", "id % 3 as p")
+
+
+def test_interleaved_appends_no_lost_update(spark, tmp_path):
+    """Two writers append against the same parent snapshot: the loser's
+    commit conflicts, re-merges against the winner's manifest, and
+    retries — BOTH appends' rows are in the final table."""
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 10))  # v1
+
+    other = AcidTable(path)
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # a second writer lands first, against the same parent v1
+            other.append(_df(spark, 100, 120))
+        return orig_commit(files, partition_by, meta, expected_parent)
+
+    table._commit = racing_commit  # type: ignore[method-assign]
+    table.append(_df(spark, 10, 25))
+
+    assert raced["done"]
+    assert table.current_version() == 3  # v1 + racer + retried append
+    out = table.read(spark)
+    assert out.count() == 10 + 20 + 15  # nothing lost
+    assert out.selectExpr("count(distinct id) n").first().n == 45
+
+
+def test_append_partition_by_mismatch_raises(spark, tmp_path):
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.overwrite(_df(spark, 0, 10), partition_by=["p"])
+    with pytest.raises(ValueError, match="partition_by"):
+        table.append(_df(spark, 10, 20), partition_by=["id"])
+    # matching or None partition_by still appends
+    table.append(_df(spark, 10, 20), partition_by=["p"])
+    table.append(_df(spark, 20, 30))
+    assert table.read(spark).count() == 30
+
+
+def test_compact_conflict_raises_and_append_survives(spark, tmp_path):
+    """An append landing while compact() is staging must NOT be dropped:
+    compact's commit conflicts and raises; the append's snapshot stays
+    live and a re-run compact succeeds against it."""
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 20))
+
+    other = AcidTable(path)
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(_df(spark, 100, 105))
+        return orig_commit(files, partition_by, meta, expected_parent)
+
+    table._commit = racing_commit  # type: ignore[method-assign]
+    with pytest.raises(CommitConflictError):
+        table.compact(spark)
+    assert table.read(spark).count() == 25  # the racing append survived
+
+    table._commit = orig_commit  # type: ignore[method-assign]
+    table.compact(spark)
+    assert table.read(spark).count() == 25
+
+
+def test_compact_carries_forward_stream_batch_meta(spark, tmp_path):
+    """Compaction rewrites layout, not logical state: the streaming sink's
+    stream_batch_id high-water mark must survive, or a replayed micro-batch
+    after crash→compact→restart would re-append (advisor finding)."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 10), meta={"stream_batch_id": 0})
+    table.append(_df(spark, 10, 20), meta={"stream_batch_id": 1})
+    table.compact(spark)
+
+    meta = table.manifest().get("meta", {})
+    assert meta.get("stream_batch_id") == 1
+    assert meta.get("compacted") is True
+
+    # the sink's replay check against the compacted manifest still skips
+    last = table.manifest().get("meta", {}).get("stream_batch_id", -1)
+    assert 1 <= last  # batch_id 0 and 1 would both be skipped on restart
+
+
+def test_vacuum_reclaims_aborted_manifest_and_unblocks_slot(spark, tmp_path):
+    """A writer that crashed between claiming the manifest slot and the
+    pointer swap leaves an orphan manifest; commits then conflict until
+    vacuum reclaims it (the documented repair path)."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.overwrite(_df(spark, 0, 10))  # v1
+
+    orphan = os.path.join(table.versions_dir, "v000002.json")
+    with open(orphan, "w") as f:
+        json.dump(
+            {"version": 2, "partition_by": [], "files": [], "meta": {}}, f
+        )
+
+    with pytest.raises(CommitConflictError):
+        table.append(_df(spark, 10, 20))
+
+    table.vacuum(keep_last=1)
+    assert not os.path.exists(orphan)
+    table.append(_df(spark, 10, 20))
+    assert table.current_version() == 2
+    assert table.read(spark).count() == 20
+
+
+def test_compact_files_per_partition_knob(spark, tmp_path):
+    """target_files_per_partition > 1 must hold for PARTITIONED tables too
+    (advisor finding: the repartition(*cols) staging path always yielded
+    one file per partition, making the knob a no-op)."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    # 3 partitions × ~100 rows, appended twice → ≥2 files per partition
+    table.append(_df(spark, 0, 300), partition_by=["p"])
+    table.append(_df(spark, 300, 600))
+
+    table.compact(spark, target_files_per_partition=2)
+    files = table.manifest()["files"]
+    per_part: dict[str, int] = {}
+    for f in files:
+        part = f.split(os.sep)[0]
+        per_part[part] = per_part.get(part, 0) + 1
+    assert set(per_part) == {"p=0", "p=1", "p=2"}
+    # maxRecordsPerFile = ceil(200/2) = 100 → exactly 2 files for each
+    # 200-row partition, deterministically
+    assert all(n == 2 for n in per_part.values()), per_part
+    assert table.read(spark).count() == 600

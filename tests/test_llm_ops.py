@@ -43,11 +43,47 @@ def test_near_dup_detection_finds_planted_pairs(spark):
     assert lsh == exact
 
 
-def test_multimodal_decode_stub_raises():
-    from dbt_jaffleshop_spark.llm.multimodal import decode_media
+def test_embedding_cosine_guard_refuses_oversized_collect(
+    spark, sf_dir, monkeypatch
+):
+    """dedup_embedding_cosine stages the quantized table on the driver for
+    the broadcast GEMM; above GEMM_GUARD_MAX_ROWS it must refuse with a
+    pointer to the bucketed LSH twin instead of OOMing the driver."""
+    from dbt_jaffleshop_spark.llm import dedup
 
+    monkeypatch.setattr(dedup, "GEMM_GUARD_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.dedup_embedding_cosine(spark, sf_dir)
+
+
+def test_multimodal_decode_stub_raises():
+    from dbt_jaffleshop_spark.llm.multimodal import HAS_IMAGE_CODEC, decode_media
+
+    # audio/video codecs are stubbed in every environment
     with pytest.raises(NotImplementedError):
-        decode_media(b"bytes", "image")
+        decode_media(b"bytes", "audio")
+    if not HAS_IMAGE_CODEC:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"bytes", "image")
+
+
+@pytest.mark.skipif(
+    "not __import__('dbt_jaffleshop_spark.llm.multimodal',"
+    " fromlist=['HAS_IMAGE_CODEC']).HAS_IMAGE_CODEC",
+    reason="optional image codec (PIL) not installed in this container",
+)
+def test_multimodal_decode_real_image_when_codec_present():
+    """Capability-gated real decode: when PIL is installed, decode_media
+    round-trips an in-memory PNG's dimensions (skipped where absent)."""
+    import io
+
+    from dbt_jaffleshop_spark.llm.multimodal import _image_codec, decode_media
+
+    image_mod = _image_codec()
+    buf = io.BytesIO()
+    image_mod.new("RGB", (12, 7)).save(buf, format="PNG")
+    meta = decode_media(buf.getvalue(), "image")
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (12, 7, 1)
 
 
 def test_events_asof_join_parity(spark, oracle, sf_dir):

@@ -26,6 +26,25 @@ def test_decontaminate_excludes_eval_slice(spark, sf_dir):
     )
 
 
+def test_decontaminate_corpus_side_not_cached(spark, sf_dir):
+    """The corpus-side shingle explode must STREAM through the broadcast
+    semi-join — caching it would pin a corpus-sized relation at 100 TB
+    (round-3 verdict fix). The eval slice gets its own tiny explode with
+    the doc_id filter pushed to the scan, so no InMemoryRelation should
+    appear anywhere in the plan."""
+    plan = (
+        prep.corpus_decontaminate(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # InMemoryRelation/InMemoryTableScan = cached data (bad); note
+    # InMemoryFileIndex is just the parquet file listing and is fine.
+    assert "InMemoryRelation" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_doc_pack_conserves_tokens_per_language(spark, sf_dir):
     """Packing is concat-then-split: per language the final document ends
     at offset total_tokens-1, so the number of contexts touched is exactly
