@@ -318,6 +318,97 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    100 TB twin of :func:`dedup_clusters` (identical output contract:
+    doc_id, cluster_id = component-min doc_id, cluster_size).
+
+    Min-label propagation converges in O(component diameter) rounds; the
+    star algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14 — public) contracts components in
+    O(log diameter) rounds, so a pathological chain-shaped duplicate
+    family (crawl mirrors that each drift slightly) costs log rounds
+    instead of diameter rounds. Each round is two grouped aggregations on
+    node id — the same shuffle shape as propagation, just fewer rounds:
+
+    * large-star: every neighbor LARGER than u re-attaches to the minimum
+      of N(u) ∪ {u}  (strictly decreases large labels, keeps forest);
+    * small-star: every neighbor ≤ u re-attaches to that minimum
+      (contracts stars into the component min).
+
+    Converges when the edge multiset is a fixed point: every node points
+    directly at its component min. Equivalence with dedup_clusters is
+    pytest-pinned on the planted-duplicate corpus; the operator shares
+    the oracle-verified pair relation, so correctness rests on the same
+    driver-green base."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # nodes can be isolated only if a pair self-loops, which the pair
+    # relation excludes (doc_a < doc_b) — every node has ≥1 edge.
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = _sym(e)
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = nbrs.join(mins, "u")
+        if large:
+            # large-star(u): strictly larger neighbors attach to m(u);
+            # every edge (a,b), a<b is re-emitted by the star of a, so
+            # connectivity is preserved without an explicit (u, m) edge.
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # small-star(u): smaller neighbors AND u itself attach to
+            # m(u) — dropping the (u, m) edge would disconnect a node
+            # whose neighbors are all smaller than it.
+            out = (
+                joined.where(F.col("v") < F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(mins.select("u", F.col("m").alias("v")))
+            )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(12):  # ≥ log2(diameter) for any plausible corpus
+        nxt = _star(_star(edges, large=True), large=False).localCheckpoint()
+        # fixed point: the (u, v) multiset didn't change
+        delta = (
+            nxt.unionByName(edges)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") != 2)
+            .count()
+        )
+        edges = nxt
+        if delta == 0:
+            break
+    # at the fixed point every edge is (node, component_min), node > min;
+    # the min nodes themselves label their own cluster
+    labels = _sym(edges).where(F.col("u") > F.col("v")).unionByName(
+        _sym(edges)
+        .select(F.least("u", "v").alias("u"))
+        .distinct()
+        .select("u", F.col("u").alias("v"))
+    ).groupBy("u").agg(F.min("v").alias("label"))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """SimHash near-dup pairs: 32-bit weighted token simhash, 4×8-bit
     band blocking (guaranteed recall for hamming ≤ 3), exact verify."""

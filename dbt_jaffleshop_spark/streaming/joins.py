@@ -1,0 +1,116 @@
+"""Stream-stream interval join (beyond-reference; SURVEY §2.11 family):
+click→purchase attribution over the events feed.
+
+Shape: two filtered streams off the same parquet source, both
+watermarked, inner-joined on user_id with an event-time range predicate
+(click within the 30 minutes preceding the purchase) — the canonical
+Structured Streaming stream-stream join. The watermarks + time-range
+condition let Spark bound BOTH sides' join state: a buffered click can be
+dropped once the watermark passes click_ts + 30 minutes, so state is
+O(rate × window), not O(stream). Emission is append-mode (inner joins
+emit exactly once per matched pair).
+
+With an availableNow run over a static source the result equals the batch
+interval join, so the operator carries an exact DuckDB oracle
+(pytest-verified; not a driver slot — the 50-slot budget is full).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .daily import events_stream_schema
+
+ATTRIBUTION_WINDOW_MINUTES = 30
+
+
+def streaming_attribution(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """All (purchase, click) pairs where the click is by the same user
+    within the 30 minutes up to and including the purchase time.
+
+    Gap is reported in exact integer microseconds (both engines subtract
+    epoch-microsecond longs — no float time arithmetic)."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ..sources.registry import normalize_event_ts
+
+    schema = events_stream_schema(spark, sf_dir)
+
+    def _side(event_type: str, prefix: str) -> DataFrame:
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "events*.parquet"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return (
+            normalize_event_ts(reader.parquet(sf_dir))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            # clicks buffer up to the attribution window past their own
+            # event time; purchases match only already-seen-or-concurrent
+            # clicks. 1h (> 30 min window) bounds both states safely.
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    purchases = _side("purchase", "purchase")
+    clicks = _side("click", "click")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            click_user_id = purchase_user_id AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - interval {ATTRIBUTION_WINDOW_MINUTES} minutes
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("purchase_id"),
+        F.col("click_id"),
+        F.col("purchase_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_micros"
+        ),
+    )
+
+    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLES: dict[str, str] = {
+    "streaming_attribution": f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_MINUTES} MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+}

@@ -43,6 +43,42 @@ def test_near_dup_detection_finds_planted_pairs(spark):
     assert lsh == exact
 
 
+def test_dedup_clusters_star_equals_propagation(spark):
+    """The large-star/small-star connected-components twin (the O(log
+    diameter) 100 TB path) must produce the identical cluster assignment
+    as the oracle-verified min-label propagation on the planted-duplicate
+    corpus."""
+    from dbt_jaffleshop_spark.llm.dedup import dedup_clusters, dedup_clusters_star
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
+    b = sorted(map(tuple, dedup_clusters_star(spark, sf).collect()))
+    assert a == b
+    assert a, "planted near-dup clusters must exist"
+
+
+def test_dedup_clusters_star_long_chain(spark, monkeypatch):
+    """A 64-node chain (worst case for label propagation: diameter 63)
+    plus a disjoint star and pair: the star algorithm must contract all
+    three components to their min label within its logarithmic round
+    budget."""
+    from dbt_jaffleshop_spark.llm import dedup
+
+    chain = [(i, i + 1) for i in range(100, 163)]
+    star = [(500, x) for x in (501, 502, 503, 504)]
+    pairs = chain + star + [(900, 901)]
+    pair_df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    monkeypatch.setattr(
+        dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
+    )
+    rows = {r.doc_id: r for r in dedup.dedup_clusters_star(spark, None).collect()}
+    assert all(rows[i].cluster_id == 100 for i in range(100, 164))
+    assert rows[163].cluster_size == 64
+    assert all(rows[x].cluster_id == 500 for x in (500, 501, 502, 503, 504))
+    assert rows[900].cluster_id == 900 and rows[900].cluster_size == 2
+    assert len(rows) == 64 + 5 + 2
+
+
 def test_embedding_cosine_guard_refuses_oversized_collect(
     spark, sf_dir, monkeypatch
 ):
@@ -108,6 +144,19 @@ def test_streaming_sessionize_matches_batch_oracle(spark, oracle, sf_dir):
         oracle,
         sessionize.ORACLES["streaming_sessionize"],
     )
+
+
+def test_streaming_attribution_matches_batch_interval_join(
+    spark, oracle, sf_dir
+):
+    """Stream-stream interval join (click→purchase attribution, both
+    sides watermarked): availableNow over the static source must equal
+    the batch interval join the DuckDB oracle computes."""
+    from dbt_jaffleshop_spark.streaming import joins
+
+    df = joins.streaming_attribution(spark, sf_dir)
+    assert df.count() > 0, "sf corpus must contain attributable purchases"
+    assert_parity(df, oracle, joins.ORACLES["streaming_attribution"])
 
 
 def test_streaming_dedup_drops_replayed_file(spark, sf_dir, tmp_path):
