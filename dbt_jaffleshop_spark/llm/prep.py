@@ -124,6 +124,111 @@ WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
 """
 
 
+# ------------------------------------- cross-doc duplicated substrings
+
+DUP_K = 16  # substring width (tokens) for cross-doc duplication analysis
+
+
+def _g_hashes(k: int, toks: str) -> str:
+    """Spark SQL: distinct hashed k-gram shingles, computed per-row."""
+    return (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> cast(conv(substring(md5("
+        f"concat_ws(' ', slice({toks}, i, {k}))), 1, 15), 16, 10) as long)))"
+        f" else array() end"
+    )
+
+
+def _g_hashes_duck(k: int, toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {k - 1}),"
+        " i -> " + HASH60_SQL.format(
+            s=f"array_to_string(({toks})[i:i+{k - 1}], ' ')"
+        )
+        + ")) ELSE [] END"
+    )
+
+
+def doc_dup_grams(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Per-document cross-corpus duplicated-substring fraction: the share
+    of a doc's distinct 16-token grams that occur in ≥2 documents — the
+    DataFrame approximation of suffix-array substring dedup analysis
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public), at fixed gram width instead of maximal repeats.
+
+    Plan shape for 100 TB: one narrow explode of per-row-distinct gram
+    hashes, a count per hash (partial-aggregated), an equi-join back on
+    the hash, and a per-doc count — every stage shuffles on an explicit
+    key. The duplicated-hash join cannot blow up: grams are distinct per
+    doc, so each gram row matches the hash set at most once (boilerplate
+    grams add join PROBES, never fan-out)."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_g_hashes(DUP_K, _TOKS))).alias("h")
+    )
+    # grams are per-doc distinct ⇒ count(*) per hash = containing docs
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_counts = grams.join(dup_h, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"size({_g_hashes(DUP_K, _TOKS)})").cast("bigint").alias("n_grams"),
+    )
+    return (
+        totals.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
+                "n_dup_grams"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def _dup_grams_oracle() -> str:
+    g = _g_hashes_duck(DUP_K, _TOKS_D)
+    return f"""
+WITH grams AS (
+    SELECT doc_id, unnest({g}) AS h FROM documents
+),
+dup_h AS (
+    SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+),
+dup_counts AS (
+    SELECT g.doc_id, count(*) AS n_dup_grams
+    FROM grams g JOIN dup_h USING (h)
+    GROUP BY g.doc_id
+),
+totals AS (
+    SELECT doc_id, CAST(len({g}) AS BIGINT) AS n_grams FROM documents
+)
+SELECT t.doc_id,
+       t.n_grams,
+       CAST(COALESCE(d.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN t.n_grams > 0
+            THEN CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE)
+                 / CAST(t.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_fraction
+FROM totals t LEFT JOIN dup_counts d USING (doc_id)
+"""
+
+
 # ------------------------------------------------- sequence packing
 
 PACK_CTX_TOKENS = 256  # fixed training-context width (tokens)
@@ -274,4 +379,5 @@ ORACLES: dict[str, str] = {
     "corpus_decontaminate": _decontaminate_oracle(),
     "doc_pack": _pack_oracle(),
     "emb_quantize": _quantize_oracle(),
+    "doc_dup_grams": _dup_grams_oracle(),
 }

@@ -261,7 +261,7 @@ def run_pipeline(
     sf_dir: str | None = None,
     warehouse_dir: str | None = None,
     fail_fast: bool = True,
-    threads: int = 4,
+    threads: int = 8,
     incremental: bool = False,
     state_aware: bool = False,
 ) -> dict[str, dict]:
@@ -274,7 +274,12 @@ def run_pipeline(
     independent mart writes overlap instead of serializing driver-side.
     On a real cluster this is scheduler-pool parallelism; on local[N]
     it overlaps IO/codegen phases that leave cores idle. threads=1
-    reproduces the serial behavior exactly.
+    reproduces the serial behavior exactly. Default 8: measured A/B at
+    sf0.1 on local[32] (3 runs each) — threads=4 median 36.5 s,
+    threads=8 27.7 s, threads=12 25.7 s, with identical ~25 s minimums
+    (the stg_orders→order_items→orders→segmentation→export critical
+    path); 8 captures most of the win without oversubscribing smaller
+    drivers.
 
     ``state_aware=True`` (dbt state:modified / defer analogue,
     plans/state.py): a table model whose stored snapshot fingerprint

@@ -14,8 +14,9 @@ recording budget while every operator remains value-verified:
 * ``text_digest`` — text_token_stats / text_langid / text_fingerprint /
   text_pii_scrub (text_quality keeps its own slot: it is in the bench
   headline set).
-* ``prep_digest`` — the round-3 corpus-preparation operators
-  corpus_decontaminate / doc_pack / emb_quantize (llm/prep.py).
+* ``prep_digest`` — the corpus-preparation operators
+  corpus_decontaminate / doc_pack / emb_quantize (r3) and
+  doc_dup_grams (r4) from llm/prep.py.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -198,6 +199,13 @@ _PREP_MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("max_abs_micro", "bigint"),
         ("max_abs_err_q127", "bigint"),
         ("sum_abs_err_q127", "bigint"),
+    ],
+    # r4: cross-doc duplicated-substring fraction (llm/prep.py)
+    "doc_dup_grams": [
+        ("doc_id", "bigint"),
+        ("n_grams", "bigint"),
+        ("n_dup_grams", "bigint"),
+        ("dup_fraction", "double"),
     ],
 }
 

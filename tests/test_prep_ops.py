@@ -65,6 +65,35 @@ def test_doc_pack_conserves_tokens_per_language(spark, sf_dir):
         assert int(g.end.max()) == total
 
 
+def test_doc_dup_grams_flags_planted_duplicates(spark):
+    """The sf0.01 corpus plants near-duplicate pairs (shared long spans):
+    docs in a planted MinHash pair must show a high 16-gram duplication
+    fraction, and the corpus-wide fraction distribution must be bimodal
+    (most docs near 0)."""
+    from dbt_jaffleshop_spark.llm.dedup import dedup_minhash_pairs
+
+    sf = "/root/testdata/sf0.01"
+    planted = {
+        d
+        for r in dedup_minhash_pairs(spark, sf).collect()
+        for d in (r.doc_a, r.doc_b)
+    }
+    assert planted
+    rows = {r.doc_id: r for r in prep.doc_dup_grams(spark, sf).collect()}
+    # docs shorter than DUP_K tokens have no 16-grams at all — the
+    # fraction is only defined for the measurable planted docs
+    measurable = [d for d in planted if rows[d].n_grams > 0]
+    assert len(measurable) >= len(planted) // 2
+    for d in measurable:
+        assert rows[d].dup_fraction > 0.3, (d, rows[d])
+    clean_high = [
+        r for d, r in rows.items()
+        if d not in planted and r.dup_fraction > 0.3
+    ]
+    # chance 16-gram collisions across the synthetic corpus are rare
+    assert len(clean_high) < len(rows) * 0.05
+
+
 def test_emb_quantize_error_within_int8_bound(spark, sf_dir):
     """Symmetric int8 round-to-nearest: |127·x − code·scale| ≤ scale/2
     (+1 integer-rounding slack) for every dimension."""
