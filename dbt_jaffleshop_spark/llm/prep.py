@@ -229,6 +229,122 @@ FROM totals t LEFT JOIN dup_counts d USING (doc_id)
 """
 
 
+# --------------------------------------------- source-level filtering
+
+# Domain/source-level filtering thresholds (the C4/RefinedWeb-style move:
+# drop whole low-quality or duplicate-heavy SOURCES, not just documents).
+SOURCE_MIN_DOCS = 10
+SOURCE_MIN_MEAN_SCORE_MICRO = 510_000  # mean quality ≥ 0.51, in micro-units
+SOURCE_MAX_DUP_RATE_BP = 2_000        # exact-dup rate ≤ 20%, basis points
+
+
+def corpus_source_stats(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Per-source corpus statistics + keep/drop verdict — domain-level
+    filtering. All aggregates are integer-exact (scores summed in
+    micro-units, rates compared in basis points) so the verdict and every
+    reported number are bit-identical across engines and partitionings;
+    the two ratio columns divide those exact integers as the final step.
+
+    Plan: one corpus-wide fingerprint groupBy (shared shape with
+    corpus_curate), then a single groupBy(source) — both
+    partial-aggregated; output is |sources| rows."""
+    from .dedup import _NORM
+    from .text import quality_exprs
+
+    e = quality_exprs("spark")
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"md5({_NORM})").alias("fingerprint"),
+        F.expr(e["n"]).cast("bigint").alias("n_tokens"),
+        F.expr(f"cast(round(({e['score']}) * 1000000) as bigint)").alias(
+            "score_micro"
+        ),
+    )
+    canon = d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id")
+    )
+    per_source = (
+        d.join(canon, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_doc_id"), 1)
+                .otherwise(0)
+            ).alias("n_canonical"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("score_micro").alias("sum_score_micro"),
+        )
+    )
+    keep = (
+        (F.col("n_docs") >= SOURCE_MIN_DOCS)
+        & (
+            F.col("sum_score_micro")
+            >= F.lit(SOURCE_MIN_MEAN_SCORE_MICRO) * F.col("n_docs")
+        )
+        & (
+            (F.col("n_docs") - F.col("n_canonical")) * 10_000
+            <= F.lit(SOURCE_MAX_DUP_RATE_BP) * F.col("n_docs")
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_canonical",
+        "total_tokens",
+        "sum_score_micro",
+        (F.col("sum_score_micro").cast("double") / (F.col("n_docs") * 1_000_000))
+        .alias("mean_quality"),
+        (
+            (F.col("n_docs") - F.col("n_canonical")).cast("double")
+            / F.col("n_docs")
+        ).alias("exact_dup_rate"),
+        keep.alias("keep_source"),
+    )
+
+
+def _source_stats_oracle() -> str:
+    from .dedup import _NORM_D
+    from .text import quality_exprs
+
+    e = quality_exprs("duck")
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, md5({_NORM_D}) AS fingerprint,
+           CAST({e['n']} AS BIGINT) AS n_tokens,
+           CAST(round(({e['score']}) * 1000000) AS BIGINT) AS score_micro
+    FROM documents
+),
+canon AS (
+    SELECT fingerprint, min(doc_id) AS canonical_doc_id FROM d GROUP BY 1
+),
+per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = canonical_doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_canonical,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+    FROM d JOIN canon USING (fingerprint)
+    GROUP BY source
+)
+SELECT source, n_docs, n_canonical, total_tokens, sum_score_micro,
+       CAST(sum_score_micro AS DOUBLE) / (n_docs * 1000000)
+           AS mean_quality,
+       CAST(n_docs - n_canonical AS DOUBLE) / n_docs AS exact_dup_rate,
+       n_docs >= {SOURCE_MIN_DOCS}
+           AND sum_score_micro >= {SOURCE_MIN_MEAN_SCORE_MICRO} * n_docs
+           AND (n_docs - n_canonical) * 10000
+               <= {SOURCE_MAX_DUP_RATE_BP} * n_docs
+           AS keep_source
+FROM per_source
+"""
+
+
 # ------------------------------------------------- sequence packing
 
 PACK_CTX_TOKENS = 256  # fixed training-context width (tokens)
@@ -380,4 +496,5 @@ ORACLES: dict[str, str] = {
     "doc_pack": _pack_oracle(),
     "emb_quantize": _quantize_oracle(),
     "doc_dup_grams": _dup_grams_oracle(),
+    "corpus_source_stats": _source_stats_oracle(),
 }

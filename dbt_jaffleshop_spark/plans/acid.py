@@ -171,6 +171,26 @@ class AcidTable:
         os.replace(tmp, cur)  # the atomic commit point
         return next_v
 
+    @staticmethod
+    def _schema_map(df: DataFrame) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def _check_append_schema(self, df: DataFrame) -> None:
+        """Appending a frame whose columns drift from the table's schema
+        would not fail here — parquet files are self-describing — but a
+        later read would silently resolve to ONE of the schemas (Spark
+        takes the schema from a sample file unless mergeSchema is on),
+        dropping or nulling columns with no error. Fail the append
+        instead. (Schema EVOLUTION would be a manifest-level feature à la
+        Delta mergeSchema; the engine's models have fixed contracts, so
+        drift here is always a bug.)"""
+        stored = self.manifest().get("meta", {}).get("schema")
+        if stored and stored != self._schema_map(df):
+            raise ValueError(
+                f"{self.path}: append schema {self._schema_map(df)} "
+                f"does not match table schema {stored}"
+            )
+
     def overwrite(
         self,
         df: DataFrame,
@@ -183,6 +203,7 @@ class AcidTable:
         so the retry only refreshes the parent version — by overwrite
         semantics the concurrent commit's content is replaced."""
         partition_by = partition_by or []
+        meta = {**(meta or {}), "schema": self._schema_map(df)}
         stage, files = self._stage(df, partition_by)
         try:
             for attempt in range(6):
@@ -223,8 +244,10 @@ class AcidTable:
                     f"conflicts with the table's layout {existing}"
                 )
             partition_by = existing
+            self._check_append_schema(df)
         else:
             partition_by = partition_by or []
+        meta = {**(meta or {}), "schema": self._schema_map(df)}
         stage, files = self._stage(df, partition_by)
         try:
             for attempt in range(max_retries + 1):
@@ -271,6 +294,8 @@ class AcidTable:
         prev = self.manifest()
         partition_by = prev["partition_by"]
         affected_dirs = {f"{part_col}={v}" for v in values}
+        self._check_append_schema(df)
+        meta = {**(meta or {}), "schema": self._schema_map(df)}
 
         sub = df.where(F.col(part_col).isin(list(values)))
         stage, new_files = self._stage(sub, partition_by)

@@ -207,6 +207,17 @@ _PREP_MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("n_dup_grams", "bigint"),
         ("dup_fraction", "double"),
     ],
+    # r4: source/domain-level filtering stats (llm/prep.py)
+    "corpus_source_stats": [
+        ("source", "string"),
+        ("n_docs", "bigint"),
+        ("n_canonical", "bigint"),
+        ("total_tokens", "bigint"),
+        ("sum_score_micro", "bigint"),
+        ("mean_quality", "double"),
+        ("exact_dup_rate", "double"),
+        ("keep_source", "boolean"),
+    ],
 }
 
 

@@ -57,6 +57,25 @@ def test_append_partition_by_mismatch_raises(spark, tmp_path):
     assert table.read(spark).count() == 30
 
 
+def test_append_schema_drift_raises(spark, tmp_path):
+    """Appending a frame with drifted columns must fail loudly: parquet
+    would accept the write, but a later snapshot read silently resolves
+    to one schema (no mergeSchema), dropping columns without error."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="schema"):
+        table.append(spark.range(10, 20).selectExpr("id", "id * 2 as extra"))
+    with pytest.raises(ValueError, match="schema"):
+        table.append(
+            spark.range(10, 20).selectExpr("id", "cast(id % 3 as string) as p")
+        )
+    table.append(_df(spark, 10, 20))  # matching schema still appends
+    assert table.read(spark).count() == 20
+    # compaction preserves the recorded schema for later appends
+    table.compact(spark)
+    assert table.manifest()["meta"]["schema"] == {"id": "bigint", "p": "bigint"}
+
+
 def test_compact_conflict_raises_and_append_survives(spark, tmp_path):
     """An append landing while compact() is staging must NOT be dropped:
     compact's commit conflicts and raises; the append's snapshot stays

@@ -94,6 +94,30 @@ def test_doc_dup_grams_flags_planted_duplicates(spark):
     assert len(clean_high) < len(rows) * 0.05
 
 
+def test_corpus_source_stats_verdict_consistent(spark):
+    """Source-level filtering: the keep verdict must equal the documented
+    integer-exact predicate, counts must conserve, and the sf0.01 corpus
+    must actually split (some sources kept, below-threshold ones not)."""
+    sf = "/root/testdata/sf0.01"
+    rows = prep.corpus_source_stats(spark, sf).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    docs_n = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert total_docs == docs_n
+    for r in rows:
+        want = (
+            r.n_docs >= prep.SOURCE_MIN_DOCS
+            and r.sum_score_micro
+            >= prep.SOURCE_MIN_MEAN_SCORE_MICRO * r.n_docs
+            and (r.n_docs - r.n_canonical) * 10_000
+            <= prep.SOURCE_MAX_DUP_RATE_BP * r.n_docs
+        )
+        assert r.keep_source == want, r
+        assert 0 <= r.n_canonical <= r.n_docs
+    kept = {r.source for r in rows if r.keep_source}
+    assert kept and kept != {r.source for r in rows}
+
+
 def test_emb_quantize_error_within_int8_bound(spark, sf_dir):
     """Symmetric int8 round-to-nearest: |127·x − code·scale| ≤ scale/2
     (+1 integer-rounding slack) for every dimension."""

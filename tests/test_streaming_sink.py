@@ -109,12 +109,18 @@ def test_compaction_bounds_files_preserves_content(spark, sf_dir, tmp_path):
 def test_append_is_atomic_under_reader(spark, sf_dir, tmp_path):
     """A reader that resolved the pointer before an append still reads its
     full snapshot afterwards (old files untouched by the commit)."""
+    from dbt_jaffleshop_spark.sources.registry import normalize_event_ts
+
     src = _feed(sf_dir, tmp_path, copies=1)
     table = streaming_events_to_acid(spark, src, str(tmp_path / "tbl"))
     v1 = table.current_version()
     reader_files = table.manifest(v1)["files"]
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").limit(10)
+    # normalize like the sink does — the r4 schema guard (correctly)
+    # rejects appending raw timestamp_ntz rows to the normalized table
+    batch = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).limit(10)
     table.append(batch, meta={"stream_batch_id": 999})
     assert table.current_version() == v1 + 1
     # the old snapshot's files are all still readable
