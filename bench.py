@@ -108,8 +108,12 @@ def main() -> None:
     loads: dict[str, float] = {}
 
     build_times: list[float] = []
-    loads["pipeline_build"] = round(os.getloadavg()[0], 1)
     for i in range(runs + 1):  # first run is the un-timed warm-up
+        if i == 1:
+            # sample at the start of the TIMED runs (after the warm-up —
+            # a contention window opening during a long warm-up must not
+            # be recorded as a quiet pre-warm-up load)
+            loads["pipeline_build"] = round(os.getloadavg()[0], 1)
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.perf_counter()
             res = run_pipeline(spark, sf_dir, warehouse_dir=wh)
@@ -130,8 +134,9 @@ def main() -> None:
     for name in names + rest:
         fn = queries[name]
         per_run: list[float] = []
-        loads[name] = round(os.getloadavg()[0], 1)
         for i in range(runs + 1):
+            if i == 1:  # start of the timed runs, after warm-up
+                loads[name] = round(os.getloadavg()[0], 1)
             release_cached(spark)  # each run pays its own cache population
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))

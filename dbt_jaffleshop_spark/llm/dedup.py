@@ -326,7 +326,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataF
     Min-label propagation converges in O(component diameter) rounds; the
     star algorithm (Kiveris et al., "Connected Components in MapReduce
     and Beyond", SoCC'14 — public) contracts components in
-    O(log diameter) rounds, so a pathological chain-shaped duplicate
+    O(log² n) rounds worst-case (typically ~log), so a pathological chain-shaped duplicate
     family (crawl mirrors that each drift slightly) costs log rounds
     instead of diameter rounds. Each round is two grouped aggregations on
     node id — the same shuffle shape as propagation, just fewer rounds:
@@ -380,7 +380,10 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataF
             )
         return out.where(F.col("u") != F.col("v")).distinct()
 
-    for _ in range(12):  # ≥ log2(diameter) for any plausible corpus
+    converged = False
+    for _ in range(16):  # star converges in O(log² n) worst case; 16
+        # rounds covers any plausible duplicate-family shape — and the
+        # budget is a loud failure, not a silent truncation (see below)
         nxt = _star(_star(edges, large=True), large=False).localCheckpoint()
         # fixed point: the (u, v) multiset didn't change
         delta = (
@@ -392,7 +395,16 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataF
         )
         edges = nxt
         if delta == 0:
+            converged = True
             break
+    if not converged:
+        # the label extraction below assumes every edge is
+        # (node, component_min); on a non-fixed-point edge set it would
+        # return WRONG clusters with no error — fail loudly instead
+        raise RuntimeError(
+            "dedup_clusters_star did not reach its fixed point within the "
+            "round budget; raise the budget (or use dedup_clusters)"
+        )
     # at the fixed point every edge is (node, component_min), node > min;
     # the min nodes themselves label their own cluster
     labels = _sym(edges).where(F.col("u") > F.col("v")).unionByName(

@@ -5,11 +5,12 @@ Pattern: media lives as an opaque `binary` column with typed metadata;
 decode / feature-extract runs as an Arrow-batched Pandas function over
 `mapInPandas`, so each task processes columnar batches and the pipeline
 shape (schema, partitioning, batch iteration) is exactly what a real
-image/audio decoder would plug into. The actual codec is STUBBED — this
-container has no image/audio libraries — behind `decode_media`, which
-raises NotImplementedError for real decoding while the deterministic
-metadata path (byte length, md5, fake dimensions derived from length) is
-fully implemented and oracle-checked.
+image/audio decoder would plug into. `decode_media` is CAPABILITY-GATED:
+it decodes images for real when PIL is installed (absent in this
+container — see `_image_codec`), and raises NotImplementedError for
+audio/video (and for images without PIL); the deterministic metadata
+path (byte length, md5, fake dimensions derived from length) is fully
+implemented and oracle-checked regardless of codec availability.
 
 The binary payload here is the document text's UTF-8 bytes (the testdata
 has no real media); at 100 TB the same plan reads parquet `binary`

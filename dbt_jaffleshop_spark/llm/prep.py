@@ -158,40 +158,43 @@ def doc_dup_grams(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better" — public), at fixed gram width instead of maximal repeats.
 
-    Plan shape for 100 TB: one narrow explode of per-row-distinct gram
-    hashes, a count per hash (partial-aggregated), an equi-join back on
-    the hash, and a per-doc count — every stage shuffles on an explicit
-    key. The duplicated-hash join cannot blow up: grams are distinct per
-    doc, so each gram row matches the hash set at most once (boilerplate
-    grams add join PROBES, never fan-out)."""
+    Plan shape for 100 TB: the expensive per-doc gram hashing is
+    evaluated ONCE — each gram row is tagged with its hash's global doc
+    count via a window over h (one shuffle), then a single groupBy(doc_id)
+    (second shuffle) produces both the total and the duplicated count.
+    The window cannot blow up: grams are distinct per doc, so a hash's
+    partition holds one row per containing doc (boilerplate grams widen a
+    partition to ≤ |docs| rows, never a cross product). Docs too short
+    for any gram re-enter via one left join on the (tiny) doc-id column."""
     docs = load_table(spark, "documents", sf_dir)
     grams = docs.select(
         "doc_id", F.explode(F.expr(_g_hashes(DUP_K, _TOKS))).alias("h")
     )
-    # grams are per-doc distinct ⇒ count(*) per hash = containing docs
-    dup_h = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("h")
-    )
-    dup_counts = grams.join(dup_h, "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_grams")
-    )
-    totals = docs.select(
-        "doc_id",
-        F.expr(f"size({_g_hashes(DUP_K, _TOKS)})").cast("bigint").alias("n_grams"),
+    # grams are per-doc distinct ⇒ count per hash = containing docs
+    w = Window.partitionBy("h")
+    per_doc = (
+        grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
     )
     return (
-        totals.join(dup_counts, "doc_id", "left")
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias(
+                "n_grams"
+            ),
             F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
                 "n_dup_grams"
             ),
             F.when(
-                F.col("n_grams") > 0,
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
                 F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
                 / F.col("n_grams").cast("double"),
             )

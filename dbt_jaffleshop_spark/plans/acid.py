@@ -46,6 +46,17 @@ _DATA = "data"
 _STAGING = "_staging"
 
 
+def _backoff(attempt: int) -> None:
+    """Grow the wait between commit retries. Without it a losing writer
+    can burn every retry inside the winner's create-manifest-to-
+    pointer-swap window (the loser re-reads a stale _CURRENT, recomputes
+    the same parent, and re-hits the claimed slot in microseconds —
+    faster than the winner can finish writing a large file list)."""
+    import time
+
+    time.sleep(0.02 * (attempt + 1))
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed since this commit's parent snapshot was
     read. The staged files are still valid — re-read the current manifest,
@@ -215,6 +226,7 @@ class AcidTable:
                 except CommitConflictError:
                     if attempt == 5:
                         raise
+                    _backoff(attempt)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         raise AssertionError("unreachable")
@@ -249,6 +261,7 @@ class AcidTable:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         stage, files = self._stage(df, partition_by)
+        my_schema = self._schema_map(df)
         try:
             for attempt in range(max_retries + 1):
                 if self.exists():
@@ -263,6 +276,17 @@ class AcidTable:
                             f"table with partition_by="
                             f"{prev['partition_by']}, staged {partition_by}"
                         )
+                    # re-validate schema against the CURRENT manifest —
+                    # a concurrent creator/overwrite may have set a
+                    # schema the pre-stage check never saw, and merging
+                    # mixed-schema files is the exact silent corruption
+                    # _check_append_schema exists to prevent
+                    stored = prev.get("meta", {}).get("schema")
+                    if stored and stored != my_schema:
+                        raise ValueError(
+                            f"{self.path}: append schema {my_schema} does "
+                            f"not match table schema {stored}"
+                        )
                 else:
                     parent, prev_files = 0, []
                 try:
@@ -275,6 +299,7 @@ class AcidTable:
                 except CommitConflictError:
                     if attempt == max_retries:
                         raise
+                    _backoff(attempt)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         raise AssertionError("unreachable")
@@ -321,6 +346,7 @@ class AcidTable:
                 except CommitConflictError:
                     if attempt == 5:
                         raise
+                    _backoff(attempt)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         raise AssertionError("unreachable")
@@ -356,8 +382,10 @@ class AcidTable:
         never a mix — same guarantee as any other commit. At cluster
         scale, raise ``target_files_per_partition`` so each rewritten
         file stays near the HDFS/object-store sweet spot instead of
-        forcing one giant file (honored for partitioned tables too via a
-        deterministic row-hash sub-key in the staging repartition).
+        forcing one giant file (honored for partitioned tables too: the
+        largest partition's row count is measured and a
+        ``maxRecordsPerFile`` bound is passed to the staging write, so
+        each partition dir splits into ~target files deterministically).
 
         The prior manifest's ``meta`` is carried forward: compaction
         rewrites the snapshot's LAYOUT, not its logical state — in
@@ -418,7 +446,9 @@ class AcidTable:
         Iceberg's ``remove_orphan_files``, vacuum must not run concurrent
         with an in-flight writer — it is a maintenance op the scheduler
         serializes with writes."""
-        committed = self.current_version()
+        # a table whose FIRST commit aborted has orphan manifests but no
+        # _CURRENT yet — vacuum must still repair it, not crash
+        committed = self.current_version() if self.exists() else 0
         all_versions = sorted(
             int(os.path.basename(p)[1:-5])
             for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))

@@ -16,7 +16,7 @@ recording budget while every operator remains value-verified:
   headline set).
 * ``prep_digest`` — the corpus-preparation operators
   corpus_decontaminate / doc_pack / emb_quantize (r3) and
-  doc_dup_grams (r4) from llm/prep.py.
+  doc_dup_grams / corpus_source_stats (r4) from llm/prep.py.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type

@@ -146,6 +146,32 @@ def test_vacuum_reclaims_aborted_manifest_and_unblocks_slot(spark, tmp_path):
     assert table.read(spark).count() == 20
 
 
+def test_vacuum_repairs_never_committed_table(spark, tmp_path):
+    """A writer that crashed during the FIRST-ever commit leaves an
+    orphan manifest and no _CURRENT pointer; vacuum must repair that
+    state (not crash on the missing pointer) so the creation can be
+    retried."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    os.makedirs(table.versions_dir)
+    orphan = os.path.join(table.versions_dir, "v000001.json")
+    with open(orphan, "w") as f:
+        json.dump(
+            {"version": 1, "partition_by": [], "files": [], "meta": {}}, f
+        )
+    with pytest.raises(CommitConflictError):
+        table.overwrite(_df(spark, 0, 10))
+
+    # no crash on the missing pointer; the aborted write's invisible
+    # data files (staged into data/ before the failed commit) and the
+    # orphan manifest are both reclaimed
+    removed = table.vacuum(keep_last=1)
+    assert all(f.endswith(".parquet") for f in removed)
+    assert not os.path.exists(orphan)
+    table.overwrite(_df(spark, 0, 10))
+    assert table.current_version() == 1
+    assert table.read(spark).count() == 10
+
+
 def test_compact_files_per_partition_knob(spark, tmp_path):
     """target_files_per_partition > 1 must hold for PARTITIONED tables too
     (advisor finding: the repartition(*cols) staging path always yielded

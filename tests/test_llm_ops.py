@@ -44,10 +44,10 @@ def test_near_dup_detection_finds_planted_pairs(spark):
 
 
 def test_dedup_clusters_star_equals_propagation(spark):
-    """The large-star/small-star connected-components twin (the O(log
-    diameter) 100 TB path) must produce the identical cluster assignment
-    as the oracle-verified min-label propagation on the planted-duplicate
-    corpus."""
+    """The large-star/small-star connected-components twin (the
+    logarithmic-round 100 TB path) must produce the identical cluster
+    assignment as the oracle-verified min-label propagation on the
+    planted-duplicate corpus."""
     from dbt_jaffleshop_spark.llm.dedup import dedup_clusters, dedup_clusters_star
 
     sf = "/root/testdata/sf0.01"

@@ -129,3 +129,35 @@ def test_lsh_candidates_subset_of_exact(spark, sf_dir):
     exact = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
     lsh = {(r["doc_a"], r["doc_b"]) for r in dedup_minhash_pairs(spark, sf_dir).collect()}
     assert lsh <= exact
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+@_prop_settings
+def test_clusters_star_equals_propagation_any_graph(spark, edges):
+    """Property: on ANY random graph, large-star/small-star contraction
+    and min-label propagation assign identical (doc_id, cluster_id,
+    cluster_size) — the two connected-components implementations are
+    interchangeable."""
+    from unittest import mock
+
+    from dbt_jaffleshop_spark.llm import dedup
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    pair_df = spark.createDataFrame(
+        sorted(set(pairs)), "doc_a long, doc_b long"
+    )
+    with mock.patch.object(
+        dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
+    ):
+        a = sorted(map(tuple, dedup.dedup_clusters(spark, None).collect()))
+        b = sorted(map(tuple, dedup.dedup_clusters_star(spark, None).collect()))
+    assert a == b
