@@ -340,9 +340,77 @@ def doc_chunk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- tf-idf top-k
+
+TFIDF_TOPK = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Top-3 most characteristic terms per document by a log-free tf-idf
+    surrogate: score_bp = (tf · 10000) div df — integer basis points of
+    the term-frequency / document-frequency ratio. The log-free form is
+    deliberate: ln() is not correctly-rounded-guaranteed across engines,
+    while integer division is bit-exact everywhere, and for ranking
+    WITHIN a document any monotone transform of tf/df yields the same
+    order. Ties break on the term string.
+
+    Plan shape for 100 TB: explode → groupBy(doc_id, term) for tf,
+    groupBy(term) for df on the already-reduced pair relation, an
+    equi-join back on term, and a row_number window PARTITIONED by
+    doc_id — four key-partitioned exchanges, no global window, no
+    driver-side scalar (the formulation is corpus-size-free)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score_bp", F.expr("(tf * 10000) div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_bp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "tf", "df", "score_bp")
+    )
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+WITH tf AS (
+    SELECT doc_id, unnest({_TOKS_D_DEF}) AS term FROM documents
+),
+tfc AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM tf GROUP BY doc_id, term
+),
+dfc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           (t.tf * 10000) // d.df AS score_bp,
+           row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * 10000) // d.df DESC, t.term ASC
+           ) AS rank
+    FROM tfc t JOIN dfc d USING (term)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, score_bp
+FROM scored WHERE rank <= {TFIDF_TOPK}
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 
 _TOKS_D = "string_split(text, ' ')"
+_TOKS_D_DEF = "string_split(text, ' ')"
 
 
 def _quality_oracle() -> str:
@@ -466,6 +534,7 @@ FROM base
 
 
 ORACLES: dict[str, str] = {
+    "text_tfidf_topk": _tfidf_oracle(),
     "text_token_stats": f"""
 SELECT doc_id,
        len({_TOKS_D}) AS n_tokens,

@@ -119,6 +119,7 @@ _GROUP_DIGESTED = {
     "text_langid",
     "text_fingerprint",
     "text_pii_scrub",
+    "text_tfidf_topk",
     "multimodal_extract",
     "multimodal_framesample",
     "multimodal_resize",

@@ -12,8 +12,8 @@ recording budget while every operator remains value-verified:
   for all five, which is exactly the dbt failure-row contract the
   individual slots verified in rounds 1–2.
 * ``text_digest`` — text_token_stats / text_langid / text_fingerprint /
-  text_pii_scrub (text_quality keeps its own slot: it is in the bench
-  headline set).
+  text_pii_scrub / text_tfidf_topk (r4) — text_quality keeps its own
+  slot: it is in the bench headline set.
 * ``prep_digest`` — the corpus-preparation operators
   corpus_decontaminate / doc_pack / emb_quantize (r3) and
   doc_dup_grams / corpus_source_stats (r4) from llm/prep.py.
@@ -150,6 +150,15 @@ _TEXT_MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("md5_fingerprint", "string"),
         ("min_shingle_hash", "bigint"),
         ("norm_chars", "bigint"),
+    ],
+    # r4: log-free tf-idf top-terms (llm/text.py)
+    "text_tfidf_topk": [
+        ("doc_id", "bigint"),
+        ("rank", "bigint"),
+        ("term", "string"),
+        ("tf", "bigint"),
+        ("df", "bigint"),
+        ("score_bp", "bigint"),
     ],
     "text_pii_scrub": [
         ("doc_id", "bigint"),

@@ -259,6 +259,22 @@ def split_events_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+def test_streaming_attribution_multibatch_matches_oracle(
+    spark, oracle, split_events_dir
+):
+    """Stream-stream join across micro-batches: with the feed split into
+    4 time-ordered files (1 per trigger), clicks are buffered in join
+    state across batches until their purchases arrive — the watermark
+    (1 h > the 30 min attribution window) guarantees nothing needed is
+    evicted early, so the final pair set must equal the batch oracle."""
+    from dbt_jaffleshop_spark.streaming import joins
+
+    df = joins.streaming_attribution(
+        spark, split_events_dir, max_files_per_trigger=1
+    )
+    assert_parity(df, oracle, joins.ORACLES["streaming_attribution"])
+
+
 def test_streaming_daily_events_multibatch_matches_oracle(
     spark, oracle, split_events_dir
 ):
