@@ -191,6 +191,126 @@ def _bucket_expr_duck() -> str:
     return " + ".join(terms)
 
 
+# ------------------------------------------------ kNN label classification
+
+KNN_K = 5
+
+
+def sim_knn_classify(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """k-nearest-neighbor label prediction for the held-out eval rows
+    (vec_id ≡ 0 mod QUERY_STRIDE): the `label` column's majority among
+    the 5 nearest TRAIN vectors by exact integer cosine — the standard
+    embedding-quality eval (does neighborhood structure recover labels).
+
+    Fully deterministic: integer dot products, neighbor ties break on
+    vec_id, vote ties on (votes desc, label asc). Brute-force is the
+    correctness baseline, sized for eval sets (queries are a stride
+    sample); the bucketed production path swaps in sim_lsh/ivf_topk's
+    candidate generation, unchanged voting.
+
+    Not in the driver registry (50-slot cap) — pytest-verified against
+    KNN_ORACLE."""
+    from ..sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qn = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
+        ).alias("e"),
+    ).withColumn("nrm", F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    queries = qn.where(F.col("vec_id") % QUERY_STRIDE == 0)
+    train = qn.where(F.col("vec_id") % QUERY_STRIDE != 0)
+    scored = (
+        F.broadcast(queries.alias("q"))
+        .join(train.alias("c"), F.lit(True))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("actual_label"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.label").alias("neighbor_label"),
+            F.expr(
+                "aggregate(zip_with(q.e, c.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("q.nrm").alias("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    wn = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(wn))
+        .where(F.col("rank") <= KNN_K)
+        .groupBy("query_id", "actual_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("neighbor_label")
+    )
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .where(F.col("vrank") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "actual_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "votes",
+            (F.col("neighbor_label") == F.col("actual_label")).alias(
+                "is_correct"
+            ),
+        )
+    )
+
+
+KNN_ORACLE = f"""
+WITH lq AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS e
+    FROM embeddings
+),
+ln AS (
+    SELECT vec_id, label, e,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
+    FROM lq
+),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label AS actual_label,
+           c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           CAST(list_sum(list_transform(list_zip(q.e, c.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           q.nrm AS na, c.nrm AS nb
+    FROM ln q JOIN ln c
+      ON q.vec_id % {QUERY_STRIDE} = 0 AND c.vec_id % {QUERY_STRIDE} != 0
+),
+ranked AS (
+    SELECT query_id, actual_label, neighbor_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM scored
+),
+votes AS (
+    SELECT query_id, actual_label, neighbor_label,
+           CAST(count(*) AS BIGINT) AS votes
+    FROM ranked WHERE rank <= {KNN_K}
+    GROUP BY query_id, actual_label, neighbor_label
+),
+best AS (
+    SELECT query_id, actual_label, neighbor_label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, neighbor_label ASC) AS vrank
+    FROM votes
+)
+SELECT query_id AS vec_id, actual_label,
+       neighbor_label AS predicted_label, votes,
+       neighbor_label = actual_label AS is_correct
+FROM best WHERE vrank = 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "sim_topk_cosine": f"""
 WITH {_QUANT_CTE.strip()},

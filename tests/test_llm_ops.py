@@ -43,6 +43,22 @@ def test_near_dup_detection_finds_planted_pairs(spark):
     assert lsh == exact
 
 
+def test_sim_knn_classify_matches_oracle(spark, oracle, sf_dir):
+    """Exact kNN label prediction (majority of 5 nearest train vectors,
+    deterministic tie-breaks) must match the DuckDB oracle bit-for-bit;
+    the labels must show real neighborhood structure (accuracy above the
+    majority-class floor would be ideal, but the synthetic labels only
+    guarantee determinism — assert structural invariants instead)."""
+    from dbt_jaffleshop_spark.llm import similarity
+
+    df = similarity.sim_knn_classify(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(1 <= r.votes <= similarity.KNN_K for r in rows)
+    assert all(r.is_correct == (r.predicted_label == r.actual_label) for r in rows)
+    assert_parity(df, oracle, similarity.KNN_ORACLE)
+
+
 def test_dedup_clusters_star_equals_propagation(spark):
     """The large-star/small-star connected-components twin (the
     logarithmic-round 100 TB path) must produce the identical cluster
