@@ -102,17 +102,19 @@ def main() -> None:
     # see BASELINE.md round-3 notes) that can cover all three timed runs
     # of a query: the min is the least-disturbed cold measurement.
     mins: dict[str, float] = {}
-    # 1-min load average sampled at the start of each query's timed runs —
-    # makes contention-window rows machine-identifiable instead of
-    # judged post-hoc (round-3 verdict item 5).
+    # 1-min load average per query, sampled TWICE: before the warm-up
+    # (clean external-contention reading, but can miss a window opening
+    # during a long warm-up) and at the start of the timed runs (covers
+    # the timed window, but includes the harness's own warm-up self-load).
+    # Both are recorded so contention rows are machine-identifiable
+    # without either bias (round-3 verdict item 5).
     loads: dict[str, float] = {}
+    loads_pre: dict[str, float] = {}
 
     build_times: list[float] = []
+    loads_pre["pipeline_build"] = round(os.getloadavg()[0], 1)
     for i in range(runs + 1):  # first run is the un-timed warm-up
         if i == 1:
-            # sample at the start of the TIMED runs (after the warm-up —
-            # a contention window opening during a long warm-up must not
-            # be recorded as a quiet pre-warm-up load)
             loads["pipeline_build"] = round(os.getloadavg()[0], 1)
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.perf_counter()
@@ -134,6 +136,7 @@ def main() -> None:
     for name in names + rest:
         fn = queries[name]
         per_run: list[float] = []
+        loads_pre[name] = round(os.getloadavg()[0], 1)
         for i in range(runs + 1):
             if i == 1:  # start of the timed runs, after warm-up
                 loads[name] = round(os.getloadavg()[0], 1)
@@ -158,7 +161,15 @@ def main() -> None:
     # the tail of stdout and parses the LAST JSON line, which must stay
     # compact (see module docstring).
     print(json.dumps({"metric": "queries_min", "queries_min": mins}))
-    print(json.dumps({"metric": "load_avg_1m_at_start", "load_avg": loads}))
+    print(
+        json.dumps(
+            {
+                "metric": "load_avg_1m",
+                "load_avg_timed_start": loads,
+                "load_avg_pre_warmup": loads_pre,
+            }
+        )
+    )
     print(
         json.dumps(
             {

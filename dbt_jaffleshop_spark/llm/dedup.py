@@ -285,7 +285,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(20):  # far above any real near-dup cluster diameter
+    converged = False
+    for _ in range(64):  # rounds ≈ component diameter; 64 covers any
+        # real near-dup family — and non-convergence is a loud error
+        # below, never silently-wrong labels
         neighbor_labels = (
             edges.join(
                 labels.select(
@@ -309,7 +312,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters label propagation did not converge within the "
+            "round budget (component diameter > 64?); raise the budget or "
+            "use dedup_clusters_star (logarithmic rounds)"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -474,8 +484,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
-def _quantized_embeddings(spark: SparkSession, sf_dir: str | None) -> DataFrame:
-    """vec_id, int64-quantized embedding, integer squared norm.
+def _quantized_embeddings(
+    spark: SparkSession,
+    sf_dir: str | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """vec_id [+ extra_cols], int64-quantized embedding, integer squared
+    norm. The ONE place the quantization formula lives on the Spark side
+    (the DuckDB twin is _QUANT_CTE) — every consumer must come through
+    here so a formula change cannot silently break cross-engine parity.
 
     float→double widening is exact; round(x*1e6)→int64 makes every dot
     product an order-free integer sum — the key to cross-engine (and
@@ -483,6 +500,7 @@ def _quantized_embeddings(spark: SparkSession, sf_dir: str | None) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return emb.select(
         "vec_id",
+        *extra_cols,
         F.expr(
             f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
         ).alias("e"),

@@ -210,16 +210,9 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str | None = None) -> DataFram
 
     Not in the driver registry (50-slot cap) — pytest-verified against
     KNN_ORACLE."""
-    from ..sources import load_table
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    qn = emb.select(
-        "vec_id",
-        F.col("label").cast("bigint").alias("label"),
-        F.expr(
-            f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
-        ).alias("e"),
-    ).withColumn("nrm", F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+    qn = _quantized_embeddings(spark, sf_dir, extra_cols=("label",)).withColumn(
+        "label", F.col("label").cast("bigint")
+    )
     queries = qn.where(F.col("vec_id") % QUERY_STRIDE == 0)
     train = qn.where(F.col("vec_id") % QUERY_STRIDE != 0)
     scored = (
@@ -266,16 +259,10 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str | None = None) -> DataFram
 
 
 KNN_ORACLE = f"""
-WITH lq AS (
-    SELECT vec_id, CAST(label AS BIGINT) AS label,
-           list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS e
-    FROM embeddings
-),
+WITH {_QUANT_CTE.strip()},
 ln AS (
-    SELECT vec_id, label, e,
-           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
-    FROM lq
+    SELECT n.vec_id, CAST(emb.label AS BIGINT) AS label, n.e, n.nrm
+    FROM n JOIN embeddings emb USING (vec_id)
 ),
 scored AS (
     SELECT q.vec_id AS query_id, q.label AS actual_label,

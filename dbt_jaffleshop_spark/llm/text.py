@@ -350,9 +350,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
     surrogate: score_bp = (tf · 10000) div df — integer basis points of
     the term-frequency / document-frequency ratio. The log-free form is
     deliberate: ln() is not correctly-rounded-guaranteed across engines,
-    while integer division is bit-exact everywhere, and for ranking
-    WITHIN a document any monotone transform of tf/df yields the same
-    order. Ties break on the term string.
+    while integer division is bit-exact everywhere. The floor to basis
+    points makes the ranking only WEAKLY order-preserving in tf/df:
+    ratios closer than 1/10000 collapse to the same score_bp, and such
+    ties (plus exact-ratio ties) break on the term string — the metric
+    is DEFINED as this quantized ranking, identically in both engines.
 
     Plan shape for 100 TB: explode → groupBy(doc_id, term) for tf,
     groupBy(term) for df on the already-reduced pair relation, an
@@ -384,7 +386,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
 def _tfidf_oracle() -> str:
     return f"""
 WITH tf AS (
-    SELECT doc_id, unnest({_TOKS_D_DEF}) AS term FROM documents
+    SELECT doc_id, unnest({_TOKS_D}) AS term FROM documents
 ),
 tfc AS (
     SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -410,7 +412,6 @@ FROM scored WHERE rank <= {TFIDF_TOPK}
 # ------------------------------------------------------------- oracle SQL
 
 _TOKS_D = "string_split(text, ' ')"
-_TOKS_D_DEF = "string_split(text, ' ')"
 
 
 def _quality_oracle() -> str:

@@ -260,8 +260,8 @@ class AcidTable:
         else:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
-        my_schema = self._schema_map(df)
         try:
             for attempt in range(max_retries + 1):
                 if self.exists():

@@ -111,7 +111,7 @@ register(
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
 
-# Digest-consolidated operator groups (queries/op_digests.py): four text
+# Digest-consolidated operator groups (queries/op_digests.py): five text
 # ops share text_digest (text_quality keeps its own slot — bench headline
 # continuity) and the three multimodal ops share multimodal_digest.
 _GROUP_DIGESTED = {
