@@ -159,27 +159,33 @@ def doc_dup_grams(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     Better" — public), at fixed gram width instead of maximal repeats.
 
     Plan shape for 100 TB: the expensive per-doc gram hashing is
-    evaluated ONCE — each gram row is tagged with its hash's global doc
-    count via a window over h (one shuffle), then a single groupBy(doc_id)
-    (second shuffle) produces both the total and the duplicated count.
-    The window cannot blow up: grams are distinct per doc, so a hash's
-    partition holds one row per containing doc (boilerplate grams widen a
-    partition to ≤ |docs| rows, never a cross product). Docs too short
-    for any gram re-enter via one left join on the (tiny) doc-id column."""
+    evaluated twice — once under a PARTIAL-aggregated groupBy(h) (the
+    per-hash doc count combines map-side, so a boilerplate gram shared
+    by every doc costs one long-key merge, not a straggler), and once as
+    the probe side of a LEFT join against the duplicated-hash set. A
+    window over h would evaluate the hashing once but put a universal
+    gram's entire posting list in ONE window partition — a straggler AQE
+    cannot split, where it CAN split a skewed join. The probe-side
+    aggregation yields the total and duplicated counts together, so
+    nothing is computed a third time; docs too short for any gram
+    re-enter via one left join on the (tiny) doc-id column."""
     docs = load_table(spark, "documents", sf_dir)
     grams = docs.select(
         "doc_id", F.explode(F.expr(_g_hashes(DUP_K, _TOKS))).alias("h")
     )
     # grams are per-doc distinct ⇒ count per hash = containing docs
-    w = Window.partitionBy("h")
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
     per_doc = (
-        grams.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        grams.join(dup_h, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
-                "n_dup_grams"
-            ),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).alias("n_dup_grams"),
         )
     )
     return (
