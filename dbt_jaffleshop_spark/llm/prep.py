@@ -238,6 +238,116 @@ FROM totals t LEFT JOIN dup_counts d USING (doc_id)
 """
 
 
+# ------------------------------------------ content-defined chunking
+
+CDC_W = 4        # rolling window width (tokens)
+CDC_MASK = 16    # boundary when window-hash % CDC_MASK == 0 (~16-token chunks)
+
+
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER token i
+    whenever the hash of the 4-token window ending at i is ≡ 0 mod 16 —
+    the rolling-hash cut rule from content-defined-chunking storage dedup
+    (LBFS/rsync lineage, public), applied at token granularity. Unlike
+    fixed windows (doc_chunk), an insertion early in a document shifts
+    only the chunk containing it: every later boundary re-synchronizes,
+    so chunk hashes stay stable for cross-corpus dedup.
+
+    Pure per-row higher-order functions — zero shuffle at any scale; the
+    fan-out (≈ n_tokens/16 chunk rows per doc) happens inside the
+    projection. Deterministic md5-derived window hashes, identical in the
+    DuckDB oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    n = f"size({_TOKS})"
+    win_h = (
+        f"cast(conv(substring(md5(concat_ws(' ',"
+        f" slice({_TOKS}, i - {CDC_W - 1}, {CDC_W}))), 1, 15), 16, 10) as long)"
+    )
+    bounds = (
+        f"case when {n} >= {CDC_W} then "
+        f"filter(sequence({CDC_W}, {n}), i -> {win_h} % {CDC_MASK} = 0)"
+        f" else array() end"
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("toks"),
+        F.expr(f"filter({bounds}, b -> b < {n})").alias("inner_b"),
+        F.expr(n).alias("n_tok_doc"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "concat(array(1), transform(inner_b, b -> b + 1))"
+        ).alias("starts"),
+        F.expr("concat(inner_b, array(n_tok_doc))").alias("ends"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "inline(transform(sequence(1, size(starts)), k -> struct("
+            "k as chunk_idx,"
+            " element_at(starts, k) as start_tok,"
+            " element_at(ends, k) as end_tok)))"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("end_tok").cast("bigint").alias("end_tok"),
+        (F.col("end_tok") - F.col("start_tok") + 1)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.expr(
+            "cast(conv(substring(md5(concat_ws(' ',"
+            " slice(toks, start_tok, end_tok - start_tok + 1))), 1, 15),"
+            " 16, 10) as long)"
+        ).alias("chunk_hash"),
+    )
+
+
+def _cdc_oracle() -> str:
+    n = f"len({_TOKS_D})"
+    win_h = HASH60_SQL.format(
+        s=f"array_to_string(toks[i - {CDC_W - 1}:i], ' ')"
+    )
+    chunk_h = HASH60_SQL.format(
+        s="array_to_string(toks[starts[k]:ends[k]], ' ')"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS_D} AS toks, {n} AS n_tok_doc FROM documents
+),
+b2 AS (
+    SELECT doc_id, toks, n_tok_doc,
+           CASE WHEN n_tok_doc >= {CDC_W} THEN
+               list_filter(list_filter(generate_series({CDC_W}, n_tok_doc),
+                   i -> ({win_h}) % {CDC_MASK} = 0), b -> b < n_tok_doc)
+           ELSE [] END AS inner_b
+    FROM base
+),
+b3 AS (
+    SELECT doc_id, toks,
+           list_prepend(1, list_transform(inner_b, b -> b + 1)) AS starts,
+           list_append(inner_b, n_tok_doc) AS ends
+    FROM b2
+),
+ch AS (
+    SELECT doc_id, toks, starts, ends,
+           unnest(generate_series(1, len(starts))) AS k
+    FROM b3
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(starts[k] AS BIGINT) AS start_tok,
+       CAST(ends[k] AS BIGINT) AS end_tok,
+       CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_tok,
+       {chunk_h} AS chunk_hash
+FROM ch
+"""
+
+
 # --------------------------------------------- source-level filtering
 
 # Domain/source-level filtering thresholds (the C4/RefinedWeb-style move:
@@ -506,4 +616,5 @@ ORACLES: dict[str, str] = {
     "emb_quantize": _quantize_oracle(),
     "doc_dup_grams": _dup_grams_oracle(),
     "corpus_source_stats": _source_stats_oracle(),
+    "doc_cdc_chunks": _cdc_oracle(),
 }

@@ -16,7 +16,8 @@ recording budget while every operator remains value-verified:
   slot: it is in the bench headline set.
 * ``prep_digest`` — the corpus-preparation operators
   corpus_decontaminate / doc_pack / emb_quantize (r3) and
-  doc_dup_grams / corpus_source_stats (r4) from llm/prep.py.
+  doc_dup_grams / corpus_source_stats / doc_cdc_chunks (r4) from
+  llm/prep.py.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -215,6 +216,15 @@ _PREP_MEMBERS: dict[str, list[tuple[str, str]]] = {
         ("n_grams", "bigint"),
         ("n_dup_grams", "bigint"),
         ("dup_fraction", "double"),
+    ],
+    # r4: content-defined chunking (llm/prep.py)
+    "doc_cdc_chunks": [
+        ("doc_id", "bigint"),
+        ("chunk_idx", "bigint"),
+        ("start_tok", "bigint"),
+        ("end_tok", "bigint"),
+        ("n_tok", "bigint"),
+        ("chunk_hash", "bigint"),
     ],
     # r4: source/domain-level filtering stats (llm/prep.py)
     "corpus_source_stats": [

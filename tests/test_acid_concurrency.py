@@ -46,6 +46,42 @@ def test_interleaved_appends_no_lost_update(spark, tmp_path):
     assert out.selectExpr("count(distinct id) n").first().n == 45
 
 
+def test_true_concurrent_appends_two_threads(spark, tmp_path):
+    """A REAL race (not a forced interleaving): two threads each append 5
+    batches concurrently through their own AcidTable handles. Whatever
+    the interleaving, retry-merge + backoff must land all 10 commits —
+    every row present, one version bump per append, no lost update."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    AcidTable(path).overwrite(_df(spark, 0, 10))  # v1
+    errors: list[str] = []
+
+    def writer(lo: int) -> None:
+        handle = AcidTable(path)
+        try:
+            for k in range(5):
+                handle.append(_df(spark, lo + k * 10, lo + k * 10 + 10))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(repr(exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(1000,)),
+        threading.Thread(target=writer, args=(2000,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    table = AcidTable(path)
+    assert table.current_version() == 11  # v1 + 10 appends
+    out = table.read(spark)
+    assert out.count() == 10 + 100
+    assert out.selectExpr("count(distinct id) n").first().n == 110
+
+
 def test_append_partition_by_mismatch_raises(spark, tmp_path):
     table = AcidTable(str(tmp_path / "tbl"))
     table.overwrite(_df(spark, 0, 10), partition_by=["p"])

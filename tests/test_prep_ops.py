@@ -94,6 +94,41 @@ def test_doc_dup_grams_flags_planted_duplicates(spark):
     assert len(clean_high) < len(rows) * 0.05
 
 
+def test_cdc_chunks_tile_documents_and_resync_on_near_dups(spark):
+    """Content-defined chunks must tile each document exactly (start 1,
+    contiguous, end = n_tokens), and the rolling-hash cut rule must
+    RE-SYNCHRONIZE on near-duplicate pairs: docs sharing long spans
+    share chunk hashes even though their prefixes differ."""
+    import pandas as pd
+
+    from dbt_jaffleshop_spark.llm.dedup import dedup_minhash_pairs
+
+    sf = "/root/testdata/sf0.01"
+    pdf = prep.doc_cdc_chunks(spark, sf).toPandas()
+    n_tok = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("doc_id", "size(split(text, ' ')) as n")
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert g.chunk_idx.tolist() == list(range(1, len(g) + 1))
+        assert g.start_tok.iloc[0] == 1
+        assert g.end_tok.iloc[-1] == n_tok[doc_id]
+        assert (g.start_tok.iloc[1:].to_numpy()
+                == g.end_tok.iloc[:-1].to_numpy() + 1).all()
+        assert (g.n_tok >= 1).all()
+
+    hashes = pdf.groupby("doc_id")["chunk_hash"].apply(set)
+    pairs = dedup_minhash_pairs(spark, sf).collect()
+    sharing = sum(
+        1 for r in pairs
+        if hashes.get(r.doc_a, set()) & hashes.get(r.doc_b, set())
+    )
+    assert sharing >= len(pairs) // 2, (sharing, len(pairs))
+
+
 def test_corpus_source_stats_verdict_consistent(spark):
     """Source-level filtering: the keep verdict must equal the documented
     integer-exact predicate, counts must conserve, and the sf0.01 corpus
