@@ -24,6 +24,10 @@ def hash60(col: Column) -> Column:
 
 
 HASH60_SQL = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+# The Spark-SQL twin of HASH60_SQL — the ONE definition every Spark-side
+# expression template must use, so the two engines' hash definitions can
+# never drift apart site-by-site.
+HASH60_SPARK_SQL = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as long)"
 
 # ------------------------------------------------------------- tokenizing
 

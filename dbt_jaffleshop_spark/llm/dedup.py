@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from .common import (
     EMB_SCALE,
+    HASH60_SPARK_SQL,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_A,
@@ -69,7 +70,7 @@ _SHINGLES = (
     f" i -> concat_ws(' ', slice({_TOKS}, i, 3))) "
     f"else array(text) end"
 )
-_HASH60 = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as long)"
+_HASH60 = HASH60_SPARK_SQL
 
 
 def _shingle_table(docs: DataFrame) -> DataFrame:

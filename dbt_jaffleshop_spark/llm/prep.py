@@ -13,10 +13,16 @@ pipeline runs between raw corpus and tokenizer):
 * ``emb_quantize`` — int8 symmetric scalar quantization of embeddings
   with exact integer reconstruction-error metrics (the storage/ANN
   compression step; errors stay integer so parity is bit-exact).
+* ``doc_dup_grams`` (r4) — per-doc duplicated-substring fraction over
+  16-token grams (suffix-array-dedup analysis at fixed width).
+* ``corpus_source_stats`` (r4) — per-source quality/dup stats and a
+  keep/drop verdict (domain-level filtering).
+* ``doc_cdc_chunks`` (r4) — content-defined chunking via a rolling-hash
+  cut rule (boundaries re-sync across near-duplicates).
 
-All three are pure DataFrame algebra (higher-order functions + one
-broadcast join); oracles are independent DuckDB SQL over the identical
-fixed constants.
+All are pure DataFrame algebra (higher-order functions, key-partitioned
+aggregations, one broadcast join); oracles are independent DuckDB SQL
+over the identical fixed constants.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .common import EMB_SCALE, HASH60_SQL
+from .common import EMB_SCALE, HASH60_SPARK_SQL, HASH60_SQL
 
 # ------------------------------------------------- decontamination
 
@@ -41,9 +47,11 @@ _TOKS_D = "string_split(text, ' ')"
 _G8_HASHES = (
     f"case when size({_TOKS}) >= {DECON_K} then "
     f"array_distinct(transform(sequence(1, size({_TOKS}) - {DECON_K - 1}),"
-    f" i -> cast(conv(substring(md5("
-    f"concat_ws(' ', slice({_TOKS}, i, {DECON_K}))), 1, 15), 16, 10) as long)))"
-    f" else array() end"
+    " i -> " + HASH60_SPARK_SQL.format(
+        s=f"concat_ws(' ', slice({_TOKS}, i, {DECON_K}))"
+    )
+    + "))"
+    " else array() end"
 )
 
 _G8_HASHES_D = (
@@ -134,9 +142,11 @@ def _g_hashes(k: int, toks: str) -> str:
     return (
         f"case when size({toks}) >= {k} then "
         f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> cast(conv(substring(md5("
-        f"concat_ws(' ', slice({toks}, i, {k}))), 1, 15), 16, 10) as long)))"
-        f" else array() end"
+        " i -> " + HASH60_SPARK_SQL.format(
+            s=f"concat_ws(' ', slice({toks}, i, {k}))"
+        )
+        + "))"
+        " else array() end"
     )
 
 
@@ -256,23 +266,27 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     Pure per-row higher-order functions — zero shuffle at any scale; the
     fan-out (≈ n_tokens/16 chunk rows per doc) happens inside the
     projection. Deterministic md5-derived window hashes, identical in the
-    DuckDB oracle."""
+    DuckDB oracle. The tokenization runs ONCE per row: every later
+    expression references the materialized `toks` column — embedding the
+    split inside the boundary filter's lambda would re-tokenize the whole
+    document per candidate position (HOF lambdas are evaluated per
+    element with no cross-element CSE), turning an O(n) scan O(n²)."""
     docs = load_table(spark, "documents", sf_dir)
-    n = f"size({_TOKS})"
-    win_h = (
-        f"cast(conv(substring(md5(concat_ws(' ',"
-        f" slice({_TOKS}, i - {CDC_W - 1}, {CDC_W}))), 1, 15), 16, 10) as long)"
+    win_h = HASH60_SPARK_SQL.format(
+        s=f"concat_ws(' ', slice(toks, i - {CDC_W - 1}, {CDC_W}))"
     )
     bounds = (
-        f"case when {n} >= {CDC_W} then "
-        f"filter(sequence({CDC_W}, {n}), i -> {win_h} % {CDC_MASK} = 0)"
+        f"case when size(toks) >= {CDC_W} then "
+        f"filter(sequence({CDC_W}, size(toks)), i -> {win_h} % {CDC_MASK} = 0)"
         f" else array() end"
     )
     base = docs.select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    ).select(
         "doc_id",
-        F.expr(_TOKS).alias("toks"),
-        F.expr(f"filter({bounds}, b -> b < {n})").alias("inner_b"),
-        F.expr(n).alias("n_tok_doc"),
+        "toks",
+        F.expr(f"filter({bounds}, b -> b < size(toks))").alias("inner_b"),
+        F.expr("size(toks)").alias("n_tok_doc"),
     ).select(
         "doc_id",
         "toks",
@@ -300,9 +314,10 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .cast("bigint")
         .alias("n_tok"),
         F.expr(
-            "cast(conv(substring(md5(concat_ws(' ',"
-            " slice(toks, start_tok, end_tok - start_tok + 1))), 1, 15),"
-            " 16, 10) as long)"
+            HASH60_SPARK_SQL.format(
+                s="concat_ws(' ', slice(toks, start_tok,"
+                " end_tok - start_tok + 1))"
+            )
         ).alias("chunk_hash"),
     )
 

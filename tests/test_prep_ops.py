@@ -122,6 +122,7 @@ def test_cdc_chunks_tile_documents_and_resync_on_near_dups(spark):
 
     hashes = pdf.groupby("doc_id")["chunk_hash"].apply(set)
     pairs = dedup_minhash_pairs(spark, sf).collect()
+    assert pairs, "planted near-dup pairs must exist or resync is untested"
     sharing = sum(
         1 for r in pairs
         if hashes.get(r.doc_a, set()) & hashes.get(r.doc_b, set())
