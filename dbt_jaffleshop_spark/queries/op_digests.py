@@ -3,7 +3,7 @@ in ONE driver slot (same machinery and strength as queries/digests.py:
 per-operator full-content order-insensitive md5-sum, so any changed
 value, extra/missing row, or stringified-type drift flips the digest).
 
-Two groups are consolidated here to stay inside the driver's 50-slot
+Four groups are consolidated here to stay inside the driver's 50-slot
 recording budget while every operator remains value-verified:
 
 * ``jaffle_tests_digest`` — the five declarative test operators
@@ -18,6 +18,8 @@ recording budget while every operator remains value-verified:
   corpus_decontaminate / doc_pack / emb_quantize (r3) and
   doc_dup_grams / corpus_source_stats / doc_cdc_chunks (r4) from
   llm/prep.py.
+* ``multimodal_digest`` — multimodal_extract / multimodal_framesample /
+  multimodal_resize (llm/multimodal.py).
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
