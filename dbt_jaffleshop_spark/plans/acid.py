@@ -364,6 +364,31 @@ class AcidTable:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
 
+    def history(self) -> list[dict]:
+        """The committed snapshot log, oldest → newest (the Delta
+        ``DESCRIBE HISTORY`` / Iceberg snapshots-table analogue): one
+        entry per version with its file count, layout, and commit meta.
+        Aborted above-pointer manifests are excluded — they were never
+        visible to readers."""
+        committed = self.current_version() if self.exists() else 0
+        out: list[dict] = []
+        for v in sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))
+        ):
+            if v > committed:
+                continue
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "partition_by": m["partition_by"],
+                    "n_files": len(m["files"]),
+                    "meta": m.get("meta", {}),
+                }
+            )
+        return out
+
     # ---------------------------------------------------------- compaction
 
     def compact(

@@ -182,6 +182,31 @@ def test_vacuum_reclaims_aborted_manifest_and_unblocks_slot(spark, tmp_path):
     assert table.read(spark).count() == 20
 
 
+def test_history_lists_committed_snapshots_only(spark, tmp_path):
+    """history() is the commit log oldest→newest — and excludes aborted
+    above-pointer manifests plus vacuumed-away versions."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    assert table.history() == []
+    table.append(_df(spark, 0, 10), meta={"stream_batch_id": 0})
+    table.append(_df(spark, 10, 20), meta={"stream_batch_id": 1})
+    table.compact(spark)
+
+    h = table.history()
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert h[0]["meta"]["stream_batch_id"] == 0
+    assert h[2]["meta"]["compacted"] is True
+    assert h[2]["meta"]["stream_batch_id"] == 1  # carried forward
+    assert h[2]["n_files"] <= h[1]["n_files"]
+
+    # an aborted (above-pointer) manifest never shows up
+    with open(os.path.join(table.versions_dir, "v000009.json"), "w") as f:
+        json.dump({"version": 9, "partition_by": [], "files": [], "meta": {}}, f)
+    assert [e["version"] for e in table.history()] == [1, 2, 3]
+
+    table.vacuum(keep_last=1)
+    assert [e["version"] for e in table.history()] == [3]
+
+
 def test_vacuum_repairs_never_committed_table(spark, tmp_path):
     """A writer that crashed during the FIRST-ever commit leaves an
     orphan manifest and no _CURRENT pointer; vacuum must repair that
