@@ -364,21 +364,31 @@ class AcidTable:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
 
+    def _all_versions(self) -> list[int]:
+        """Every manifest on disk, sorted ascending — including aborted
+        above-pointer ones (callers filter against the pointer)."""
+        return sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))
+        )
+
     def history(self) -> list[dict]:
         """The committed snapshot log, oldest → newest (the Delta
         ``DESCRIBE HISTORY`` / Iceberg snapshots-table analogue): one
         entry per version with its file count, layout, and commit meta.
         Aborted above-pointer manifests are excluded — they were never
-        visible to readers."""
+        visible to readers — and a manifest expired by a concurrent
+        vacuum is simply skipped (history() is a reader API and must
+        coexist with maintenance like every other read)."""
         committed = self.current_version() if self.exists() else 0
         out: list[dict] = []
-        for v in sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))
-        ):
+        for v in self._all_versions():
             if v > committed:
-                continue
-            m = self.manifest(v)
+                break  # ascending: everything past the pointer is aborted
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired by a concurrent vacuum
             out.append(
                 {
                     "version": v,
@@ -474,10 +484,7 @@ class AcidTable:
         # a table whose FIRST commit aborted has orphan manifests but no
         # _CURRENT yet — vacuum must still repair it, not crash
         committed = self.current_version() if self.exists() else 0
-        all_versions = sorted(
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self.versions_dir, "v*.json"))
-        )
+        all_versions = self._all_versions()
         versions = [v for v in all_versions if v <= committed]
         keep = set(versions[-keep_last:])
         live: set[str] = set()

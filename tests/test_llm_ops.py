@@ -73,6 +73,21 @@ def test_dedup_clusters_star_equals_propagation(spark):
     assert a, "planted near-dup clusters must exist"
 
 
+def test_dedup_clusters_star_matches_recursive_cte_oracle(
+    spark, oracle, sf_dir
+):
+    """The star twin verified DIRECTLY against the driver slot's
+    independent DuckDB recursive-CTE reachability oracle (not just
+    equality with propagation) — same output contract, same oracle."""
+    from dbt_jaffleshop_spark.llm import dedup
+
+    assert_parity(
+        dedup.dedup_clusters_star(spark, sf_dir),
+        oracle,
+        dedup.ORACLES["dedup_clusters"],
+    )
+
+
 def test_dedup_clusters_star_long_chain(spark, monkeypatch):
     """A 64-node chain (worst case for label propagation: diameter 63)
     plus a disjoint star and pair: the star algorithm must contract all
