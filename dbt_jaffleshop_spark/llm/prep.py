@@ -41,27 +41,36 @@ DECON_EVAL_MOD = 97  # doc_id % MOD == 0 → held-out eval slice
 _TOKS = "split(text, ' ')"
 _TOKS_D = "string_split(text, ' ')"
 
-# Distinct hashed 8-gram shingles per doc, computed entirely per-row
-# (array_distinct BEFORE the explode → the dedup work is narrow; the
-# only shuffles are the tiny eval-distinct and the per-doc count).
-_G8_HASHES = (
-    f"case when size({_TOKS}) >= {DECON_K} then "
-    f"array_distinct(transform(sequence(1, size({_TOKS}) - {DECON_K - 1}),"
-    " i -> " + HASH60_SPARK_SQL.format(
-        s=f"concat_ws(' ', slice({_TOKS}, i, {DECON_K}))"
+# Distinct hashed k-gram shingles per doc, computed entirely per-row
+# (array_distinct BEFORE the explode → the dedup work is narrow). The
+# parameterized template serves decontamination (k=8) and the
+# duplicated-substring analysis (k=16) — ONE definition per engine.
+def _g_hashes(k: int, toks: str) -> str:
+    """Spark SQL: distinct hashed k-gram shingles, computed per-row."""
+    return (
+        f"case when size({toks}) >= {k} then "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
+        " i -> " + HASH60_SPARK_SQL.format(
+            s=f"concat_ws(' ', slice({toks}, i, {k}))"
+        )
+        + "))"
+        " else array() end"
     )
-    + "))"
-    " else array() end"
-)
 
-_G8_HASHES_D = (
-    f"CASE WHEN len({_TOKS_D}) >= {DECON_K} THEN "
-    f"list_distinct(list_transform(generate_series(1, len({_TOKS_D}) - {DECON_K - 1}),"
-    " i -> " + HASH60_SQL.format(
-        s=f"array_to_string(({_TOKS_D})[i:i+{DECON_K - 1}], ' ')"
+
+def _g_hashes_duck(k: int, toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {k - 1}),"
+        " i -> " + HASH60_SQL.format(
+            s=f"array_to_string(({toks})[i:i+{k - 1}], ' ')"
+        )
+        + ")) ELSE [] END"
     )
-    + ")) ELSE [] END"
-)
+
+
+_G8_HASHES = _g_hashes(DECON_K, _TOKS)
+_G8_HASHES_D = _g_hashes_duck(DECON_K, _TOKS_D)
 
 
 def corpus_decontaminate(
@@ -135,30 +144,6 @@ WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
 # ------------------------------------- cross-doc duplicated substrings
 
 DUP_K = 16  # substring width (tokens) for cross-doc duplication analysis
-
-
-def _g_hashes(k: int, toks: str) -> str:
-    """Spark SQL: distinct hashed k-gram shingles, computed per-row."""
-    return (
-        f"case when size({toks}) >= {k} then "
-        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
-        " i -> " + HASH60_SPARK_SQL.format(
-            s=f"concat_ws(' ', slice({toks}, i, {k}))"
-        )
-        + "))"
-        " else array() end"
-    )
-
-
-def _g_hashes_duck(k: int, toks: str) -> str:
-    return (
-        f"CASE WHEN len({toks}) >= {k} THEN "
-        f"list_distinct(list_transform(generate_series(1, len({toks}) - {k - 1}),"
-        " i -> " + HASH60_SQL.format(
-            s=f"array_to_string(({toks})[i:i+{k - 1}], ' ')"
-        )
-        + ")) ELSE [] END"
-    )
 
 
 def doc_dup_grams(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:

@@ -202,6 +202,57 @@ class AcidTable:
                 f"does not match table schema {stored}"
             )
 
+    def _discard_staged(self, files: list[str]) -> None:
+        """Remove staged-but-never-committed data files. They are
+        exclusively this writer's (unique part-file names, referenced by
+        no manifest), so discarding on a failed commit cannot touch live
+        data — and avoids leaking one table copy per failed attempt
+        until a vacuum."""
+        import contextlib
+
+        for rel in files:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.data_dir, rel))
+
+    def _commit_with_retry(
+        self,
+        stage: str,
+        staged_files: list[str],
+        partition_by: list[str],
+        meta: dict,
+        recompute,
+        max_retries: int = 5,
+    ) -> int:
+        """The ONE commit-retry protocol every writer goes through.
+
+        ``recompute() -> (all_files, expected_parent)`` re-reads the
+        CURRENT manifest, re-validates compatibility (layout, schema —
+        a concurrent overwrite may have changed either since this
+        writer's pre-stage checks), and merges the staged files against
+        it; raising ValueError from recompute aborts the commit. On a
+        lost race the loop backs off and re-runs recompute against the
+        winner's manifest. On terminal failure (retries exhausted or
+        incompatible concurrent change) the staged files are discarded —
+        no silent disk leak."""
+        try:
+            for attempt in range(max_retries + 1):
+                try:
+                    all_files, parent = recompute()
+                    return self._commit(
+                        all_files, partition_by, meta, expected_parent=parent
+                    )
+                except CommitConflictError:
+                    if attempt == max_retries:
+                        self._discard_staged(staged_files)
+                        raise
+                    _backoff(attempt)
+                except ValueError:
+                    self._discard_staged(staged_files)
+                    raise
+            raise AssertionError("unreachable")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
     def overwrite(
         self,
         df: DataFrame,
@@ -216,20 +267,11 @@ class AcidTable:
         partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         stage, files = self._stage(df, partition_by)
-        try:
-            for attempt in range(6):
-                parent = self.current_version() if self.exists() else 0
-                try:
-                    return self._commit(
-                        files, partition_by, meta, expected_parent=parent
-                    )
-                except CommitConflictError:
-                    if attempt == 5:
-                        raise
-                    _backoff(attempt)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        raise AssertionError("unreachable")
+
+        def recompute() -> tuple[list[str], int]:
+            return files, self.current_version() if self.exists() else 0
+
+        return self._commit_with_retry(stage, files, partition_by, meta, recompute)
 
     def append(
         self,
@@ -262,47 +304,29 @@ class AcidTable:
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
-        try:
-            for attempt in range(max_retries + 1):
-                if self.exists():
-                    prev = self.manifest()
-                    parent = prev["version"]
-                    prev_files = prev["files"]
-                    if prev["partition_by"] != partition_by:
-                        # a concurrent creator raced us with a different
-                        # layout — our staged files don't fit its dirs
-                        raise ValueError(
-                            f"{self.path}: concurrent writer created the "
-                            f"table with partition_by="
-                            f"{prev['partition_by']}, staged {partition_by}"
-                        )
-                    # re-validate schema against the CURRENT manifest —
-                    # a concurrent creator/overwrite may have set a
-                    # schema the pre-stage check never saw, and merging
-                    # mixed-schema files is the exact silent corruption
-                    # _check_append_schema exists to prevent
-                    stored = prev.get("meta", {}).get("schema")
-                    if stored and stored != my_schema:
-                        raise ValueError(
-                            f"{self.path}: append schema {my_schema} does "
-                            f"not match table schema {stored}"
-                        )
-                else:
-                    parent, prev_files = 0, []
-                try:
-                    return self._commit(
-                        sorted(prev_files + files),
-                        partition_by,
-                        meta,
-                        expected_parent=parent,
-                    )
-                except CommitConflictError:
-                    if attempt == max_retries:
-                        raise
-                    _backoff(attempt)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        raise AssertionError("unreachable")
+
+        def recompute() -> tuple[list[str], int]:
+            if not self.exists():
+                return sorted(files), 0
+            prev = self.manifest()
+            if prev["partition_by"] != partition_by:
+                # a concurrent creator/overwrite raced us with a
+                # different layout — our staged files don't fit its dirs
+                raise ValueError(
+                    f"{self.path}: concurrent writer set partition_by="
+                    f"{prev['partition_by']}, staged {partition_by}"
+                )
+            stored = prev.get("meta", {}).get("schema")
+            if stored and stored != my_schema:
+                raise ValueError(
+                    f"{self.path}: append schema {my_schema} does "
+                    f"not match table schema {stored}"
+                )
+            return sorted(prev["files"] + files), prev["version"]
+
+        return self._commit_with_retry(
+            stage, files, partition_by, meta, recompute, max_retries
+        )
 
     def overwrite_partitions(
         self, df: DataFrame, part_col: str, values: list,
@@ -313,7 +337,9 @@ class AcidTable:
         by reference, commit one new manifest. The dbt `incremental`
         materialization with Iceberg commit semantics — cost O(changed
         partitions); a reader mid-commit sees old-everything or
-        new-everything, never a half-rewritten partition."""
+        new-everything, never a half-rewritten partition. Retry-merge
+        like append: a concurrent append to ANOTHER partition survives
+        this commit; a concurrent layout/schema change aborts it."""
         from pyspark.sql import functions as F
 
         prev = self.manifest()
@@ -321,35 +347,34 @@ class AcidTable:
         affected_dirs = {f"{part_col}={v}" for v in values}
         self._check_append_schema(df)
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        my_schema = meta["schema"]
 
         sub = df.where(F.col(part_col).isin(list(values)))
         stage, new_files = self._stage(sub, partition_by)
-        try:
-            # Retry-merge like append: on conflict, re-read the winner's
-            # manifest and recompute the kept (untouched-partition) files
-            # against IT, so a concurrent append to another partition
-            # survives this commit.
-            for attempt in range(6):
-                cur = self.manifest()
-                kept = [
-                    f
-                    for f in cur["files"]
-                    if not any(part in f.split(os.sep) for part in affected_dirs)
-                ]
-                try:
-                    return self._commit(
-                        sorted(kept + new_files),
-                        partition_by,
-                        meta,
-                        expected_parent=cur["version"],
-                    )
-                except CommitConflictError:
-                    if attempt == 5:
-                        raise
-                    _backoff(attempt)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        raise AssertionError("unreachable")
+
+        def recompute() -> tuple[list[str], int]:
+            cur = self.manifest()
+            if cur["partition_by"] != partition_by:
+                raise ValueError(
+                    f"{self.path}: concurrent writer changed partition_by "
+                    f"to {cur['partition_by']}; staged {partition_by}"
+                )
+            stored = cur.get("meta", {}).get("schema")
+            if stored and stored != my_schema:
+                raise ValueError(
+                    f"{self.path}: write schema {my_schema} does not "
+                    f"match table schema {stored}"
+                )
+            kept = [
+                f
+                for f in cur["files"]
+                if not any(part in f.split(os.sep) for part in affected_dirs)
+            ]
+            return sorted(kept + new_files), cur["version"]
+
+        return self._commit_with_retry(
+            stage, new_files, partition_by, meta, recompute
+        )
 
     # --------------------------------------------------------------- read
 
@@ -463,24 +488,39 @@ class AcidTable:
                 {**m.get("meta", {}), "compacted": True, **(meta or {})},
                 expected_parent=m["version"],
             )
+        except CommitConflictError:
+            # the rewritten files will never be referenced — discard
+            # instead of leaking one full table copy per conflicted try
+            self._discard_staged(files)
+            raise
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
     # ------------------------------------------------------------- vacuum
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, orphan_grace_s: float = 600.0
+    ) -> list[str]:
         """Delete data files referenced ONLY by expired snapshots (all but
         the newest ``keep_last``), then drop their manifests. keep_last≥2
         leaves the previous snapshot intact for readers that resolved it
         just before the latest commit.
 
-        A manifest ABOVE the committed pointer is an aborted commit (a
-        writer crashed between claiming the manifest slot and swapping
-        ``_CURRENT``); it and its unreferenced data files are reclaimed
-        here, which also unblocks the slot for the next committer. Like
-        Iceberg's ``remove_orphan_files``, vacuum must not run concurrent
-        with an in-flight writer — it is a maintenance op the scheduler
-        serializes with writes."""
+        ORPHANS — artifacts referenced by no committed manifest: an
+        above-pointer manifest (a writer died between claiming the slot
+        and swapping ``_CURRENT``) and data files moved in by a commit
+        that never landed. Vacuum cannot distinguish a CRASHED writer's
+        leavings from an IN-FLIGHT writer's (one that claimed its slot or
+        moved its files microseconds ago and is about to finish), so
+        orphans are reclaimed only once older than ``orphan_grace_s``
+        (mtime-based) — Iceberg's ``remove_orphan_files older_than``
+        rule. Files referenced by an EXPIRED committed manifest carry no
+        such ambiguity (they were committed, then superseded) and are
+        reclaimed immediately. Pass ``orphan_grace_s=0`` only when
+        writers are provably quiesced (explicit repair)."""
+        import time as _time
+
+        now = _time.time()
         # a table whose FIRST commit aborted has orphan manifests but no
         # _CURRENT yet — vacuum must still repair it, not crash
         committed = self.current_version() if self.exists() else 0
@@ -488,18 +528,28 @@ class AcidTable:
         versions = [v for v in all_versions if v <= committed]
         keep = set(versions[-keep_last:])
         live: set[str] = set()
-        for v in keep:
-            live.update(self.manifest(v)["files"])
+        known: set[str] = set()  # referenced by ANY committed manifest
+        for v in versions:
+            files = set(self.manifest(v)["files"])
+            known.update(files)
+            if v in keep:
+                live.update(files)
         removed: list[str] = []
         for f in glob.glob(
             os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
         ):
             rel = os.path.relpath(f, self.data_dir)
-            if rel not in live:
-                os.remove(f)
-                removed.append(rel)
+            if rel in live:
+                continue
+            if rel not in known and now - os.path.getmtime(f) < orphan_grace_s:
+                continue  # possibly an in-flight writer's staged file
+            os.remove(f)
+            removed.append(rel)
         for v in all_versions:
-            # expired snapshots AND aborted (above-pointer) manifests
-            if v not in keep:
-                os.remove(os.path.join(self.versions_dir, f"v{v:06d}.json"))
+            mpath = os.path.join(self.versions_dir, f"v{v:06d}.json")
+            if v in keep:
+                continue
+            if v > committed and now - os.path.getmtime(mpath) < orphan_grace_s:
+                continue  # possibly an in-flight writer's claimed slot
+            os.remove(mpath)
         return removed

@@ -175,7 +175,14 @@ def test_vacuum_reclaims_aborted_manifest_and_unblocks_slot(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         table.append(_df(spark, 10, 20))
 
+    # default vacuum must NOT reclaim a FRESH orphan — it cannot tell a
+    # crashed writer's manifest from an in-flight writer's just-claimed
+    # slot, so reclamation waits out the grace period
     table.vacuum(keep_last=1)
+    assert os.path.exists(orphan)
+
+    # explicit repair with writers quiesced: grace 0
+    table.vacuum(keep_last=1, orphan_grace_s=0)
     assert not os.path.exists(orphan)
     table.append(_df(spark, 10, 20))
     assert table.current_version() == 2
@@ -224,8 +231,10 @@ def test_vacuum_repairs_never_committed_table(spark, tmp_path):
 
     # no crash on the missing pointer; the aborted write's invisible
     # data files (staged into data/ before the failed commit) and the
-    # orphan manifest are both reclaimed
-    removed = table.vacuum(keep_last=1)
+    # orphan manifest are both reclaimed under explicit repair (grace 0;
+    # the default grace would leave fresh orphans for a possible
+    # in-flight writer)
+    removed = table.vacuum(keep_last=1, orphan_grace_s=0)
     assert all(f.endswith(".parquet") for f in removed)
     assert not os.path.exists(orphan)
     table.overwrite(_df(spark, 0, 10))
