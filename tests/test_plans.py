@@ -62,6 +62,23 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
         assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
 
 
+def test_r4_operators_stay_jvm_side_no_cartesian(spark, sf_dir):
+    """The round-4 operators must hold the same scale contract: no
+    Python in the hot path, no cartesian product, and the tf-idf top-k
+    window pruned by WindowGroupLimit (partial top-k before the
+    exchange). (sim_knn_classify is excluded: its broadcast
+    nested-loop scoring is the labeled eval-scale baseline.)"""
+    from dbt_jaffleshop_spark.llm import prep, text
+
+    for fn in (prep.doc_dup_grams, prep.corpus_source_stats,
+               prep.doc_cdc_chunks, text.text_tfidf_topk):
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    assert "WindowGroupLimit" in _plan(text.text_tfidf_topk(spark, sf_dir))
+
+
 def test_dedup_jaccard_no_python_and_hash_joins(spark, sf_dir):
     from dbt_jaffleshop_spark.llm import dedup
 
