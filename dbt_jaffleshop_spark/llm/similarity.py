@@ -191,6 +191,59 @@ def _bucket_expr_duck() -> str:
     return " + ".join(terms)
 
 
+# ----------------------------------------------------- ANN recall@k eval
+
+
+def sim_recall_at_k(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Per-query recall@3 of the LSH-bucketed ANN path against the exact
+    top-3 — THE quality metric for an approximate index (what fraction of
+    the true nearest neighbors the bucketed search retrieves). Pure
+    composition of the two existing operators: one left-semi join on
+    (query, neighbor) plus a per-query count; both sides are
+    query-cardinality relations, so the eval costs nothing at any corpus
+    scale. Deterministic end-to-end (both inputs are), so the DuckDB
+    oracle — the same composition of the same two oracle queries —
+    matches bit-for-bit. Not in the driver registry (50-slot cap);
+    pytest-verified against RECALL_ORACLE.
+
+    Expected reading on THIS corpus: ≈ 0. The synthetic embeddings are
+    near-isotropic, so a true top-3 neighbor of a random query shares
+    its single 8-sign-bit bucket with probability ≈ (1/2)^8 — the eval
+    correctly quantifies why nprobe=1 single-bucket search needs banded
+    multi-bucket union (dedup_embedding_lsh's shape) or clustered data
+    to achieve recall; the measurement machinery, not a high score, is
+    what this operator contributes."""
+    exact = sim_topk_cosine(spark, sf_dir).where(F.col("rank") <= LSH_TOP_K)
+    approx = sim_lsh_topk(spark, sf_dir)
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    retrieved = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved")
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(retrieved, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_retrieved"), F.lit(0).cast("bigint")).alias(
+                "n_retrieved"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(LSH_TOP_K))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 # ------------------------------------------------ kNN label classification
 
 KNN_K = 5
@@ -374,3 +427,31 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rank <= {LSH_TOP_K}
 """,
 }
+
+
+# Composition of the two registered oracles — the same derivation the
+# Spark operator performs (pytest parity for sim_recall_at_k).
+RECALL_ORACLE = f"""
+WITH exact AS (
+    SELECT * FROM ({ORACLES["sim_topk_cosine"]}) WHERE rank <= {LSH_TOP_K}
+),
+approx AS (
+    SELECT * FROM ({ORACLES["sim_lsh_topk"]})
+),
+hits AS (
+    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM approx a JOIN exact e USING (query_id, neighbor_id)
+    GROUP BY a.query_id
+),
+retr AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved
+    FROM approx GROUP BY query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {LSH_TOP_K} AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN retr r USING (query_id)
+LEFT JOIN hits h USING (query_id)
+"""

@@ -334,3 +334,23 @@ def test_streaming_sessionize_multibatch_matches_oracle(
     assert_parity(
         df, oracle, streaming_sessionize_mod.ORACLES["streaming_sessionize"]
     )
+
+
+def test_sim_recall_at_k_matches_oracle_and_is_meaningful(spark, oracle, sf_dir):
+    """ANN recall@3 of the LSH path vs exact: bit-exact vs the composed
+    DuckDB oracle, bounded in [0,1], and consistent with theory for this
+    corpus — near-isotropic embeddings put a true neighbor in the same
+    single 8-sign-bit bucket with probability ≈ (1/2)^8, so mean recall
+    must sit near zero (a HIGH value here would mean the eval is broken,
+    e.g. comparing a list against itself)."""
+    from dbt_jaffleshop_spark.llm import similarity
+
+    df = similarity.sim_recall_at_k(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    assert all(r.n_hits <= r.n_retrieved for r in rows)
+    mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean_recall < 0.2, mean_recall  # isotropic-corpus expectation
+    assert any(r.n_retrieved > 0 for r in rows)  # buckets DO retrieve
+    assert_parity(df, oracle, similarity.RECALL_ORACLE)
