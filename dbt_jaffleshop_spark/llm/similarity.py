@@ -198,13 +198,16 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
     """Per-query recall@3 of the LSH-bucketed ANN path against the exact
     top-3 — THE quality metric for an approximate index (what fraction of
     the true nearest neighbors the bucketed search retrieves). Pure
-    composition of the two existing operators: one left-semi join on
-    (query, neighbor) plus a per-query count; both sides are
-    query-cardinality relations, so the eval costs nothing at any corpus
-    scale. Deterministic end-to-end (both inputs are), so the DuckDB
-    oracle — the same composition of the same two oracle queries —
-    matches bit-for-bit. Not in the driver registry (50-slot cap);
-    pytest-verified against RECALL_ORACLE.
+    composition of the two existing operators, each subplan evaluated
+    ONCE: the approximate list is left-joined to the exact list's hit
+    marker and a single per-query aggregation yields both the retrieved
+    and hit counts (Catalyst does not dedupe repeated subplans, so
+    referencing `approx`/`exact` twice would re-run the corpus-sized
+    scoring joins); the query base comes from a cheap embeddings scan,
+    not a recompute of the exact plan. Deterministic end-to-end, so the
+    DuckDB oracle — the same composition of the same two oracle
+    queries — matches bit-for-bit. Not in the driver registry (50-slot
+    cap); pytest-verified against RECALL_ORACLE.
 
     Expected reading on THIS corpus: ≈ 0. The synthetic embeddings are
     near-isotropic, so a true top-3 neighbor of a random query shares
@@ -213,21 +216,32 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
     multi-bucket union (dedup_embedding_lsh's shape) or clustered data
     to achieve recall; the measurement machinery, not a high score, is
     what this operator contributes."""
+    from ..sources import load_table
+
     exact = sim_topk_cosine(spark, sf_dir).where(F.col("rank") <= LSH_TOP_K)
     approx = sim_lsh_topk(spark, sf_dir)
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    per_query = (
+        approx.join(
+            exact.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
     )
-    retrieved = approx.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_retrieved")
+    # the query universe is structural (the stride sample), so a cheap
+    # embeddings scan — NOT a second evaluation of the exact plan —
+    # restores queries whose bucket retrieved nothing
+    base = (
+        load_table(spark, "embeddings", sf_dir)
+        .where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"))
     )
     return (
-        exact.select("query_id")
-        .distinct()
-        .join(retrieved, "query_id", "left")
-        .join(hits, "query_id", "left")
+        base.join(per_query, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_retrieved"), F.lit(0).cast("bigint")).alias(
@@ -438,20 +452,20 @@ WITH exact AS (
 approx AS (
     SELECT * FROM ({ORACLES["sim_lsh_topk"]})
 ),
-hits AS (
-    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
-    FROM approx a JOIN exact e USING (query_id, neighbor_id)
+per_query AS (
+    SELECT a.query_id,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+    FROM approx a
+    LEFT JOIN exact e USING (query_id, neighbor_id)
     GROUP BY a.query_id
-),
-retr AS (
-    SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved
-    FROM approx GROUP BY query_id
 )
 SELECT q.query_id,
-       CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {LSH_TOP_K} AS recall_at_k
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN retr r USING (query_id)
-LEFT JOIN hits h USING (query_id)
+       CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / {LSH_TOP_K} AS recall_at_k
+FROM (SELECT vec_id AS query_id FROM embeddings
+      WHERE vec_id % {QUERY_STRIDE} = 0) q
+LEFT JOIN per_query p USING (query_id)
 """

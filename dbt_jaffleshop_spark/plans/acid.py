@@ -124,6 +124,12 @@ class AcidTable:
             # Spark part-file names embed the write job's UUID — unique
             # across commits, so moves never collide with live files.
             os.replace(f, dest)
+            # restamp mtime: os.replace preserves the STAGING write time,
+            # which may long predate this move (big write, slow stage) —
+            # vacuum's orphan-grace clock must start at data/ arrival or
+            # a slow writer's files could look grace-expired while still
+            # in flight.
+            os.utime(dest, None)
             new_files.append(rel)
         return stage, sorted(new_files)
 
@@ -231,25 +237,28 @@ class AcidTable:
         writer's pre-stage checks), and merges the staged files against
         it; raising ValueError from recompute aborts the commit. On a
         lost race the loop backs off and re-runs recompute against the
-        winner's manifest. On terminal failure (retries exhausted or
-        incompatible concurrent change) the staged files are discarded —
-        no silent disk leak."""
+        winner's manifest. On ANY terminal failure (retries exhausted,
+        incompatible concurrent change, or an unexpected error) the
+        staged files are discarded — no silent disk leak. A
+        FileNotFoundError retries like a conflict: it means a concurrent
+        vacuum expired the manifest between recompute's pointer read and
+        the open; the next attempt reads the newer pointer."""
         try:
-            for attempt in range(max_retries + 1):
-                try:
-                    all_files, parent = recompute()
-                    return self._commit(
-                        all_files, partition_by, meta, expected_parent=parent
-                    )
-                except CommitConflictError:
-                    if attempt == max_retries:
-                        self._discard_staged(staged_files)
-                        raise
-                    _backoff(attempt)
-                except ValueError:
-                    self._discard_staged(staged_files)
-                    raise
-            raise AssertionError("unreachable")
+            try:
+                for attempt in range(max_retries + 1):
+                    try:
+                        all_files, parent = recompute()
+                        return self._commit(
+                            all_files, partition_by, meta, expected_parent=parent
+                        )
+                    except (CommitConflictError, FileNotFoundError):
+                        if attempt == max_retries:
+                            raise
+                        _backoff(attempt)
+                raise AssertionError("unreachable")
+            except BaseException:
+                self._discard_staged(staged_files)
+                raise
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -513,11 +522,17 @@ class AcidTable:
         leavings from an IN-FLIGHT writer's (one that claimed its slot or
         moved its files microseconds ago and is about to finish), so
         orphans are reclaimed only once older than ``orphan_grace_s``
-        (mtime-based) — Iceberg's ``remove_orphan_files older_than``
-        rule. Files referenced by an EXPIRED committed manifest carry no
-        such ambiguity (they were committed, then superseded) and are
-        reclaimed immediately. Pass ``orphan_grace_s=0`` only when
-        writers are provably quiesced (explicit repair)."""
+        (mtime-based; staged files are re-stamped at their move into
+        ``data/``, so the clock starts at arrival) — Iceberg's
+        ``remove_orphan_files older_than`` rule. The grace makes
+        concurrent vacuum safe for any in-flight commit window SHORTER
+        than it; a writer stalled longer than the grace between staging
+        and pointer swap could still lose its files, so scheduling
+        vacuum away from writers remains best practice. Files referenced
+        by an EXPIRED committed manifest carry no ambiguity (committed,
+        then superseded) and are reclaimed immediately. Pass
+        ``orphan_grace_s=0`` only when writers are provably quiesced
+        (explicit repair)."""
         import time as _time
 
         now = _time.time()

@@ -229,13 +229,22 @@ def test_vacuum_repairs_never_committed_table(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         table.overwrite(_df(spark, 0, 10))
 
-    # no crash on the missing pointer; the aborted write's invisible
-    # data files (staged into data/ before the failed commit) and the
-    # orphan manifest are both reclaimed under explicit repair (grace 0;
-    # the default grace would leave fresh orphans for a possible
-    # in-flight writer)
+    # a genuinely CRASHED writer never runs its discard path — simulate
+    # its leftover data file directly (the failed overwrite above cleans
+    # its own files up, so without this the data-file reclamation branch
+    # would go untested)
+    crash_file = os.path.join(table.data_dir, "part-crashed-000.parquet")
+    os.makedirs(table.data_dir, exist_ok=True)
+    with open(crash_file, "wb") as f:
+        f.write(b"PAR1crash")
+
+    # no crash on the missing pointer; the crashed writer's invisible
+    # data file and the orphan manifest are both reclaimed under explicit
+    # repair (grace 0; the default grace would leave fresh orphans for a
+    # possible in-flight writer)
     removed = table.vacuum(keep_last=1, orphan_grace_s=0)
-    assert all(f.endswith(".parquet") for f in removed)
+    assert removed == ["part-crashed-000.parquet"]
+    assert not os.path.exists(crash_file)
     assert not os.path.exists(orphan)
     table.overwrite(_df(spark, 0, 10))
     assert table.current_version() == 1
