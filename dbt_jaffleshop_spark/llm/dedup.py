@@ -887,3 +887,9 @@ FROM p
 WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
 """,
 }
+
+# The star-algorithm twin (dedup_clusters_star) has the identical output
+# contract as dedup_clusters, so it registers against the same
+# independent recursive-CTE oracle — the driver then value-verifies BOTH
+# clustering algorithms, not just the propagation variant (r4).
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -111,30 +111,52 @@ register(
     _streaming_sessionize.ORACLES["streaming_sessionize"],
 )
 
-# Digest-consolidated operator groups (queries/op_digests.py): five text
-# ops share text_digest (text_quality keeps its own slot — bench headline
-# continuity) and the three multimodal ops share multimodal_digest.
+# Digest-consolidated operator groups (queries/op_digests.py). Members
+# listed here are value-verified through their group's digest slot
+# instead of an individual slot; bench-headline operators (text_quality,
+# events_sessionize, events_asof_join, dedup/sim production paths) keep
+# their own slots for round-over-round timing continuity.
 _GROUP_DIGESTED = {
     "text_token_stats",
     "text_langid",
     "text_fingerprint",
     "text_pii_scrub",
     "text_tfidf_topk",
+    "text_repetition",
+    "doc_chunk",
     "multimodal_extract",
     "multimodal_framesample",
     "multimodal_resize",
+    "corpus_curate",
+    "corpus_sample_stratified",
+    "events_funnel",
+    "events_json_stats",
 }
 
 for _name, (_fn, _sql) in LLM_CATALOG.items():
     if _name not in _GROUP_DIGESTED:
         register(_name, _fn, _sql)
 
+# r4: the stream-stream interval join (click→purchase attribution) —
+# exact batch oracle, same availableNow machinery as the other two
+# streaming slots.
+from ..streaming import joins as _streaming_joins
+
+register(
+    "streaming_attribution",
+    _streaming_joins.streaming_attribution,
+    _streaming_joins.ORACLES["streaming_attribution"],
+)
+
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
 register("multimodal_digest", *OP_DIGEST_CATALOG["multimodal_digest"])
 
-# Round-3b corpus-preparation operators (llm/prep.py) — decontamination,
-# sequence packing, int8 embedding quantization — share ONE digest slot.
+# Corpus-preparation operators (llm/prep.py + llm/corpus.py) share ONE
+# digest slot; event analytics (funnel/JSON stats) and the ANN
+# evaluation pair (recall@k, kNN classify) each share one (r4).
 register("prep_digest", *OP_DIGEST_CATALOG["prep_digest"])
+register("events_digest", *OP_DIGEST_CATALOG["events_digest"])
+register("sim_eval_digest", *OP_DIGEST_CATALOG["sim_eval_digest"])
 
 assert len(QUERIES) <= 50, (
     f"driver records only the first 50 queries; got {len(QUERIES)} — "

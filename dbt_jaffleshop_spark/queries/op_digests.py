@@ -3,7 +3,7 @@ in ONE driver slot (same machinery and strength as queries/digests.py:
 per-operator full-content order-insensitive md5-sum, so any changed
 value, extra/missing row, or stringified-type drift flips the digest).
 
-Four groups are consolidated here to stay inside the driver's 50-slot
+Groups are consolidated here to stay inside the driver's 50-slot
 recording budget while every operator remains value-verified:
 
 * ``jaffle_tests_digest`` — the five declarative test operators
@@ -11,15 +11,23 @@ recording budget while every operator remains value-verified:
   (0 rows on valid data); the digest pins (name, n_rows, content_digest)
   for all five, which is exactly the dbt failure-row contract the
   individual slots verified in rounds 1–2.
-* ``text_digest`` — text_token_stats / text_langid / text_fingerprint /
-  text_pii_scrub / text_tfidf_topk (r4) — text_quality keeps its own
-  slot: it is in the bench headline set.
-* ``prep_digest`` — the corpus-preparation operators
-  corpus_decontaminate / doc_pack / emb_quantize (r3) and
-  doc_dup_grams / corpus_source_stats / doc_cdc_chunks (r4) from
-  llm/prep.py.
+* ``text_digest`` — the per-document text-analysis family from
+  llm/text.py (token stats, langid, fingerprint, tf-idf, PII scrub,
+  repetition, chunking) — text_quality keeps its own slot: it is in
+  the bench headline set.
+* ``prep_digest`` — the corpus-preparation operators from llm/prep.py
+  (decontamination, packing, quantization, dup-grams, source stats,
+  CDC chunking) and llm/corpus.py (curation decision table, stratified
+  sampling).
 * ``multimodal_digest`` — multimodal_extract / multimodal_framesample /
   multimodal_resize (llm/multimodal.py).
+* ``events_digest`` (r4) — events_funnel / events_json_stats
+  (llm/events.py); sessionize and as-of keep their own slots (bench
+  headline continuity).
+* ``sim_eval_digest`` (r4) — the ANN/embedding evaluation operators
+  sim_recall_at_k / sim_knn_classify (llm/similarity.py), whose
+  oracles are module constants (RECALL_ORACLE / KNN_ORACLE) rather
+  than registry entries.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -29,12 +37,16 @@ declared column names match the live DataFrames so drift fails loudly.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..llm import corpus as llm_corpus
+from ..llm import events as llm_events
 from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
+from ..llm import similarity as llm_similarity
 from ..llm import text as llm_text
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
@@ -125,187 +137,242 @@ def _tests_oracle() -> str:
     return jaffle_sql_multi(["customers", "orders", "order_items"], selects)
 
 
-# ------------------------------------------------------ text ops digest
+# --------------------------------------------- operator digest groups
 
-_TEXT_MEMBERS: dict[str, list[tuple[str, str]]] = {
-    "text_token_stats": [
-        ("doc_id", "bigint"),
-        ("n_tokens", "bigint"),
-        ("n_distinct_tokens", "bigint"),
-        ("n_bpe_tokens", "bigint"),
-        ("sum_token_chars", "bigint"),
-        ("avg_token_len", "double"),
-        ("type_token_ratio", "double"),
-    ],
-    "text_langid": [
-        ("doc_id", "bigint"),
-        ("label_lang", "string"),
-        ("score_en", "bigint"),
-        ("score_de", "bigint"),
-        ("score_es", "bigint"),
-        ("score_fr", "bigint"),
-        ("score_zh", "bigint"),
-        ("predicted_lang", "string"),
-        ("matches_label", "boolean"),
-    ],
-    "text_fingerprint": [
-        ("doc_id", "bigint"),
-        ("md5_fingerprint", "string"),
-        ("min_shingle_hash", "bigint"),
-        ("norm_chars", "bigint"),
-    ],
-    # r4: log-free tf-idf top-terms (llm/text.py)
-    "text_tfidf_topk": [
-        ("doc_id", "bigint"),
-        ("rank", "bigint"),
-        ("term", "string"),
-        ("tf", "bigint"),
-        ("df", "bigint"),
-        ("score_bp", "bigint"),
-    ],
-    "text_pii_scrub": [
-        ("doc_id", "bigint"),
-        ("n_emails", "bigint"),
-        ("n_ipv4", "bigint"),
-        ("n_phones", "bigint"),
-        ("scrubbed_md5", "string"),
-        ("scrubbed_chars", "bigint"),
-    ],
-}
+Schema = list[tuple[str, str]]
 
 
-def text_digest(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    parts = [
-        digest_df(getattr(llm_text, name)(spark, sf_dir), name, schema)
-        for name, schema in _TEXT_MEMBERS.items()
-    ]
-    return reduce(DataFrame.unionByName, parts)
-
-
-def _text_oracle() -> str:
-    return " UNION ALL ".join(
-        digest_select_duck(name, schema, f"({llm_text.ORACLES[name]})")
-        for name, schema in _TEXT_MEMBERS.items()
+def _m(mod, name: str, schema: Schema, oracle: str | None = None) -> tuple:
+    """Group member: (builder, schema, oracle SELECT). The oracle
+    defaults to the module's ORACLES entry; evaluation operators whose
+    oracles are module constants pass them explicitly."""
+    return (
+        getattr(mod, name),
+        schema,
+        oracle if oracle is not None else mod.ORACLES[name],
     )
 
 
-# ---------------------------------------------- corpus-prep ops digest
-
-_PREP_MEMBERS: dict[str, list[tuple[str, str]]] = {
-    "corpus_decontaminate": [
-        ("doc_id", "bigint"),
-        ("n_overlap_8grams", "bigint"),
-        ("is_contaminated", "boolean"),
-    ],
-    "doc_pack": [
-        ("doc_id", "bigint"),
-        ("lang", "string"),
-        ("n_tokens", "bigint"),
-        ("ctx_id", "bigint"),
-        ("ctx_offset", "bigint"),
-        ("spans_boundary", "boolean"),
-    ],
-    "emb_quantize": [
-        ("vec_id", "bigint"),
-        ("n_dims", "bigint"),
-        ("max_abs_micro", "bigint"),
-        ("max_abs_err_q127", "bigint"),
-        ("sum_abs_err_q127", "bigint"),
-    ],
-    # r4: cross-doc duplicated-substring fraction (llm/prep.py)
-    "doc_dup_grams": [
-        ("doc_id", "bigint"),
-        ("n_grams", "bigint"),
-        ("n_dup_grams", "bigint"),
-        ("dup_fraction", "double"),
-    ],
-    # r4: content-defined chunking (llm/prep.py)
-    "doc_cdc_chunks": [
-        ("doc_id", "bigint"),
-        ("chunk_idx", "bigint"),
-        ("start_tok", "bigint"),
-        ("end_tok", "bigint"),
-        ("n_tok", "bigint"),
-        ("chunk_hash", "bigint"),
-    ],
-    # r4: source/domain-level filtering stats (llm/prep.py)
-    "corpus_source_stats": [
-        ("source", "string"),
-        ("n_docs", "bigint"),
-        ("n_canonical", "bigint"),
-        ("total_tokens", "bigint"),
-        ("sum_score_micro", "bigint"),
-        ("mean_quality", "double"),
-        ("exact_dup_rate", "double"),
-        ("keep_source", "boolean"),
-    ],
+# Every member's full output is value-verified per-operator inside its
+# group's digest rows — one (name, n_rows, content_digest) row each.
+_GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
+    "text_digest": {
+        "text_token_stats": _m(llm_text, "text_token_stats", [
+            ("doc_id", "bigint"),
+            ("n_tokens", "bigint"),
+            ("n_distinct_tokens", "bigint"),
+            ("n_bpe_tokens", "bigint"),
+            ("sum_token_chars", "bigint"),
+            ("avg_token_len", "double"),
+            ("type_token_ratio", "double"),
+        ]),
+        "text_langid": _m(llm_text, "text_langid", [
+            ("doc_id", "bigint"),
+            ("label_lang", "string"),
+            ("score_en", "bigint"),
+            ("score_de", "bigint"),
+            ("score_es", "bigint"),
+            ("score_fr", "bigint"),
+            ("score_zh", "bigint"),
+            ("predicted_lang", "string"),
+            ("matches_label", "boolean"),
+        ]),
+        "text_fingerprint": _m(llm_text, "text_fingerprint", [
+            ("doc_id", "bigint"),
+            ("md5_fingerprint", "string"),
+            ("min_shingle_hash", "bigint"),
+            ("norm_chars", "bigint"),
+        ]),
+        # r4: log-free tf-idf top-terms (llm/text.py)
+        "text_tfidf_topk": _m(llm_text, "text_tfidf_topk", [
+            ("doc_id", "bigint"),
+            ("rank", "bigint"),
+            ("term", "string"),
+            ("tf", "bigint"),
+            ("df", "bigint"),
+            ("score_bp", "bigint"),
+        ]),
+        "text_pii_scrub": _m(llm_text, "text_pii_scrub", [
+            ("doc_id", "bigint"),
+            ("n_emails", "bigint"),
+            ("n_ipv4", "bigint"),
+            ("n_phones", "bigint"),
+            ("scrubbed_md5", "string"),
+            ("scrubbed_chars", "bigint"),
+        ]),
+        # r4 consolidation: moved from individual slots (both stay in
+        # the per-round bench "rest" timing via this digest)
+        "text_repetition": _m(llm_text, "text_repetition", [
+            ("doc_id", "bigint"),
+            ("n_tokens", "int"),
+            ("n_2grams", "int"),
+            ("top_2gram_frac", "double"),
+            ("dup_3gram_frac", "double"),
+            ("is_repetitive", "boolean"),
+        ]),
+        "doc_chunk": _m(llm_text, "doc_chunk", [
+            ("doc_id", "bigint"),
+            ("chunk_idx", "int"),
+            ("start_token", "int"),
+            ("chunk_n_tokens", "int"),
+            ("chunk_md5", "string"),
+        ]),
+    },
+    "prep_digest": {
+        "corpus_decontaminate": _m(llm_prep, "corpus_decontaminate", [
+            ("doc_id", "bigint"),
+            ("n_overlap_8grams", "bigint"),
+            ("is_contaminated", "boolean"),
+        ]),
+        "doc_pack": _m(llm_prep, "doc_pack", [
+            ("doc_id", "bigint"),
+            ("lang", "string"),
+            ("n_tokens", "bigint"),
+            ("ctx_id", "bigint"),
+            ("ctx_offset", "bigint"),
+            ("spans_boundary", "boolean"),
+        ]),
+        "emb_quantize": _m(llm_prep, "emb_quantize", [
+            ("vec_id", "bigint"),
+            ("n_dims", "bigint"),
+            ("max_abs_micro", "bigint"),
+            ("max_abs_err_q127", "bigint"),
+            ("sum_abs_err_q127", "bigint"),
+        ]),
+        # r4: cross-doc duplicated-substring fraction (llm/prep.py)
+        "doc_dup_grams": _m(llm_prep, "doc_dup_grams", [
+            ("doc_id", "bigint"),
+            ("n_grams", "bigint"),
+            ("n_dup_grams", "bigint"),
+            ("dup_fraction", "double"),
+        ]),
+        # r4: content-defined chunking (llm/prep.py)
+        "doc_cdc_chunks": _m(llm_prep, "doc_cdc_chunks", [
+            ("doc_id", "bigint"),
+            ("chunk_idx", "bigint"),
+            ("start_tok", "bigint"),
+            ("end_tok", "bigint"),
+            ("n_tok", "bigint"),
+            ("chunk_hash", "bigint"),
+        ]),
+        # r4: source/domain-level filtering stats (llm/prep.py)
+        "corpus_source_stats": _m(llm_prep, "corpus_source_stats", [
+            ("source", "string"),
+            ("n_docs", "bigint"),
+            ("n_canonical", "bigint"),
+            ("total_tokens", "bigint"),
+            ("sum_score_micro", "bigint"),
+            ("mean_quality", "double"),
+            ("exact_dup_rate", "double"),
+            ("keep_source", "boolean"),
+        ]),
+        # r4 consolidation: moved from individual slots (llm/corpus.py)
+        "corpus_curate": _m(llm_corpus, "corpus_curate", [
+            ("doc_id", "bigint"),
+            ("n_tokens", "int"),
+            ("quality_score", "double"),
+            ("quality_band", "string"),
+            ("is_canonical", "boolean"),
+            ("keep", "boolean"),
+        ]),
+        "corpus_sample_stratified": _m(llm_corpus, "corpus_sample_stratified", [
+            ("doc_id", "bigint"),
+            ("lang", "string"),
+            ("sample_bucket", "bigint"),
+            ("stratum_rate_bp", "int"),
+        ]),
+    },
+    "multimodal_digest": {
+        "multimodal_extract": _m(llm_multimodal, "multimodal_extract", [
+            ("doc_id", "bigint"),
+            ("media_type", "string"),
+            ("n_bytes", "bigint"),
+            ("content_md5", "string"),
+            ("width", "bigint"),
+            ("height", "bigint"),
+            ("n_frames", "bigint"),
+        ]),
+        "multimodal_framesample": _m(llm_multimodal, "multimodal_framesample", [
+            ("doc_id", "bigint"),
+            ("n_frames", "bigint"),
+            ("frame_idx", "bigint"),
+            ("frame_md5", "string"),
+        ]),
+        "multimodal_resize": _m(llm_multimodal, "multimodal_resize", [
+            ("doc_id", "bigint"),
+            ("width", "bigint"),
+            ("height", "bigint"),
+            ("new_width", "bigint"),
+            ("new_height", "bigint"),
+            ("resized_bytes", "bigint"),
+        ]),
+    },
+    # r4: event-analytics digest — funnel + JSON stats move here from
+    # individual slots; sessionize/as-of keep their own (bench headline).
+    "events_digest": {
+        "events_funnel": _m(llm_events, "events_funnel", [
+            ("user_id", "bigint"),
+            ("view_ts_us", "bigint"),
+            ("click_ts_us", "bigint"),
+            ("purchase_ts_us", "bigint"),
+            ("reached_stage", "int"),
+            ("converted", "boolean"),
+        ]),
+        "events_json_stats": _m(llm_events, "events_json_stats", [
+            ("event_type", "string"),
+            ("n_events", "bigint"),
+            ("n_with_k", "bigint"),
+            ("sum_k", "bigint"),
+            ("min_k", "bigint"),
+            ("max_k", "bigint"),
+            ("avg_k", "double"),
+            ("sum_value_cents", "bigint"),
+        ]),
+    },
+    # r4: ANN/embedding evaluation digest — brings the two pytest-only
+    # evaluation operators under driver verification.
+    "sim_eval_digest": {
+        "sim_recall_at_k": _m(llm_similarity, "sim_recall_at_k", [
+            ("query_id", "bigint"),
+            ("n_retrieved", "bigint"),
+            ("n_hits", "bigint"),
+            ("recall_at_k", "double"),
+        ], oracle=llm_similarity.RECALL_ORACLE),
+        "sim_knn_classify": _m(llm_similarity, "sim_knn_classify", [
+            ("vec_id", "bigint"),
+            ("actual_label", "bigint"),
+            ("predicted_label", "bigint"),
+            ("votes", "bigint"),
+            ("is_correct", "boolean"),
+        ], oracle=llm_similarity.KNN_ORACLE),
+    },
 }
 
 
-def prep_digest(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    parts = [
-        digest_df(getattr(llm_prep, name)(spark, sf_dir), name, schema)
-        for name, schema in _PREP_MEMBERS.items()
-    ]
-    return reduce(DataFrame.unionByName, parts)
+def _group_query(group: str):
+    members = _GROUP_SPECS[group]
+
+    def q(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        parts = [
+            digest_df(fn(spark, sf_dir), name, schema)
+            for name, (fn, schema, _sql) in members.items()
+        ]
+        return reduce(DataFrame.unionByName, parts)
+
+    q.__name__ = group
+    return q
 
 
-def _prep_oracle() -> str:
+def _group_oracle(group: str) -> str:
     return " UNION ALL ".join(
-        digest_select_duck(name, schema, f"({llm_prep.ORACLES[name]})")
-        for name, schema in _PREP_MEMBERS.items()
-    )
-
-
-# ---------------------------------------------- multimodal ops digest
-
-_MM_MEMBERS: dict[str, list[tuple[str, str]]] = {
-    "multimodal_extract": [
-        ("doc_id", "bigint"),
-        ("media_type", "string"),
-        ("n_bytes", "bigint"),
-        ("content_md5", "string"),
-        ("width", "bigint"),
-        ("height", "bigint"),
-        ("n_frames", "bigint"),
-    ],
-    "multimodal_framesample": [
-        ("doc_id", "bigint"),
-        ("n_frames", "bigint"),
-        ("frame_idx", "bigint"),
-        ("frame_md5", "string"),
-    ],
-    "multimodal_resize": [
-        ("doc_id", "bigint"),
-        ("width", "bigint"),
-        ("height", "bigint"),
-        ("new_width", "bigint"),
-        ("new_height", "bigint"),
-        ("resized_bytes", "bigint"),
-    ],
-}
-
-
-def multimodal_digest(
-    spark: SparkSession, sf_dir: str | None = None
-) -> DataFrame:
-    parts = [
-        digest_df(getattr(llm_multimodal, name)(spark, sf_dir), name, schema)
-        for name, schema in _MM_MEMBERS.items()
-    ]
-    return reduce(DataFrame.unionByName, parts)
-
-
-def _mm_oracle() -> str:
-    return " UNION ALL ".join(
-        digest_select_duck(name, schema, f"({llm_multimodal.ORACLES[name]})")
-        for name, schema in _MM_MEMBERS.items()
+        digest_select_duck(name, schema, f"({sql})")
+        for name, (_fn, schema, sql) in _GROUP_SPECS[group].items()
     )
 
 
 OP_DIGEST_CATALOG: dict[str, tuple] = {
     "jaffle_tests_digest": (jaffle_tests_digest, _tests_oracle()),
-    "text_digest": (text_digest, _text_oracle()),
-    "prep_digest": (prep_digest, _prep_oracle()),
-    "multimodal_digest": (multimodal_digest, _mm_oracle()),
+    **{
+        g: (_group_query(g), _group_oracle(g)) for g in _GROUP_SPECS
+    },
 }

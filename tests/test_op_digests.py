@@ -5,14 +5,9 @@ from __future__ import annotations
 
 import pytest
 
-from dbt_jaffleshop_spark.llm import multimodal as llm_multimodal
-from dbt_jaffleshop_spark.llm import prep as llm_prep
-from dbt_jaffleshop_spark.llm import text as llm_text
 from dbt_jaffleshop_spark.queries.op_digests import (
-    _MM_MEMBERS,
-    _PREP_MEMBERS,
+    _GROUP_SPECS,
     _TEST_MEMBERS,
-    _TEXT_MEMBERS,
     OP_DIGEST_CATALOG,
 )
 from tests.conftest import assert_parity
@@ -37,23 +32,20 @@ def test_tests_digest_covers_five_green_tests(spark, sf_dir):
 def test_declared_schemas_match_live_dataframes(spark, sf_dir):
     """The normalization schemas embedded in the oracle SQL must track the
     live DataFrame column names/order — drift here silently weakens the
-    digest, so it fails loudly instead."""
+    digest, so it fails loudly instead. Double-awareness is also pinned:
+    a column declared non-double that is live-double would stringify
+    engine-dependently and flip the digest."""
     for name, (fn, schema) in _TEST_MEMBERS.items():
         live = fn(spark, sf_dir).columns
         assert [c for c, _ in schema] == live, name
-    for name, schema in _PREP_MEMBERS.items():
-        live = getattr(llm_prep, name)(spark, sf_dir).columns
-        assert [c for c, _ in schema] == live, name
-    for name, schema in _MM_MEMBERS.items():
-        live = getattr(llm_multimodal, name)(spark, sf_dir).columns
-        assert [c for c, _ in schema] == live, name
-    for name, schema in _TEXT_MEMBERS.items():
-        live = getattr(llm_text, name)(spark, sf_dir).columns
-        assert [c for c, _ in schema] == live, name
-        # double-awareness: quantized columns must actually be doubles
-        live_types = dict(
-            (f.name, f.dataType.simpleString())
-            for f in getattr(llm_text, name)(spark, sf_dir).schema.fields
-        )
-        for col, t in schema:
-            assert (t == "double") == (live_types[col] == "double"), (name, col)
+    for group, members in _GROUP_SPECS.items():
+        for name, (fn, schema, _sql) in members.items():
+            df = fn(spark, sf_dir)
+            assert [c for c, _ in schema] == df.columns, (group, name)
+            live_types = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
+            for col, t in schema:
+                assert (t == "double") == (live_types[col] == "double"), (
+                    group, name, col,
+                )
