@@ -148,6 +148,16 @@ register(
     _streaming_joins.ORACLES["streaming_attribution"],
 )
 
+# r4: SCD2 snapshots — the dbt `snapshots/` capability (check strategy),
+# exercised as a deterministic two-run history over raw orders.
+from ..plans import snapshots as _snapshots
+
+register(
+    "jaffle_orders_snapshot",
+    _snapshots.jaffle_orders_snapshot,
+    _snapshots.ORACLES["jaffle_orders_snapshot"],
+)
+
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
 register("multimodal_digest", *OP_DIGEST_CATALOG["multimodal_digest"])
 

@@ -1,0 +1,85 @@
+"""SCD2 snapshots (plans/snapshots.py): unit transitions + oracle parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from dbt_jaffleshop_spark.plans.snapshots import (
+    jaffle_orders_snapshot,
+    ORACLES,
+    snapshot_apply,
+)
+from tests.conftest import assert_parity
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, status=s, payload=p) for i, s, p in rows],
+        "id bigint, status string, payload bigint",
+    )
+
+
+def test_snapshot_transitions_cover_all_cases(spark):
+    """One table exercising every SCD2 transition across three runs:
+    insert, unchanged carry, change (close+reopen), hard delete (stays
+    open), re-change of an already-versioned key, and a changed payload
+    column NOT in check_cols (no new version — dbt check semantics)."""
+    t1, t2, t3 = (
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00",
+    )
+    s1 = _state(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)])
+    #        key 1 unchanged; key 2 changed; key 3 hard-deleted; key 4 new;
+    #        key 5's payload-only change must NOT version
+    s2 = _state(spark, [(1, "a", 10), (2, "b", 20), (4, "a", 40)])
+    s3 = _state(spark, [(1, "a", 99), (2, "c", 20), (4, "a", 40)])
+
+    snap = snapshot_apply(s1, None, "id", ["status"], t1)
+    snap = snapshot_apply(s2, snap, "id", ["status"], t2)
+    snap = snapshot_apply(s3, snap, "id", ["status"], t3)
+    rows = sorted(
+        (
+            (r.id, r.status, r.dbt_valid_from, r.dbt_valid_to)
+            for r in snap.collect()
+        ),
+    )
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    assert rows == [
+        # key 1: never changed on the check col (payload change at t3
+        # does not version under check strategy) — one open row
+        (1, "a", ts(t1), None),
+        # key 2: a → b at t2, b → c at t3
+        (2, "a", ts(t1), ts(t2)),
+        (2, "b", ts(t2), ts(t3)),
+        (2, "c", ts(t3), None),
+        # key 3: hard-deleted at t2 — stays open (dbt default)
+        (3, "a", ts(t1), None),
+        # key 4: inserted at t2
+        (4, "a", ts(t2), None),
+    ]
+    # scd ids are unique per (key, valid_from) version
+    ids = [r.dbt_scd_id for r in snap.collect()]
+    assert len(ids) == len(set(ids)) == 6
+
+
+def test_snapshot_is_idempotent_on_unchanged_source(spark):
+    s1 = _state(spark, [(1, "a", 10), (2, "b", 20)])
+    snap1 = snapshot_apply(s1, None, "id", ["status"], "2024-01-01 00:00:00")
+    snap2 = snapshot_apply(s1, snap1, "id", ["status"], "2024-02-01 00:00:00")
+    a = sorted(map(tuple, snap1.collect()))
+    b = sorted(map(tuple, snap2.collect()))
+    assert a == b  # re-applying the same state changes nothing
+
+
+def test_orders_snapshot_matches_oracle(spark, oracle, sf_dir):
+    assert_parity(
+        jaffle_orders_snapshot(spark, sf_dir),
+        oracle,
+        ORACLES["jaffle_orders_snapshot"],
+    )
