@@ -610,6 +610,246 @@ FROM coded
 """
 
 
+# --------------------------------------------- segment-level dedup
+
+SEG_W = 8  # non-overlapping segment width (tokens)
+_SEG_SLICE_D = f"toks[k * {SEG_W} + 1 : k * {SEG_W} + {SEG_W}]"
+
+
+def corpus_segment_dedup(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Sub-document exact dedup: the corpus is cut into non-overlapping
+    8-token segments and every segment whose normalized text already
+    occurred earlier in the corpus (first occurrence = min (doc_id,
+    seg_idx)) is dropped — the line/paragraph-level dedup pass from
+    CCNet (Wenzek et al. 2019, public), at fixed segment granularity
+    because the synthetic corpus has no line structure. Output is the
+    per-document decision summary plus the md5 of the document's kept
+    text, so the op is fully hash-verifiable.
+
+    Plan shape for 100 TB: one partial-aggregated groupBy on the 60-bit
+    segment hash computes each segment's first occurrence (min over a
+    (doc_id, seg_idx) struct — combines map-side, so a boilerplate
+    segment occurring everywhere costs one long-key merge, not a
+    straggler), then one hash-join back and one per-doc aggregation.
+    The in-doc reassembly (sort kept segments, concat, md5) happens
+    inside the per-doc aggregate — no window, no second corpus pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    segs_expr = (
+        f"case when size({_TOKS}) >= 1 then "
+        f"transform(sequence(0, cast(ceil(size({_TOKS}) / {SEG_W}.0) as int) - 1),"
+        f" k -> struct(k as seg_idx,"
+        f" concat_ws(' ', slice({_TOKS}, k * {SEG_W} + 1, {SEG_W})) as seg))"
+        " else array() end"
+    )
+    segs = docs.select("doc_id", F.expr(f"inline({segs_expr})")).withColumn(
+        "h", F.expr(HASH60_SPARK_SQL.format(s="seg"))
+    )
+    first = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first")
+    )
+    j = segs.join(first, "h")
+    kept = (F.col("doc_id") == F.col("first.doc_id")) & (
+        F.col("seg_idx") == F.col("first.seg_idx")
+    )
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept_segments"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("seg_idx", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("bigint")).alias(
+                "n_segments"
+            ),
+            F.coalesce(
+                F.col("n_kept_segments"), F.lit(0).cast("bigint")
+            ).alias("n_kept_segments"),
+            (
+                F.coalesce(F.col("n_segments"), F.lit(0))
+                - F.coalesce(F.col("n_kept_segments"), F.lit(0))
+            ).cast("bigint").alias("n_dropped_segments"),
+            F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
+def _segment_dedup_oracle() -> str:
+    # Independent derivation: first occurrence via a window rank instead
+    # of the Spark side's partial-aggregated struct-min.
+    h = HASH60_SQL.format(s="seg")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS_D} AS toks FROM documents
+),
+ks AS (
+    SELECT doc_id, toks,
+           unnest(CASE WHEN len(toks) >= 1 THEN generate_series(0,
+               CAST(ceil(len(toks) / {SEG_W}.0) AS INT) - 1) ELSE [] END) AS k
+    FROM base
+),
+segs AS (
+    SELECT doc_id, k AS seg_idx,
+           array_to_string({_SEG_SLICE_D}, ' ') AS seg
+    FROM ks
+),
+fh AS (
+    SELECT doc_id, seg_idx, seg,
+           row_number() OVER (PARTITION BY {h}
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM segs
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_segments,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+               FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM fh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.n_kept_segments, 0) AS BIGINT) AS n_kept_segments,
+       CAST(COALESCE(p.n_segments, 0) - COALESCE(p.n_kept_segments, 0)
+           AS BIGINT) AS n_dropped_segments,
+       COALESCE(p.kept_md5, md5('')) AS kept_md5
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# ------------------------------------------- temperature source mixing
+
+MIX_ALPHA_NOTE = "alpha = 0.5 (square-root temperature sampling)"
+_MIX_SALT = "mix-v1:"
+_MIX_MOD = 10_000
+
+
+def corpus_mix_sample(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Temperature-based source mixing: per-source sampling rates
+    proportional to n_docs^0.5 — the α-sampling used to rebalance
+    over-represented sources in multilingual/multi-source pretraining
+    (mC4 / XLM-R α-temperature sampling, public). The overall budget is
+    half the corpus; each source's target is its share of the
+    sqrt-weight mass, its rate is clamped to 100%, and membership is
+    the deterministic salted-hash bucket test (same discipline as
+    corpus_sample_stratified — reproducible across runs/engines,
+    stable under corpus growth).
+
+    Integer-exact across engines: weight = floor(sqrt(n)·1000) (IEEE
+    sqrt and multiply are correctly rounded, so both engines floor the
+    identical double), and every later step is bigint arithmetic.
+    Plan: one groupBy(source) (|sources| rows), a broadcast of the tiny
+    rate table back onto the corpus scan, one filtered re-count."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn(
+        "weight_milli",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("bigint"),
+    )
+    totals = per_source.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("weight_milli").alias("sum_weight_milli"),
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr("(total_docs div 2) * weight_milli div sum_weight_milli")
+        .alias("target_docs"),
+    ).withColumn(
+        "rate_bp",
+        F.least(
+            F.lit(10_000).cast("bigint"),
+            F.expr("target_docs * 10000 div n_docs"),
+        ),
+    )
+    bucket = (
+        f"cast(conv(substring(md5(concat('{_MIX_SALT}',"
+        f" cast(doc_id as string))), 1, 15), 16, 10) as long) % {_MIX_MOD}"
+    )
+    sampled = (
+        docs.select("source", F.expr(bucket).alias("bucket"))
+        .join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .where(F.col("bucket") < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        "target_docs",
+        "rate_bp",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("bigint")).alias(
+            "n_sampled"
+        ),
+        (
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("realized_rate"),
+    )
+
+
+def _mix_sample_oracle() -> str:
+    bucket = (
+        f"CAST('0x' || substr(md5('{_MIX_SALT}'"
+        f" || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_MIX_MOD}"
+    )
+    return f"""
+WITH per_source AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)
+               AS weight_milli
+    FROM documents GROUP BY source
+),
+totals AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           CAST(sum(weight_milli) AS BIGINT) AS sum_weight_milli
+    FROM per_source
+),
+rates AS (
+    SELECT source, n_docs, weight_milli,
+           (total_docs // 2) * weight_milli // sum_weight_milli
+               AS target_docs,
+           least(CAST(10000 AS BIGINT),
+               ((total_docs // 2) * weight_milli // sum_weight_milli)
+               * 10000 // n_docs) AS rate_bp
+    FROM per_source, totals
+),
+sampled AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {bucket} < r.rate_bp
+    GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.weight_milli,
+       CAST(r.target_docs AS BIGINT) AS target_docs,
+       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(s.n_sampled, 0) AS DOUBLE) / CAST(r.n_docs AS DOUBLE)
+           AS realized_rate
+FROM rates r LEFT JOIN sampled s ON r.source = s.source
+"""
+
+
 ORACLES: dict[str, str] = {
     "corpus_decontaminate": _decontaminate_oracle(),
     "doc_pack": _pack_oracle(),
@@ -617,4 +857,6 @@ ORACLES: dict[str, str] = {
     "doc_dup_grams": _dup_grams_oracle(),
     "corpus_source_stats": _source_stats_oracle(),
     "doc_cdc_chunks": _cdc_oracle(),
+    "corpus_segment_dedup": _segment_dedup_oracle(),
+    "corpus_mix_sample": _mix_sample_oracle(),
 }

@@ -411,6 +411,137 @@ FROM scored WHERE rank <= {TFIDF_TOPK}
 
 # ------------------------------------------------------------- oracle SQL
 
+# ------------------------------------------ bigram-LM quality scoring
+
+def text_lm_score(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet-style
+    quality signal (Wenzek et al. 2019 score docs by LM perplexity;
+    public): fluent/typical documents have likely token transitions,
+    gibberish and boilerplate-shuffled text do not. The "model" is the
+    corpus's own bigram statistics; each adjacent token pair (a, b)
+    scores the integer conditional probability
+
+        cond_bp(a, b) = count(a, b) * 10000 div count(a)
+
+    and a document reports its pair count, total, and integer mean —
+    a log-free perplexity surrogate that is bit-exact across engines
+    (a true log-prob mean would be IEEE-summation-order dependent).
+    The band is CCNet's head/tail split made scale-safe: docs at or
+    above the corpus-wide mean conditional probability are 'head',
+    the rest 'tail' (CCNet's exact perplexity terciles would need a
+    global ntile — a single-partition window; the broadcast-scalar
+    mean split keeps the same signal with zero windows).
+
+    Plan shape for 100 TB: unigram and bigram counts are two
+    partial-aggregated groupBys over the token/pair explodes; the
+    scored join keys pairs on (a, b) — at this corpus's vocabulary the
+    count relations broadcast, at web scale they become ordinary
+    AQE-planned hash joins on uniform hash keys. No window anywhere."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs_expr = (
+        f"case when size({_TOKS}) >= 2 then "
+        f"transform(sequence(1, size({_TOKS}) - 1),"
+        f" i -> struct(element_at({_TOKS}, i) as a,"
+        f" element_at({_TOKS}, i + 1) as b))"
+        " else array() end"
+    )
+    pairs = docs.select("doc_id", F.expr(f"inline({pairs_expr})"))
+    uni = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    cond = bi.join(uni, "a").select(
+        "a", "b", F.expr("c2 * 10000 div c1").alias("cond_bp")
+    )
+    per_doc = (
+        pairs.join(F.broadcast(cond), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cond_bp").alias("sum_cond_bp"),
+        )
+        .withColumn("mean_cond_bp", F.expr("sum_cond_bp div n_pairs"))
+    )
+    # corpus-wide mean conditional probability: one broadcast scalar
+    corpus = per_doc.agg(
+        F.expr("sum(sum_cond_bp) div sum(n_pairs)").alias("corpus_mean_bp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("sum_cond_bp"), F.lit(0).cast("bigint")).alias(
+                "sum_cond_bp"
+            ),
+            F.coalesce(F.col("mean_cond_bp"), F.lit(0).cast("bigint")).alias(
+                "mean_cond_bp"
+            ),
+            F.when(F.col("n_pairs").isNull(), "empty")
+            .when(F.col("mean_cond_bp") >= F.col("corpus_mean_bp"), "head")
+            .otherwise("tail")
+            .alias("lm_band"),
+        )
+    )
+
+
+def _lm_score_oracle() -> str:
+    return f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS_D} AS toks FROM documents
+),
+idx AS (
+    SELECT doc_id, toks,
+           unnest(CASE WHEN len(toks) >= 2
+               THEN generate_series(1, len(toks) - 1) ELSE [] END) AS i
+    FROM base
+),
+pairs AS (
+    SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM idx
+),
+uni AS (
+    SELECT unnest(toks) AS a FROM base
+),
+c1 AS (
+    SELECT a, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY a
+),
+c2 AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY a, b
+),
+cond AS (
+    SELECT c2.a, c2.b, c2.c2 * 10000 // c1.c1 AS cond_bp
+    FROM c2 JOIN c1 ON c2.a = c1.a
+),
+per_doc AS (
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cond_bp) AS BIGINT) AS sum_cond_bp,
+           CAST(sum(cond_bp) // count(*) AS BIGINT) AS mean_cond_bp
+    FROM pairs p JOIN cond ON p.a = cond.a AND p.b = cond.b
+    GROUP BY p.doc_id
+),
+corpus AS (
+    SELECT CAST(sum(sum_cond_bp) // sum(n_pairs) AS BIGINT)
+        AS corpus_mean_bp
+    FROM per_doc
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pd.sum_cond_bp, 0) AS BIGINT) AS sum_cond_bp,
+       CAST(COALESCE(pd.mean_cond_bp, 0) AS BIGINT) AS mean_cond_bp,
+       CASE WHEN pd.n_pairs IS NULL THEN 'empty'
+            WHEN pd.mean_cond_bp >= c.corpus_mean_bp THEN 'head'
+            ELSE 'tail' END AS lm_band
+FROM documents d LEFT JOIN per_doc pd USING (doc_id), corpus c
+"""
+
+
 _TOKS_D = "string_split(text, ' ')"
 
 
@@ -536,6 +667,7 @@ FROM base
 
 ORACLES: dict[str, str] = {
     "text_tfidf_topk": _tfidf_oracle(),
+    "text_lm_score": _lm_score_oracle(),
     "text_token_stats": f"""
 SELECT doc_id,
        len({_TOKS_D}) AS n_tokens,

@@ -123,12 +123,15 @@ _GROUP_DIGESTED = {
     "text_pii_scrub",
     "text_tfidf_topk",
     "text_repetition",
+    "text_lm_score",
     "doc_chunk",
     "multimodal_extract",
     "multimodal_framesample",
     "multimodal_resize",
     "corpus_curate",
     "corpus_sample_stratified",
+    "corpus_segment_dedup",
+    "corpus_mix_sample",
     "events_funnel",
     "events_json_stats",
 }

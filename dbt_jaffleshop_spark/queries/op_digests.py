@@ -200,6 +200,14 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("scrubbed_md5", "string"),
             ("scrubbed_chars", "bigint"),
         ]),
+        # r4: corpus-trained bigram-LM quality scoring (llm/text.py)
+        "text_lm_score": _m(llm_text, "text_lm_score", [
+            ("doc_id", "bigint"),
+            ("n_pairs", "bigint"),
+            ("sum_cond_bp", "bigint"),
+            ("mean_cond_bp", "bigint"),
+            ("lm_band", "string"),
+        ]),
         # r4 consolidation: moved from individual slots (both stay in
         # the per-round bench "rest" timing via this digest)
         "text_repetition": _m(llm_text, "text_repetition", [
@@ -265,6 +273,24 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("mean_quality", "double"),
             ("exact_dup_rate", "double"),
             ("keep_source", "boolean"),
+        ]),
+        # r4: CCNet-style segment-level exact dedup (llm/prep.py)
+        "corpus_segment_dedup": _m(llm_prep, "corpus_segment_dedup", [
+            ("doc_id", "bigint"),
+            ("n_segments", "bigint"),
+            ("n_kept_segments", "bigint"),
+            ("n_dropped_segments", "bigint"),
+            ("kept_md5", "string"),
+        ]),
+        # r4: α-temperature source mixing (llm/prep.py)
+        "corpus_mix_sample": _m(llm_prep, "corpus_mix_sample", [
+            ("source", "string"),
+            ("n_docs", "bigint"),
+            ("weight_milli", "bigint"),
+            ("target_docs", "bigint"),
+            ("rate_bp", "bigint"),
+            ("n_sampled", "bigint"),
+            ("realized_rate", "double"),
         ]),
         # r4 consolidation: moved from individual slots (llm/corpus.py)
         "corpus_curate": _m(llm_corpus, "corpus_curate", [

@@ -1,0 +1,96 @@
+"""Behavioral tests for the round-4 corpus ops (segment-level dedup,
+temperature source mixing, bigram-LM scoring). Oracle parity is covered
+by the parametrized sweeps in test_prep_ops.py / the digest tests; these
+pin the semantics on constructed corpora."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def docs_dir(tmp_path):
+    def write(rows):
+        pd.DataFrame(
+            [
+                {"doc_id": i, "text": t, "lang": lang, "source": src,
+                 "n_chars": len(t)}
+                for i, (t, lang, src) in enumerate(rows)
+            ]
+        ).to_parquet(tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    return write
+
+
+def test_segment_dedup_drops_repeats_keeps_first(spark, docs_dir):
+    from dbt_jaffleshop_spark.llm.prep import SEG_W, corpus_segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(SEG_W))       # one exact segment
+    uniq_a = " ".join(f"a{i}" for i in range(SEG_W))
+    uniq_c = " ".join(f"c{i}" for i in range(SEG_W))
+    # doc 0: boiler + unique; doc 1: boiler + unique (boiler is a repeat);
+    # doc 2: doc 0 verbatim (every segment drops)
+    sf = docs_dir([
+        (f"{boiler} {uniq_a}", "en", "s"),
+        (f"{boiler} {uniq_c}", "en", "s"),
+        (f"{boiler} {uniq_a}", "en", "s"),
+    ])
+    rows = {r.doc_id: r for r in corpus_segment_dedup(spark, sf).collect()}
+    assert rows[0].n_segments == 2 and rows[0].n_kept_segments == 2
+    assert rows[1].n_segments == 2 and rows[1].n_kept_segments == 1
+    assert rows[1].n_dropped_segments == 1
+    assert rows[2].n_kept_segments == 0  # full duplicate: nothing survives
+    # kept text of doc 1 is exactly its unique segment
+    import hashlib
+
+    assert rows[1].kept_md5 == hashlib.md5(uniq_c.encode()).hexdigest()
+    assert rows[2].kept_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_first_occurrence_within_doc(spark, docs_dir):
+    from dbt_jaffleshop_spark.llm.prep import SEG_W, corpus_segment_dedup
+
+    seg = " ".join(f"x{i}" for i in range(SEG_W))
+    sf = docs_dir([(f"{seg} {seg}", "en", "s")])  # same segment twice
+    r = corpus_segment_dedup(spark, sf).collect()[0]
+    assert (r.n_segments, r.n_kept_segments, r.n_dropped_segments) == (2, 1, 1)
+
+
+def test_mix_sample_downweights_large_sources(spark, docs_dir):
+    from dbt_jaffleshop_spark.llm.prep import corpus_mix_sample
+
+    # 160 docs in 'big', 10 in 'small': sqrt weighting must give the
+    # small source a HIGHER keep rate than the big one.
+    rows = [("tok " + "w" * (i % 3), "en", "big") for i in range(160)]
+    rows += [("tok " + "w" * (i % 3), "en", "small") for i in range(10)]
+    sf = docs_dir(rows)
+    out = {r.source: r for r in corpus_mix_sample(spark, sf).collect()}
+    assert out["big"].n_docs == 160 and out["small"].n_docs == 10
+    assert out["small"].rate_bp > out["big"].rate_bp
+    # budget respected: total target ≤ half the corpus
+    assert out["big"].target_docs + out["small"].target_docs <= 85
+    # sampled counts are the deterministic hash-threshold population
+    for r in out.values():
+        assert 0 <= r.n_sampled <= r.n_docs
+
+
+def test_lm_score_ranks_fluent_above_shuffled(spark, docs_dir):
+    from dbt_jaffleshop_spark.llm.text import text_lm_score
+
+    # A corpus dominated by one repeated fluent phrase: docs made of the
+    # phrase have high-probability transitions; a doc of the same tokens
+    # in scrambled order has rare transitions and must score lower.
+    phrase = "the cat sat on the mat"
+    scrambled = "mat the on cat the sat"
+    sf = docs_dir(
+        [(phrase, "en", "s")] * 8 + [(scrambled, "en", "s")] + [("solo", "en", "s")]
+    )
+    rows = {r.doc_id: r for r in text_lm_score(spark, sf).collect()}
+    fluent = rows[0]
+    shuffled = rows[8]
+    single = rows[9]
+    assert fluent.mean_cond_bp > shuffled.mean_cond_bp
+    assert fluent.lm_band == "head" and shuffled.lm_band == "tail"
+    assert single.n_pairs == 0 and single.lm_band == "empty"
