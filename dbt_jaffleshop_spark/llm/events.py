@@ -188,6 +188,54 @@ def events_funnel(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
+STICKY_WINDOW_DAYS = 7  # DAU/WAU trailing window
+
+
+def events_stickiness(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Product-analytics stickiness: per activity day, DAU, trailing
+    7-day WAU, and the DAU/WAU ratio — the standard engagement metric
+    (a distinct-count over a SLIDING window, which is not
+    partial-aggregatable and so needs a different shape from ordinary
+    windowed aggs).
+
+    Plan shape for 100 TB: the heavy step is ONE distinct on (day,
+    user_id) — everything after runs on the deduped relation, whose size
+    is bounded by days × active users. The sliding-window distinct is a
+    bounded fan-out join (each activity day lands in ≤7 window days)
+    against the broadcast day dimension, then two partial-aggregated
+    groupBys — no per-user window, no global window, no re-scan of raw
+    events. stickiness_milli is the integer-exact compare column; the
+    double ratio divides the same integers last."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    win = du.alias("u").join(
+        F.broadcast(days.alias("d")),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), STICKY_WINDOW_DAYS - 1)),
+    )
+    wau = (
+        win.select(F.col("d.day").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("dau * 1000 div wau").alias("stickiness_milli"),
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 ORACLES: dict[str, str] = {
@@ -303,3 +351,23 @@ FROM ev
 GROUP BY event_type
 """,
 }
+
+ORACLES["events_stickiness"] = f"""
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+),
+wau AS (
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day >= d.day - {STICKY_WINDOW_DAYS - 1}
+    GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau,
+       dau.dau * 1000 // wau.wau AS stickiness_milli,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""

@@ -610,6 +610,114 @@ FROM coded
 """
 
 
+# ------------------------------------------ random-projection reduce
+
+
+def _proj_dots(dialect: str) -> list[str]:
+    """One integer dot-product expression per fixed ±1 projection row
+    (over the micro-quantized embedding `e`), per dialect."""
+    from .common import PROJ_PLANES
+
+    out = []
+    for plane in PROJ_PLANES:
+        lits = ", ".join(str(v) for v in plane)
+        if dialect == "spark":
+            out.append(
+                f"aggregate(zip_with(e, array({lits}),"
+                " (x, r) -> x * r), 0L, (acc, x) -> acc + x)"
+            )
+        else:
+            out.append(
+                f"CAST(list_sum(list_transform(list_zip(e, [{lits}]),"
+                " p -> p[1] * p[2])) AS BIGINT)"
+            )
+    return out
+
+
+def emb_project(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Random-projection dimensionality reduction 64 → 16 with the
+    database-friendly ±1 matrix of Achlioptas (2001, public) — the cheap
+    JL-preserving reduce used before clustering/ANN when full-dim
+    embeddings are too wide to shuffle. Embeddings are micro-quantized
+    to int64 first (the repo's standard determinism move), so every
+    projected coordinate and both norms are exact integers; the JL
+    distortion ratio ||Rx||² / (16·||x||²) divides those integers as the
+    final step and concentrates near 1.
+
+    Pure higher-order-function scan — zero shuffle at any scale; the
+    16×64 matrix is a fixed literal in both engines (like the minhash
+    coefficients and LSH planes)."""
+    from .common import PROJ_DIM
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = (
+        "transform(embedding, x -> cast(round(cast(x as double)"
+        f" * {EMB_SCALE}) as bigint))"
+    )
+    dots = _proj_dots("spark")
+    base = emb.select(
+        "vec_id", F.expr(e).alias("e")
+    ).select(
+        "vec_id",
+        F.expr("size(e)").alias("n_dims"),
+        F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x)").alias(
+            "orig_norm_q"
+        ),
+        *[F.expr(d).alias(f"p{j}") for j, d in enumerate(dots[:4])],
+        F.expr(
+            "("
+            + " + ".join(f"({d}) * ({d})" for d in dots)
+            + ")"
+        ).alias("proj_norm_q"),
+    )
+    return base.select(
+        "vec_id",
+        "n_dims",
+        "orig_norm_q",
+        "p0",
+        "p1",
+        "p2",
+        "p3",
+        "proj_norm_q",
+        F.when(F.col("orig_norm_q") > 0,
+               F.col("proj_norm_q").cast("double")
+               / (F.lit(float(PROJ_DIM)) * F.col("orig_norm_q").cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("jl_distortion"),
+    )
+
+
+def _project_oracle() -> str:
+    from .common import PROJ_DIM
+
+    e = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {EMB_SCALE}) AS BIGINT))"
+    )
+    dots = _proj_dots("duck")
+    proj_norm = " + ".join(f"({d}) * ({d})" for d in dots)
+    p_cols = ",\n       ".join(
+        f"{d} AS p{j}" for j, d in enumerate(dots[:4])
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id, {e} AS e FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS n_dims,
+       CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT)
+           AS orig_norm_q,
+       {p_cols},
+       CAST({proj_norm} AS BIGINT) AS proj_norm_q,
+       CASE WHEN list_sum(list_transform(e, x -> x * x)) > 0
+            THEN CAST({proj_norm} AS DOUBLE)
+                 / ({PROJ_DIM}.0 * CAST(list_sum(list_transform(e,
+                     x -> x * x)) AS DOUBLE))
+            ELSE 0.0 END AS jl_distortion
+FROM q
+"""
+
+
 # --------------------------------------------- segment-level dedup
 
 SEG_W = 8  # non-overlapping segment width (tokens)
@@ -859,4 +967,5 @@ ORACLES: dict[str, str] = {
     "doc_cdc_chunks": _cdc_oracle(),
     "corpus_segment_dedup": _segment_dedup_oracle(),
     "corpus_mix_sample": _mix_sample_oracle(),
+    "emb_project": _project_oracle(),
 }

@@ -134,6 +134,8 @@ _GROUP_DIGESTED = {
     "corpus_mix_sample",
     "events_funnel",
     "events_json_stats",
+    "events_stickiness",
+    "emb_project",
 }
 
 for _name, (_fn, _sql) in LLM_CATALOG.items():

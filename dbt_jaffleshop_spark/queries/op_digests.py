@@ -354,6 +354,14 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("avg_k", "double"),
             ("sum_value_cents", "bigint"),
         ]),
+        # r4: DAU/WAU stickiness — sliding-window distinct count
+        "events_stickiness": _m(llm_events, "events_stickiness", [
+            ("day", "date"),
+            ("dau", "bigint"),
+            ("wau", "bigint"),
+            ("stickiness_milli", "bigint"),
+            ("stickiness", "double"),
+        ]),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only
     # evaluation operators under driver verification.
@@ -371,6 +379,19 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("votes", "bigint"),
             ("is_correct", "boolean"),
         ], oracle=llm_similarity.KNN_ORACLE),
+        # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
+        # projected coordinates + distortion evaluation
+        "emb_project": _m(llm_prep, "emb_project", [
+            ("vec_id", "bigint"),
+            ("n_dims", "bigint"),
+            ("orig_norm_q", "bigint"),
+            ("p0", "bigint"),
+            ("p1", "bigint"),
+            ("p2", "bigint"),
+            ("p3", "bigint"),
+            ("proj_norm_q", "bigint"),
+            ("jl_distortion", "double"),
+        ]),
     },
 }
 

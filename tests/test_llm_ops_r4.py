@@ -94,3 +94,31 @@ def test_lm_score_ranks_fluent_above_shuffled(spark, docs_dir):
     assert fluent.mean_cond_bp > shuffled.mean_cond_bp
     assert fluent.lm_band == "head" and shuffled.lm_band == "tail"
     assert single.n_pairs == 0 and single.lm_band == "empty"
+
+
+def test_emb_project_preserves_norms_in_expectation(spark, sf_dir):
+    """JL contract: the ±1 projection preserves squared norms up to
+    bounded distortion — the per-vector ratio concentrates near 1 and
+    its corpus mean lands well inside [0.7, 1.3]."""
+    from dbt_jaffleshop_spark.llm.prep import emb_project
+
+    pdf = emb_project(spark, sf_dir).toPandas()
+    assert (pdf.n_dims == 64).all()
+    nonzero = pdf[pdf.orig_norm_q > 0]
+    assert 0.7 < nonzero.jl_distortion.mean() < 1.3
+    # distortion is the ratio of the two integer norms, recomputed
+    recomputed = nonzero.proj_norm_q / (16.0 * nonzero.orig_norm_q)
+    assert (abs(recomputed - nonzero.jl_distortion) < 1e-12).all()
+
+
+def test_events_stickiness_bounds_and_first_day(spark, sf_dir):
+    """DAU ≤ WAU always (the window contains the day), so stickiness ≤ 1;
+    on the first activity day the trailing window holds only that day, so
+    DAU == WAU exactly."""
+    from dbt_jaffleshop_spark.llm.events import events_stickiness
+
+    pdf = events_stickiness(spark, sf_dir).toPandas().sort_values("day")
+    assert (pdf.dau <= pdf.wau).all()
+    assert (pdf.stickiness <= 1.0).all()
+    first = pdf.iloc[0]
+    assert first.dau == first.wau and first.stickiness_milli == 1000
