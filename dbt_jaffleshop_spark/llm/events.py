@@ -202,29 +202,29 @@ def events_stickiness(
 
     Plan shape for 100 TB: the heavy step is ONE distinct on (day,
     user_id) — everything after runs on the deduped relation, whose size
-    is bounded by days × active users. The sliding-window distinct is a
-    bounded fan-out join (each activity day lands in ≤7 window days)
-    against the broadcast day dimension, then two partial-aggregated
-    groupBys — no per-user window, no global window, no re-scan of raw
-    events. stickiness_milli is the integer-exact compare column; the
-    double ratio divides the same integers last."""
+    is bounded by days × active users. The sliding-window distinct is an
+    exact ×7 explode (each activity day emits the window days it serves)
+    followed by two partial-aggregated groupBys — NO join at all for the
+    window, in particular not the non-equi range join a naive
+    formulation plans as a nested-loop; the only join left is the tiny
+    equi-join assembling dau with wau per day. No per-user window, no
+    global window, no re-scan of raw events. stickiness_milli is the
+    integer-exact compare column; the double ratio divides the same
+    integers last. (The final inner join keeps exactly the activity
+    days: every activity day's own window contains it, so no dau row is
+    ever dropped.)"""
     ev = load_table(spark, "events", sf_dir)
     du = ev.select(
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
-    days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    win = du.alias("u").join(
-        F.broadcast(days.alias("d")),
-        (F.col("u.day") <= F.col("d.day"))
-        & (F.col("u.day") >= F.date_sub(F.col("d.day"), STICKY_WINDOW_DAYS - 1)),
-    )
-    wau = (
-        win.select(F.col("d.day").alias("day"), "user_id")
-        .distinct()
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("wau"))
-    )
+    win = du.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {STICKY_WINDOW_DAYS - 1}))")
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    wau = win.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     return dau.join(wau, "day").select(
         "day",
         "dau",

@@ -131,3 +131,28 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.exceptAll(plain).count() == 0
     plan = _plan(salted)
     assert "__salt" in plan  # the join key carries the salt
+
+
+def test_r4b_operators_stay_jvm_side_no_cartesian(spark, sf_dir):
+    """This round's additions hold the same scale contract: segment
+    dedup, mix sampling, LM scoring, stickiness, and the SCD2 snapshot
+    are pure Catalyst plans with hash joins only; emb_project is a
+    zero-shuffle scan."""
+    from dbt_jaffleshop_spark.llm import events, prep, text
+    from dbt_jaffleshop_spark.plans import snapshots
+
+    for fn in (prep.corpus_segment_dedup, prep.corpus_mix_sample,
+               prep.emb_project, text.text_lm_score,
+               events.events_stickiness, snapshots.jaffle_orders_snapshot):
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    # emb_project is a pure per-row scan: no exchange at all
+    assert "Exchange" not in _plan(prep.emb_project(spark, sf_dir))
+    # stickiness computes the sliding-window distinct via an explode +
+    # aggregation — the non-equi range join a naive formulation would
+    # plan as a nested loop must NOT appear
+    sticky = _plan(events.events_stickiness(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in sticky
+    assert "Generate explode" in sticky
