@@ -385,6 +385,72 @@ class AcidTable:
             stage, new_files, partition_by, meta, recompute
         )
 
+    def replace_partitions_and_append(
+        self,
+        replace_df: DataFrame,
+        part_col: str,
+        values: list,
+        append_df: DataFrame,
+        meta: dict | None = None,
+    ) -> int:
+        """Atomically replace the ``values`` partitions with ``replace_df``
+        AND append ``append_df``'s rows into the other partitions — ONE
+        manifest, one pointer swap.
+
+        This is the maintenance shape of SCD2 snapshots (plans/
+        snapshots.py): the open partition is rewritten (bounded by live
+        entities) while newly-closed versions append to the immutable
+        history partition, whose existing files are carried by
+        reference — commit cost O(open + changed), never O(history).
+        Two separate commits could not express this: either intermediate
+        state shows a changed key duplicated (append first) or its old
+        version missing (replace first).
+
+        ``append_df`` rows falling inside the replaced partitions are
+        excluded (they would duplicate ``replace_df``'s content)."""
+        from pyspark.sql import functions as F
+
+        prev = self.manifest()
+        partition_by = prev["partition_by"]
+        affected_dirs = {f"{part_col}={v}" for v in values}
+        self._check_append_schema(replace_df)
+        self._check_append_schema(append_df)
+        meta = {**(meta or {}), "schema": self._schema_map(replace_df)}
+        my_schema = meta["schema"]
+
+        sub = replace_df.where(F.col(part_col).isin(list(values)))
+        app = append_df.where(~F.col(part_col).isin(list(values)))
+        stage_r, files_r = self._stage(sub, partition_by)
+        stage_a, files_a = self._stage(app, partition_by)
+        new_files = files_r + files_a
+
+        def recompute() -> tuple[list[str], int]:
+            cur = self.manifest()
+            if cur["partition_by"] != partition_by:
+                raise ValueError(
+                    f"{self.path}: concurrent writer changed partition_by "
+                    f"to {cur['partition_by']}; staged {partition_by}"
+                )
+            stored = cur.get("meta", {}).get("schema")
+            if stored and stored != my_schema:
+                raise ValueError(
+                    f"{self.path}: write schema {my_schema} does not "
+                    f"match table schema {stored}"
+                )
+            kept = [
+                f
+                for f in cur["files"]
+                if not any(part in f.split(os.sep) for part in affected_dirs)
+            ]
+            return sorted(kept + new_files), cur["version"]
+
+        try:
+            return self._commit_with_retry(
+                stage_r, new_files, partition_by, meta, recompute
+            )
+        finally:
+            shutil.rmtree(stage_a, ignore_errors=True)
+
     # --------------------------------------------------------------- read
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

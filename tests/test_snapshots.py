@@ -83,3 +83,53 @@ def test_orders_snapshot_matches_oracle(spark, oracle, sf_dir):
         oracle,
         ORACLES["jaffle_orders_snapshot"],
     )
+
+
+def test_run_snapshot_acid_maintenance(spark, tmp_path):
+    """Three runs against an AcidTable history: the stored state equals
+    the pure snapshot_apply fold, each run is exactly one atomic
+    version, closed history files are carried by reference (never
+    rewritten), and a replayed run is a no-op."""
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+    from dbt_jaffleshop_spark.plans.snapshots import SNAP_OPEN_COL, run_snapshot
+
+    path = str(tmp_path / "snap")
+    t1, t2, t3 = (
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00",
+    )
+    s1 = _state(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)])
+    s2 = _state(spark, [(1, "a", 10), (2, "b", 20), (4, "a", 40)])
+    s3 = _state(spark, [(1, "a", 99), (2, "c", 20), (4, "a", 40)])
+
+    r1 = run_snapshot(spark, path, s1, "id", ["status"], t1)
+    r2 = run_snapshot(spark, path, s2, "id", ["status"], t2)
+    assert (r1["status"], r2["status"]) == ("created", "committed")
+    t = AcidTable(path)
+
+    # closed-history files of v2 are carried by reference into v3
+    closed_files_v2 = {
+        f for f in t.manifest()["files"] if f"{SNAP_OPEN_COL}=n" in f
+    }
+    r3 = run_snapshot(spark, path, s3, "id", ["status"], t3)
+    assert r3["status"] == "committed"
+    files_v3 = set(t.manifest()["files"])
+    assert closed_files_v2 <= files_v3
+
+    # stored state == the pure fold
+    expect = snapshot_apply(s1, None, "id", ["status"], t1)
+    expect = snapshot_apply(s2, expect, "id", ["status"], t2)
+    expect = snapshot_apply(s3, expect, "id", ["status"], t3)
+    got = sorted(
+        map(tuple, t.read(spark).drop(SNAP_OPEN_COL).collect())
+    )
+    assert got == sorted(map(tuple, expect.collect()))
+
+    # exactly three committed versions; replay of t3 is a no-op
+    assert t.current_version() == 3
+    replay = run_snapshot(spark, path, s3, "id", ["status"], t3)
+    assert replay["status"] == "skipped"
+    assert t.current_version() == 3
+    # older-than-committed replays skip too
+    assert run_snapshot(spark, path, s2, "id", ["status"], t2)["status"] == "skipped"
