@@ -153,6 +153,17 @@ register(
     _streaming_joins.ORACLES["streaming_attribution"],
 )
 
+# r4b: watermark-scoped streaming exact dedup — the identity oracle
+# value-checks the whole stream path on the (unique-id) testdata feed;
+# duplicate-drop semantics are pytest-pinned with a replayed file.
+from ..streaming import dedup as _streaming_dedup
+
+register(
+    "streaming_dedup_events",
+    _streaming_dedup.streaming_dedup_query,
+    _streaming_dedup.ORACLES["streaming_dedup_events"],
+)
+
 # r4: SCD2 snapshots — the dbt `snapshots/` capability (check strategy),
 # exercised as a deterministic two-run history over raw orders.
 from ..plans import snapshots as _snapshots

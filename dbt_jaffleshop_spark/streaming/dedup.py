@@ -23,19 +23,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 def streaming_dedup_events(
-    spark: SparkSession, source_dir: str, watermark: str = "1 day"
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 day",
+    glob: str | None = None,
 ) -> DataFrame:
     """Deduplicate an events parquet feed on event_id, tolerating
     duplicates that arrive up to `watermark` after the original."""
     from ..sources.registry import normalize_event_ts
     from .daily import events_stream_schema
 
+    reader = spark.readStream.schema(
+        events_stream_schema(spark, source_dir, glob=glob)
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     stream = (
-        normalize_event_ts(
-            spark.readStream.schema(
-                events_stream_schema(spark, source_dir, glob=None)
-            ).parquet(source_dir)
-        )
+        normalize_event_ts(reader.parquet(source_dir))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -49,3 +53,27 @@ def streaming_dedup_events(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_dedup_query(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Registry adapter: dedup the sf dir's events feed. The testdata
+    feed carries unique event_ids, so the exact oracle is the identity
+    relation — the value check covers the whole stream path (schema
+    probe, ts normalization, watermarked dedup state, append sink);
+    the replayed-duplicate semantics are pinned separately by
+    tests/test_llm_ops.py::test_streaming_dedup_drops_replayed_file."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    return streaming_dedup_events(spark, sf_dir, glob="events*.parquet")
+
+
+ORACLES: dict[str, str] = {
+    "streaming_dedup_events": """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""",
+}
