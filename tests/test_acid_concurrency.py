@@ -271,3 +271,58 @@ def test_compact_files_per_partition_knob(spark, tmp_path):
     # 200-row partition, deterministically
     assert all(n == 2 for n in per_part.values()), per_part
     assert table.read(spark).count() == 600
+
+
+def test_replace_and_append_survives_concurrent_append(spark, tmp_path):
+    """The snapshot-maintenance commit (replace partition 'y' + append
+    into 'n') races a concurrent append to partition 'n': the loser
+    re-merges against the winner's manifest and retries — the winner's
+    rows survive, the replaced partition holds exactly the new content,
+    and closed-partition files are carried by reference."""
+    from pyspark.sql import functions as F
+
+    def _pdf(spark, lo, hi, flag):
+        return spark.range(lo, hi).select(
+            "id", F.lit(flag).alias("p")
+        )
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(
+        _pdf(spark, 0, 10, "y").unionAll(_pdf(spark, 100, 110, "n")),
+        partition_by=["p"],
+    )  # v1: 10 open + 10 closed
+
+    other = AcidTable(path)
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(_pdf(spark, 200, 205, "n"))  # concurrent append
+        return orig_commit(files, partition_by, meta, expected_parent)
+
+    table._commit = racing_commit  # type: ignore[method-assign]
+    closed_before = {
+        f for f in table.manifest()["files"] if "p=n" in f.split(os.sep)
+    }
+    table.replace_partitions_and_append(
+        _pdf(spark, 20, 28, "y"),   # new open set (replaces 0..9)
+        "p",
+        ["y"],
+        _pdf(spark, 300, 303, "n"),  # newly closed versions
+    )
+
+    assert raced["done"]
+    out = table.read(spark)
+    open_ids = {r.id for r in out.where("p = 'y'").collect()}
+    closed_ids = {r.id for r in out.where("p = 'n'").collect()}
+    assert open_ids == set(range(20, 28))          # fully replaced
+    assert closed_ids == (
+        set(range(100, 110)) | set(range(200, 205)) | set(range(300, 303))
+    )  # original + racer + newly closed all survive
+    closed_after = {
+        f for f in table.manifest()["files"] if "p=n" in f.split(os.sep)
+    }
+    assert closed_before <= closed_after  # history carried by reference

@@ -161,3 +161,69 @@ def test_clusters_star_equals_propagation_any_graph(spark, edges):
         a = sorted(map(tuple, dedup.dedup_clusters(spark, None).collect()))
         b = sorted(map(tuple, dedup.dedup_clusters_star(spark, None).collect()))
     assert a == b
+
+
+@given(
+    runs=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),          # key
+                st.sampled_from(["a", "b", "c"]),               # checked col
+                st.integers(min_value=0, max_value=99),         # payload
+            ),
+            min_size=0,
+            max_size=6,
+            unique_by=lambda r: r[0],
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@_prop_settings
+def test_snapshot_fold_invariants_any_run_sequence(spark, runs):
+    """SCD2 fold invariants for ANY sequence of source states (dbt check
+    strategy):
+
+    * per key: exactly one open row iff the key ever appeared;
+    * the open row's checked value equals the key's LAST SEEN value
+      (hard deletes keep the last state open — dbt default);
+    * validity intervals chain without gaps or overlaps (each next
+      version opens exactly when the previous closes);
+    * version count per key = 1 + number of times its checked value
+      CHANGED between consecutive appearances."""
+    from pyspark.sql import Row
+
+    from dbt_jaffleshop_spark.plans.snapshots import snapshot_apply
+
+    ts = [f"2024-0{i + 1}-01 00:00:00" for i in range(len(runs))]
+    snap = None
+    last_seen: dict[int, str] = {}
+    changes: dict[int, int] = {}
+    for state, t in zip(runs, ts):
+        df = spark.createDataFrame(
+            [Row(id=k, status=s, payload=p) for k, s, p in state] or [],
+            "id bigint, status string, payload bigint",
+        )
+        snap = snapshot_apply(df, snap, "id", ["status"], t)
+        for k, s, _p in state:
+            if k not in last_seen:
+                changes[k] = 1
+            elif last_seen[k] != s:
+                changes[k] = changes[k] + 1
+            last_seen[k] = s
+
+    rows = snap.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.id, []).append(r)
+    assert set(by_key) == set(last_seen)
+    for k, versions in by_key.items():
+        opens = [r for r in versions if r.dbt_valid_to is None]
+        assert len(opens) == 1, (k, versions)
+        assert opens[0].status == last_seen[k]
+        assert len(versions) == changes[k]
+        # intervals chain: sort by valid_from; each close = next open
+        versions.sort(key=lambda r: r.dbt_valid_from)
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.dbt_valid_to == nxt.dbt_valid_from, (k, versions)
+        assert versions[-1].dbt_valid_to is None
