@@ -455,8 +455,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     cond = bi.join(uni, "a").select(
         "a", "b", F.expr("c2 * 10000 div c1").alias("cond_bp")
     )
+    # no broadcast hint: the cond relation is bigram-cardinality
+    # (corpus-sized at web scale) — let AQE broadcast it only when it
+    # measures small, and fall back to an ordinary hash join otherwise
     per_doc = (
-        pairs.join(F.broadcast(cond), ["a", "b"])
+        pairs.join(cond, ["a", "b"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

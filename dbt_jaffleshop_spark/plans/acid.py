@@ -348,41 +348,12 @@ class AcidTable:
         partitions); a reader mid-commit sees old-everything or
         new-everything, never a half-rewritten partition. Retry-merge
         like append: a concurrent append to ANOTHER partition survives
-        this commit; a concurrent layout/schema change aborts it."""
-        from pyspark.sql import functions as F
+        this commit; a concurrent layout/schema change aborts it.
 
-        prev = self.manifest()
-        partition_by = prev["partition_by"]
-        affected_dirs = {f"{part_col}={v}" for v in values}
-        self._check_append_schema(df)
-        meta = {**(meta or {}), "schema": self._schema_map(df)}
-        my_schema = meta["schema"]
-
-        sub = df.where(F.col(part_col).isin(list(values)))
-        stage, new_files = self._stage(sub, partition_by)
-
-        def recompute() -> tuple[list[str], int]:
-            cur = self.manifest()
-            if cur["partition_by"] != partition_by:
-                raise ValueError(
-                    f"{self.path}: concurrent writer changed partition_by "
-                    f"to {cur['partition_by']}; staged {partition_by}"
-                )
-            stored = cur.get("meta", {}).get("schema")
-            if stored and stored != my_schema:
-                raise ValueError(
-                    f"{self.path}: write schema {my_schema} does not "
-                    f"match table schema {stored}"
-                )
-            kept = [
-                f
-                for f in cur["files"]
-                if not any(part in f.split(os.sep) for part in affected_dirs)
-            ]
-            return sorted(kept + new_files), cur["version"]
-
-        return self._commit_with_retry(
-            stage, new_files, partition_by, meta, recompute
+        (The append_df=None degenerate case of
+        :meth:`replace_partitions_and_append` — one shared commit path.)"""
+        return self.replace_partitions_and_append(
+            df, part_col, values, append_df=None, meta=meta
         )
 
     def replace_partitions_and_append(
@@ -390,8 +361,9 @@ class AcidTable:
         replace_df: DataFrame,
         part_col: str,
         values: list,
-        append_df: DataFrame,
+        append_df: DataFrame | None,
         meta: dict | None = None,
+        validate=None,
     ) -> int:
         """Atomically replace the ``values`` partitions with ``replace_df``
         AND append ``append_df``'s rows into the other partitions — ONE
@@ -407,25 +379,38 @@ class AcidTable:
         version missing (replace first).
 
         ``append_df`` rows falling inside the replaced partitions are
-        excluded (they would duplicate ``replace_df``'s content)."""
+        excluded (they would duplicate ``replace_df``'s content).
+
+        ``validate(cur_manifest)`` (optional) runs inside EVERY commit
+        attempt, against the manifest the commit would build on — the
+        hook for caller-level idempotence guards that must hold under
+        races, not just at call time (raise ValueError to abort; the
+        staged files are discarded). Without it, a check-then-act guard
+        at the call site re-validates nothing after a lost race."""
         from pyspark.sql import functions as F
 
         prev = self.manifest()
         partition_by = prev["partition_by"]
         affected_dirs = {f"{part_col}={v}" for v in values}
         self._check_append_schema(replace_df)
-        self._check_append_schema(append_df)
+        if append_df is not None:
+            self._check_append_schema(append_df)
         meta = {**(meta or {}), "schema": self._schema_map(replace_df)}
         my_schema = meta["schema"]
 
         sub = replace_df.where(F.col(part_col).isin(list(values)))
-        app = append_df.where(~F.col(part_col).isin(list(values)))
         stage_r, files_r = self._stage(sub, partition_by)
-        stage_a, files_a = self._stage(app, partition_by)
+        if append_df is not None:
+            app = append_df.where(~F.col(part_col).isin(list(values)))
+            stage_a, files_a = self._stage(app, partition_by)
+        else:
+            stage_a, files_a = None, []
         new_files = files_r + files_a
 
         def recompute() -> tuple[list[str], int]:
             cur = self.manifest()
+            if validate is not None:
+                validate(cur)
             if cur["partition_by"] != partition_by:
                 raise ValueError(
                     f"{self.path}: concurrent writer changed partition_by "
@@ -449,7 +434,8 @@ class AcidTable:
                 stage_r, new_files, partition_by, meta, recompute
             )
         finally:
-            shutil.rmtree(stage_a, ignore_errors=True)
+            if stage_a is not None:
+                shutil.rmtree(stage_a, ignore_errors=True)
 
     # --------------------------------------------------------------- read
 

@@ -69,14 +69,24 @@ def snapshot_apply(
     source: DataFrame,
     prior: DataFrame | None,
     unique_key: str,
-    check_cols: list[str],
+    check_cols: list[str] | None,
     run_ts: str,
 ) -> DataFrame:
     """One snapshot run: fold the current ``source`` state into the
     ``prior`` SCD2 history (None on the first run). ``run_ts`` is the
     run's logical timestamp ('YYYY-MM-DD HH:MM:SS'); dbt uses wall-clock
     now(), passed explicitly here so runs are replayable/deterministic
-    (the frozen-as-of discipline from functions/dates.py)."""
+    (the frozen-as-of discipline from functions/dates.py).
+
+    ``check_cols=None`` means dbt's ``check_cols: all`` default: every
+    non-key source column participates in the change compare."""
+    if check_cols is None:
+        check_cols = [c for c in source.columns if c != unique_key]
+    if not check_cols:
+        raise ValueError(
+            "snapshot_apply: check_cols must name at least one column "
+            "(or pass None for dbt's 'all columns' default)"
+        )
     ts = F.to_timestamp(F.lit(run_ts))
     payload = [c for c in source.columns]
     if prior is None:
@@ -148,6 +158,12 @@ def run_snapshot(
     committed manifest records ``snapshot_run_ts``; a re-run whose
     logical timestamp is ≤ the recorded one is a no-op (crash-restart
     replays and at-least-once schedulers cannot double-close versions).
+    The guard is enforced INSIDE the commit's retry loop via the
+    ``validate`` hook — a check only at entry would be check-then-act:
+    two concurrent executions of the same run could both pass it, and
+    the race loser's retry-merge would then append its (identical)
+    newly-closed rows on top of the winner's, double-closing every
+    changed key.
     """
     from pyspark.sql import functions as F
 
@@ -166,27 +182,57 @@ def run_snapshot(
         )
         return {"status": "created", "version": v}
 
-    last = t.manifest().get("meta", {}).get("snapshot_run_ts")
-    if last is not None and run_ts <= last:
+    def _check_newer(manifest: dict) -> None:
+        last = manifest.get("meta", {}).get("snapshot_run_ts")
+        if last is not None and run_ts <= last:
+            raise ValueError(
+                f"snapshot replay: run_ts {run_ts} <= committed {last}"
+            )
+
+    try:
+        _check_newer(t.manifest())
+    except ValueError as e:
         return {
             "status": "skipped",
             "version": t.current_version(),
-            "reason": f"run_ts {run_ts} <= committed {last}",
+            "reason": str(e),
         }
 
     prior = t.read(spark).drop(SNAP_OPEN_COL)
-    new = snapshot_apply(source, prior, unique_key, check_cols, run_ts)
-    new = new.withColumn(SNAP_OPEN_COL, open_flag)
-    ts = F.to_timestamp(F.lit(run_ts))
-    v = t.replace_partitions_and_append(
-        new.where(F.col(SNAP_OPEN_COL) == "y"),
-        SNAP_OPEN_COL,
-        ["y"],
-        # closed rows are immutable once written: only this run's newly
-        # closed versions are appended to the history partition
-        new.where((F.col(SNAP_OPEN_COL) == "n") & (F.col("dbt_valid_to") == ts)),
-        meta={"snapshot_run_ts": run_ts, "snapshot_key": unique_key},
+    # the fold is staged twice below (open rewrite + closed append);
+    # cache it so the full-outer join against the prior history runs
+    # once, keeping the commit at its documented O(open + changed) cost
+    new = (
+        snapshot_apply(source, prior, unique_key, check_cols, run_ts)
+        .withColumn(SNAP_OPEN_COL, open_flag)
+        .cache()
     )
+    ts = F.to_timestamp(F.lit(run_ts))
+    try:
+        v = t.replace_partitions_and_append(
+            new.where(F.col(SNAP_OPEN_COL) == "y"),
+            SNAP_OPEN_COL,
+            ["y"],
+            # closed rows are immutable once written: only this run's newly
+            # closed versions are appended to the history partition
+            new.where(
+                (F.col(SNAP_OPEN_COL) == "n") & (F.col("dbt_valid_to") == ts)
+            ),
+            meta={"snapshot_run_ts": run_ts, "snapshot_key": unique_key},
+            validate=_check_newer,
+        )
+    except ValueError as e:
+        if "snapshot replay" in str(e):
+            # a concurrent execution of this (or a newer) run won the
+            # commit race — its history already contains these closes
+            return {
+                "status": "skipped",
+                "version": t.current_version(),
+                "reason": str(e),
+            }
+        raise
+    finally:
+        new.unpersist()
     return {"status": "committed", "version": v}
 
 

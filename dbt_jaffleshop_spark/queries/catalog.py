@@ -130,13 +130,14 @@ _GROUP_DIGESTED = {
     "multimodal_resize",
     "corpus_curate",
     "corpus_sample_stratified",
-    "corpus_segment_dedup",
-    "corpus_mix_sample",
     "events_funnel",
     "events_json_stats",
     "events_stickiness",
-    "emb_project",
 }
+# (llm/prep.py's operators — corpus_segment_dedup, corpus_mix_sample,
+# emb_project, and the rest — never enter LLM_CATALOG at all: prep is
+# not in llm/__init__'s module list, so they are digest-only by
+# construction and need no entry here.)
 
 for _name, (_fn, _sql) in LLM_CATALOG.items():
     if _name not in _GROUP_DIGESTED:

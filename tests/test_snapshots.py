@@ -133,3 +133,64 @@ def test_run_snapshot_acid_maintenance(spark, tmp_path):
     assert t.current_version() == 3
     # older-than-committed replays skip too
     assert run_snapshot(spark, path, s2, "id", ["status"], t2)["status"] == "skipped"
+
+
+def test_run_snapshot_concurrent_same_run_no_double_close(spark, tmp_path):
+    """Two concurrent executions of the SAME logical run (at-least-once
+    scheduler double-fire): both pass the entry guard, but the commit
+    race loser must SKIP via the in-retry validate hook — not retry-merge
+    its identical newly-closed rows on top of the winner's (double-close)."""
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+    from dbt_jaffleshop_spark.plans.snapshots import SNAP_OPEN_COL, run_snapshot
+
+    path = str(tmp_path / "snap")
+    t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    s1 = _state(spark, [(1, "a", 10), (2, "a", 20)])
+    s2 = _state(spark, [(1, "a", 10), (2, "b", 20)])
+    assert run_snapshot(spark, path, s1, "id", ["status"], t1)["status"] == "created"
+
+    # make the second execution land first, mid-commit of the first
+    table_cls = AcidTable
+    orig_commit = table_cls._commit
+    raced = {"done": False}
+
+    def racing_commit(self, files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"] and meta.get("snapshot_run_ts") == t2:
+            raced["done"] = True
+            table_cls._commit = orig_commit  # the inner run commits cleanly
+            inner = run_snapshot(spark, path, s2, "id", ["status"], t2)
+            assert inner["status"] == "committed"
+            table_cls._commit = racing_commit
+        return orig_commit(self, files, partition_by, meta, expected_parent)
+
+    table_cls._commit = racing_commit
+    try:
+        outer = run_snapshot(spark, path, s2, "id", ["status"], t2)
+    finally:
+        table_cls._commit = orig_commit
+
+    assert raced["done"]
+    assert outer["status"] == "skipped"
+    t = AcidTable(path)
+    rows = t.read(spark).drop(SNAP_OPEN_COL).collect()
+    closes = [r for r in rows if r.id == 2 and r.dbt_valid_to is not None]
+    assert len(closes) == 1, rows  # exactly ONE closed version of key 2
+    assert len(rows) == 3  # (1 open) + (2 closed) + (2 reopened)
+
+
+def test_snapshot_check_cols_all_and_empty(spark):
+    """check_cols=None = dbt's 'all columns' default (payload change DOES
+    version); an explicit empty list is a loud error."""
+    import pytest as _pytest
+
+    from dbt_jaffleshop_spark.plans.snapshots import snapshot_apply
+
+    t1, t2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    s1 = _state(spark, [(1, "a", 10)])
+    s2 = _state(spark, [(1, "a", 11)])  # payload-only change
+    snap = snapshot_apply(s1, None, "id", None, t1)
+    snap = snapshot_apply(s2, snap, "id", None, t2)
+    assert snap.count() == 2  # versioned under check_cols: all
+
+    with _pytest.raises(ValueError, match="check_cols"):
+        snapshot_apply(s1, None, "id", [], t1)
