@@ -48,6 +48,7 @@ from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
 from ..llm import similarity as llm_similarity
 from ..llm import text as llm_text
+from ..streaming import sessionize as _sessionize_mod
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
 from .test_suite import (
@@ -362,6 +363,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("stickiness_milli", "bigint"),
             ("stickiness", "double"),
         ]),
+        # r4b: built-in session_window streaming twin (streaming/
+        # sessionize.py) — ">= gap" break semantics mirrored in its
+        # oracle; a streaming query runs inside this digest's build
+        "streaming_session_window": (
+            _sessionize_mod.streaming_session_window,
+            [
+                ("user_id", "bigint"),
+                ("session_start_us", "bigint"),
+                ("session_end_us", "bigint"),
+                ("n_events", "bigint"),
+                ("session_value_cents", "bigint"),
+            ],
+            _sessionize_mod.ORACLES["streaming_session_window"],
+        ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only
     # evaluation operators under driver verification.

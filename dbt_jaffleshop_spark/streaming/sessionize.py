@@ -223,3 +223,92 @@ from ..llm.events import ORACLES as _EV_ORACLES  # noqa: E402
 ORACLES: dict[str, str] = {
     "streaming_sessionize": _EV_ORACLES["events_sessionize"],
 }
+
+
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The BUILT-IN twin of :func:`streaming_sessionize`: Spark's native
+    ``session_window`` streaming aggregation (dynamic-gap session
+    windows, state managed by the engine) instead of the custom
+    ``applyInPandasWithState`` operator. Where the custom variant exists
+    to show arbitrary stateful logic, this is the shape to PREFER when
+    built-in semantics suffice: JVM-side state, no Python in the loop,
+    watermark-driven state eviction for free.
+
+    Session-break semantics match the batch/custom operators exactly —
+    a new session opens when the inter-event gap is ``> gap`` (an event
+    landing exactly ON ``last_ts + gap`` still merges; pinned by
+    tests/test_llm_ops_r4.py's boundary test) — and the reported
+    session end is ``last_ts + gap``, not ``last_ts``. (No distinct
+    event-type count here: streaming aggregations do not support exact
+    ``countDistinct`` — the custom-state twin is the path that carries
+    the distinct set.)"""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ..sources.registry import normalize_event_ts
+    from .daily import events_stream_schema
+
+    reader = spark.readStream.schema(events_stream_schema(spark, sf_dir)).option(
+        "pathGlobFilter", "events*.parquet"
+    )
+    stream = normalize_event_ts(reader.parquet(sf_dir)).select(
+        "user_id",
+        "ts",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    gap_s = SESSION_GAP_US // 1_000_000
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("session_value_cents"),
+        )
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.expr("unix_micros(w.start)").alias("session_start_us"),
+        F.expr("unix_micros(w.end)").alias("session_end_us"),
+        "n_events",
+        "session_value_cents",
+    )
+
+
+ORACLES["streaming_session_window"] = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       CAST(min(ts_us) AS BIGINT) AS session_start_us,
+       CAST(max(ts_us) + {SESSION_GAP_US} AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS session_value_cents
+FROM s GROUP BY user_id, sid
+"""

@@ -122,3 +122,40 @@ def test_events_stickiness_bounds_and_first_day(spark, sf_dir):
     assert (pdf.stickiness <= 1.0).all()
     first = pdf.iloc[0]
     assert first.dau == first.wau and first.stickiness_milli == 1000
+
+
+def test_session_window_gap_boundary_semantics(spark, tmp_path):
+    """Spark's session_window MERGES an event landing exactly on
+    last_ts + gap (empirically pinned here) — its break rule is
+    `> gap`, identical to the lag-based batch/custom operators, which
+    is what lets the streaming twin share their oracle family."""
+    import pandas as pd
+
+    from dbt_jaffleshop_spark.llm.events import SESSION_GAP_US
+    from dbt_jaffleshop_spark.streaming.sessionize import (
+        streaming_session_window,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(microseconds=SESSION_GAP_US)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            # user 1: second event at EXACTLY the gap → still ONE session;
+            # user 2: second event 1µs past the gap → two sessions
+            "ts": [base, base + gap, base, base + gap + pd.Timedelta(microseconds=1)],
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = streaming_session_window(spark, str(tmp_path)).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 1 and per_user[1][0].n_events == 2
+    assert len(per_user[2]) == 2
+    # session end = last event ts + gap
+    solo = sorted(per_user[2], key=lambda r: r.session_start_us)[0]
+    assert solo.session_end_us == solo.session_start_us + SESSION_GAP_US
