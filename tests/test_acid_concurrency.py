@@ -326,3 +326,48 @@ def test_replace_and_append_survives_concurrent_append(spark, tmp_path):
         f for f in table.manifest()["files"] if "p=n" in f.split(os.sep)
     }
     assert closed_before <= closed_after  # history carried by reference
+
+
+def test_merge_rows_partitioned_upsert(spark, tmp_path):
+    """MERGE semantics on a partitioned table: matched keys replaced
+    (including a key MOVING partitions), unmatched inserted, untouched
+    partitions' files carried byte-for-byte by reference; duplicate-key
+    updates raise."""
+    from pyspark.sql import functions as F
+
+    def _rows(spark, data):
+        return spark.createDataFrame(
+            data, "id bigint, p string, v bigint"
+        )
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(
+        _rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)]),
+        partition_by=["p"],
+    )
+    untouched_before = {
+        f for f in table.manifest()["files"] if "p=c" in f.split(os.sep)
+    }
+
+    # update key 2 in place, MOVE key 3 from p=b to p=a, insert key 5
+    table.merge_rows(
+        spark,
+        _rows(spark, [(2, "a", 21), (3, "a", 31), (5, "b", 50)]),
+        "id",
+    )
+    got = sorted(
+        map(tuple, table.read(spark).select("id", "p", "v").collect())
+    )
+    assert got == [
+        (1, "a", 10), (2, "a", 21), (3, "a", 31), (4, "c", 40), (5, "b", 50),
+    ]
+    untouched_after = {
+        f for f in table.manifest()["files"] if "p=c" in f.split(os.sep)
+    }
+    assert untouched_before == untouched_after  # carried by reference
+
+    with pytest.raises(ValueError, match="duplicate"):
+        table.merge_rows(
+            spark, _rows(spark, [(7, "a", 1), (7, "a", 2)]), "id"
+        )
