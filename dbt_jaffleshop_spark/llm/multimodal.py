@@ -5,12 +5,14 @@ Pattern: media lives as an opaque `binary` column with typed metadata;
 decode / feature-extract runs as an Arrow-batched Pandas function over
 `mapInPandas`, so each task processes columnar batches and the pipeline
 shape (schema, partitioning, batch iteration) is exactly what a real
-image/audio decoder would plug into. `decode_media` is CAPABILITY-GATED:
-it decodes images for real when PIL is installed (absent in this
-container — see `_image_codec`), and raises NotImplementedError for
-audio/video (and for images without PIL); the deterministic metadata
-path (byte length, md5, fake dimensions derived from length) is fully
-implemented and oracle-checked regardless of codec availability.
+image/audio decoder would plug into. `decode_media` decodes
+PNG/BMP/GIF metadata (dimensions, GIF frame count) DEPENDENCY-FREE via
+container-header parsing (`parse_image_header`); other image formats
+decode through PIL when installed (capability-gated — see
+`_image_codec`), and audio/video codecs raise NotImplementedError. The
+deterministic metadata path (byte length, md5, fake dimensions derived
+from length) is fully implemented and oracle-checked regardless of
+codec availability.
 
 The binary payload here is the document text's UTF-8 bytes (the testdata
 has no real media); at 100 TB the same plan reads parquet `binary`
@@ -64,13 +66,85 @@ def _image_codec():
 HAS_IMAGE_CODEC = _image_codec() is not None
 
 
+def parse_image_header(payload: bytes) -> dict | None:
+    """Dependency-free image METADATA decode: container-format header
+    parsing for PNG / BMP / GIF (pure struct reads over the public file
+    formats — no codec library). Returns width/height/n_frames, or None
+    when the payload is not one of the recognized formats. This is the
+    real operation a metadata-extraction pipeline performs (dimensions,
+    frame count) — full pixel decode still needs PIL and stays
+    capability-gated."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory-first: width/height are big-endian at 16/20
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": w, "height": h, "n_frames": 1}
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        # BITMAPINFOHEADER: little-endian int32 at 18/22 (height may be
+        # negative for top-down rows)
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"width": w, "height": abs(h), "n_frames": 1}
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        # frame count = image-descriptor blocks; 0x2C only introduces a
+        # descriptor at a block boundary, so walk the block structure
+        # rather than counting bytes (0x2C can occur inside pixel data)
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": max(1, _gif_frame_count(payload)),
+        }
+    return None
+
+
+def _gif_frame_count(payload: bytes) -> int:
+    """Walk the GIF block structure counting image descriptors."""
+    pos = 13  # header + logical screen descriptor
+    flags = payload[10]
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < n and payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 9 > n:
+                break
+            lflags = payload[pos + 8]
+            pos += 9
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW min code size
+            while pos < n and payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1
+        else:  # corrupt stream: stop rather than loop
+            break
+    return frames
+
+
 def decode_media(payload: bytes, media_type: str) -> dict:
-    """Decode one media payload to metadata. Images decode for real when
-    PIL is installed (capability-gated — absent in this container); audio/
-    video codecs (librosa / av) remain honestly stubbed. Swapping in a
-    codec changes only this function; extract_features' deterministic
-    metadata path is unaffected."""
+    """Decode one media payload to metadata. Image formats with
+    parseable container headers (PNG/BMP/GIF) decode dependency-free via
+    :func:`parse_image_header`; anything else decodes through PIL when
+    installed (capability-gated — absent in this container); audio/video
+    codecs (librosa / av) remain honestly stubbed. Swapping in a codec
+    changes only this function; extract_features' deterministic metadata
+    path is unaffected."""
     if media_type == "image":
+        parsed = parse_image_header(payload)
+        if parsed is not None:
+            return parsed
         image_mod = _image_codec()
         if image_mod is not None:
             import io
@@ -83,8 +157,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                     "n_frames": int(getattr(im, "n_frames", 1)),
                 }
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present here; "
-        "use extract_features' deterministic metadata path instead"
+        "media decoding beyond PNG/BMP/GIF headers requires image/audio "
+        "libraries not present here; use extract_features' deterministic "
+        "metadata path instead"
     )
 
 

@@ -159,3 +159,58 @@ def test_session_window_gap_boundary_semantics(spark, tmp_path):
     # session end = last event ts + gap
     solo = sorted(per_user[2], key=lambda r: r.session_start_us)[0]
     assert solo.session_end_us == solo.session_start_us + SESSION_GAP_US
+
+
+def test_image_header_decode_dependency_free():
+    """PNG/BMP/GIF metadata decodes WITHOUT any codec library —
+    container-header parsing over crafted valid files, including a
+    2-frame animated GIF whose frame count requires walking the block
+    structure (0x2C bytes inside pixel data must not count)."""
+    import struct
+    import zlib
+
+    from dbt_jaffleshop_spark.llm.multimodal import decode_media
+
+    # --- minimal complete PNG (12×7), CRC-correct
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 12, 7, 8, 0, 0, 0, 0)
+    raw = zlib.compress(b"".join(b"\x00" + b"\x00" * 12 for _ in range(7)))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    assert decode_media(png, "image") == {
+        "width": 12, "height": 7, "n_frames": 1,
+    }
+
+    # --- BMP with a top-down (negative height) BITMAPINFOHEADER
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 122, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 9, -5, 1, 24, 0, 68, 0, 0, 0, 0)
+    )
+    assert decode_media(bmp, "image") == {
+        "width": 9, "height": 5, "n_frames": 1,
+    }
+
+    # --- 2-frame GIF89a with a global color table and GCE extensions;
+    #     pixel sub-block content includes a 0x2C byte (must not count)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    frame = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 2) + b"\x00"  # descriptor
+        + b"\x02" + b"\x02\x2c\x01" + b"\x00"  # LZW min + 2-byte sub-block
+    )
+    gif = (
+        b"GIF89a" + struct.pack("<HH", 3, 2) + b"\x80\x00\x00"
+        + b"\x00" * 6  # global color table (2 entries)
+        + gce + frame + gce + frame + b"\x3b"
+    )
+    assert decode_media(gif, "image") == {
+        "width": 3, "height": 2, "n_frames": 2,
+    }
