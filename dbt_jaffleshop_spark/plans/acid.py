@@ -154,6 +154,8 @@ class AcidTable:
         pipeline scheduler which never runs two writers on one table)
         resolves the parent at commit time — the exclusive create still
         protects the slot."""
+        import datetime as _dt
+
         os.makedirs(self.versions_dir, exist_ok=True)
         cur_v = self.current_version() if self.exists() else 0
         if expected_parent is not None and cur_v != expected_parent:
@@ -166,6 +168,10 @@ class AcidTable:
             "version": next_v,
             "partition_by": partition_by,
             "files": files,
+            # wall-clock commit time (UTC) — metadata only, never part of
+            # query semantics: it powers timestamp time travel
+            # (read_as_of), Iceberg's FOR TIMESTAMP AS OF
+            "commit_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             # free-form commit metadata (e.g. the producing model's
             # code+inputs fingerprint, for state-aware rebuild skip)
             "meta": meta or {},
@@ -507,6 +513,29 @@ class AcidTable:
         if m["partition_by"]:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
+
+    def version_as_of(self, ts_iso: str) -> int:
+        """Timestamp time travel: the latest COMMITTED version whose
+        wall-clock commit time is ≤ ``ts_iso`` (UTC ISO-8601) — Iceberg's
+        ``FOR TIMESTAMP AS OF`` resolution over the snapshot log.
+        Commits above the current pointer (aborted) never resolve."""
+        cur = self.current_version()
+        best: int | None = None
+        for v in self._all_versions():
+            if v > cur:
+                break
+            committed = self.manifest(v).get("commit_ts")
+            if committed is not None and committed <= ts_iso:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{self.path}: no snapshot committed at or before {ts_iso}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts_iso: str) -> DataFrame:
+        """Read the snapshot that was current at ``ts_iso``."""
+        return self.read(spark, version=self.version_as_of(ts_iso))
 
     def _all_versions(self) -> list[int]:
         """Every manifest on disk, sorted ascending — including aborted

@@ -371,3 +371,26 @@ def test_merge_rows_partitioned_upsert(spark, tmp_path):
         table.merge_rows(
             spark, _rows(spark, [(7, "a", 1), (7, "a", 2)]), "id"
         )
+
+
+def test_read_as_of_timestamp_time_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF: a timestamp between two commits resolves to
+    the earlier snapshot; before the first commit raises; vacuumed-away
+    aborted manifests above the pointer never resolve."""
+    import datetime as dt
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+
+    before = dt.datetime.now(dt.timezone.utc).isoformat()
+    table.overwrite(_df(spark, 0, 10))          # v1
+    mid = dt.datetime.now(dt.timezone.utc).isoformat()
+    table.append(_df(spark, 100, 105))          # v2
+
+    assert table.version_as_of(mid) == 1
+    assert table.read_as_of(spark, mid).count() == 10
+    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    assert table.version_as_of(now) == 2
+    assert table.read_as_of(spark, now).count() == 15
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.version_as_of(before)

@@ -194,3 +194,24 @@ def test_snapshot_check_cols_all_and_empty(spark):
 
     with _pytest.raises(ValueError, match="check_cols"):
         snapshot_apply(s1, None, "id", [], t1)
+
+
+def test_snapshot_open_slice_reads_prune_partitions(spark, tmp_path):
+    """The dbt_is_open partitioning is load-bearing at read time too: a
+    current-state query (open rows only) must prune the closed-history
+    files at the scan — PartitionFilters, not a post-scan filter."""
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+    from dbt_jaffleshop_spark.plans.snapshots import SNAP_OPEN_COL, run_snapshot
+
+    path = str(tmp_path / "snap")
+    s1 = _state(spark, [(1, "a", 10), (2, "a", 20)])
+    s2 = _state(spark, [(1, "b", 10), (2, "b", 20)])
+    run_snapshot(spark, path, s1, "id", ["status"], "2024-01-01 00:00:00")
+    run_snapshot(spark, path, s2, "id", ["status"], "2024-02-01 00:00:00")
+
+    t = AcidTable(path)
+    df = t.read(spark).where(f"{SNAP_OPEN_COL} = 'y'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert f"{SNAP_OPEN_COL}#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert df.count() == 2  # exactly the open rows
