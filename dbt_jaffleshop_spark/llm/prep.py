@@ -536,6 +536,184 @@ FROM base
 """
 
 
+# --------------------------------------------- BPE merge training
+
+BPE_ROUNDS = 3  # learned merge rules (unrolled in the oracle)
+
+
+def _bpe_fold_expr() -> str:
+    """Greedy left-to-right non-overlapping pair merge over a symbol
+    array (Spark HOF fold with a struct accumulator): the core step of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    public). `l`/`r` resolve to the broadcast top-pair columns."""
+    return (
+        "aggregate(syms,"
+        " named_struct('out', cast(array() as array<string>),"
+        " 'carry', cast(null as string)),"
+        " (acc, s) -> case"
+        " when acc.carry is null then named_struct('out', acc.out, 'carry', s)"
+        " when acc.carry = l and s = r then named_struct("
+        "'out', array_append(acc.out, concat(l, r)),"
+        " 'carry', cast(null as string))"
+        " else named_struct('out', array_append(acc.out, acc.carry),"
+        " 'carry', s) end,"
+        " acc -> case when acc.carry is null then acc.out"
+        " else array_append(acc.out, acc.carry) end)"
+    )
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Learn the first 3 BPE merge rules from the corpus — tokenizer
+    training as DataFrame algebra. Character-level byte-pair encoding
+    (Sennrich et al. 2016): count adjacent symbol pairs across the
+    distinct-word table weighted by corpus frequency, merge the most
+    frequent pair everywhere (greedy left-to-right, non-overlapping),
+    repeat. Ties break deterministically on (count desc, left, right).
+
+    Plan shape for 100 TB: the ONLY corpus-sized work is the initial
+    word count (one partial-aggregated explode); every training round
+    then runs on the distinct-word table (vocabulary-sized, millions of
+    rows at web scale, not trillions) — pair counting is a
+    partial-aggregated groupBy, the winning pair broadcasts (1 row),
+    and the merge is a per-row fold. The driver-side loop builds K
+    chained lazy plans (no collect between rounds), the same iterative
+    seam as dedup_clusters.
+
+    The DuckDB oracle is a genuinely independent implementation: the
+    greedy merge is expressed positionally (match-run grouping + parity
+    within each run) instead of a fold."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "case when length(w) >= 1 then"
+                " transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                " else array() end"
+            ).alias("syms"),
+        )
+    )
+    fold = _bpe_fold_expr()
+    rounds = []
+    for k in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                F.expr(
+                    "inline(case when size(syms) >= 2 then"
+                    " transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) as l,"
+                    " element_at(syms, i + 1) as r))"
+                    " else array() end)"
+                ),
+                "cnt",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
+        rounds.append(
+            top.select(
+                F.lit(k).alias("round"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                "pair_count",
+                F.concat("l", "r").alias("merged_symbol"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select("cnt", F.expr(fold).alias("syms"))
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled training round (DuckDB): pair counts → top pair →
+    positional greedy merge (match runs + in-run parity)."""
+    return f"""
+pairs{k} AS (
+    SELECT w.syms[t.i] AS l, w.syms[t.i + 1] AS r,
+           CAST(sum(w.cnt) AS BIGINT) AS pair_count
+    FROM words{k} w, unnest(generate_series(1, len(w.syms) - 1)) t(i)
+    WHERE len(w.syms) >= 2
+    GROUP BY 1, 2
+),
+top{k} AS (
+    SELECT l, r, pair_count FROM pairs{k}
+    ORDER BY pair_count DESC, l, r LIMIT 1
+),
+ex{k} AS (
+    SELECT w.word_id, w.cnt, t.i AS i, w.syms[t.i] AS s,
+           len(w.syms) AS n
+    FROM words{k} w, unnest(generate_series(1, len(w.syms))) t(i)
+),
+m{k} AS (
+    SELECT e.*, t.l, t.r,
+           (e.i < e.n AND e.s = t.l
+            AND lead(e.s) OVER (PARTITION BY e.word_id ORDER BY e.i) = t.r)
+               AS matched
+    FROM ex{k} e, top{k} t
+),
+g{k} AS (
+    SELECT *, CASE WHEN matched THEN
+        i - row_number() OVER (PARTITION BY word_id, matched ORDER BY i)
+        END AS grp
+    FROM m{k}
+),
+st{k} AS (
+    SELECT *, COALESCE(matched AND
+        (i - min(i) OVER (PARTITION BY word_id, grp)) % 2 = 0, FALSE)
+        AS is_start
+    FROM g{k}
+),
+em{k} AS (
+    SELECT *, lag(is_start, 1, FALSE)
+        OVER (PARTITION BY word_id ORDER BY i) AS prev_start
+    FROM st{k}
+),
+words{k + 1} AS (
+    SELECT word_id, cnt,
+           COALESCE(list(CASE WHEN is_start THEN l || r ELSE s END
+               ORDER BY i) FILTER (WHERE NOT prev_start), []) AS syms
+    FROM em{k}
+    GROUP BY word_id, cnt
+)"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, l AS merge_left, r AS merge_right,"
+        f" pair_count, l || r AS merged_symbol FROM top{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH wordcount AS (
+    SELECT t.word AS word_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_TOKS_D}) AS word FROM documents) t
+    GROUP BY 1
+),
+words1 AS (
+    SELECT word_id, cnt,
+           CASE WHEN length(word_id) >= 1 THEN
+               list_transform(generate_series(1, length(word_id)),
+                   i -> substr(word_id, i, 1))
+           ELSE [] END AS syms
+    FROM wordcount
+),
+{rounds}
+{finals}
+"""
+
+
 # ------------------------------------------------- int8 quantization
 
 
@@ -968,4 +1146,5 @@ ORACLES: dict[str, str] = {
     "corpus_segment_dedup": _segment_dedup_oracle(),
     "corpus_mix_sample": _mix_sample_oracle(),
     "emb_project": _project_oracle(),
+    "bpe_train_merges": _bpe_oracle(),
 }

@@ -293,6 +293,14 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("n_sampled", "bigint"),
             ("realized_rate", "double"),
         ]),
+        # r4b: BPE merge training — tokenizer learning on the corpus
+        "bpe_train_merges": _m(llm_prep, "bpe_train_merges", [
+            ("round", "int"),
+            ("merge_left", "string"),
+            ("merge_right", "string"),
+            ("pair_count", "bigint"),
+            ("merged_symbol", "string"),
+        ]),
         # r4 consolidation: moved from individual slots (llm/corpus.py)
         "corpus_curate": _m(llm_corpus, "corpus_curate", [
             ("doc_id", "bigint"),

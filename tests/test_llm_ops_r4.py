@@ -214,3 +214,25 @@ def test_image_header_decode_dependency_free():
     assert decode_media(gif, "image") == {
         "width": 3, "height": 2, "n_frames": 2,
     }
+
+
+def test_bpe_merges_on_planted_corpus(spark, docs_dir):
+    """Hand-computable BPE: a corpus where the pair frequencies (and the
+    greedy non-overlap semantics on an 'aaaa' run) are known exactly.
+    'aaaa' ×3 contributes 9 (a,a) pairs; 'ab' ×5 contributes 5 (a,b) —
+    round 1 merges (a,a). Round 2's counts come from the re-segmented
+    words: 'aaaa' → [aa, aa], so (aa,aa) has count 3; 'ab' is still
+    [a, b] with 5 — (a,b) wins round 2."""
+    from dbt_jaffleshop_spark.llm.prep import bpe_train_merges
+
+    rows = [("aaaa aaaa aaaa", "en", "s"), ("ab ab ab ab ab", "en", "s")]
+    out = {r.round: r for r in bpe_train_merges(spark, docs_dir(rows)).collect()}
+    r1 = out[1]
+    assert (r1.merge_left, r1.merge_right, r1.pair_count, r1.merged_symbol) == (
+        "a", "a", 9, "aa",
+    )
+    r2 = out[2]
+    assert (r2.merge_left, r2.merge_right, r2.pair_count) == ("a", "b", 5)
+    # round 3: the re-segmented 'aaaa' = [aa, aa] pair
+    r3 = out[3]
+    assert (r3.merge_left, r3.merge_right, r3.pair_count) == ("aa", "aa", 3)
