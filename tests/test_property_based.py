@@ -227,3 +227,51 @@ def test_snapshot_fold_invariants_any_run_sequence(spark, runs):
         for prev, nxt in zip(versions, versions[1:]):
             assert prev.dbt_valid_to == nxt.dbt_valid_from, (k, versions)
         assert versions[-1].dbt_valid_to is None
+
+
+@given(
+    upserts=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=8),           # key
+                st.sampled_from(["p0", "p1", "p2"]),             # partition
+                st.integers(min_value=0, max_value=99),          # value
+            ),
+            min_size=1,
+            max_size=5,
+            unique_by=lambda r: r[0],
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@_prop_settings
+def test_merge_rows_equals_dict_fold(spark, tmp_path_factory, upserts):
+    """MERGE invariant for ANY sequence of key-unique upsert batches on
+    a partitioned table: the stored state equals a plain dict fold
+    (last write per key wins, including partition moves)."""
+    from pyspark.sql import Row
+
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    path = str(tmp_path_factory.mktemp("merge") / "tbl")
+    table = AcidTable(path)
+
+    def df(batch):
+        return spark.createDataFrame(
+            [Row(id=k, p=p, v=v) for k, p, v in batch],
+            "id bigint, p string, v bigint",
+        )
+
+    table.overwrite(df(upserts[0]), partition_by=["p"])
+    expect = {k: (p, v) for k, p, v in upserts[0]}
+    for batch in upserts[1:]:
+        table.merge_rows(spark, df(batch), "id")
+        for k, p, v in batch:
+            expect[k] = (p, v)
+
+    got = {
+        r.id: (r.p, r.v)
+        for r in table.read(spark).select("id", "p", "v").collect()
+    }
+    assert got == expect
