@@ -584,12 +584,33 @@ def bpe_train_merges(
     The DuckDB oracle is a genuinely independent implementation: the
     greedy merge is expressed positionally (match-run grouping + parity
     within each run) instead of a fold."""
+    _words, tops = _bpe_chain(spark, sf_dir)
+    rounds = [
+        top.select(
+            F.lit(k).alias("round"),
+            F.col("l").alias("merge_left"),
+            F.col("r").alias("merge_right"),
+            "pair_count",
+            F.concat("l", "r").alias("merged_symbol"),
+        )
+        for k, top in enumerate(tops, start=1)
+    ]
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_chain(spark, sf_dir):
+    """The shared training chain: (final segmented word table with
+    columns word_id/cnt/syms, list of per-round winning-pair frames)."""
     docs = load_table(spark, "documents", sf_dir)
     words = (
         docs.select(F.explode(F.expr(_TOKS)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            F.col("w").alias("word_id"),
             "cnt",
             F.expr(
                 "case when length(w) >= 1 then"
@@ -599,8 +620,8 @@ def bpe_train_merges(
         )
     )
     fold = _bpe_fold_expr()
-    rounds = []
-    for k in range(1, BPE_ROUNDS + 1):
+    tops = []
+    for _k in range(1, BPE_ROUNDS + 1):
         pairs = (
             words.select(
                 F.expr(
@@ -616,23 +637,61 @@ def bpe_train_merges(
             .agg(F.sum("cnt").alias("pair_count"))
         )
         top = pairs.orderBy(F.desc("pair_count"), "l", "r").limit(1)
-        rounds.append(
-            top.select(
-                F.lit(k).alias("round"),
-                F.col("l").alias("merge_left"),
-                F.col("r").alias("merge_right"),
-                "pair_count",
-                F.concat("l", "r").alias("merged_symbol"),
-            )
-        )
+        tops.append(top)
         words = (
             words.crossJoin(F.broadcast(top))
-            .select("cnt", F.expr(fold).alias("syms"))
+            .select("word_id", "cnt", F.expr(fold).alias("syms"))
         )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out
+    return words, tops
+
+
+def bpe_segment_stats(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the tokenizer
+    APPLY phase completing :func:`bpe_train_merges`' train phase. Every
+    document reports its whitespace-token count, its token count under
+    the learned 3-merge vocabulary, character count, and the resulting
+    tokens-per-char ratio (the compression a tokenizer buys).
+
+    Plan shape: segmentation happens ONCE per distinct word (the
+    vocabulary-sized trained table), then a broadcast join attaches
+    per-word BPE lengths to the corpus's exploded words and one
+    partial-aggregated groupBy(doc_id) sums them — the corpus is never
+    re-segmented row by row. At web scale the word join falls back to
+    an AQE hash join (no forced broadcast)."""
+    segmented, _tops = _bpe_chain(spark, sf_dir)
+    word_len = segmented.select(
+        "word_id",
+        F.expr("size(syms)").cast("bigint").alias("n_bpe"),
+        F.length("word_id").cast("bigint").alias("n_chars_w"),
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    doc_words = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("word_id")
+    )
+    per_doc = (
+        doc_words.join(word_len, "word_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bpe_per_char"),
+    )
 
 
 def _bpe_round_sql(k: int) -> str:
@@ -686,6 +745,48 @@ words{k + 1} AS (
     FROM em{k}
     GROUP BY word_id, cnt
 )"""
+
+
+def _bpe_segment_oracle() -> str:
+    rounds = ",".join(_bpe_round_sql(k) for k in range(1, BPE_ROUNDS + 1))
+    final = BPE_ROUNDS + 1
+    return f"""
+WITH wordcount AS (
+    SELECT t.word AS word_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({_TOKS_D}) AS word FROM documents) t
+    GROUP BY 1
+),
+words1 AS (
+    SELECT word_id, cnt,
+           CASE WHEN length(word_id) >= 1 THEN
+               list_transform(generate_series(1, length(word_id)),
+                   i -> substr(word_id, i, 1))
+           ELSE [] END AS syms
+    FROM wordcount
+),
+{rounds},
+word_len AS (
+    SELECT word_id, CAST(len(syms) AS BIGINT) AS n_bpe,
+           CAST(length(word_id) AS BIGINT) AS n_chars_w
+    FROM words{final}
+),
+doc_words AS (
+    SELECT doc_id, unnest({_TOKS_D}) AS word_id FROM documents
+),
+per_doc AS (
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(w.n_chars_w) AS BIGINT) AS n_chars
+    FROM doc_words d JOIN word_len w USING (word_id)
+    GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
+       CASE WHEN n_chars > 0
+            THEN CAST(n_bpe_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)
+            ELSE 0.0 END AS bpe_per_char
+FROM per_doc
+"""
 
 
 def _bpe_oracle() -> str:
@@ -1147,4 +1248,5 @@ ORACLES: dict[str, str] = {
     "corpus_mix_sample": _mix_sample_oracle(),
     "emb_project": _project_oracle(),
     "bpe_train_merges": _bpe_oracle(),
+    "bpe_segment_stats": _bpe_segment_oracle(),
 }

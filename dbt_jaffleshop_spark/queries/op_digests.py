@@ -226,6 +226,16 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("chunk_n_tokens", "int"),
             ("chunk_md5", "string"),
         ]),
+        # r4b: tokenizer APPLY phase (llm/prep.py — lives beside the
+        # train phase's bpe_train_merges in prep_digest; placed in this
+        # group to balance digest runtimes)
+        "bpe_segment_stats": _m(llm_prep, "bpe_segment_stats", [
+            ("doc_id", "bigint"),
+            ("n_tokens", "bigint"),
+            ("n_bpe_tokens", "bigint"),
+            ("n_chars", "bigint"),
+            ("bpe_per_char", "double"),
+        ]),
     },
     "prep_digest": {
         "corpus_decontaminate": _m(llm_prep, "corpus_decontaminate", [

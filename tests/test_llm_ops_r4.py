@@ -236,3 +236,17 @@ def test_bpe_merges_on_planted_corpus(spark, docs_dir):
     # round 3: the re-segmented 'aaaa' = [aa, aa] pair
     r3 = out[3]
     assert (r3.merge_left, r3.merge_right, r3.pair_count) == ("aa", "aa", 3)
+
+
+def test_bpe_segment_stats_applies_learned_merges(spark, docs_dir):
+    """Apply phase: on the planted corpus the learned merges collapse
+    'aaaa' to ONE token (rounds merge (a,a) then (aa,aa)) and 'ab' to
+    one token (round 2), so the per-doc BPE token counts are exact."""
+    from dbt_jaffleshop_spark.llm.prep import bpe_segment_stats
+
+    rows = [("aaaa aaaa aaaa", "en", "s"), ("ab ab ab ab ab", "en", "s")]
+    out = {r.doc_id: r for r in bpe_segment_stats(spark, docs_dir(rows)).collect()}
+    d0, d1 = out[0], out[1]
+    assert (d0.n_tokens, d0.n_bpe_tokens, d0.n_chars) == (3, 3, 12)
+    assert (d1.n_tokens, d1.n_bpe_tokens, d1.n_chars) == (5, 5, 10)
+    assert abs(d0.bpe_per_char - 0.25) < 1e-12  # 3 tokens / 12 chars
