@@ -536,6 +536,138 @@ FROM base
 """
 
 
+# ------------------------------------------ end-to-end keep verdict
+
+SEG_MAX_DUP_HALF = True  # keep a doc while ≥50% of its segments are unique
+
+
+def corpus_pipeline_verdict(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The composed end-to-end curation decision — every per-document
+    gate of the preparation pipeline chained into one final keep/drop
+    table, the artifact an actual training-data run materializes before
+    tokenization:
+
+    * ``keep_curate`` — exact-dedup canonical + quality band + token
+      bounds (corpus_curate);
+    * ``keep_decontam`` — no 8-gram collision with the eval slice
+      (corpus_decontaminate); the eval holdout itself is never a
+      training candidate (``is_eval_holdout``);
+    * ``keep_segment`` — ≥50% of the doc's 8-token segments survive
+      corpus-wide segment dedup (corpus_segment_dedup);
+    * ``keep_sampled`` — the doc's salted hash falls under its source's
+      α-temperature rate (corpus_mix_sample);
+    * ``keep`` — the conjunction.
+
+    Pure operator reuse: each gate is the REGISTERED operator's plan as
+    a subtree (so this row also verifies their composition), joined on
+    doc_id; the oracle composes the same member oracles. Costs one
+    pass per gate — at 100 TB a production run would fuse the gates
+    into one pass over shared scans, which Catalyst already does for
+    the scan-level projections here."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % DECON_EVAL_MOD == 0).alias("is_eval_holdout"),
+    )
+    from .corpus import corpus_curate
+
+    cur = corpus_curate(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_curate")
+    )
+    dec = corpus_decontaminate(spark, sf_dir).select(
+        "doc_id", (~F.col("is_contaminated")).alias("keep_decontam")
+    )
+    seg = corpus_segment_dedup(spark, sf_dir).select(
+        "doc_id",
+        (F.col("n_dropped_segments") * 2 <= F.col("n_segments")).alias(
+            "keep_segment"
+        ),
+    )
+    rates = corpus_mix_sample(spark, sf_dir).select("source", "rate_bp")
+    bucket = (
+        f"cast(conv(substring(md5(concat('{_MIX_SALT}',"
+        f" cast(doc_id as string))), 1, 15), 16, 10) as long) % {_MIX_MOD}"
+    )
+    sampled = (
+        base.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            (F.expr(bucket) < F.col("rate_bp")).alias("keep_sampled"),
+        )
+    )
+    out = (
+        base.join(cur, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .join(seg, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_eval_holdout",
+            F.coalesce("keep_curate", F.lit(False)).alias("keep_curate"),
+            # eval-slice docs have no decontamination row: never kept
+            F.coalesce("keep_decontam", F.lit(False)).alias("keep_decontam"),
+            F.coalesce("keep_segment", F.lit(False)).alias("keep_segment"),
+            F.coalesce("keep_sampled", F.lit(False)).alias("keep_sampled"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("keep_curate")
+        & F.col("keep_decontam")
+        & F.col("keep_segment")
+        & F.col("keep_sampled"),
+    )
+
+
+def _pipeline_verdict_oracle() -> str:
+    from .corpus import ORACLES as _CORPUS_ORACLES
+
+    bucket = (
+        f"CAST('0x' || substr(md5('{_MIX_SALT}'"
+        f" || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {_MIX_MOD}"
+    )
+    return f"""
+WITH cur AS (
+    SELECT doc_id, keep AS keep_curate
+    FROM ({_CORPUS_ORACLES["corpus_curate"]}) t
+),
+dec AS (
+    SELECT doc_id, NOT is_contaminated AS keep_decontam
+    FROM ({_decontaminate_oracle()}) t
+),
+seg AS (
+    SELECT doc_id, n_dropped_segments * 2 <= n_segments AS keep_segment
+    FROM ({_segment_dedup_oracle()}) t
+),
+rates AS (
+    SELECT source, rate_bp FROM ({_mix_sample_oracle()}) t
+),
+base AS (
+    SELECT d.doc_id, d.source, d.doc_id % {DECON_EVAL_MOD} = 0
+        AS is_eval_holdout,
+        {bucket} < r.rate_bp AS keep_sampled
+    FROM documents d JOIN rates r ON d.source = r.source
+),
+assembled AS (
+    SELECT b.doc_id, b.is_eval_holdout,
+           COALESCE(c.keep_curate, FALSE) AS keep_curate,
+           COALESCE(x.keep_decontam, FALSE) AS keep_decontam,
+           COALESCE(s.keep_segment, FALSE) AS keep_segment,
+           COALESCE(b.keep_sampled, FALSE) AS keep_sampled
+    FROM base b
+    LEFT JOIN cur c USING (doc_id)
+    LEFT JOIN dec x USING (doc_id)
+    LEFT JOIN seg s USING (doc_id)
+)
+SELECT *, keep_curate AND keep_decontam AND keep_segment AND keep_sampled
+    AS keep
+FROM assembled
+"""
+
+
 # --------------------------------------------- BPE merge training
 
 BPE_ROUNDS = 3  # learned merge rules (unrolled in the oracle)
@@ -1249,4 +1381,5 @@ ORACLES: dict[str, str] = {
     "emb_project": _project_oracle(),
     "bpe_train_merges": _bpe_oracle(),
     "bpe_segment_stats": _bpe_segment_oracle(),
+    "corpus_pipeline_verdict": _pipeline_verdict_oracle(),
 }

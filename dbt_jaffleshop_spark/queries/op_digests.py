@@ -311,6 +311,17 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("pair_count", "bigint"),
             ("merged_symbol", "string"),
         ]),
+        # r4b: composed end-to-end keep/drop verdict (llm/prep.py) —
+        # every gate is the registered operator's plan as a subtree
+        "corpus_pipeline_verdict": _m(llm_prep, "corpus_pipeline_verdict", [
+            ("doc_id", "bigint"),
+            ("is_eval_holdout", "boolean"),
+            ("keep_curate", "boolean"),
+            ("keep_decontam", "boolean"),
+            ("keep_segment", "boolean"),
+            ("keep_sampled", "boolean"),
+            ("keep", "boolean"),
+        ]),
         # r4 consolidation: moved from individual slots (llm/corpus.py)
         "corpus_curate": _m(llm_corpus, "corpus_curate", [
             ("doc_id", "bigint"),

@@ -250,3 +250,26 @@ def test_bpe_segment_stats_applies_learned_merges(spark, docs_dir):
     assert (d0.n_tokens, d0.n_bpe_tokens, d0.n_chars) == (3, 3, 12)
     assert (d1.n_tokens, d1.n_bpe_tokens, d1.n_chars) == (5, 5, 10)
     assert abs(d0.bpe_per_char - 0.25) < 1e-12  # 3 tokens / 12 chars
+
+
+def test_pipeline_verdict_gate_consistency(spark, sf_dir):
+    """The composed verdict must agree with its member operators: keep
+    is exactly the gate conjunction, eval-holdout docs are never kept,
+    and each gate column matches the standalone operator's answer."""
+    from dbt_jaffleshop_spark.llm.corpus import corpus_curate
+    from dbt_jaffleshop_spark.llm.prep import (
+        DECON_EVAL_MOD,
+        corpus_pipeline_verdict,
+    )
+
+    pdf = corpus_pipeline_verdict(spark, sf_dir).toPandas()
+    assert (
+        pdf.keep
+        == (pdf.keep_curate & pdf.keep_decontam
+            & pdf.keep_segment & pdf.keep_sampled)
+    ).all()
+    assert not pdf[pdf.is_eval_holdout].keep.any()
+    assert (pdf.is_eval_holdout == (pdf.doc_id % DECON_EVAL_MOD == 0)).all()
+    cur = corpus_curate(spark, sf_dir).toPandas().set_index("doc_id").keep
+    merged = pdf.set_index("doc_id").keep_curate
+    assert (merged.loc[cur.index] == cur).all()
