@@ -9,7 +9,10 @@ image/audio decoder would plug into. `decode_media` decodes
 PNG/BMP/GIF metadata (dimensions, GIF frame count) DEPENDENCY-FREE via
 container-header parsing (`parse_image_header`); other image formats
 decode through PIL when installed (capability-gated — see
-`_image_codec`), and audio/video codecs raise NotImplementedError. The
+`_image_codec`); uncompressed 16-bit PCM WAV audio decodes FOR REAL,
+dependency-free (`parse_wav` + the Arrow-batched `audio_features`
+operator — container walk, numpy sample extraction, integer RMS);
+compressed audio and video codecs raise NotImplementedError. The
 deterministic metadata path (byte length, md5, fake dimensions derived
 from length) is fully implemented and oracle-checked regardless of
 codec availability.
@@ -141,6 +144,10 @@ def decode_media(payload: bytes, media_type: str) -> dict:
     codecs (librosa / av) remain honestly stubbed. Swapping in a codec
     changes only this function; extract_features' deterministic metadata
     path is unaffected."""
+    if media_type == "audio":
+        parsed_a = parse_wav(payload)
+        if parsed_a is not None:
+            return parsed_a
     if media_type == "image":
         parsed = parse_image_header(payload)
         if parsed is not None:
@@ -157,9 +164,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                     "n_frames": int(getattr(im, "n_frames", 1)),
                 }
     raise NotImplementedError(
-        "media decoding beyond PNG/BMP/GIF headers requires image/audio "
-        "libraries not present here; use extract_features' deterministic "
-        "metadata path instead"
+        "media decoding beyond PNG/BMP/GIF headers and PCM WAV requires "
+        "image/audio libraries not present here; use extract_features' "
+        "deterministic metadata path instead"
     )
 
 
@@ -394,3 +401,102 @@ SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
 FROM i
 """,
 }
+
+
+# ------------------------------------------------ real PCM WAV decode
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_q", LongType()),
+    ]
+)
+
+
+def parse_wav(payload: bytes) -> dict | None:
+    """Dependency-free PCM WAV decode — REAL audio decoding, not a
+    stub: RIFF/WAVE container walk (fmt + data chunks), 16-bit PCM
+    sample extraction via numpy, and an integer RMS so the features are
+    engine/partitioning-exact. Returns None for non-WAV payloads;
+    compressed codecs (mp3/aac — format tag != 1) stay out of scope."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None  # only uncompressed 16-bit PCM decodes here
+    samples = np.frombuffer(
+        data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+    )
+    n_samples = samples.size // channels
+    rms_q = (
+        int(np.sqrt(np.mean(samples.astype("int64") ** 2)))
+        if samples.size
+        else 0
+    )
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // rate if rate else 0,
+        "rms_q": rms_q,
+    }
+
+
+def _make_audio_batches():
+    """Closure for cloudpickle-by-value (see _make_extract_batches)."""
+
+    def audio_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_wav(bytes(payload))
+                if meta is not None:
+                    rows.append({"doc_id": doc_id, **meta})
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms_q",
+                ],
+            )
+
+    return audio_batches
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction over a (doc_id, payload)
+    binary-column frame: sample rate, channel count, exact sample count
+    and duration, integer RMS loudness. Non-WAV payloads drop out (the
+    standard extract-what-decodes contract). Embarrassingly parallel —
+    no shuffle; tested end-to-end through the real mapInPandas plumbing
+    on crafted PCM files (the synthetic corpus carries no real audio,
+    so this operator has no driver slot — pytest-verified)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _make_audio_batches(), schema=AUDIO_SCHEMA
+    )

@@ -273,3 +273,51 @@ def test_pipeline_verdict_gate_consistency(spark, sf_dir):
     cur = corpus_curate(spark, sf_dir).toPandas().set_index("doc_id").keep
     merged = pdf.set_index("doc_id").keep_curate
     assert (merged.loc[cur.index] == cur).all()
+
+
+def test_wav_decode_through_arrow_plumbing(spark, tmp_path):
+    """REAL audio decoding end-to-end: craft 16-bit PCM WAV files (a
+    1 kHz-amplitude square wave and a silent stereo clip), push them
+    through the actual mapInPandas operator, and check exact sample
+    counts, duration, and integer RMS. A non-WAV payload drops out."""
+    import struct
+
+    import pandas as pd
+
+    from dbt_jaffleshop_spark.llm.multimodal import audio_features, parse_wav
+
+    def wav(rate, channels, frames):
+        data = b"".join(
+            struct.pack("<" + "h" * channels, *f) for f in frames
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate,
+            rate * channels * 2, channels * 2, 16,
+        )
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # 8000 Hz mono square wave at ±1000: RMS exactly 1000; 4000 samples
+    square = wav(8000, 1, [((1000 if i % 2 == 0 else -1000),)
+                           for i in range(4000)])
+    silent = wav(44100, 2, [(0, 0)] * 441)  # 10 ms of stereo silence
+    assert parse_wav(square)["rms_q"] == 1000
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [square, silent, b"not audio at all"],
+        }
+    ).to_parquet(tmp_path / "audio.parquet")
+    media = spark.read.parquet(str(tmp_path / "audio.parquet"))
+    rows = {r.doc_id: r for r in audio_features(media).collect()}
+    assert set(rows) == {1, 2}  # the non-WAV payload dropped out
+    sq = rows[1]
+    assert (sq.sample_rate, sq.n_channels, sq.n_samples) == (8000, 1, 4000)
+    assert sq.duration_ms == 500 and sq.rms_q == 1000
+    st = rows[2]
+    assert (st.sample_rate, st.n_channels, st.n_samples) == (44100, 2, 441)
+    assert st.duration_ms == 10 and st.rms_q == 0
