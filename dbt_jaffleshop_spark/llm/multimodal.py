@@ -12,7 +12,9 @@ decode through PIL when installed (capability-gated — see
 `_image_codec`); uncompressed 16-bit PCM WAV audio decodes FOR REAL,
 dependency-free (`parse_wav` + the Arrow-batched `audio_features`
 operator — container walk, numpy sample extraction, integer RMS);
-compressed audio and video codecs raise NotImplementedError. The
+compressed-audio payloads and video PIXEL decode raise
+NotImplementedError, while MP4 container metadata (movie duration,
+track count) parses dependency-free via `parse_mp4_header`. The
 deterministic metadata path (byte length, md5, fake dimensions derived
 from length) is fully implemented and oracle-checked regardless of
 codec availability.
@@ -148,6 +150,10 @@ def decode_media(payload: bytes, media_type: str) -> dict:
         parsed_a = parse_wav(payload)
         if parsed_a is not None:
             return parsed_a
+    if media_type == "video":
+        parsed_v = parse_mp4_header(payload)
+        if parsed_v is not None:
+            return parsed_v
     if media_type == "image":
         parsed = parse_image_header(payload)
         if parsed is not None:
@@ -164,9 +170,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                     "n_frames": int(getattr(im, "n_frames", 1)),
                 }
     raise NotImplementedError(
-        "media decoding beyond PNG/BMP/GIF headers and PCM WAV requires "
-        "image/audio libraries not present here; use extract_features' "
-        "deterministic metadata path instead"
+        "media decoding beyond PNG/BMP/GIF headers, PCM WAV, and MP4 "
+        "container metadata requires codec libraries not present here; "
+        "use extract_features' deterministic metadata path instead"
     )
 
 
@@ -500,3 +506,57 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _make_audio_batches(), schema=AUDIO_SCHEMA
     )
+
+
+# ------------------------------------------ MP4 container metadata
+
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """Dependency-free MP4/ISO-BMFF metadata decode: top-level box walk
+    to `moov`, then `mvhd` (movie timescale + duration, version 0 and
+    1 layouts) and `trak` counting — the real operations a video
+    metadata pipeline performs. Frame-accurate pixel decode stays out
+    of scope (that genuinely needs a codec library). Returns None for
+    non-MP4 payloads."""
+    import struct
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            typ = buf[pos + 4:pos + 8]
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                body_off = 16
+            else:
+                body_off = 8
+            if size < body_off or pos + size > end:
+                return
+            yield typ, pos + body_off, pos + size
+            pos += size
+
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+    moov = next(
+        ((s, e) for t, s, e in boxes(payload, 0, n) if t == b"moov"), None
+    )
+    if moov is None:
+        return None
+    duration_ms = 0
+    n_tracks = 0
+    for typ, s, e in boxes(payload, moov[0], moov[1]):
+        if typ == b"trak":
+            n_tracks += 1
+        elif typ == b"mvhd" and e - s >= 20:
+            version = payload[s]
+            body = payload[s:e]
+            if version == 1 and len(body) >= 32:
+                (timescale,) = struct.unpack(">I", body[20:24])
+                (duration,) = struct.unpack(">Q", body[24:32])
+            else:
+                (timescale,) = struct.unpack(">I", body[12:16])
+                (duration,) = struct.unpack(">I", body[16:20])
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+    return {"duration_ms": duration_ms, "n_tracks": n_tracks}

@@ -321,3 +321,42 @@ def test_wav_decode_through_arrow_plumbing(spark, tmp_path):
     st = rows[2]
     assert (st.sample_rate, st.n_channels, st.n_samples) == (44100, 2, 441)
     assert st.duration_ms == 10 and st.rms_q == 0
+
+
+def test_mp4_header_decode_dependency_free():
+    """MP4 metadata decodes without a codec library: a crafted
+    ftyp+moov file with an mvhd (timescale 1000, duration 2500) and two
+    trak boxes reports 2500 ms and 2 tracks, through decode_media's
+    video path; a version-1 mvhd (64-bit times) parses too."""
+    import struct
+
+    from dbt_jaffleshop_spark.llm.multimodal import decode_media
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    mvhd0 = (
+        bytes([0]) + b"\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", 1000) + struct.pack(">I", 2500) + b"\x00" * 76
+    )
+    trak = box(b"trak", b"\x00" * 16)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(
+        b"moov", box(b"mvhd", mvhd0) + trak + trak
+    )
+    assert decode_media(mp4, "video") == {
+        "duration_ms": 2500, "n_tracks": 2,
+    }
+
+    mvhd1 = (
+        bytes([1]) + b"\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">I", 90000) + struct.pack(">Q", 180000) + b"\x00" * 76
+    )
+    mp4v1 = box(b"ftyp", b"isom") + box(b"moov", box(b"mvhd", mvhd1) + trak)
+    assert decode_media(mp4v1, "video") == {
+        "duration_ms": 2000, "n_tracks": 1,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"not a video", "video")
