@@ -6,7 +6,8 @@ decode / feature-extract runs as an Arrow-batched Pandas function over
 `mapInPandas`, so each task processes columnar batches and the pipeline
 shape (schema, partitioning, batch iteration) is exactly what a real
 image/audio decoder would plug into. `decode_media` decodes
-PNG/BMP/GIF metadata (dimensions, GIF frame count) DEPENDENCY-FREE via
+PNG/BMP/GIF/JPEG metadata (dimensions, GIF frame count, JPEG SOFn
+dimensions) DEPENDENCY-FREE via
 container-header parsing (`parse_image_header`); other image formats
 decode through PIL when installed (capability-gated — see
 `_image_codec`); uncompressed 16-bit PCM WAV audio decodes FOR REAL,
@@ -73,23 +74,64 @@ HAS_IMAGE_CODEC = _image_codec() is not None
 
 def parse_image_header(payload: bytes) -> dict | None:
     """Dependency-free image METADATA decode: container-format header
-    parsing for PNG / BMP / GIF (pure struct reads over the public file
-    formats — no codec library). Returns width/height/n_frames, or None
-    when the payload is not one of the recognized formats. This is the
-    real operation a metadata-extraction pipeline performs (dimensions,
-    frame count) — full pixel decode still needs PIL and stays
-    capability-gated."""
+    parsing for PNG / BMP / GIF / JPEG (pure struct reads over the
+    public file formats — no codec library; JPEG dimensions come from
+    the SOFn marker walk, no entropy decode needed). Returns
+    width/height/n_frames, or None when the payload is not one of the
+    recognized formats. This is the real operation a metadata-extraction
+    pipeline performs (dimensions, frame count) — full pixel decode
+    still needs PIL and stays capability-gated."""
     import struct
 
     if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         # IHDR is mandatory-first: width/height are big-endian at 16/20
         w, h = struct.unpack(">II", payload[16:24])
         return {"width": w, "height": h, "n_frames": 1}
-    if len(payload) >= 26 and payload[:2] == b"BM":
-        # BITMAPINFOHEADER: little-endian int32 at 18/22 (height may be
-        # negative for top-down rows)
-        w, h = struct.unpack("<ii", payload[18:26])
-        return {"width": w, "height": abs(h), "n_frames": 1}
+    if len(payload) >= 22 and payload[:2] == b"BM":
+        # the DIB header SIZE at offset 14 selects the layout: >= 40 is
+        # BITMAPINFOHEADER-family (little-endian int32 width/height at
+        # 18/22, height negative for top-down rows); 12 is the OS/2
+        # BITMAPCOREHEADER (uint16 at 18/20). Anything else is unknown —
+        # return None rather than unpack garbage.
+        (dib_size,) = struct.unpack("<I", payload[14:18])
+        if dib_size >= 40 and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"width": w, "height": abs(h), "n_frames": 1}
+        if dib_size == 12:
+            w, h = struct.unpack("<HH", payload[18:22])
+            return {"width": w, "height": h, "n_frames": 1}
+        return None
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: marker-segment walk to the first SOFn frame header
+        # (height/width are big-endian at +5/+7 past the marker). DHT
+        # (C4), JPG (C8) and DAC (CC) share the SOF numbering range but
+        # are not frame headers; TEM/RSTn/SOI/EOI are standalone markers
+        # with no length field.
+        sof = {
+            0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        }
+        pos, n = 2, len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                break  # desynchronized stream
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if seg_len < 2:
+                break
+            if marker in sof:
+                if pos + 9 > n:
+                    break
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return {"width": w, "height": h, "n_frames": 1}
+            pos += 2 + seg_len
+        return None
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         # frame count = image-descriptor blocks; 0x2C only introduces a
@@ -140,7 +182,7 @@ def _gif_frame_count(payload: bytes) -> int:
 
 def decode_media(payload: bytes, media_type: str) -> dict:
     """Decode one media payload to metadata. Image formats with
-    parseable container headers (PNG/BMP/GIF) decode dependency-free via
+    parseable container headers (PNG/BMP/GIF/JPEG) decode dependency-free via
     :func:`parse_image_header`; anything else decodes through PIL when
     installed (capability-gated — absent in this container); audio/video
     codecs (librosa / av) remain honestly stubbed. Swapping in a codec
@@ -170,9 +212,9 @@ def decode_media(payload: bytes, media_type: str) -> dict:
                     "n_frames": int(getattr(im, "n_frames", 1)),
                 }
     raise NotImplementedError(
-        "media decoding beyond PNG/BMP/GIF headers, PCM WAV, and MP4 "
-        "container metadata requires codec libraries not present here; "
-        "use extract_features' deterministic metadata path instead"
+        "media decoding beyond PNG/BMP/GIF/JPEG headers, PCM WAV, and "
+        "MP4 container metadata requires codec libraries not present "
+        "here; use extract_features' deterministic metadata path instead"
     )
 
 
@@ -423,55 +465,69 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def parse_wav(payload: bytes) -> dict | None:
-    """Dependency-free PCM WAV decode — REAL audio decoding, not a
-    stub: RIFF/WAVE container walk (fmt + data chunks), 16-bit PCM
-    sample extraction via numpy, and an integer RMS so the features are
-    engine/partitioning-exact. Returns None for non-WAV payloads;
-    compressed codecs (mp3/aac — format tag != 1) stay out of scope."""
-    import struct
+def _wav_parser():
+    """Build the WAV parser as a DYNAMIC function so executor closures
+    that capture it serialize it by value (cloudpickle pickles a
+    module-level function by module reference, which Python workers
+    cannot import — see _make_extract_batches)."""
 
-    import numpy as np
+    def parse(payload: bytes) -> dict | None:
+        import struct
 
-    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return None
-    pos, n = 12, len(payload)
-    fmt = None
-    data = None
-    while pos + 8 <= n:
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
-        body = payload[pos + 8:pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if fmt is None or data is None:
-        return None
-    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16 or channels < 1:
-        return None  # only uncompressed 16-bit PCM decodes here
-    samples = np.frombuffer(
-        data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
-    )
-    n_samples = samples.size // channels
-    rms_q = (
-        int(np.sqrt(np.mean(samples.astype("int64") ** 2)))
-        if samples.size
-        else 0
-    )
-    return {
-        "sample_rate": rate,
-        "n_channels": channels,
-        "n_samples": n_samples,
-        "duration_ms": (n_samples * 1000) // rate if rate else 0,
-        "rms_q": rms_q,
-    }
+        import numpy as np
+
+        if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, n = 12, len(payload)
+        fmt = None
+        data = None
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+        if audio_fmt != 1 or bits != 16 or channels < 1:
+            return None  # only uncompressed 16-bit PCM decodes here
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+        )
+        n_samples = samples.size // channels
+        rms_q = (
+            int(np.sqrt(np.mean(samples.astype("int64") ** 2)))
+            if samples.size
+            else 0
+        )
+        return {
+            "sample_rate": rate,
+            "n_channels": channels,
+            "n_samples": n_samples,
+            "duration_ms": (n_samples * 1000) // rate if rate else 0,
+            "rms_q": rms_q,
+        }
+
+    return parse
+
+
+#: Dependency-free PCM WAV decode — REAL audio decoding, not a stub:
+#: RIFF/WAVE container walk (fmt + data chunks), 16-bit PCM sample
+#: extraction via numpy, and an integer RMS so the features are
+#: engine/partitioning-exact. Returns None for non-WAV payloads;
+#: compressed codecs (mp3/aac — format tag != 1) stay out of scope.
+parse_wav = _wav_parser()
 
 
 def _make_audio_batches():
-    """Closure for cloudpickle-by-value (see _make_extract_batches)."""
+    """Closure for cloudpickle-by-value (see _make_extract_batches).
+    The parser is captured as a fresh dynamic function (closure cell),
+    so it too ships by value — workers need no package import."""
+    _parse_wav = _wav_parser()
 
     def audio_batches(
         batches: Iterator[pd.DataFrame],
@@ -481,7 +537,7 @@ def _make_audio_batches():
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = parse_wav(bytes(payload))
+                meta = _parse_wav(bytes(payload))
                 if meta is not None:
                     rows.append({"doc_id": doc_id, **meta})
             yield _pd.DataFrame(
@@ -501,11 +557,119 @@ def audio_features(media: DataFrame) -> DataFrame:
     and duration, integer RMS loudness. Non-WAV payloads drop out (the
     standard extract-what-decodes contract). Embarrassingly parallel —
     no shuffle; tested end-to-end through the real mapInPandas plumbing
-    on crafted PCM files (the synthetic corpus carries no real audio,
-    so this operator has no driver slot — pytest-verified)."""
+    on crafted PCM files, and driver-verified through
+    :func:`multimodal_audio` (a `multimodal_digest` member), which runs
+    this exact operator over synthesized-in-Spark PCM WAV payloads."""
     return media.select("doc_id", "payload").mapInPandas(
         _make_audio_batches(), schema=AUDIO_SCHEMA
     )
+
+
+# ----------------------- driver-verified audio decode (r5)
+
+AUDIO_RATE = 8000  # synthesized sample rate (Hz)
+
+
+def _make_wav_synth_batches():
+    """Closure for cloudpickle-by-value (see _make_extract_batches):
+    synthesize a REAL RIFF/WAVE 16-bit PCM file per document, with
+    deterministic integer samples derived from (doc_id, byte length) —
+    reproducible exactly in the DuckDB oracle."""
+
+    def synth_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id = int(doc_id)
+                channels = 1 + doc_id % 2
+                frames = 120 + int(nb) % 200
+                total = frames * channels
+                k = _np.arange(total, dtype="int64")
+                vals = ((doc_id * 31 + k * 7) % 2003 - 1001).astype("<i2")
+                data = vals.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack("<I", 16)
+                    + _struct.pack(
+                        "<HHIIHH",
+                        1,  # PCM
+                        channels,
+                        AUDIO_RATE,
+                        AUDIO_RATE * channels * 2,
+                        channels * 2,
+                        16,
+                    )
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return synth_batches
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The registered audio-decode query (multimodal_digest member):
+    synthesize a real 16-bit PCM WAV per 'audio' document (deterministic
+    samples from doc_id — ``v[k] = (doc_id*31 + k*7) % 2003 - 1001``,
+    ``1 + doc_id % 2`` channels, ``120 + n_bytes % 200`` frames at
+    8 kHz), then run the REAL :func:`audio_features` decoder over the
+    bytes: container walk, numpy sample extraction, integer RMS. The
+    DuckDB oracle regenerates the same samples with generate_series and
+    recomputes every output column, so the full decode path — header
+    parse, channel de-interleave count, duration math, RMS — is
+    value-verified, not just schema-checked. Two chained mapInPandas
+    stages, zero shuffle, embarrassingly parallel."""
+    docs = load_table(spark, "documents", sf_dir)
+    audio_docs = docs.where(F.expr("doc_id % 3 = 1")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    wav = audio_docs.mapInPandas(
+        _make_wav_synth_batches(), schema="doc_id long, payload binary"
+    )
+    return audio_features(wav)
+
+
+ORACLES["multimodal_audio"] = f"""
+WITH a AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(120 + strlen(text) % 200 AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+    SELECT a.doc_id,
+           unnest(generate_series(0, a.n_samples * a.n_channels - 1)) AS k
+    FROM a
+),
+q AS (
+    SELECT doc_id,
+           sum(((doc_id * 31 + k * 7) % 2003 - 1001)
+               * ((doc_id * 31 + k * 7) % 2003 - 1001)) AS sum_sq,
+           count(*) AS n
+    FROM s GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+       a.n_channels,
+       a.n_samples,
+       a.n_samples * 1000 // {AUDIO_RATE} AS duration_ms,
+       CAST(floor(sqrt(CAST(q.sum_sq AS DOUBLE) / q.n)) AS BIGINT) AS rms_q
+FROM a JOIN q ON a.doc_id = q.doc_id
+"""
 
 
 # ------------------------------------------ MP4 container metadata

@@ -64,6 +64,16 @@ class CommitConflictError(RuntimeError):
     internally; see its retry loop)."""
 
 
+class ConcurrentWriteError(ValueError):
+    """A concurrent commit changed the table between an operation's READ
+    phase and its commit, and the staged result was computed from the
+    now-stale snapshot — retry-merging the file lists would silently drop
+    the concurrent writer's rows. Delta raises ConcurrentAppendException
+    for the same condition on MERGE. Subclasses ValueError so the commit
+    retry loop ABORTS (discarding the staged files) instead of retrying:
+    the whole read-transform-write must be re-run by the caller."""
+
+
 class AcidTable:
     """A snapshot-versioned parquet table rooted at ``path``."""
 
@@ -273,18 +283,28 @@ class AcidTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         meta: dict | None = None,
+        validate=None,
     ) -> int:
         """Full-table overwrite as a new snapshot (old files untouched).
 
         On a commit conflict the staged files ARE the complete new table,
         so the retry only refreshes the parent version — by overwrite
-        semantics the concurrent commit's content is replaced."""
+        semantics the concurrent commit's content is replaced.
+
+        ``validate(cur_manifest)`` (optional) runs inside every commit
+        attempt against the manifest the commit would replace — the hook
+        read-transform-write callers (``merge_rows``) use to detect a
+        concurrent commit since their read (raise ValueError to abort)."""
         partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         stage, files = self._stage(df, partition_by)
 
         def recompute() -> tuple[list[str], int]:
-            return files, self.current_version() if self.exists() else 0
+            if not self.exists():
+                return files, 0
+            if validate is not None:
+                validate(self.manifest())
+            return files, self.current_version()
 
         return self._commit_with_retry(stage, files, partition_by, meta, recompute)
 
@@ -346,6 +366,7 @@ class AcidTable:
     def overwrite_partitions(
         self, df: DataFrame, part_col: str, values: list,
         meta: dict | None = None,
+        validate=None,
     ) -> int:
         """Dynamic-partition overwrite, atomically: stage files for the
         affected partitions, carry forward every other partition's files
@@ -359,7 +380,7 @@ class AcidTable:
         (The append_df=None degenerate case of
         :meth:`replace_partitions_and_append` — one shared commit path.)"""
         return self.replace_partitions_and_append(
-            df, part_col, values, append_df=None, meta=meta
+            df, part_col, values, append_df=None, meta=meta, validate=validate
         )
 
     def replace_partitions_and_append(
@@ -467,23 +488,48 @@ class AcidTable:
 
         ``updates`` must be unique on ``key`` (multiple update rows for
         one key would make the result order-dependent — Delta's MERGE
-        raises the same way)."""
+        raises the same way).
+
+        Merge is a READ-transform-write: the merged result is computed
+        from one pinned snapshot. A concurrent commit landing between
+        that read and this merge's commit would be silently dropped by a
+        retry-merge (its rows live in files the kept-files filter
+        excludes), so the commit carries a version guard — if the table
+        version moved past the snapshot the merge read, the commit
+        aborts with :class:`ConcurrentWriteError` (Delta's
+        ConcurrentAppendException for the same race) and the caller
+        re-runs the whole merge against the new snapshot."""
         from pyspark.sql import functions as F
 
         m = self.manifest()
         partition_by = m["partition_by"]
+        base_version = m["version"]
         self._check_append_schema(updates)
         if updates.groupBy(key).count().where("count > 1").limit(1).count():
             raise ValueError(
                 f"{self.path}: merge updates contain duplicate {key!r} "
                 "values — the per-key result would be nondeterministic"
             )
-        cur = self.read(spark)
+
+        def _unchanged_since_read(cur_manifest: dict) -> None:
+            if cur_manifest["version"] != base_version:
+                raise ConcurrentWriteError(
+                    f"{self.path}: merge read snapshot v{base_version} but "
+                    f"v{cur_manifest['version']} is now current — a "
+                    "concurrent commit's rows would be lost; re-run the merge"
+                )
+
+        # pin the scan to the validated snapshot: read() resolves the file
+        # list eagerly, so the merge computes from exactly v{base_version}
+        cur = self.read(spark, version=base_version)
         if not partition_by:
             merged = cur.join(
                 updates.select(key), key, "left_anti"
             ).unionByName(updates)
-            return self.overwrite(merged, partition_by=[], meta=meta)
+            return self.overwrite(
+                merged, partition_by=[], meta=meta,
+                validate=_unchanged_since_read,
+            )
 
         part_col = partition_by[0]
         affected = (
@@ -499,7 +545,10 @@ class AcidTable:
             .join(updates.select(key), key, "left_anti")
             .unionByName(updates)
         )
-        return self.overwrite_partitions(merged, part_col, values, meta=meta)
+        return self.overwrite_partitions(
+            merged, part_col, values, meta=meta,
+            validate=_unchanged_since_read,
+        )
 
     # --------------------------------------------------------------- read
 
@@ -514,18 +563,35 @@ class AcidTable:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
 
+    @staticmethod
+    def _parse_commit_ts(ts_iso: str):
+        """ISO-8601 → aware UTC datetime. Comparing the RAW strings would
+        be wrong: a 'Z' suffix sorts after '+00:00', a naive timestamp
+        sorts before its offset-carrying equal, and differing sub-second
+        precision breaks lexicographic order — so both sides of every
+        time-travel compare are parsed, with naive inputs read as UTC
+        (commit_ts is always written offset-aware UTC)."""
+        import datetime as _dt
+
+        parsed = _dt.datetime.fromisoformat(ts_iso.replace("Z", "+00:00"))
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        return parsed
+
     def version_as_of(self, ts_iso: str) -> int:
         """Timestamp time travel: the latest COMMITTED version whose
-        wall-clock commit time is ≤ ``ts_iso`` (UTC ISO-8601) — Iceberg's
-        ``FOR TIMESTAMP AS OF`` resolution over the snapshot log.
-        Commits above the current pointer (aborted) never resolve."""
+        wall-clock commit time is ≤ ``ts_iso`` (UTC ISO-8601; naive
+        timestamps are read as UTC) — Iceberg's ``FOR TIMESTAMP AS OF``
+        resolution over the snapshot log. Commits above the current
+        pointer (aborted) never resolve."""
+        target = self._parse_commit_ts(ts_iso)
         cur = self.current_version()
         best: int | None = None
         for v in self._all_versions():
             if v > cur:
                 break
             committed = self.manifest(v).get("commit_ts")
-            if committed is not None and committed <= ts_iso:
+            if committed is not None and self._parse_commit_ts(committed) <= target:
                 best = v
         if best is None:
             raise ValueError(

@@ -128,6 +128,7 @@ _GROUP_DIGESTED = {
     "multimodal_extract",
     "multimodal_framesample",
     "multimodal_resize",
+    "multimodal_audio",
     "corpus_curate",
     "corpus_sample_stratified",
     "events_funnel",

@@ -20,7 +20,8 @@ recording budget while every operator remains value-verified:
   CDC chunking) and llm/corpus.py (curation decision table, stratified
   sampling).
 * ``multimodal_digest`` — multimodal_extract / multimodal_framesample /
-  multimodal_resize (llm/multimodal.py).
+  multimodal_resize / multimodal_audio (r5 — the real PCM WAV decode
+  run over synthesized WAV bytes) (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats
   (llm/events.py); sessionize and as-of keep their own slots (bench
   headline continuity).
@@ -362,6 +363,18 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("new_height", "bigint"),
             ("resized_bytes", "bigint"),
         ]),
+        # r5: REAL PCM WAV decode under driver verification — synthesized
+        # WAV bytes fed through the actual audio_features decoder; the
+        # oracle regenerates the samples and recomputes n_samples /
+        # duration / integer RMS (llm/multimodal.py::multimodal_audio)
+        "multimodal_audio": _m(llm_multimodal, "multimodal_audio", [
+            ("doc_id", "bigint"),
+            ("sample_rate", "int"),
+            ("n_channels", "int"),
+            ("n_samples", "bigint"),
+            ("duration_ms", "bigint"),
+            ("rms_q", "bigint"),
+        ]),
     },
     # r4: event-analytics digest — funnel + JSON stats move here from
     # individual slots; sessionize/as-of keep their own (bench headline).
@@ -393,8 +406,10 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("stickiness", "double"),
         ]),
         # r4b: built-in session_window streaming twin (streaming/
-        # sessionize.py) — ">= gap" break semantics mirrored in its
-        # oracle; a streaming query runs inside this digest's build
+        # sessionize.py) — "> gap" break semantics (an event exactly at
+        # last_ts + gap MERGES into the session), mirrored in its oracle
+        # and pinned by test_session_window_gap_boundary_semantics; a
+        # streaming query runs inside this digest's build
         "streaming_session_window": (
             _sessionize_mod.streaming_session_window,
             [

@@ -373,6 +373,125 @@ def test_merge_rows_partitioned_upsert(spark, tmp_path):
         )
 
 
+def test_merge_rows_detects_concurrent_append(spark, tmp_path):
+    """A concurrent append landing between merge_rows' snapshot read and
+    its commit must NOT be silently dropped (the staged merge was
+    computed without those rows — a retry-merge would exclude them from
+    the affected partitions): the merge aborts with ConcurrentWriteError
+    (Delta's ConcurrentAppendException analogue), the racer's rows
+    survive, the staged files are discarded, and a re-run of the same
+    merge against the new snapshot succeeds."""
+    import glob
+
+    from dbt_jaffleshop_spark.plans.acid import ConcurrentWriteError
+
+    def _rows(spark, data):
+        return spark.createDataFrame(data, "id bigint, p string, v bigint")
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(
+        _rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        partition_by=["p"],
+    )
+
+    other = AcidTable(path)
+    orig_stage = table._stage
+    raced = {"done": False}
+
+    def racing_stage(df, partition_by):
+        if not raced["done"]:
+            raced["done"] = True
+            # racer appends INTO an affected partition (p='a') after the
+            # merge has read its snapshot but before it commits
+            other.append(_rows(spark, [(9, "a", 90)]))
+        return orig_stage(df, partition_by)
+
+    table._stage = racing_stage  # type: ignore[method-assign]
+    with pytest.raises(ConcurrentWriteError, match="re-run the merge"):
+        table.merge_rows(spark, _rows(spark, [(2, "a", 21)]), "id")
+    table._stage = orig_stage  # type: ignore[method-assign]
+
+    # nothing lost, merge fully aborted
+    got = sorted(map(tuple, table.read(spark).select("id", "p", "v").collect()))
+    assert got == [(1, "a", 10), (2, "a", 20), (3, "b", 30), (9, "a", 90)]
+    # staged files discarded: every parquet on disk is manifest-referenced
+    on_disk = {
+        os.path.relpath(f, table.data_dir)
+        for f in glob.glob(f"{table.data_dir}/**/*.parquet", recursive=True)
+    }
+    assert on_disk == set(table.manifest()["files"])
+
+    # the re-run merges against the new snapshot, racer's row intact
+    table.merge_rows(spark, _rows(spark, [(2, "a", 21)]), "id")
+    got = sorted(map(tuple, table.read(spark).select("id", "p", "v").collect()))
+    assert got == [(1, "a", 10), (2, "a", 21), (3, "b", 30), (9, "a", 90)]
+
+
+def test_merge_rows_unpartitioned_detects_concurrent_append(spark, tmp_path):
+    """Same guard on the unpartitioned (full-rewrite) path, where a
+    retry would REPLACE the racer's commit wholesale."""
+    from dbt_jaffleshop_spark.plans.acid import ConcurrentWriteError
+
+    def _rows(spark, data):
+        return spark.createDataFrame(data, "id bigint, v bigint")
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(_rows(spark, [(1, 10), (2, 20)]))
+
+    other = AcidTable(path)
+    orig_stage = table._stage
+    raced = {"done": False}
+
+    def racing_stage(df, partition_by):
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(_rows(spark, [(9, 90)]))
+        return orig_stage(df, partition_by)
+
+    table._stage = racing_stage  # type: ignore[method-assign]
+    with pytest.raises(ConcurrentWriteError, match="re-run the merge"):
+        table.merge_rows(spark, _rows(spark, [(2, 21)]), "id")
+    table._stage = orig_stage  # type: ignore[method-assign]
+    got = sorted(map(tuple, table.read(spark).select("id", "v").collect()))
+    assert got == [(1, 10), (2, 20), (9, 90)]
+
+
+def test_version_as_of_parses_timestamps_not_strings(spark, tmp_path):
+    """Time travel must compare INSTANTS, not raw ISO strings: a 'Z'
+    suffix, a naive (offset-less) timestamp, and a truncated sub-second
+    precision all denote times a lexicographic compare mis-orders
+    against the stored '...+00:00' commit_ts."""
+    import datetime as dt
+    import time
+
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 10))          # v1
+    time.sleep(0.01)
+    table.append(_df(spark, 100, 105))          # v2
+
+    ts1 = table.manifest(1)["commit_ts"]
+    parsed = dt.datetime.fromisoformat(ts1)
+    # exact same instant, three spellings — all must resolve v1
+    z_form = parsed.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    naive = parsed.replace(tzinfo=None).isoformat()
+    assert table.version_as_of(ts1) == 1
+    assert table.version_as_of(z_form) == 1
+    assert table.version_as_of(naive) == 1
+    # lexicographically, naive < ts1 ('...' sorts before '...+00:00') —
+    # the old string compare resolved NOTHING here
+    assert naive < ts1
+
+    # seconds-truncated timestamp BEFORE v1's sub-second commit time:
+    # genuinely earlier instant → no snapshot
+    floor_sec = parsed.replace(microsecond=0)
+    if floor_sec < parsed:
+        with pytest.raises(ValueError, match="no snapshot"):
+            table.version_as_of(floor_sec.isoformat())
+
+
 def test_read_as_of_timestamp_time_travel(spark, tmp_path):
     """FOR TIMESTAMP AS OF: a timestamp between two commits resolves to
     the earlier snapshot; before the first commit raises; vacuumed-away

@@ -1,0 +1,92 @@
+"""Round-5 operator tests: JPEG SOFn header decode, BMP DIB-header
+layout selection, and the driver-registered audio decode query."""
+
+from __future__ import annotations
+
+import struct
+
+from dbt_jaffleshop_spark.llm.multimodal import decode_media, parse_image_header
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def test_jpeg_sof_decode_dependency_free():
+    """JPEG dimensions decode without a codec library via the marker
+    walk: APP0/COM/DHT segments before the frame header are skipped
+    (DHT's 0xC4 is in the SOF numbering range but is NOT a frame
+    header), and both baseline (SOF0) and progressive (SOF2) parse."""
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = _seg(0xFE, b"not a frame header")
+    dht = _seg(0xC4, b"\x00" + bytes(16))
+    sof_body = (
+        b"\x08" + struct.pack(">HH", 33, 47) + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+    baseline = b"\xff\xd8" + app0 + com + dht + _seg(0xC0, sof_body) + b"\xff\xd9"
+    assert decode_media(baseline, "image") == {
+        "width": 47, "height": 33, "n_frames": 1,
+    }
+
+    progressive = b"\xff\xd8" + app0 + _seg(0xC2, sof_body) + b"\xff\xd9"
+    assert decode_media(progressive, "image") == {
+        "width": 47, "height": 33, "n_frames": 1,
+    }
+
+    # a JPEG with no SOF before the stream ends parses to None (the
+    # capability-gated PIL path takes over, absent here)
+    assert parse_image_header(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
+
+def test_bmp_dib_header_layout_selection():
+    """The DIB header-size field selects the BMP layout: >= 40 reads
+    int32 dimensions, the 12-byte OS/2 BITMAPCOREHEADER reads uint16
+    ones, and an unknown size returns None instead of garbage."""
+    file_hdr = b"BM" + struct.pack("<IHHI", 122, 0, 0, 54)
+
+    info = file_hdr + struct.pack(
+        "<IiiHHIIiiII", 40, 9, -5, 1, 24, 0, 68, 0, 0, 0, 0
+    )
+    assert parse_image_header(info) == {"width": 9, "height": 5, "n_frames": 1}
+
+    core = file_hdr + struct.pack("<IHHHH", 12, 640, 480, 1, 24)
+    assert parse_image_header(core) == {
+        "width": 640, "height": 480, "n_frames": 1,
+    }
+
+    # a 16-byte OS/2 v2 header would previously mis-unpack int32 fields
+    unknown = file_hdr + struct.pack("<IHHHH", 16, 640, 480, 1, 24)
+    assert parse_image_header(unknown) is None
+
+
+def test_multimodal_audio_runs_real_decoder(spark, sf_dir):
+    """The registered query synthesizes REAL WAV bytes and the output
+    comes from the actual parse path: independently rebuild one doc's
+    expected features from the synthesis formula and compare."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.multimodal import AUDIO_RATE, multimodal_audio
+    from dbt_jaffleshop_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in multimodal_audio(spark, sf_dir).collect()}
+    docs = dict(
+        load_table(spark, "documents", sf_dir)
+        .selectExpr("doc_id", "length(encode(text, 'UTF-8')) n")
+        .collect()
+    )
+    audio_ids = [d for d in docs if d % 3 == 1]
+    assert set(rows) == set(audio_ids)
+
+    doc_id = min(audio_ids)
+    channels = 1 + doc_id % 2
+    frames = 120 + docs[doc_id] % 200
+    k = np.arange(frames * channels, dtype="int64")
+    vals = (doc_id * 31 + k * 7) % 2003 - 1001
+    r = rows[doc_id]
+    assert (r.sample_rate, r.n_channels, r.n_samples) == (
+        AUDIO_RATE, channels, frames,
+    )
+    assert r.duration_ms == frames * 1000 // AUDIO_RATE
+    assert r.rms_q == int(np.sqrt(np.mean(vals**2)))
