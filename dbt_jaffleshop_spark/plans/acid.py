@@ -555,9 +555,16 @@ class AcidTable:
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read one snapshot: resolve the pointer once, then scan exactly
         that manifest's files. ``basePath`` keeps Hive partition-directory
-        inference (and PartitionFilters pruning) intact."""
+        inference (and PartitionFilters pruning) intact. A snapshot with
+        ZERO files (an empty table is a legal state — e.g. a snapshot
+        run over an empty first source) reads as an empty DataFrame with
+        the committed schema instead of a parquet-reader error."""
         m = self.manifest(version)
         paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        if not paths:
+            stored = m.get("meta", {}).get("schema") or {}
+            ddl = ", ".join(f"`{c}` {t}" for c, t in stored.items())
+            return spark.createDataFrame([], ddl or "__empty__ string")
         reader = spark.read
         if m["partition_by"]:
             reader = reader.option("basePath", self.data_dir)

@@ -166,15 +166,12 @@ register(
     _streaming_dedup.ORACLES["streaming_dedup_events"],
 )
 
-# r4: SCD2 snapshots — the dbt `snapshots/` capability (check strategy),
-# exercised as a deterministic two-run history over raw orders.
-from ..plans import snapshots as _snapshots
-
-register(
-    "jaffle_orders_snapshot",
-    _snapshots.jaffle_orders_snapshot,
-    _snapshots.ORACLES["jaffle_orders_snapshot"],
-)
+# r5: ACID materializations share ONE digest slot — the SCD2 snapshot
+# fold (dbt `snapshots/`, its own slot in r4) and the MERGE upsert fold
+# (dbt `incremental_strategy: merge` through the real
+# AcidTable.merge_rows commit path). Consolidation freed the slot the
+# merge fold needed while keeping both value-verified.
+register("acid_digest", *OP_DIGEST_CATALOG["acid_digest"])
 
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
 register("multimodal_digest", *OP_DIGEST_CATALOG["multimodal_digest"])

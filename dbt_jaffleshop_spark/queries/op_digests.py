@@ -29,6 +29,10 @@ recording budget while every operator remains value-verified:
   sim_recall_at_k / sim_knn_classify (llm/similarity.py), whose
   oracles are module constants (RECALL_ORACLE / KNN_ORACLE) rather
   than registry entries.
+* ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
+  snapshot (plans/snapshots.py, an individual slot in r4) and the
+  MERGE upsert fold through the real AcidTable.merge_rows commit path
+  (plans/merge_fold.py).
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -49,6 +53,8 @@ from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
 from ..llm import similarity as llm_similarity
 from ..llm import text as llm_text
+from ..plans import merge_fold as _merge_fold
+from ..plans import snapshots as _snapshots
 from ..streaming import sessionize as _sessionize_mod
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
@@ -420,6 +426,36 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("session_value_cents", "bigint"),
             ],
             _sessionize_mod.ORACLES["streaming_session_window"],
+        ),
+    },
+    # r5: ACID-materialization digest — the SCD2 snapshot fold (its own
+    # slot in r4, digest-consolidated to free the slot budget) plus the
+    # MERGE upsert fold, which runs the REAL AcidTable.merge_rows commit
+    # path (partition-scoped rewrite, optimistic concurrency) against a
+    # relational two-batch fold oracle.
+    "acid_digest": {
+        "jaffle_orders_snapshot": (
+            _snapshots.jaffle_orders_snapshot,
+            [
+                ("o_orderkey", "bigint"),
+                ("o_custkey", "bigint"),
+                ("o_orderstatus", "string"),
+                ("o_totalprice", "double"),
+                ("dbt_valid_from", "timestamp"),
+                ("dbt_valid_to", "timestamp"),
+                ("dbt_scd_id", "string"),
+            ],
+            _snapshots.ORACLES["jaffle_orders_snapshot"],
+        ),
+        "acid_merge_fold": (
+            _merge_fold.acid_merge_fold,
+            [
+                ("o_orderkey", "bigint"),
+                ("o_custkey", "bigint"),
+                ("o_orderstatus", "string"),
+                ("month", "string"),
+            ],
+            _merge_fold.ORACLES["acid_merge_fold"],
         ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only

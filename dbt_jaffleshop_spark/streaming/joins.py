@@ -11,8 +11,11 @@ O(rate × window), not O(stream). Emission is append-mode (inner joins
 emit exactly once per matched pair).
 
 With an availableNow run over a static source the result equals the batch
-interval join, so the operator carries an exact DuckDB oracle
-(pytest-verified; not a driver slot — the 50-slot budget is full).
+interval join, so the operator carries an exact DuckDB oracle and its own
+driver slot. Crash-restart semantics: pass ``checkpoint_dir`` +
+``output_dir`` to run against a durable sink — a restart resumes from the
+checkpointed offsets AND join state, emitting each matched pair exactly
+once (pytest-pinned with a two-phase feed).
 """
 
 from __future__ import annotations
@@ -32,12 +35,22 @@ def streaming_attribution(
     spark: SparkSession,
     sf_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
 ) -> DataFrame:
     """All (purchase, click) pairs where the click is by the same user
     within the 30 minutes up to and including the purchase time.
 
     Gap is reported in exact integer microseconds (both engines subtract
-    epoch-microsecond longs — no float time arithmetic)."""
+    epoch-microsecond longs — no float time arithmetic).
+
+    Default sink is an ephemeral memory table (the registered-query
+    shape). With ``checkpoint_dir`` + ``output_dir`` the join writes to
+    a durable parquet sink instead: source offsets, watermarks, and
+    both sides' buffered join state live in the checkpoint, so a later
+    call with the same pair RESUMES — already-emitted pairs are never
+    re-emitted, and clicks buffered (within the watermark) at shutdown
+    still match purchases arriving after the restart."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ..sources.registry import normalize_event_ts
 
@@ -85,6 +98,20 @@ def streaming_attribution(
             "gap_micros"
         ),
     )
+
+    if (checkpoint_dir is None) != (output_dir is None):
+        raise ValueError("checkpoint_dir and output_dir must be set together")
+    if checkpoint_dir is not None:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(output_dir)
 
     name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
     q = (

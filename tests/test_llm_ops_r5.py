@@ -61,6 +61,52 @@ def test_bmp_dib_header_layout_selection():
     assert parse_image_header(unknown) is None
 
 
+def test_streaming_attribution_restart_no_duplicate_pairs(
+    spark, oracle, sf_dir, tmp_path
+):
+    """Crash-restart exactly-once for the stream-stream interval join:
+    run phase 1 over the early half of the events feed with a durable
+    checkpoint, then add the late half and RE-RUN with the same
+    checkpoint. The restart must resume from checkpointed offsets and
+    join state — no (purchase, click) pair emitted twice, phase-1 output
+    a subset of the final output, and the final output equal to the
+    batch interval join over the full feed (the time split keeps every
+    cross-phase click inside the 1 h watermark retention, so nothing is
+    legitimately lost either)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dbt_jaffleshop_spark.streaming import joins
+    from tests.conftest import assert_parity
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_us = pc.cast(t["ts"], "int64")
+    cut = int(pc.quantile(ts_us, q=0.5).to_pylist()[0])
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    early = t.filter(pc.less_equal(ts_us, cut))
+    late = t.filter(pc.greater(ts_us, cut))
+    assert early.num_rows and late.num_rows
+    pq.write_table(early, feed / "events-0.parquet")
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    phase1 = joins.streaming_attribution(
+        spark, str(feed), checkpoint_dir=ckpt, output_dir=out
+    )
+    pairs1 = {(r.purchase_id, r.click_id) for r in phase1.collect()}
+
+    pq.write_table(late, feed / "events-1.parquet")
+    final = joins.streaming_attribution(
+        spark, str(feed), checkpoint_dir=ckpt, output_dir=out
+    )
+    rows = final.collect()
+    pairs = [(r.purchase_id, r.click_id) for r in rows]
+    assert len(pairs) == len(set(pairs)), "restart re-emitted pairs"
+    assert pairs1 <= set(pairs)
+    # equal to the batch interval join over the ORIGINAL (un-split) feed
+    assert_parity(final, oracle, joins.ORACLES["streaming_attribution"])
+
+
 def test_multimodal_audio_runs_real_decoder(spark, sf_dir):
     """The registered query synthesizes REAL WAV bytes and the output
     comes from the actual parse path: independently rebuild one doc's

@@ -107,6 +107,55 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def _logical_nodes(df):
+    """Every node of the optimized LOGICAL plan (depth-first), as py4j
+    objects — the logical tree is stable under AQE, unlike executedPlan."""
+
+    def walk(node):
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            yield from walk(children.apply(i))
+
+    yield from walk(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_global_rank_windows_only_over_aggregated_relations(spark, sf_dir):
+    """W2 skew contract: a GLOBAL (un-partitioned) row_number window
+    funnels every input row through ONE task, so it is only scale-safe
+    when its input is an already-aggregated, dimension-cardinality
+    relation. jaffle_products' four ranking windows satisfy this today
+    (they rank product_performance, |products| rows); this pins it so a
+    refactor that ranks the raw fact table fails loudly: every Window
+    with an empty partitionSpec must have an Aggregate below it in the
+    optimized plan."""
+    from dbt_jaffleshop_spark.models import marts_analytics
+
+    df = marts_analytics.products(spark, sf_dir)
+    global_windows = [
+        n for n in _logical_nodes(df)
+        if n.nodeName() == "Window" and n.partitionSpec().size() == 0
+    ]
+    assert global_windows, "expected the ranking windows in the plan"
+    for w in global_windows:
+        subtree = {
+            n.nodeName()
+            for child_i in range(w.children().size())
+            for n in _walk_node(w.children().apply(child_i))
+        }
+        assert "Aggregate" in subtree, (
+            "global window ranks a non-aggregated relation — "
+            f"subtree nodes: {sorted(subtree)}"
+        )
+
+
+def _walk_node(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_node(children.apply(i))
+
+
 def test_salted_join_equals_plain_join(spark):
     """salted_join must be row-identical to the plain join on skewed
     data, and its shuffle key must include the salt (N-way spread of the

@@ -230,6 +230,80 @@ def test_snapshot_fold_invariants_any_run_sequence(spark, runs):
 
 
 @given(
+    runs=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),          # key
+                st.sampled_from(["a", "b"]),                    # checked col
+            ),
+            min_size=0,
+            max_size=4,
+            unique_by=lambda r: r[0],
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_run_snapshot_acid_materialization_equals_pure_fold(
+    spark, tmp_path_factory, runs
+):
+    """The ACID-materialized snapshot path (run_snapshot: open-partition
+    rewrite + closed append, replay guard, commit retry) must store
+    EXACTLY the pure snapshot_apply fold for ANY run sequence — the
+    O(open+changed) partition optimization can never change the SCD2
+    content. Also pins at-most-one-open-row and interval tiling on the
+    STORED table, and that closed history files are never rewritten."""
+    from pyspark.sql import Row
+
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+    from dbt_jaffleshop_spark.plans.snapshots import (
+        SNAP_OPEN_COL,
+        run_snapshot,
+        snapshot_apply,
+    )
+
+    path = str(tmp_path_factory.mktemp("snap_acid") / "tbl")
+    ts = [f"2024-0{i + 1}-01 00:00:00" for i in range(len(runs))]
+    pure = None
+    closed_files_prev: set[str] = set()
+    for state, t in zip(runs, ts):
+        df = spark.createDataFrame(
+            [Row(id=k, status=s) for k, s in state] or [],
+            "id bigint, status string",
+        )
+        run_snapshot(spark, path, df, "id", ["status"], t)
+        pure = snapshot_apply(df, pure, "id", ["status"], t)
+        table = AcidTable(path)
+        closed_files = {
+            f
+            for f in table.manifest()["files"]
+            if f"{SNAP_OPEN_COL}=n" in f.split("/")
+        }
+        assert closed_files_prev <= closed_files  # history immutable
+        closed_files_prev = closed_files
+
+    stored = AcidTable(path).read(spark).drop(SNAP_OPEN_COL)
+    key = lambda r: (r.id, str(r.dbt_valid_from), str(r.dbt_valid_to))
+    s_rows = sorted(stored.collect(), key=key)
+    p_rows = sorted(pure.collect(), key=key)
+    assert [tuple(r) for r in s_rows] == [tuple(r) for r in p_rows]
+
+    by_key: dict[int, list] = {}
+    for r in s_rows:
+        by_key.setdefault(r.id, []).append(r)
+    for k, versions in by_key.items():
+        assert sum(r.dbt_valid_to is None for r in versions) == 1, k
+        versions.sort(key=lambda r: r.dbt_valid_from)
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.dbt_valid_to == nxt.dbt_valid_from, (k, versions)
+
+
+@given(
     upserts=st.lists(
         st.lists(
             st.tuples(
