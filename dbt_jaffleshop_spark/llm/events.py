@@ -236,6 +236,59 @@ def events_stickiness(
     )
 
 
+TRANSITION_TOPK = 3
+
+
+def events_transition_topk(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """First-order Markov transition mining over per-user event
+    sequences (r5): for each observed (prev_event_type → event_type)
+    transition, its count, the total transitions leaving prev_event_type,
+    the integer-bp transition probability, and the per-source top-3 by
+    count (ties broken on the target type — deterministic). The
+    sequence-model building block behind next-event prediction and
+    behavioral-cohort features.
+
+    Plan shape for 100 TB: ONE shuffle on user_id for the lag window
+    (same partitioning the sessionizer uses), then aggregation onto the
+    |event_types|² relation — everything after the first groupBy runs on
+    a dimension-cardinality table, so the per-source total and rank
+    windows are trivially safe (W2 contract: post-aggregation input)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_source = Window.partitionBy("prev_type")
+    ranked = pairs.withColumn(
+        "from_total", F.sum("n_transitions").over(per_source)
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            per_source.orderBy(
+                F.col("n_transitions").desc(), F.col("event_type").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= TRANSITION_TOPK).select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        "from_total",
+        F.expr("n_transitions * 10000 div from_total").alias("rate_bp"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 ORACLES: dict[str, str] = {
@@ -351,6 +404,39 @@ FROM ev
 GROUP BY event_type
 """,
 }
+
+ORACLES["events_transition_topk"] = f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+seq AS (
+    SELECT event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+           ) AS prev_type
+    FROM ev
+),
+pairs AS (
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+ranked AS (
+    SELECT *,
+           CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS from_total,
+           row_number() OVER (
+               PARTITION BY prev_type
+               ORDER BY n_transitions DESC, event_type ASC
+           ) AS rank
+    FROM pairs
+)
+SELECT prev_type, event_type, n_transitions, from_total,
+       (n_transitions * 10000) // from_total AS rate_bp,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TRANSITION_TOPK}
+"""
 
 ORACLES["events_stickiness"] = f"""
 WITH du AS (

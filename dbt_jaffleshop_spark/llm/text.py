@@ -409,6 +409,84 @@ FROM scored WHERE rank <= {TFIDF_TOPK}
 """
 
 
+# -------------------------------------------------- corpus Zipf top-k
+
+ZIPF_TOPK = 25
+
+
+def text_zipf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Corpus vocabulary head (r5): the top-25 terms by occurrence count
+    (ties broken on the term string), each with its rank, count, running
+    cumulative count over the ranked head, and the cumulative corpus
+    coverage in integer basis points — the Zipf head/coverage profile a
+    tokenizer-budget or stopword analysis starts from.
+
+    Plan shape for 100 TB: explode → groupBy(term) is one partial-
+    aggregated shuffle onto the vocabulary relation; the global top-k
+    filter compiles to TakeOrderedAndProject(limit=25) UNDER the
+    row_number window (per-partition partial top-25, merged once —
+    pinned by a plan test), so no single-partition stage ever sees the
+    vocabulary; the cumulative window then runs on 25 rows. The corpus
+    total joins as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(
+        F.sum("n_occurrences").cast("bigint").alias("total_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    head = (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= ZIPF_TOPK)
+        .crossJoin(F.broadcast(total))
+    )
+    cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return head.withColumn(
+        "cum_occurrences", F.sum("n_occurrences").over(cum).cast("bigint")
+    ).select(
+        "rank",
+        "term",
+        "n_occurrences",
+        "cum_occurrences",
+        F.expr("cum_occurrences * 10000 div total_occurrences").alias("cum_bp"),
+    )
+
+
+def _zipf_oracle() -> str:
+    return f"""
+WITH tok AS (
+    SELECT unnest({_TOKS_D}) AS term FROM documents
+),
+cnt AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY term
+),
+tot AS (
+    SELECT CAST(sum(n_occurrences) AS BIGINT) AS total_occurrences FROM cnt
+),
+rk AS (
+    SELECT term, n_occurrences,
+           CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, term ASC
+           ) AS BIGINT) AS rank
+    FROM cnt
+)
+SELECT rank, term, n_occurrences,
+       CAST(sum(n_occurrences) OVER (ORDER BY rank) AS BIGINT)
+           AS cum_occurrences,
+       (CAST(sum(n_occurrences) OVER (ORDER BY rank) AS BIGINT) * 10000)
+           // total_occurrences AS cum_bp
+FROM rk, tot WHERE rank <= {ZIPF_TOPK}
+"""
+
+
 # ------------------------------------------------------------- oracle SQL
 
 # ------------------------------------------ bigram-LM quality scoring
@@ -670,6 +748,7 @@ FROM base
 
 ORACLES: dict[str, str] = {
     "text_tfidf_topk": _tfidf_oracle(),
+    "text_zipf_topk": _zipf_oracle(),
     "text_lm_score": _lm_score_oracle(),
     "text_token_stats": f"""
 SELECT doc_id,

@@ -134,6 +134,8 @@ _GROUP_DIGESTED = {
     "events_funnel",
     "events_json_stats",
     "events_stickiness",
+    "events_transition_topk",
+    "text_zipf_topk",
 }
 # (llm/prep.py's operators — corpus_segment_dedup, corpus_mix_sample,
 # emb_project, and the rest — never enter LLM_CATALOG at all: prep is

@@ -12,9 +12,9 @@ recording budget while every operator remains value-verified:
   for all five, which is exactly the dbt failure-row contract the
   individual slots verified in rounds 1–2.
 * ``text_digest`` — the per-document text-analysis family from
-  llm/text.py (token stats, langid, fingerprint, tf-idf, PII scrub,
-  repetition, chunking) — text_quality keeps its own slot: it is in
-  the bench headline set.
+  llm/text.py (token stats, langid, fingerprint, tf-idf, Zipf head,
+  PII scrub, repetition, chunking) — text_quality keeps its own slot:
+  it is in the bench headline set.
 * ``prep_digest`` — the corpus-preparation operators from llm/prep.py
   (decontamination, packing, quantization, dup-grams, source stats,
   CDC chunking) and llm/corpus.py (curation decision table, stratified
@@ -22,17 +22,20 @@ recording budget while every operator remains value-verified:
 * ``multimodal_digest`` — multimodal_extract / multimodal_framesample /
   multimodal_resize / multimodal_audio (r5 — the real PCM WAV decode
   run over synthesized WAV bytes) (llm/multimodal.py).
-* ``events_digest`` (r4) — events_funnel / events_json_stats
-  (llm/events.py); sessionize and as-of keep their own slots (bench
-  headline continuity).
+* ``events_digest`` (r4) — events_funnel / events_json_stats /
+  events_stickiness / events_transition_topk (r5) /
+  streaming_session_window (llm/events.py, streaming/sessionize.py);
+  sessionize and as-of keep their own slots (bench headline
+  continuity).
 * ``sim_eval_digest`` (r4) — the ANN/embedding evaluation operators
   sim_recall_at_k / sim_knn_classify (llm/similarity.py), whose
   oracles are module constants (RECALL_ORACLE / KNN_ORACLE) rather
   than registry entries.
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
-  snapshot (plans/snapshots.py, an individual slot in r4) and the
-  MERGE upsert fold through the real AcidTable.merge_rows commit path
-  (plans/merge_fold.py).
+  snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
+  upsert fold through the real AcidTable.merge_rows commit path
+  (plans/merge_fold.py), and the single-pass per-column table profile
+  (testing/profile.py).
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -56,6 +59,7 @@ from ..llm import text as llm_text
 from ..plans import merge_fold as _merge_fold
 from ..plans import snapshots as _snapshots
 from ..streaming import sessionize as _sessionize_mod
+from ..testing import profile as _profile
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
 from .test_suite import (
@@ -199,6 +203,15 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("tf", "bigint"),
             ("df", "bigint"),
             ("score_bp", "bigint"),
+        ]),
+        # r5: corpus Zipf head — top-25 vocabulary terms with cumulative
+        # coverage bp; WindowGroupLimit-pruned global top-k (llm/text.py)
+        "text_zipf_topk": _m(llm_text, "text_zipf_topk", [
+            ("rank", "bigint"),
+            ("term", "string"),
+            ("n_occurrences", "bigint"),
+            ("cum_occurrences", "bigint"),
+            ("cum_bp", "bigint"),
         ]),
         "text_pii_scrub": _m(llm_text, "text_pii_scrub", [
             ("doc_id", "bigint"),
@@ -411,6 +424,16 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("stickiness_milli", "bigint"),
             ("stickiness", "double"),
         ]),
+        # r5: first-order Markov transition mining (llm/events.py) —
+        # per-source top-3 next-event transitions with integer-bp rates
+        "events_transition_topk": _m(llm_events, "events_transition_topk", [
+            ("prev_type", "string"),
+            ("event_type", "string"),
+            ("n_transitions", "bigint"),
+            ("from_total", "bigint"),
+            ("rate_bp", "bigint"),
+            ("rank", "bigint"),
+        ]),
         # r4b: built-in session_window streaming twin (streaming/
         # sessionize.py) — "> gap" break semantics (an event exactly at
         # last_ts + gap MERGES into the session), mirrored in its oracle
@@ -456,6 +479,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("month", "string"),
             ],
             _merge_fold.ORACLES["acid_merge_fold"],
+        ),
+        # r5: single-pass per-column table profiling (testing/profile.py)
+        # — the data-quality complement of the T1–T5 tests
+        "orders_profile": (
+            _profile.orders_profile,
+            [
+                ("col_name", "string"),
+                ("n_rows", "bigint"),
+                ("n_null", "bigint"),
+                ("n_distinct", "bigint"),
+                ("min_repr", "string"),
+                ("max_repr", "string"),
+            ],
+            _profile.ORACLES["orders_profile"],
         ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only

@@ -1,0 +1,77 @@
+"""Table profiling (r5, beyond-reference): per-column data-quality
+statistics over a source table — row count, null count, exact distinct
+count, and min/max representations. The dbt-ecosystem analogue is the
+dbt-profiler package's `print_profile` (public docs); profiling a source
+before modeling is the standard first step of any warehouse DAG and the
+operational complement of the T1–T5 declarative tests (a failed
+expectation points here first).
+
+Plan shape for 100 TB: ONE scan — a single aggregate computes every
+column's statistics in the same pass (Spark plans the multi-distinct
+aggregate via Expand: |cols|+1 shuffle streams over one scan, each
+partial-aggregated); the long (one-row-per-column) shape is produced by
+`stack` on the 1-row aggregate, so the unpivot costs nothing. No
+windows, no joins.
+
+Determinism notes: `o_totalprice` is profiled as integer cents (doubles
+stringify engine-dependently); timestamp/date/integer/string min-max
+reprs stringify identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# (profile row name, SQL expression over orders) — cents for the double
+_SPECS: list[tuple[str, str]] = [
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice_cents", "cast(round(o_totalprice * 100) as bigint)"),
+    ("o_orderdate", "o_orderdate"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+def orders_profile(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, e in _SPECS:
+        c = F.expr(e)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{name}__nn"),
+            F.countDistinct(c).alias(f"{name}__nd"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__min, {name}__max"
+        for name, _ in _SPECS
+    )
+    return row.selectExpr(
+        f"stack({len(_SPECS)}, {stack_args})"
+        " as (col_name, n_null, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")
+
+
+def _profile_select(name: str, expr: str) -> str:
+    return f"""
+SELECT '{name}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(min({expr}) AS VARCHAR) AS min_repr,
+       CAST(max({expr}) AS VARCHAR) AS max_repr
+FROM orders"""
+
+
+ORACLES: dict[str, str] = {
+    "orders_profile": " UNION ALL ".join(
+        _profile_select(name, expr) for name, expr in _SPECS
+    ),
+}

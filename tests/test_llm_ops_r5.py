@@ -1,11 +1,30 @@
 """Round-5 operator tests: JPEG SOFn header decode, BMP DIB-header
-layout selection, and the driver-registered audio decode query."""
+layout selection, the driver-registered audio decode query, attribution
+restart, Markov transition mining, Zipf head, and table profiling."""
 
 from __future__ import annotations
 
 import struct
 
+import pandas as pd
+import pytest
+
 from dbt_jaffleshop_spark.llm.multimodal import decode_media, parse_image_header
+
+
+@pytest.fixture
+def docs_dir(tmp_path):
+    def write(rows):
+        pd.DataFrame(
+            [
+                {"doc_id": i, "text": t, "lang": lang, "source": src,
+                 "n_chars": len(t)}
+                for i, (t, lang, src) in enumerate(rows)
+            ]
+        ).to_parquet(tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    return write
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -105,6 +124,70 @@ def test_streaming_attribution_restart_no_duplicate_pairs(
     assert pairs1 <= set(pairs)
     # equal to the batch interval join over the ORIGINAL (un-split) feed
     assert_parity(final, oracle, joins.ORACLES["streaming_attribution"])
+
+
+def test_events_transition_topk_planted_sequences(spark, tmp_path):
+    """Hand-computable Markov transitions: user 1 emits v→c, c→p, p→v,
+    v→c; user 2 emits v→c. So from 'v': c twice+... full counts below —
+    and rates are exact integer bp of the per-source totals."""
+    base = pd.Timestamp("2024-01-01")
+    seq1 = ["v", "c", "p", "v", "c"]
+    seq2 = ["v", "c"]
+    rows = []
+    for uid, seq in ((1, seq1), (2, seq2)):
+        for i, et in enumerate(seq):
+            rows.append(
+                {"event_id": uid * 100 + i, "ts": base + pd.Timedelta(minutes=i),
+                 "user_id": uid, "event_type": et, "value": 1.0, "props": "{}"}
+            )
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    from dbt_jaffleshop_spark.llm.events import events_transition_topk
+
+    got = {
+        (r.prev_type, r.event_type): r
+        for r in events_transition_topk(spark, str(tmp_path)).collect()
+    }
+    # transitions: u1: v→c, c→p, p→v, v→c; u2: v→c
+    assert got[("v", "c")].n_transitions == 3
+    assert got[("v", "c")].from_total == 3
+    assert got[("v", "c")].rate_bp == 10000
+    assert got[("c", "p")].n_transitions == 1
+    assert got[("p", "v")].n_transitions == 1
+    assert all(r.rank == 1 for r in got.values())
+    assert len(got) == 3
+
+
+def test_text_zipf_topk_planted_counts(spark, docs_dir):
+    """Known vocabulary: 'a' ×5, 'b' ×3, 'c' ×2 over two docs — ranks,
+    cumulative counts, and coverage bp are hand-computable; ties break
+    on the term string."""
+    from dbt_jaffleshop_spark.llm.text import text_zipf_topk
+
+    rows = [("a a a b b c", "en", "s"), ("a a b c", "en", "s")]
+    out = {r.rank: r for r in text_zipf_topk(spark, docs_dir(rows)).collect()}
+    assert [(out[i].term, out[i].n_occurrences) for i in (1, 2, 3)] == [
+        ("a", 5), ("b", 3), ("c", 2),
+    ]
+    assert [out[i].cum_occurrences for i in (1, 2, 3)] == [5, 8, 10]
+    assert [out[i].cum_bp for i in (1, 2, 3)] == [5000, 8000, 10000]
+
+
+def test_orders_profile_shape_and_consistency(spark, sf_dir):
+    """One profile row per declared column, constant n_rows, and
+    internally consistent stats (nulls ≤ rows, distinct ≤ non-null,
+    min_repr ≤ max_repr within each column's repr space)."""
+    from dbt_jaffleshop_spark.testing.profile import _SPECS, orders_profile
+
+    rows = {r.col_name: r for r in orders_profile(spark, sf_dir).collect()}
+    assert set(rows) == {name for name, _ in _SPECS}
+    n_rows = {r.n_rows for r in rows.values()}
+    assert len(n_rows) == 1 and n_rows.pop() > 0
+    for r in rows.values():
+        assert 0 <= r.n_null <= r.n_rows
+        assert 0 < r.n_distinct <= r.n_rows - r.n_null
+        assert r.min_repr is not None and r.max_repr is not None
+    assert rows["o_orderkey"].n_distinct == rows["o_orderkey"].n_rows
 
 
 def test_multimodal_audio_runs_real_decoder(spark, sf_dir):

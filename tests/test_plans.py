@@ -107,6 +107,34 @@ def test_multimodal_is_arrow_batched(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_r5_operators_stay_jvm_side_no_cartesian(spark, sf_dir):
+    """Round-5 additions hold the scale contract: transitions, Zipf
+    head, and the table profile are pure Catalyst plans; the Zipf global
+    top-k is WindowGroupLimit-pruned (partial top-25 per partition
+    before the single-partition exchange); the profile computes every
+    column's stats over ONE scan (multi-distinct via Expand)."""
+    from dbt_jaffleshop_spark.llm import events, text
+    from dbt_jaffleshop_spark.testing import profile
+
+    for fn in (events.events_transition_topk, text.text_zipf_topk,
+               profile.orders_profile):
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
+        assert "CartesianProduct" not in plan, fn.__name__
+        if fn is not text.text_zipf_topk:
+            # zipf's ONE nested-loop join is the sanctioned 1-row
+            # broadcast of the corpus total onto the 25-row head
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+    zipf = _plan(text.text_zipf_topk(spark, sf_dir))
+    assert ("TakeOrderedAndProject(limit=25" in zipf) or (
+        "WindowGroupLimit" in zipf
+    ), "zipf global top-k not pruned before the single-partition stage"
+    prof = _plan(profile.orders_profile(spark, sf_dir))
+    assert prof.count("FileScan parquet") == 1
+    assert "Expand" in prof
+
+
 def _logical_nodes(df):
     """Every node of the optimized LOGICAL plan (depth-first), as py4j
     objects — the logical tree is stable under AQE, unlike executedPlan."""
