@@ -115,18 +115,11 @@ N_CELLS = 16
 IVF_TOP_K = 3
 
 
-def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """IVF-style approximate top-k: a coarse quantizer assigns every
-    vector to its nearest of 16 fixed centroids (the embeddings of
-    vec_ids 0..15 — a deterministic stand-in for trained k-means cells);
-    queries probe only their own cell (nprobe=1).
-
-    Scale shape: the centroid table is broadcast (16 rows); assignment is
-    a map-side argmax, and the candidate join shuffles on cell id — cells
-    are corpus/16 in expectation, so per-query work drops accordingly.
-    Exact integer cosine throughout ⇒ the DuckDB oracle (same algorithm)
-    matches bit-for-bit."""
-    q = _quantized_embeddings(spark, sf_dir)
+def _assign_cells(q: DataFrame) -> DataFrame:
+    """The IVF coarse quantizer's E-step, shared by the search path
+    (sim_ivf_topk) and the training step (emb_kmeans_iter): broadcast
+    the 16 seed centroids (the embeddings of vec_ids 0..15), map-side
+    integer-cosine argmax with a deterministic cell tie-break."""
     cents = q.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"),
         F.col("e").alias("ce"),
@@ -135,7 +128,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("cell")
     )
-    assigned = (
+    return (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
             "dot",
@@ -148,6 +141,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "e", "nrm", "cell")
     )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every
+    vector to its nearest of 16 fixed centroids (the embeddings of
+    vec_ids 0..15 — a deterministic stand-in for trained k-means cells);
+    queries probe only their own cell (nprobe=1).
+
+    Scale shape: the centroid table is broadcast (16 rows); assignment is
+    a map-side argmax, and the candidate join shuffles on cell id — cells
+    are corpus/16 in expectation, so per-query work drops accordingly.
+    Exact integer cosine throughout ⇒ the DuckDB oracle (same algorithm)
+    matches bit-for-bit."""
+    assigned = _assign_cells(_quantized_embeddings(spark, sf_dir))
     queries = assigned.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -173,6 +180,41 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def emb_kmeans_iter(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """One Lloyd iteration of the IVF coarse quantizer's k-means (r5) —
+    the TRAINING step the fixed seed centroids stand in for. E-step:
+    the shared `_assign_cells` assignment (broadcast 16 seeds, map-side
+    integer-cosine argmax). M-step: per (cell, dimension) coordinate
+    sums and integer-division means over the micro-quantized int64
+    embeddings — the new centroid table, integer-exact in both engines
+    (Spark `div` and DuckDB `//` both truncate toward zero — verified
+    on negative sums, which this table has plenty of).
+
+    Plan shape for 100 TB: assignment is map-side (broadcast ×16, no
+    shuffle), posexplode fans each vector into 64 (cell, dim) rows that
+    partial-aggregate BEFORE the one shuffle onto ≤ cells×dims = 1024
+    keys — the classic distributed-k-means reduce. Iterating = re-run
+    with the output as the next centroid table."""
+    assigned = _assign_cells(_quantized_embeddings(spark, sf_dir))
+    coords = assigned.select(
+        "cell", F.posexplode("e").alias("dim", "coord")
+    )
+    return (
+        coords.groupBy("cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("coord").alias("sum_coord"),
+        )
+        .select(
+            "cell",
+            F.col("dim").cast("bigint").alias("dim"),
+            "n_members",
+            "sum_coord",
+            F.expr("sum_coord div n_members").alias("mean_coord"),
+        )
     )
 
 
@@ -468,4 +510,37 @@ SELECT q.query_id,
 FROM (SELECT vec_id AS query_id FROM embeddings
       WHERE vec_id % {QUERY_STRIDE} = 0) q
 LEFT JOIN per_query p USING (query_id)
+"""
+
+
+# One Lloyd iteration (emb_kmeans_iter) — module constant like
+# RECALL_ORACLE/KNN_ORACLE so it never enters LLM_CATALOG as its own
+# slot; registered through sim_eval_digest instead.
+KMEANS_ORACLE = f"""
+WITH {_QUANT_CTE.strip()},
+cents AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+assign_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY {_COS_D} DESC, cell ASC) AS rn
+        FROM assign_scored
+    ) WHERE rn = 1
+),
+coords AS (
+    SELECT cell, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,
+           unnest(e) AS coord
+    FROM assigned
+)
+SELECT cell, dim,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(coord) AS BIGINT) AS sum_coord,
+       CAST(sum(coord) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_coord
+FROM coords GROUP BY cell, dim
 """

@@ -27,10 +27,12 @@ recording budget while every operator remains value-verified:
   streaming_session_window (llm/events.py, streaming/sessionize.py);
   sessionize and as-of keep their own slots (bench headline
   continuity).
-* ``sim_eval_digest`` (r4) — the ANN/embedding evaluation operators
-  sim_recall_at_k / sim_knn_classify (llm/similarity.py), whose
-  oracles are module constants (RECALL_ORACLE / KNN_ORACLE) rather
-  than registry entries.
+* ``sim_eval_digest`` (r4) — the ANN/embedding evaluation + training
+  operators: sim_recall_at_k / sim_knn_classify (llm/similarity.py,
+  oracles are module constants RECALL_ORACLE / KNN_ORACLE rather than
+  registry entries), emb_project (r4b, llm/prep.py), and
+  emb_kmeans_iter (r5 — one Lloyd iteration of the IVF coarse
+  quantizer, KMEANS_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
   snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
@@ -511,6 +513,16 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("votes", "bigint"),
             ("is_correct", "boolean"),
         ], oracle=llm_similarity.KNN_ORACLE),
+        # r5: one Lloyd iteration of the IVF coarse quantizer's k-means
+        # (llm/similarity.py) — E-step via the shared cell assignment,
+        # M-step as integer (cell, dim) sums + floor-div means
+        "emb_kmeans_iter": _m(llm_similarity, "emb_kmeans_iter", [
+            ("cell", "bigint"),
+            ("dim", "bigint"),
+            ("n_members", "bigint"),
+            ("sum_coord", "bigint"),
+            ("mean_coord", "bigint"),
+        ], oracle=llm_similarity.KMEANS_ORACLE),
         # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
         # projected coordinates + distortion evaluation
         "emb_project": _m(llm_prep, "emb_project", [

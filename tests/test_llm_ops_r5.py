@@ -190,6 +190,53 @@ def test_orders_profile_shape_and_consistency(spark, sf_dir):
     assert rows["o_orderkey"].n_distinct == rows["o_orderkey"].n_rows
 
 
+def test_emb_kmeans_iter_planted_assignment(spark, tmp_path):
+    """Hand-computable Lloyd step: 16 seed vectors (each its own cell —
+    cosine 1 with itself) plus two extra vectors that are positive
+    scalings of seeds 5 and 2 (cosine exactly 1 → tie-break picks the
+    LOWEST cell, which is the scaled seed's own cell only when no
+    earlier seed also hits cosine 1 — axis-aligned seeds guarantee
+    that). New centroids are exact integer floor-div means."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.common import EMB_SCALE
+    from dbt_jaffleshop_spark.llm.similarity import emb_kmeans_iter
+
+    dim = 4
+    rng = []
+    for i in range(16):
+        v = [0.0] * dim
+        v[i % dim] = 1.0 + 0.01 * i        # dominant axis
+        v[(i + 1) % dim] = 0.2 + 0.03 * i  # big secondary spread: seeds
+        # sharing a dominant axis stay clearly separated (cos ≪ 1), so
+        # the ~1e-6 quantization wobble on the scaled copies' cosine
+        # can never flip an assignment
+        rng.append(v)
+    v16 = [2 * x for x in rng[5]]   # cos=1 with seed 5 (and only 5)
+    v17 = [3 * x for x in rng[2]]   # cos=1 with seed 2
+    pd.DataFrame(
+        {
+            "vec_id": list(range(18)),
+            "embedding": [np.array(v, dtype="float32") for v in rng + [v16, v17]],
+            "label": [0] * 18,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = emb_kmeans_iter(spark, str(tmp_path))
+    rows = out.collect()
+    assert len(rows) == 16 * dim
+    members = {r.cell: r.n_members for r in rows if r.dim == 0}
+    assert members[5] == 2 and members[2] == 2
+    assert sum(members.values()) == 18
+    # exact integer M-step on cell 5, dim of its main axis
+    q = lambda x: int(round(x * EMB_SCALE))
+    axis = 5 % dim
+    got = {(r.cell, r.dim): r for r in rows}[(5, axis)]
+    s = q(rng[5][axis]) + q(v16[axis])
+    assert got.sum_coord == s
+    assert got.mean_coord == s // 2
+
+
 def test_multimodal_audio_runs_real_decoder(spark, sf_dir):
     """The registered query synthesizes REAL WAV bytes and the output
     comes from the actual parse path: independently rebuild one doc's
