@@ -496,6 +496,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ],
             _profile.ORACLES["orders_profile"],
         ),
+        # r5: exact per-month p50/p90/p99 via the histogram method — the
+        # cumulative window runs over the distinct VALUE domain, never
+        # the fact rows (testing/profile.py)
+        "orders_quantiles": (
+            _profile.orders_quantiles,
+            [
+                ("month", "string"),
+                ("n_orders", "bigint"),
+                ("p50_cents", "bigint"),
+                ("p90_cents", "bigint"),
+                ("p99_cents", "bigint"),
+            ],
+            _profile.ORACLES["orders_quantiles"],
+        ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only
     # evaluation operators under driver verification.

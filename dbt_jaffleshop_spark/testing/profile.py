@@ -59,6 +59,90 @@ def orders_profile(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")
 
 
+QUANTILES_BP = (50, 90, 99)  # p50 / p90 / p99
+
+
+def orders_quantiles(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Exact per-month order-value quantiles (r5) — p50/p90/p99 of the
+    cents-quantized totals, defined as the value at rank ceil(q·n) of
+    the month's ascending sort (the classic exact "lower quantile").
+
+    Scale shape for 100 TB: NOT a rank window over the fact rows (a
+    month of a 100 TB fact in one window task is the global-window
+    anti-pattern) — instead the exact histogram method: groupBy(month,
+    cents) first, so the cumulative window runs over the DISTINCT VALUE
+    DOMAIN per month (price cardinality, dimension-sized — the same
+    post-aggregation window contract W2 holds the rank marts to), then
+    each quantile is min(value where cum ≥ ceil(q·n)), a conditional
+    aggregate. Two key-partitioned shuffles total, both
+    partial-aggregated; ceil is spelled in integers ((n·q + 99) div
+    100) so both engines agree exactly."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    hist = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("month", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum_w = (
+        Window.partitionBy("month")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_w = Window.partitionBy("month")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(cum_w))
+        .withColumn("n_orders", F.sum("c").over(n_w))
+    )
+    quantile_cols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n_orders * {q} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias(f"p{q}_cents")
+        for q in QUANTILES_BP
+    ]
+    return (
+        cum.groupBy("month")
+        .agg(F.max("n_orders").alias("n_orders"), *quantile_cols)
+        .select(
+            "month", "n_orders",
+            *[f"p{q}_cents" for q in QUANTILES_BP],
+        )
+    )
+
+
+def _quantiles_oracle() -> str:
+    qcols = ",\n       ".join(
+        f"CAST(min(CASE WHEN cum >= (n_orders * {q} + 99) // 100"
+        f" THEN cents END) AS BIGINT) AS p{q}_cents"
+        for q in QUANTILES_BP
+    )
+    return f"""
+WITH hist AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1, 2
+),
+cum AS (
+    SELECT month, cents, c,
+           CAST(sum(c) OVER (PARTITION BY month ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY month) AS BIGINT) AS n_orders
+    FROM hist
+)
+SELECT month, CAST(max(n_orders) AS BIGINT) AS n_orders,
+       {qcols}
+FROM cum GROUP BY month
+"""
+
+
 def _profile_select(name: str, expr: str) -> str:
     return f"""
 SELECT '{name}' AS col_name,
@@ -74,4 +158,5 @@ ORACLES: dict[str, str] = {
     "orders_profile": " UNION ALL ".join(
         _profile_select(name, expr) for name, expr in _SPECS
     ),
+    "orders_quantiles": _quantiles_oracle(),
 }

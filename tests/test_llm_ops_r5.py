@@ -190,6 +190,40 @@ def test_orders_profile_shape_and_consistency(spark, sf_dir):
     assert rows["o_orderkey"].n_distinct == rows["o_orderkey"].n_rows
 
 
+def test_orders_quantiles_planted_distribution(spark, tmp_path):
+    """Hand-computable exact quantiles incl. a tie-heavy month: the
+    value at rank ceil(q·n) of the ascending cents sort."""
+    rows = []
+
+    def month(m, prices):
+        for i, p in enumerate(prices):
+            rows.append(
+                {"o_orderkey": len(rows), "o_custkey": 1,
+                 "o_orderstatus": "O", "o_totalprice": float(p),
+                 "o_orderdate": pd.Timestamp(f"1995-{m:02d}-15"),
+                 "o_orderpriority": "1-URGENT"}
+            )
+
+    month(1, range(1, 11))          # n=10: p50=ceil(5)=5th → 500 cents
+    month(2, [7.0])                 # n=1: all quantiles = 700
+    month(3, [1, 1, 1, 2, 2])      # n=5: k50=3 → 100; k90=k99=5 → 200
+    pdf = pd.DataFrame(rows)
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "orders.parquet")
+
+    from dbt_jaffleshop_spark.testing.profile import orders_quantiles
+
+    got = {r.month: r for r in orders_quantiles(spark, str(tmp_path)).collect()}
+    jan = got["1995-01"]
+    assert (jan.n_orders, jan.p50_cents, jan.p90_cents, jan.p99_cents) == (
+        10, 500, 900, 1000,
+    )
+    feb = got["1995-02"]
+    assert (feb.p50_cents, feb.p90_cents, feb.p99_cents) == (700, 700, 700)
+    mar = got["1995-03"]
+    assert (mar.p50_cents, mar.p90_cents, mar.p99_cents) == (100, 200, 200)
+
+
 def test_emb_kmeans_iter_planted_assignment(spark, tmp_path):
     """Hand-computable Lloyd step: 16 seed vectors (each its own cell —
     cosine 1 with itself) plus two extra vectors that are positive

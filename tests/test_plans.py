@@ -116,8 +116,11 @@ def test_r5_operators_stay_jvm_side_no_cartesian(spark, sf_dir):
     from dbt_jaffleshop_spark.llm import events, text
     from dbt_jaffleshop_spark.testing import profile
 
+    from dbt_jaffleshop_spark.llm import similarity
+
     for fn in (events.events_transition_topk, text.text_zipf_topk,
-               profile.orders_profile):
+               profile.orders_profile, profile.orders_quantiles,
+               similarity.emb_kmeans_iter):
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
         assert "CartesianProduct" not in plan, fn.__name__
