@@ -256,23 +256,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """Duplicate-cluster assignment: connected components over the
-    verified MinHash near-dup pairs, so every document in a transitive
-    duplicate group maps to one canonical cluster id (the group's min
-    doc_id) — what an actual dedup pass keys its keep/drop policy on
-    when near-duplication is transitive (A~B, B~C, A≁C).
+def dedup_clusters_propagation(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Min-label-propagation connected components — the CROSS-CHECK twin
+    of :func:`dedup_clusters` (r6 demotion: the star algorithm now holds
+    the production name and the driver slot; propagation stays as the
+    independent second implementation, pytest-pinned row-identical on
+    both the planted-duplicate corpus and Hypothesis-generated graphs).
 
-    This is the engine's iterative-algorithm seam: connected components
-    has no single-pass DataFrame form, so it runs min-label propagation —
-    label(v) ← min(label(v), min over neighbors) — as a driver-side loop
+    label(v) ← min(label(v), min over neighbors) as a driver-side loop
     of joins, each iteration one shuffle on node id, localCheckpoint()
     truncating the lineage so plans don't stack. Convergence in
-    O(component diameter) rounds; near-dup clusters are small and dense,
-    and the 100 TB upgrade (alternating small-star/large-star, same
-    join shape) halves diameters per round. The DuckDB oracle is a
-    genuinely independent implementation: a recursive CTE enumerating
-    reachability, min-aggregated per node.
+    O(component diameter) rounds — the reason for the demotion: a
+    pathological chain-shaped duplicate family costs diameter rounds
+    where the star variant pays O(log² n), and r4/r5 bench artifacts
+    measured propagation 2-6× slower on the same corpus (recorded in
+    BASELINE.md round-6 notes).
     """
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
@@ -317,9 +317,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
             break
     if not converged:
         raise RuntimeError(
-            "dedup_clusters label propagation did not converge within the "
+            "dedup_clusters_propagation did not converge within the "
             "round budget (component diameter > 64?); raise the budget or "
-            "use dedup_clusters_star (logarithmic rounds)"
+            "use dedup_clusters (star algorithm, logarithmic rounds)"
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
@@ -329,18 +329,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
-def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """Connected components via alternating large-star/small-star — the
-    100 TB twin of :func:`dedup_clusters` (identical output contract:
-    doc_id, cluster_id = component-min doc_id, cluster_size).
+def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Duplicate-cluster assignment — connected components over the
+    verified MinHash near-dup pairs, so every document in a transitive
+    duplicate group maps to one canonical cluster id (the group's min
+    doc_id): what an actual dedup pass keys its keep/drop policy on when
+    near-duplication is transitive (A~B, B~C, A≁C). Output contract:
+    (doc_id, cluster_id = component-min doc_id, cluster_size).
 
-    Min-label propagation converges in O(component diameter) rounds; the
-    star algorithm (Kiveris et al., "Connected Components in MapReduce
-    and Beyond", SoCC'14 — public) contracts components in
-    O(log² n) rounds worst-case (typically ~log), so a pathological chain-shaped duplicate
-    family (crawl mirrors that each drift slightly) costs log rounds
-    instead of diameter rounds. Each round is two grouped aggregations on
-    node id — the same shuffle shape as propagation, just fewer rounds:
+    PRODUCTION path since r6: alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public). Min-label propagation (the r3-r5 holder of this
+    name, now :func:`dedup_clusters_propagation`, kept as the
+    independent cross-check) converges in O(component diameter) rounds;
+    the star algorithm contracts components in O(log² n) rounds
+    worst-case (typically ~log), so a pathological chain-shaped
+    duplicate family (crawl mirrors that each drift slightly) costs log
+    rounds instead of diameter rounds — and it benched 2-6× faster on
+    the same corpus (r5 artifacts; BASELINE.md round-6 notes). Each
+    round is two grouped aggregations on node id — the same shuffle
+    shape as propagation, just fewer rounds:
 
     * large-star: every neighbor LARGER than u re-attaches to the minimum
       of N(u) ∪ {u}  (strictly decreases large labels, keeps forest);
@@ -348,10 +356,11 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataF
       (contracts stars into the component min).
 
     Converges when the edge multiset is a fixed point: every node points
-    directly at its component min. Equivalence with dedup_clusters is
-    pytest-pinned on the planted-duplicate corpus; the operator shares
-    the oracle-verified pair relation, so correctness rests on the same
-    driver-green base."""
+    directly at its component min. Equivalence with the propagation
+    cross-check is pytest-pinned on the planted-duplicate corpus and on
+    Hypothesis-generated random graphs; the DuckDB oracle is a genuinely
+    independent third implementation (recursive CTE enumerating
+    reachability, min-aggregated per node)."""
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # nodes can be isolated only if a pair self-loops, which the pair
     # relation excludes (doc_a < doc_b) — every node has ≥1 edge.
@@ -413,8 +422,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataF
         # (node, component_min); on a non-fixed-point edge set it would
         # return WRONG clusters with no error — fail loudly instead
         raise RuntimeError(
-            "dedup_clusters_star did not reach its fixed point within the "
-            "round budget; raise the budget (or use dedup_clusters)"
+            "dedup_clusters (star) did not reach its fixed point within "
+            "the round budget; raise the budget (or cross-check with "
+            "dedup_clusters_propagation)"
         )
     # at the fixed point every edge is (node, component_min), node > min;
     # the min nodes themselves label their own cluster
@@ -888,8 +898,9 @@ WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
 """,
 }
 
-# The star-algorithm twin (dedup_clusters_star) has the identical output
-# contract as dedup_clusters, so it registers against the same
-# independent recursive-CTE oracle — the driver then value-verifies BOTH
-# clustering algorithms, not just the propagation variant (r4).
-ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+# r6: the star algorithm holds the production name (and hence the one
+# driver slot) against the independent recursive-CTE oracle above;
+# dedup_clusters_propagation is the pytest cross-check (row-identical by
+# test_dedup_clusters_star_equals_propagation + the Hypothesis graph
+# property test) and deliberately has no ORACLES entry, which keeps the
+# registry at the 50-slot budget and freed the slot profile_digest uses.

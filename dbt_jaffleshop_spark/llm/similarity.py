@@ -248,8 +248,9 @@ def sim_recall_at_k(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
     scoring joins); the query base comes from a cheap embeddings scan,
     not a recompute of the exact plan. Deterministic end-to-end, so the
     DuckDB oracle — the same composition of the same two oracle
-    queries — matches bit-for-bit. Not in the driver registry (50-slot
-    cap); pytest-verified against RECALL_ORACLE.
+    queries — matches bit-for-bit. Driver-verified as a member of
+    `sim_eval_digest` (queries/op_digests.py) since round 4b, in
+    addition to the RECALL_ORACLE pytest.
 
     Expected reading on THIS corpus: ≈ 0. The synthetic embeddings are
     near-isotropic, so a true top-3 neighbor of a random query shares

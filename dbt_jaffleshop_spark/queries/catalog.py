@@ -175,6 +175,14 @@ register(
 # merge fold needed while keeping both value-verified.
 register("acid_digest", *OP_DIGEST_CATALOG["acid_digest"])
 
+# r6: profiling + auditing share ONE digest slot — the r5 profiling
+# members (moved out of acid_digest so group names stay truthful) plus
+# the dbt-audit-helper compare_relations analogue and its row-level
+# mismatch sample. The slot was freed by demoting
+# dedup_clusters_propagation to the pytest cross-check (the star
+# algorithm now holds the production `dedup_clusters` name and slot).
+register("profile_digest", *OP_DIGEST_CATALOG["profile_digest"])
+
 register("text_digest", *OP_DIGEST_CATALOG["text_digest"])
 register("multimodal_digest", *OP_DIGEST_CATALOG["multimodal_digest"])
 

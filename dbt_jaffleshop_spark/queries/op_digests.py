@@ -34,10 +34,17 @@ recording budget while every operator remains value-verified:
   emb_kmeans_iter (r5 — one Lloyd iteration of the IVF coarse
   quantizer, KMEANS_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
-  snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
+  snapshot (plans/snapshots.py, an individual slot in r4) and the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
-  (plans/merge_fold.py), and the single-pass per-column table profile
-  (testing/profile.py).
+  (plans/merge_fold.py). (The table-profiling members it carried in r5
+  moved to ``profile_digest`` so the group names stay truthful.)
+* ``profile_digest`` (r6) — data-quality profiling and auditing: the
+  single-pass per-column table profile + exact per-month quantiles
+  (testing/profile.py, acid_digest members in r5) and the
+  dbt-audit-helper analogue (testing/audit.py): per-column
+  compare_relations summary over a full-outer PK join of `orders` vs a
+  deterministically drifted copy, plus the PK-ordered row-level
+  mismatch sample.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -61,6 +68,7 @@ from ..llm import text as llm_text
 from ..plans import merge_fold as _merge_fold
 from ..plans import snapshots as _snapshots
 from ..streaming import sessionize as _sessionize_mod
+from ..testing import audit as _audit
 from ..testing import profile as _profile
 from .digests import digest_df, digest_select_duck
 from .oracle_jaffle import jaffle_sql_multi
@@ -482,6 +490,11 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ],
             _merge_fold.ORACLES["acid_merge_fold"],
         ),
+    },
+    # r6: profiling + auditing digest — the r5 acid_digest profiling
+    # members moved here (truthful group naming, r5 verdict item 8)
+    # joined by the dbt-audit-helper analogue (testing/audit.py).
+    "profile_digest": {
         # r5: single-pass per-column table profiling (testing/profile.py)
         # — the data-quality complement of the T1–T5 tests
         "orders_profile": (
@@ -509,6 +522,34 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("p99_cents", "bigint"),
             ],
             _profile.ORACLES["orders_quantiles"],
+        ),
+        # r6: compare_relations — per-column full-outer-join audit of
+        # orders vs its deterministically drifted copy (the
+        # dbt-audit-helper WAP step; integer-bp match rates)
+        "audit_compare_relations": (
+            _audit.audit_compare_relations,
+            [
+                ("col_name", "string"),
+                ("n_pk_only_a", "bigint"),
+                ("n_pk_only_b", "bigint"),
+                ("n_pk_both", "bigint"),
+                ("n_matched", "bigint"),
+                ("n_mismatched", "bigint"),
+                ("match_bp", "bigint"),
+            ],
+            _audit.ORACLES["audit_compare_relations"],
+        ),
+        # r6: the row-level evidence — first-K mismatching PKs per
+        # column with both string reprs (WindowGroupLimit-pruned top-k)
+        "audit_mismatch_sample": (
+            _audit.audit_mismatch_sample,
+            [
+                ("col_name", "string"),
+                ("pk", "bigint"),
+                ("a_repr", "string"),
+                ("b_repr", "string"),
+            ],
+            _audit.ORACLES["audit_mismatch_sample"],
         ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only

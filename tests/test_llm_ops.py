@@ -60,15 +60,17 @@ def test_sim_knn_classify_matches_oracle(spark, oracle, sf_dir):
 
 
 def test_dedup_clusters_star_equals_propagation(spark):
-    """The large-star/small-star connected-components twin (the
-    logarithmic-round 100 TB path) must produce the identical cluster
-    assignment as the oracle-verified min-label propagation on the
-    planted-duplicate corpus."""
-    from dbt_jaffleshop_spark.llm.dedup import dedup_clusters, dedup_clusters_star
+    """The production star-algorithm dedup_clusters (r6) must produce
+    the identical cluster assignment as the independent min-label
+    propagation cross-check on the planted-duplicate corpus."""
+    from dbt_jaffleshop_spark.llm.dedup import (
+        dedup_clusters,
+        dedup_clusters_propagation,
+    )
 
     sf = "/root/testdata/sf0.01"
-    a = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
-    b = sorted(map(tuple, dedup_clusters_star(spark, sf).collect()))
+    a = sorted(map(tuple, dedup_clusters_propagation(spark, sf).collect()))
+    b = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
     assert a == b
     assert a, "planted near-dup clusters must exist"
 
@@ -76,13 +78,13 @@ def test_dedup_clusters_star_equals_propagation(spark):
 def test_dedup_clusters_star_matches_recursive_cte_oracle(
     spark, oracle, sf_dir
 ):
-    """The star twin verified DIRECTLY against the driver slot's
-    independent DuckDB recursive-CTE reachability oracle (not just
-    equality with propagation) — same output contract, same oracle."""
+    """The production star path verified DIRECTLY against the driver
+    slot's independent DuckDB recursive-CTE reachability oracle (not
+    just equality with propagation)."""
     from dbt_jaffleshop_spark.llm import dedup
 
     assert_parity(
-        dedup.dedup_clusters_star(spark, sf_dir),
+        dedup.dedup_clusters(spark, sf_dir),
         oracle,
         dedup.ORACLES["dedup_clusters"],
     )
@@ -102,7 +104,7 @@ def test_dedup_clusters_star_long_chain(spark, monkeypatch):
     monkeypatch.setattr(
         dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
     )
-    rows = {r.doc_id: r for r in dedup.dedup_clusters_star(spark, None).collect()}
+    rows = {r.doc_id: r for r in dedup.dedup_clusters(spark, None).collect()}
     assert all(rows[i].cluster_id == 100 for i in range(100, 164))
     assert rows[163].cluster_size == 64
     assert all(rows[x].cluster_id == 500 for x in (500, 501, 502, 503, 504))

@@ -124,9 +124,12 @@ def test_r5_operators_stay_jvm_side_no_cartesian(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{fn.__name__} uses a Python UDF"
         assert "CartesianProduct" not in plan, fn.__name__
-        if fn is not text.text_zipf_topk:
+        if fn not in (text.text_zipf_topk, similarity.emb_kmeans_iter):
             # zipf's ONE nested-loop join is the sanctioned 1-row
-            # broadcast of the corpus total onto the 25-row head
+            # broadcast of the corpus total onto the 25-row head;
+            # emb_kmeans_iter's is the sanctioned 16-row centroid
+            # broadcast in the shared _assign_cells E-step (the same
+            # scale-safe IVF assignment sim_ivf_topk uses)
             assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
 
     zipf = _plan(text.text_zipf_topk(spark, sf_dir))

@@ -158,8 +158,8 @@ def test_clusters_star_equals_propagation_any_graph(spark, edges):
     with mock.patch.object(
         dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
     ):
-        a = sorted(map(tuple, dedup.dedup_clusters(spark, None).collect()))
-        b = sorted(map(tuple, dedup.dedup_clusters_star(spark, None).collect()))
+        a = sorted(map(tuple, dedup.dedup_clusters_propagation(spark, None).collect()))
+        b = sorted(map(tuple, dedup.dedup_clusters(spark, None).collect()))
     assert a == b
 
 
