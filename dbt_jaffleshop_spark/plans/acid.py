@@ -302,9 +302,20 @@ class AcidTable:
         def recompute() -> tuple[list[str], int]:
             if not self.exists():
                 return files, 0
+            # ONE manifest read feeds both the validation hook and the
+            # expected_parent: with two separate pointer reads, a
+            # concurrent commit landing between them would pass
+            # validate (which saw the old manifest) yet commit with the
+            # racer's version as parent — silently replacing the
+            # racer's rows, the exact lost update the merge_rows
+            # version guard exists to prevent (r6 advisor fix). Any
+            # commit after this read trips _commit's expected_parent
+            # check, which retries and re-validates against the new
+            # manifest.
+            m = self.manifest()
             if validate is not None:
-                validate(self.manifest())
-            return files, self.current_version()
+                validate(m)
+            return files, m["version"]
 
         return self._commit_with_retry(stage, files, partition_by, meta, recompute)
 
@@ -558,13 +569,23 @@ class AcidTable:
         inference (and PartitionFilters pruning) intact. A snapshot with
         ZERO files (an empty table is a legal state — e.g. a snapshot
         run over an empty first source) reads as an empty DataFrame with
-        the committed schema instead of a parquet-reader error."""
+        the committed schema. Every writer path records meta.schema, so
+        an empty snapshot WITHOUT one indicates manifest corruption —
+        that raises (r6 advisor fix) instead of fabricating a
+        placeholder schema that downstream unionByName/select would
+        trip over confusingly or, worse, mask."""
         m = self.manifest(version)
         paths = [os.path.join(self.data_dir, f) for f in m["files"]]
         if not paths:
             stored = m.get("meta", {}).get("schema") or {}
+            if not stored:
+                raise ValueError(
+                    f"{self.path}: empty snapshot v{m['version']} has no "
+                    "meta.schema — every writer records it, so its "
+                    "absence indicates a corrupt manifest"
+                )
             ddl = ", ".join(f"`{c}` {t}" for c, t in stored.items())
-            return spark.createDataFrame([], ddl or "__empty__ string")
+            return spark.createDataFrame([], ddl)
         reader = spark.read
         if m["partition_by"]:
             reader = reader.option("basePath", self.data_dir)

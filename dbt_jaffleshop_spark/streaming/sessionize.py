@@ -157,7 +157,18 @@ def streaming_sessionize(
     spark: SparkSession,
     sf_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    checkpoint_dir: str | None = None,
+    output_dir: str | None = None,
 ) -> DataFrame:
+    """Default sink is an ephemeral memory table (the registered-query
+    shape). With ``checkpoint_dir`` + ``output_dir`` the session stream
+    writes to a durable parquet sink instead: source offsets AND every
+    user's open-session state (the applyInPandasWithState store) live in
+    the checkpoint, so a later call with the same pair RESUMES — a
+    session left open at shutdown continues (same session_idx, merged
+    aggregates) instead of restarting the per-user numbering, and
+    already-committed emissions are never re-emitted (r6, the restart
+    twin of streaming_attribution's checkpointed mode)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,15 +194,30 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    if (checkpoint_dir is None) != (output_dir is None):
+        raise ValueError("checkpoint_dir and output_dir must be set together")
+    if checkpoint_dir is not None:
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        raw = spark.read.parquet(output_dir)
+    else:
+        name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        raw = spark.table(name)
 
     import json as _json
 
@@ -208,8 +234,7 @@ def streaming_sessionize(
         F.desc("n_events")
     )
     out = (
-        spark.table(name)
-        .withColumn("_rn", F.row_number().over(w))
+        raw.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )

@@ -513,3 +513,73 @@ def test_read_as_of_timestamp_time_travel(spark, tmp_path):
     assert table.read_as_of(spark, now).count() == 15
     with pytest.raises(ValueError, match="no snapshot"):
         table.version_as_of(before)
+
+
+def test_overwrite_validate_and_parent_from_one_manifest_read(spark, tmp_path):
+    """r6 advisor fix (TOCTOU): overwrite's validate hook and its commit
+    expected_parent must come from the SAME manifest read. A concurrent
+    commit landing right after the hook runs must trip the
+    expected_parent check and RE-RUN validate against the racer's
+    manifest — a hook enforcing read-snapshot freshness (merge_rows's
+    pattern) then aborts instead of silently replacing the racer."""
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 10))  # v1
+    read_version = table.current_version()
+
+    other = AcidTable(path)
+    raced = {"done": False}
+    seen_versions: list[int] = []
+
+    def validate(manifest):
+        seen_versions.append(manifest["version"])
+        if manifest["version"] != read_version:
+            raise ValueError("concurrent commit since read")
+        if not raced["done"]:
+            raced["done"] = True
+            # lands v2 BETWEEN the validate read and the commit
+            other.append(_df(spark, 100, 110))
+
+    with pytest.raises(ValueError, match="concurrent commit"):
+        table.overwrite(_df(spark, 10, 20), validate=validate)
+
+    # first attempt validated v1, the retry re-validated the racer's v2
+    assert seen_versions == [1, 2]
+    # the racer's rows survive; the aborted overwrite left nothing
+    assert table.current_version() == 2
+    assert table.read(spark).count() == 20
+    # the aborted writer's staged files were discarded (no disk leak)
+    live = {
+        os.path.join(table.data_dir, f)
+        for f in table.manifest()["files"]
+    }
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _dns, fns in os.walk(table.data_dir)
+        for f in fns
+    }
+    assert on_disk == live
+
+
+def test_read_empty_snapshot_without_schema_raises(spark, tmp_path):
+    """r6 advisor fix: an empty snapshot whose manifest lost meta.schema
+    is corruption — read() must raise naming the table, never fabricate
+    a placeholder schema."""
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(spark.range(0, 5).limit(0))  # legal empty snapshot
+    mpath = os.path.join(table.versions_dir, "v000001.json")
+
+    # force the TRUE zero-file form (Spark may emit a 0-row part file)
+    m = json.load(open(mpath))
+    m["files"] = []
+    json.dump(m, open(mpath, "w"))
+    # with the recorded schema, the empty read works and keeps the type
+    out = table.read(spark)
+    assert out.count() == 0 and out.schema["id"].dataType.simpleString() == "bigint"
+
+    # corrupt the manifest: drop meta.schema
+    m["meta"].pop("schema")
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="no .*meta.schema"):
+        table.read(spark)
