@@ -289,6 +289,109 @@ def events_transition_topk(
     )
 
 
+def events_retention_cohorts(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Weekly cohort retention (r6) — the canonical product-analytics
+    matrix: users are cohorted by the Monday-start week of their FIRST
+    event; for every (cohort_week, weeks-since-cohort offset) cell,
+    the distinct users active that week, the cohort's size, and the
+    integer-bp retention rate. Offset 0 is the cohort week itself
+    (retention_bp = 10000 by construction — kept as the self-check
+    column product dashboards rely on).
+
+    Plan shape for 100 TB: first-event per user is ONE partial-
+    aggregated groupBy on user_id; the cohort label joins back to
+    events on the SAME user_id key (co-partitioned shuffle); the
+    (cohort, offset, user) distinct partial-aggregates before its
+    shuffle, and the final matrix is |weeks|² rows — dimension-sized.
+    No windows at all. date_trunc('week') is Monday-start in BOTH
+    engines and the offset is an integer day-diff div 7, so parity is
+    exact."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("offset_weeks"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "offset_weeks",
+            "cohort_size",
+            "retained",
+            F.expr("retained * 10000 div cohort_size").alias("retention_bp"),
+        )
+    )
+
+
+ANOMALY_WINDOW_DAYS = 7
+ANOMALY_Z = 2  # flag days where z² > Z² against the trailing window
+
+
+def events_daily_anomalies(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Trailing-window volume anomaly flags (r6) — the ops-monitoring
+    staple: per (event_type, day) counts, compared against the mean and
+    variance of the 7 PRIOR days; a day is anomalous when its z-score
+    exceeds 2. The test is spelled WITHOUT division or floats —
+    z² > Z²  ⇔  (n·c − s)² > Z²·(n·q − s²)  for count c, window size n,
+    window sum s, window sum-of-squares q — so both engines agree
+    bit-for-bit (the same integer-variance move as the A7 stddev mart).
+    Only days with a full 7-day history are emitted (a partial window
+    has no calibrated baseline). Counts up to ~10⁹/day stay inside
+    int64 through the squares; beyond that, pre-scale to thousands.
+
+    Plan shape for 100 TB: the corpus-sized work is ONE partial-
+    aggregated groupBy onto (event_type, day) — dimension-cardinality
+    output; the trailing window then runs per event_type over |days|
+    rows (W2 contract: post-aggregation input), two column-window
+    passes over the same tiny relation."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            "event_type", F.expr("cast(date_trunc('day', ts) as date)").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOMALY_WINDOW_DAYS, -1)
+    )
+    n = ANOMALY_WINDOW_DAYS
+    return (
+        daily.withColumn("win_n", F.count(F.lit(1)).over(w))
+        .withColumn("win_sum", F.sum("n_events").over(w))
+        .withColumn("win_sumsq", F.sum(F.expr("n_events * n_events")).over(w))
+        .where(F.col("win_n") == n)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "win_sum",
+            F.expr(
+                f"({n}L * n_events - win_sum) * ({n}L * n_events - win_sum) >"
+                f" {ANOMALY_Z * ANOMALY_Z} * ({n}L * win_sumsq - win_sum * win_sum)"
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 ORACLES: dict[str, str] = {
@@ -456,4 +559,57 @@ SELECT dau.day, dau.dau, wau.wau,
        dau.dau * 1000 // wau.wau AS stickiness_milli,
        CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
 FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+# r6: weekly cohort retention — digest member (events_digest), module
+# constant so LLM_CATALOG does not claim a registry slot for it.
+RETENTION_ORACLE = """
+WITH ev AS (
+    SELECT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohorts AS (
+    SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+),
+cells AS (
+    SELECT DISTINCT c.cohort_week,
+           date_diff('day', c.cohort_week, e.week) // 7 AS offset_weeks,
+           e.user_id
+    FROM ev e JOIN cohorts c USING (user_id)
+),
+retained AS (
+    SELECT cohort_week, offset_weeks,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS retained
+    FROM cells GROUP BY cohort_week, offset_weeks
+),
+sizes AS (
+    SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+    FROM cohorts GROUP BY cohort_week
+)
+SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+       r.offset_weeks, s.cohort_size, r.retained,
+       r.retained * 10000 // s.cohort_size AS retention_bp
+FROM retained r JOIN sizes s USING (cohort_week)
+"""
+
+_AN = ANOMALY_WINDOW_DAYS
+ANOMALY_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+win AS (
+    SELECT event_type, day, n_events,
+           CAST(count(*) OVER tw AS BIGINT) AS win_n,
+           CAST(sum(n_events) OVER tw AS BIGINT) AS win_sum,
+           CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS win_sumsq
+    FROM daily
+    WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN {_AN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, win_sum,
+       ({_AN} * n_events - win_sum) * ({_AN} * n_events - win_sum) >
+       {ANOMALY_Z * ANOMALY_Z} * ({_AN} * win_sumsq - win_sum * win_sum)
+       AS is_anomaly
+FROM win WHERE win_n = {_AN}
 """

@@ -115,11 +115,14 @@ N_CELLS = 16
 IVF_TOP_K = 3
 
 
-def _assign_cells(q: DataFrame) -> DataFrame:
-    """The IVF coarse quantizer's E-step, shared by the search path
-    (sim_ivf_topk) and the training step (emb_kmeans_iter): broadcast
-    the 16 seed centroids (the embeddings of vec_ids 0..15), map-side
-    integer-cosine argmax with a deterministic cell tie-break."""
+def _assign_cells(q: DataFrame, n_probes: int = 1) -> DataFrame:
+    """The IVF coarse quantizer's E-step, shared by the search paths
+    (sim_ivf_topk, sim_ivf_probe2_topk) and the training step
+    (emb_kmeans_iter): broadcast the 16 seed centroids (the embeddings
+    of vec_ids 0..15), map-side integer-cosine argmax with a
+    deterministic cell tie-break. ``n_probes > 1`` keeps each vector's
+    top-N cells (multi-probe query expansion) instead of only the
+    argmax — still map-side, the row count just multiplies by N."""
     cents = q.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"),
         F.col("e").alias("ce"),
@@ -138,7 +141,7 @@ def _assign_cells(q: DataFrame) -> DataFrame:
         .withColumn("nb", F.col("cn"))
         .withColumn("c_cos", F.expr(_COS))
         .withColumn("rn", F.row_number().over(assign_w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= n_probes)
         .select("vec_id", "e", "nrm", "cell")
     )
 
@@ -178,6 +181,60 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+IVF_NPROBE = 2
+
+
+def sim_ivf_probe2_topk(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Multi-probe IVF top-k (r6): queries probe their TWO nearest
+    cells instead of one — the standard recall/cost knob of an IVF
+    index (FAISS's nprobe). Candidate sets from the two probed cells
+    are disjoint by construction (corpus vectors hold exactly one
+    rn=1 cell), so no dedup stage is needed; expected candidate work
+    is 2·corpus/16 per query vs nprobe=1's corpus/16, buying recall on
+    queries that fall near a cell boundary — the dominant failure mode
+    of single-probe search. Recall(probe2) ≥ recall(probe1) is
+    pytest-pinned per query.
+
+    Scale shape: identical to sim_ivf_topk — broadcast-16 map-side
+    assignment (the query side just keeps 2 rows per vector), candidate
+    join shuffles on cell id. rank is emitted as bigint (digest-stable
+    across engines)."""
+    base = _quantized_embeddings(spark, sf_dir)
+    corpus = _assign_cells(base)
+    queries = (
+        _assign_cells(base, n_probes=IVF_NPROBE)
+        .where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
+    scored = (
+        queries.join(corpus.alias("c"), "cell")
+        .where(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qe, c.e, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("qn").alias("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
@@ -484,6 +541,50 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_sim
 FROM ranked WHERE rank <= {LSH_TOP_K}
 """,
 }
+
+
+# Multi-probe IVF (sim_ivf_probe2_topk) — driver-verified via
+# sim_eval_digest (module constant, not an ORACLES entry, to keep the
+# registry at the 50-slot budget).
+PROBE2_ORACLE = f"""
+WITH {_QUANT_CTE.strip()},
+cents AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+assign_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents c
+),
+ranked_assign AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY {_COS_D} DESC, cell ASC) AS rn
+    FROM assign_scored
+),
+assigned AS (
+    SELECT vec_id, e, nrm, cell FROM ranked_assign WHERE rn = 1
+),
+probed AS (
+    SELECT vec_id, e, nrm, cell FROM ranked_assign
+    WHERE rn <= {IVF_NPROBE} AND vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(list_zip(q.e, c.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           q.nrm AS na, c.nrm AS nb
+    FROM probed q JOIN assigned c
+      ON q.cell = c.cell AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_COS_D} AS cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {IVF_TOP_K}
+"""
 
 
 # Composition of the two registered oracles — the same derivation the

@@ -32,7 +32,8 @@ recording budget while every operator remains value-verified:
   oracles are module constants RECALL_ORACLE / KNN_ORACLE rather than
   registry entries), emb_project (r4b, llm/prep.py), and
   emb_kmeans_iter (r5 — one Lloyd iteration of the IVF coarse
-  quantizer, KMEANS_ORACLE).
+  quantizer, KMEANS_ORACLE), and sim_ivf_probe2_topk (r6 — multi-probe
+  IVF search, PROBE2_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
   snapshot (plans/snapshots.py, an individual slot in r4) and the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
@@ -44,7 +45,9 @@ recording budget while every operator remains value-verified:
   dbt-audit-helper analogue (testing/audit.py): per-column
   compare_relations summary over a full-outer PK join of `orders` vs a
   deterministically drifted copy, plus the PK-ordered row-level
-  mismatch sample.
+  mismatch sample — and the K-minimum-values distinct-count sketch
+  (events_distinct_kmv, r6): reproducible approximate cardinality with
+  exact-count and error columns in the same verified rows.
 
 Schemas here are the DOUBLE-aware normalization schemas: the digest
 row-hash only branches on `double` (quantize at 1e-6), every other type
@@ -445,6 +448,32 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("rank", "bigint"),
         ]),
         # r4b: built-in session_window streaming twin (streaming/
+        # r6: weekly cohort retention — first-event cohorting, integer
+        # week offsets, bp retention; no windows, all key-partitioned
+        "events_retention_cohorts": (
+            llm_events.events_retention_cohorts,
+            [
+                ("cohort_week", "string"),
+                ("offset_weeks", "bigint"),
+                ("cohort_size", "bigint"),
+                ("retained", "bigint"),
+                ("retention_bp", "bigint"),
+            ],
+            llm_events.RETENTION_ORACLE,
+        ),
+        # r6: trailing-window volume anomaly flags — division-free
+        # integer z² test over the post-aggregation daily relation
+        "events_daily_anomalies": (
+            llm_events.events_daily_anomalies,
+            [
+                ("event_type", "string"),
+                ("day", "string"),
+                ("n_events", "bigint"),
+                ("win_sum", "bigint"),
+                ("is_anomaly", "boolean"),
+            ],
+            llm_events.ANOMALY_ORACLE,
+        ),
         # sessionize.py) — "> gap" break semantics (an event exactly at
         # last_ts + gap MERGES into the session), mirrored in its oracle
         # and pinned by test_session_window_gap_boundary_semantics; a
@@ -551,6 +580,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ],
             _audit.ORACLES["audit_mismatch_sample"],
         ),
+        # r6: K-minimum-values cardinality sketch — reproducible
+        # approx-distinct (HLL has no cross-engine oracle) with the
+        # exact count and estimator error in the same verified row
+        "events_distinct_kmv": (
+            _profile.events_distinct_kmv,
+            [
+                ("event_type", "string"),
+                ("n_exact", "bigint"),
+                ("n_kept", "bigint"),
+                ("est_distinct", "bigint"),
+                ("err_bp", "bigint"),
+            ],
+            _profile.ORACLES["events_distinct_kmv"],
+        ),
     },
     # r4: ANN/embedding evaluation digest — brings the two pytest-only
     # evaluation operators under driver verification.
@@ -578,6 +621,14 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("sum_coord", "bigint"),
             ("mean_coord", "bigint"),
         ], oracle=llm_similarity.KMEANS_ORACLE),
+        # r6: multi-probe IVF search (nprobe=2 — FAISS's recall/cost
+        # knob); per-query recall(probe2) >= recall(probe1) pytest-pinned
+        "sim_ivf_probe2_topk": _m(llm_similarity, "sim_ivf_probe2_topk", [
+            ("query_id", "bigint"),
+            ("neighbor_id", "bigint"),
+            ("rank", "bigint"),
+            ("cos_sim", "double"),
+        ], oracle=llm_similarity.PROBE2_ORACLE),
         # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
         # projected coordinates + distortion evaluation
         "emb_project": _m(llm_prep, "emb_project", [

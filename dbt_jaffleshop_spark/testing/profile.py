@@ -143,6 +143,114 @@ FROM cum GROUP BY month
 """
 
 
+KMV_K = 64
+# Deterministic 31-bit hash shared with the oracle: ((x % M) * A + B) % M.
+# Mod-BEFORE-multiply keeps the product under 2^62, so the arithmetic is
+# overflow-free int64 in BOTH engines (DuckDB raises on int64 overflow
+# where Spark wraps — a silent cross-engine divergence otherwise).
+KMV_M = 2_147_483_647  # 2^31 − 1 (prime)
+KMV_A = 1_103_515_245
+KMV_B = 12_345
+
+
+def events_distinct_kmv(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Per-event-type distinct-user cardinality via a K-minimum-values
+    sketch (r6) — Bar-Yossef et al. 2002, the order-statistics
+    cardinality estimator: hash every key into [0, M), keep the K
+    smallest distinct hash values, estimate distinct = (K−1)·M / h_K.
+    THE reproducible distinct-count tool for 100 TB profiling:
+    `approx_count_distinct`'s HLL is engine-specific (no DuckDB oracle
+    can reproduce it), while KMV under a fixed integer hash is
+    bit-identical in both engines — and sketches from disjoint
+    partitions/days merge by keeping the K smallest of the union,
+    which is what makes it a real warehouse primitive. The exact
+    distinct count and the estimator's basis-point error ship in the
+    same row, so the driver also verifies estimation QUALITY.
+
+    Plan shape for 100 TB: ONE partial-aggregated distinct on
+    (event_type, h) — corpus-sized work ends there — then the per-type
+    K-smallest runs through a rank window that Spark plans as
+    WindowGroupLimit (per-partition partial top-K before the
+    |event_types|-key exchange), the zipf/top-k contract; the exact
+    count joins from its own pre-aggregated |event_types|-row relation.
+    """
+    events = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window
+
+    h = (
+        events.selectExpr(
+            "event_type",
+            f"((user_id % {KMV_M}) * {KMV_A} + {KMV_B}) % {KMV_M} as h",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .withColumn(
+            "est_distinct",
+            F.when(
+                F.col("n_kept") == KMV_K,
+                F.expr(f"({KMV_K - 1} * {KMV_M}L) div h_k"),
+            ).otherwise(F.col("n_kept")),  # < K distinct ⇒ sketch is exact
+        )
+        .withColumn(
+            "err_bp",
+            F.expr("abs(est_distinct - n_exact) * 10000 div n_exact"),
+        )
+        .select("event_type", "n_exact", "n_kept", "est_distinct", "err_bp")
+    )
+
+
+def _kmv_oracle() -> str:
+    return f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ((user_id % {KMV_M}) * {KMV_A} + {KMV_B}) % {KMV_M} AS h
+    FROM events
+),
+r AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+),
+k AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           max(h) AS h_k
+    FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+),
+x AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+),
+e AS (
+    SELECT k.event_type, x.n_exact, k.n_kept,
+           CAST(CASE WHEN k.n_kept = {KMV_K}
+                THEN (CAST({KMV_K - 1} AS BIGINT) * {KMV_M}) // k.h_k
+                ELSE k.n_kept END AS BIGINT) AS est_distinct
+    FROM k JOIN x ON k.event_type = x.event_type
+)
+SELECT event_type, n_exact, n_kept, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+FROM e
+"""
+
+
 def _profile_select(name: str, expr: str) -> str:
     return f"""
 SELECT '{name}' AS col_name,
@@ -159,4 +267,5 @@ ORACLES: dict[str, str] = {
         _profile_select(name, expr) for name, expr in _SPECS
     ),
     "orders_quantiles": _quantiles_oracle(),
+    "events_distinct_kmv": _kmv_oracle(),
 }

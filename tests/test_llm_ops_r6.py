@@ -79,3 +79,158 @@ def test_streaming_sessionize_restart_resumes_user_state(
     )
     # and the compacted final is the batch result, bit-for-bit
     assert_parity(final, oracle, sessionize.ORACLES["streaming_sessionize"])
+
+
+def test_events_distinct_kmv_matches_oracle_and_estimates_well(
+    spark, oracle, sf_dir
+):
+    """KMV sketch: bit-identical to the DuckDB oracle (the reason it
+    exists instead of HLL), and the estimator is actually GOOD — when
+    the sketch saturates (n_kept == K) the error stays inside the
+    ~2/sqrt(K) band; below saturation it is exact by construction."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.testing import profile
+
+    df = profile.events_distinct_kmv(spark, sf_dir)
+    assert_parity(df, oracle, profile.ORACLES["events_distinct_kmv"])
+    for r in df.collect():
+        assert r.n_kept <= profile.KMV_K
+        if r.n_kept < profile.KMV_K:
+            assert r.est_distinct == r.n_exact and r.err_bp == 0
+        else:
+            # 3/sqrt(64) = 37.5% — generous 2.5x the 1-sigma bound so
+            # the test pins quality without being seed-brittle
+            assert r.err_bp <= 3750
+
+
+def test_events_distinct_kmv_plan_shape(spark, sf_dir):
+    """100 TB contract: the per-type K-smallest is WindowGroupLimit-
+    pruned (partial top-K per partition before the |event_types|-key
+    exchange) and nothing drops to Python or a cartesian."""
+    from dbt_jaffleshop_spark.testing import profile
+
+    plan = profile.events_distinct_kmv(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_ivf_probe2_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import similarity
+
+    assert_parity(
+        similarity.sim_ivf_probe2_topk(spark, sf_dir),
+        oracle,
+        similarity.PROBE2_ORACLE,
+    )
+
+
+def test_sim_ivf_probe2_recall_dominates_probe1(spark, sf_dir):
+    """Candidates(probe1) is a subset of candidates(probe2) (the corpus
+    assignment is unchanged; the query just probes one more cell), so
+    per-query recall against the exact top-3 must be >= single-probe
+    recall — the entire point of the nprobe knob."""
+    from collections import defaultdict
+
+    from dbt_jaffleshop_spark.llm import similarity
+
+    def hits(df):
+        by_q = defaultdict(set)
+        for r in df.collect():
+            by_q[r.query_id].add(r.neighbor_id)
+        return by_q
+
+    exact = hits(
+        similarity.sim_topk_cosine(spark, sf_dir).where(
+            f"rank <= {similarity.IVF_TOP_K}"
+        )
+    )
+    p1 = hits(similarity.sim_ivf_topk(spark, sf_dir))
+    p2 = hits(similarity.sim_ivf_probe2_topk(spark, sf_dir))
+    assert set(p1) <= set(p2)  # every probe1 query still answered
+    for q, truth in exact.items():
+        r1 = len(p1.get(q, set()) & truth)
+        r2 = len(p2.get(q, set()) & truth)
+        assert r2 >= r1, f"query {q}: probe2 recall {r2} < probe1 {r1}"
+
+
+def test_events_retention_cohorts_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events
+
+    df = events.events_retention_cohorts(spark, sf_dir)
+    assert_parity(df, oracle, events.RETENTION_ORACLE)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained <= r.cohort_size
+        if r.offset_weeks == 0:
+            # the cohort week itself: everyone is active by definition
+            assert r.retention_bp == 10000
+
+
+def test_events_daily_anomalies_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events
+
+    assert_parity(
+        events.events_daily_anomalies(spark, sf_dir),
+        oracle,
+        events.ANOMALY_ORACLE,
+    )
+
+
+def test_events_daily_anomalies_planted_spike(spark, monkeypatch):
+    """A constant 10-events/day baseline with ONE 100-event day: only
+    the spike day flags (zero-variance window ⇒ any deviation is
+    anomalous, equality is not), and days without a full 7-day history
+    are not emitted at all."""
+    import datetime as dt
+
+    from dbt_jaffleshop_spark.llm import events
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for d in range(20):
+        n = 100 if d == 15 else 10
+        for i in range(n):
+            rows.append(("a", base + dt.timedelta(days=d, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    monkeypatch.setattr(events, "load_table", lambda _s, _t, _sf=None: df)
+
+    out = {r.day: r for r in events.events_daily_anomalies(spark, None).collect()}
+    # days 0..6 lack a full history; 7..19 emit
+    assert len(out) == 13
+    assert out["2024-03-16"].is_anomaly
+    # the day AFTER the spike compares against a window containing the
+    # spike — 10 vs mean 22.86, z ≈ 0.4 — not anomalous; all other
+    # constant days are exactly at their window mean
+    assert all(not r.is_anomaly for d, r in out.items() if d != "2024-03-16")
+
+
+def test_r6_operators_plan_shape(spark, sf_dir):
+    """Scale contract for the r6 additions: retention is window-free
+    (pure key-partitioned aggregation); the anomaly scan's windows run
+    over the post-aggregation daily relation; neither drops to Python
+    or a cartesian, and the audit/KMV checks live in their own tests."""
+    from dbt_jaffleshop_spark.llm import events
+
+    for fn in (events.events_retention_cohorts, events.events_daily_anomalies):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    assert "Window" not in (
+        events.events_retention_cohorts(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
