@@ -142,6 +142,32 @@ def compare_relations(
     return summary, mismatches
 
 
+def compare_relation_columns(a: DataFrame, b: DataFrame) -> list[dict]:
+    """Schema-level diff — dbt-audit-helper's ``compare_relation_columns``
+    macro: align the two relations' columns by name and report, per
+    column, presence on each side, both data types, and whether the
+    types match. Driver-side metadata only (no job runs); returned as a
+    plain list of dicts ordered by a's column order then b-only extras,
+    so callers can render or assert on it directly."""
+    a_types = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    b_types = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    ordered = [f.name for f in a.schema.fields] + [
+        f.name for f in b.schema.fields if f.name not in a_types
+    ]
+    return [
+        {
+            "col_name": c,
+            "in_a": c in a_types,
+            "in_b": c in b_types,
+            "a_type": a_types.get(c),
+            "b_type": b_types.get(c),
+            "type_match": a_types.get(c) is not None
+            and a_types.get(c) == b_types.get(c),
+        }
+        for c in ordered
+    ]
+
+
 def _orders_pair(
     spark: SparkSession, sf_dir: str | None
 ) -> tuple[DataFrame, DataFrame]:

@@ -97,3 +97,22 @@ def test_audit_plan_shape(spark, sf_dir):
     assert "EvalPython" not in sample_plan
     assert "CartesianProduct" not in sample_plan
     assert "WindowGroupLimit" in sample_plan
+
+
+def test_compare_relation_columns(spark):
+    """Schema diff: columns aligned by name with per-side presence,
+    types, and a match flag — metadata-only, no job runs."""
+    from dbt_jaffleshop_spark.testing.audit import compare_relation_columns
+
+    a = spark.createDataFrame([], "pk long, x string, y double")
+    b = spark.createDataFrame([], "pk long, x int, z string")
+    rows = {r["col_name"]: r for r in compare_relation_columns(a, b)}
+    assert rows["pk"]["type_match"] and rows["pk"]["in_a"] and rows["pk"]["in_b"]
+    assert rows["x"]["in_a"] and rows["x"]["in_b"] and not rows["x"]["type_match"]
+    assert rows["x"]["a_type"] == "string" and rows["x"]["b_type"] == "int"
+    assert rows["y"]["in_a"] and not rows["y"]["in_b"] and not rows["y"]["type_match"]
+    assert rows["z"]["in_b"] and not rows["z"]["in_a"]
+    # a's column order first, then b-only extras
+    assert [r["col_name"] for r in compare_relation_columns(a, b)] == [
+        "pk", "x", "y", "z"
+    ]
