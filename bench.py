@@ -62,12 +62,14 @@ def _prior_round_floors() -> dict[str, float]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not paths:
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if m:  # a stray BENCH_rerun.json etc. must not kill the run
+            numbered.append((int(m.group(1)), p))
+    if not numbered:
         return {}
+    paths = [p for _n, p in sorted(numbered)]
     floors: dict[str, float] = {}
 
     def _absorb(d: dict) -> None:

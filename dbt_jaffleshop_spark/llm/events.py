@@ -320,11 +320,15 @@ def events_retention_cohorts(
             "user_id",
         )
         .distinct()
+        # count(*) is exact here: the explicit distinct above already
+        # deduplicated (cohort, offset, user) — a countDistinct would
+        # pay a second dedup aggregation over the same corpus-sized data
         .groupBy("cohort_week", "offset_weeks")
-        .agg(F.countDistinct("user_id").alias("retained"))
+        .agg(F.count(F.lit(1)).alias("retained"))
     )
+    # cohorts is one-row-per-user by construction (groupBy user_id)
     sizes = cohorts.groupBy("cohort_week").agg(
-        F.countDistinct("user_id").alias("cohort_size")
+        F.count(F.lit(1)).alias("cohort_size")
     )
     return (
         cells.join(sizes, "cohort_week")
@@ -347,26 +351,46 @@ def events_daily_anomalies(
 ) -> DataFrame:
     """Trailing-window volume anomaly flags (r6) — the ops-monitoring
     staple: per (event_type, day) counts, compared against the mean and
-    variance of the 7 PRIOR days; a day is anomalous when its z-score
-    exceeds 2. The test is spelled WITHOUT division or floats —
-    z² > Z²  ⇔  (n·c − s)² > Z²·(n·q − s²)  for count c, window size n,
-    window sum s, window sum-of-squares q — so both engines agree
-    bit-for-bit (the same integer-variance move as the A7 stddev mart).
-    Only days with a full 7-day history are emitted (a partial window
-    has no calibrated baseline). Counts up to ~10⁹/day stay inside
-    int64 through the squares; beyond that, pre-scale to thousands.
+    variance of the 7 PRIOR CALENDAR days; a day is anomalous when its
+    z-score exceeds 2. The day axis is DENSIFIED per type (a date spine
+    from the type's first to last observed day), so an eventless day
+    appears as an explicit zero — a total outage, the single most
+    important volume anomaly, is flagged rather than silently absent,
+    and the ROWS frame genuinely means calendar days rather than "the 7
+    most recent days that happened to have events". The test is spelled
+    WITHOUT division or floats — z² > Z²  ⇔  (n·c − s)² > Z²·(n·q − s²)
+    for count c, window size n, window sum s, window sum-of-squares q —
+    so both engines agree bit-for-bit (the same integer-variance move
+    as the A7 stddev mart); a zero-variance window flags ANY deviation
+    and never flags equality. Only days with a full 7-day history are
+    emitted (a partial window has no calibrated baseline). Overflow
+    honesty: n·q with q ≤ n·c² bounds safe daily counts at
+    c ≤ √(2⁶³/n²) ≈ 4.3×10⁸/day — beyond that, pre-scale counts to
+    thousands before the test (Spark would wrap silently where DuckDB
+    raises, the exact divergence this module designs out).
 
     Plan shape for 100 TB: the corpus-sized work is ONE partial-
-    aggregated groupBy onto (event_type, day) — dimension-cardinality
-    output; the trailing window then runs per event_type over |days|
-    rows (W2 contract: post-aggregation input), two column-window
-    passes over the same tiny relation."""
-    daily = (
+    aggregated groupBy onto (event_type, day); the spine explode and
+    the trailing window then run per event_type over |days| rows (W2
+    contract: post-aggregation input), column-window passes over the
+    same tiny relation."""
+    sparse = (
         load_table(spark, "events", sf_dir)
         .groupBy(
             "event_type", F.expr("cast(date_trunc('day', ts) as date)").alias("day")
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = (
+        sparse.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    daily = spine.join(sparse, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
     w = (
         Window.partitionBy("event_type")
@@ -593,10 +617,22 @@ FROM retained r JOIN sizes s USING (cohort_week)
 
 _AN = ANOMALY_WINDOW_DAYS
 ANOMALY_ORACLE = f"""
-WITH daily AS (
+WITH sparse AS (
     SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+spine AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1,
+           INTERVAL 1 DAY)) AS DATE) AS day
+    FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM sparse GROUP BY event_type)
+),
+daily AS (
+    SELECT sp.event_type, sp.day,
+           COALESCE(s.n_events, 0) AS n_events
+    FROM spine sp LEFT JOIN sparse s
+      ON sp.event_type = s.event_type AND sp.day = s.day
 ),
 win AS (
     SELECT event_type, day, n_events,

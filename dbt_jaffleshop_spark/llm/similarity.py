@@ -142,7 +142,11 @@ def _assign_cells(q: DataFrame, n_probes: int = 1) -> DataFrame:
         .withColumn("c_cos", F.expr(_COS))
         .withColumn("rn", F.row_number().over(assign_w))
         .where(F.col("rn") <= n_probes)
-        .select("vec_id", "e", "nrm", "cell")
+        # rn (= probe rank) is kept so multi-probe callers can split one
+        # shared assignment into corpus (rn=1) and probe (rn<=N) views —
+        # identical subtrees below the filters let AQE reuse the rank
+        # window's exchange instead of re-running the E-step
+        .select("vec_id", "e", "nrm", "cell", "rn")
     )
 
 
@@ -202,15 +206,19 @@ def sim_ivf_probe2_topk(
     of single-probe search. Recall(probe2) ≥ recall(probe1) is
     pytest-pinned per query.
 
-    Scale shape: identical to sim_ivf_topk — broadcast-16 map-side
-    assignment (the query side just keeps 2 rows per vector), candidate
-    join shuffles on cell id. rank is emitted as bigint (digest-stable
-    across engines)."""
-    base = _quantized_embeddings(spark, sf_dir)
-    corpus = _assign_cells(base)
+    Scale shape: ONE shared broadcast-16 map-side assignment pass at
+    n_probes=2, split by probe rank into the corpus view (rn=1) and the
+    query view (rn≤2) — the two join sides filter the SAME subtree, so
+    AQE reuses the rank window's exchange instead of re-running the
+    E-step; the candidate join shuffles on cell id exactly like
+    sim_ivf_topk. rank is emitted as bigint (digest-stable across
+    engines)."""
+    assigned = _assign_cells(
+        _quantized_embeddings(spark, sf_dir), n_probes=IVF_NPROBE
+    )
+    corpus = assigned.where(F.col("rn") == 1).select("vec_id", "e", "nrm", "cell")
     queries = (
-        _assign_cells(base, n_probes=IVF_NPROBE)
-        .where(F.col("vec_id") % QUERY_STRIDE == 0)
+        assigned.where(F.col("vec_id") % QUERY_STRIDE == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),

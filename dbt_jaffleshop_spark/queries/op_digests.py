@@ -448,32 +448,6 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("rank", "bigint"),
         ]),
         # r4b: built-in session_window streaming twin (streaming/
-        # r6: weekly cohort retention — first-event cohorting, integer
-        # week offsets, bp retention; no windows, all key-partitioned
-        "events_retention_cohorts": (
-            llm_events.events_retention_cohorts,
-            [
-                ("cohort_week", "string"),
-                ("offset_weeks", "bigint"),
-                ("cohort_size", "bigint"),
-                ("retained", "bigint"),
-                ("retention_bp", "bigint"),
-            ],
-            llm_events.RETENTION_ORACLE,
-        ),
-        # r6: trailing-window volume anomaly flags — division-free
-        # integer z² test over the post-aggregation daily relation
-        "events_daily_anomalies": (
-            llm_events.events_daily_anomalies,
-            [
-                ("event_type", "string"),
-                ("day", "string"),
-                ("n_events", "bigint"),
-                ("win_sum", "bigint"),
-                ("is_anomaly", "boolean"),
-            ],
-            llm_events.ANOMALY_ORACLE,
-        ),
         # sessionize.py) — "> gap" break semantics (an event exactly at
         # last_ts + gap MERGES into the session), mirrored in its oracle
         # and pinned by test_session_window_gap_boundary_semantics; a
@@ -488,6 +462,33 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("session_value_cents", "bigint"),
             ],
             _sessionize_mod.ORACLES["streaming_session_window"],
+        ),
+        # r6: weekly cohort retention — first-event cohorting, integer
+        # week offsets, bp retention; no windows, all key-partitioned
+        "events_retention_cohorts": (
+            llm_events.events_retention_cohorts,
+            [
+                ("cohort_week", "string"),
+                ("offset_weeks", "bigint"),
+                ("cohort_size", "bigint"),
+                ("retained", "bigint"),
+                ("retention_bp", "bigint"),
+            ],
+            llm_events.RETENTION_ORACLE,
+        ),
+        # r6: trailing-window volume anomaly flags — densified calendar
+        # day axis, division-free integer z² test over the
+        # post-aggregation daily relation
+        "events_daily_anomalies": (
+            llm_events.events_daily_anomalies,
+            [
+                ("event_type", "string"),
+                ("day", "string"),
+                ("n_events", "bigint"),
+                ("win_sum", "bigint"),
+                ("is_anomaly", "boolean"),
+            ],
+            llm_events.ANOMALY_ORACLE,
         ),
     },
     # r5: ACID-materialization digest — the SCD2 snapshot fold (its own

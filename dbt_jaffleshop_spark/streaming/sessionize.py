@@ -206,7 +206,13 @@ def streaming_sessionize(
             .start()
         )
         q.awaitTermination()
-        raw = spark.read.parquet(output_dir)
+        if os.path.isdir(os.path.join(output_dir, "_spark_metadata")):
+            raw = spark.read.parquet(output_dir)
+        else:
+            # zero committed batches (e.g. a first run over an empty
+            # feed): the FileStreamSink never created the directory —
+            # return the same empty result the memory-sink path yields
+            raw = spark.createDataFrame([], OUTPUT_SCHEMA)
     else:
         name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
         q = (

@@ -188,11 +188,13 @@ def test_events_daily_anomalies_matches_oracle(spark, oracle, sf_dir):
     )
 
 
-def test_events_daily_anomalies_planted_spike(spark, monkeypatch):
-    """A constant 10-events/day baseline with ONE 100-event day: only
-    the spike day flags (zero-variance window ⇒ any deviation is
-    anomalous, equality is not), and days without a full 7-day history
-    are not emitted at all."""
+def test_events_daily_anomalies_planted_spike_and_outage(spark, monkeypatch):
+    """A constant 10-events/day baseline with ONE 100-event spike day
+    and ONE eventless day: both flag (zero-variance window ⇒ any
+    deviation is anomalous, equality is not) — the outage day exists in
+    the output at all only because the day axis is densified, the most
+    important anomaly class a sparse groupBy would silently skip. Days
+    without a full 7-day history are not emitted."""
     import datetime as dt
 
     from dbt_jaffleshop_spark.llm import events
@@ -200,6 +202,8 @@ def test_events_daily_anomalies_planted_spike(spark, monkeypatch):
     rows = []
     base = dt.datetime(2024, 3, 1)
     for d in range(20):
+        if d == 10:
+            continue  # total outage — zero events
         n = 100 if d == 15 else 10
         for i in range(n):
             rows.append(("a", base + dt.timedelta(days=d, seconds=i)))
@@ -207,13 +211,15 @@ def test_events_daily_anomalies_planted_spike(spark, monkeypatch):
     monkeypatch.setattr(events, "load_table", lambda _s, _t, _sf=None: df)
 
     out = {r.day: r for r in events.events_daily_anomalies(spark, None).collect()}
-    # days 0..6 lack a full history; 7..19 emit
+    # days 0..6 lack a full history; 7..19 emit (incl. the densified
+    # zero day)
     assert len(out) == 13
+    assert out["2024-03-11"].n_events == 0 and out["2024-03-11"].is_anomaly
     assert out["2024-03-16"].is_anomaly
-    # the day AFTER the spike compares against a window containing the
-    # spike — 10 vs mean 22.86, z ≈ 0.4 — not anomalous; all other
-    # constant days are exactly at their window mean
-    assert all(not r.is_anomaly for d, r in out.items() if d != "2024-03-16")
+    # every other emitted day sits within z<=2 of its trailing window
+    # (constant days at the mean; post-spike/post-outage days diluted)
+    flagged = {d for d, r in out.items() if r.is_anomaly}
+    assert flagged == {"2024-03-11", "2024-03-16"}
 
 
 def test_r6_operators_plan_shape(spark, sf_dir):
