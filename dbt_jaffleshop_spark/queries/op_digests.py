@@ -35,10 +35,13 @@ recording budget while every operator remains value-verified:
   quantizer, KMEANS_ORACLE), and sim_ivf_probe2_topk (r6 — multi-probe
   IVF search, PROBE2_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
-  snapshot (plans/snapshots.py, an individual slot in r4) and the MERGE
+  snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
-  (plans/merge_fold.py). (The table-profiling members it carried in r5
-  moved to ``profile_digest`` so the group names stay truthful.)
+  (plans/merge_fold.py), and the streaming CDC upsert sink (r6,
+  streaming/upsert.py — foreachBatch folding micro-batches into a
+  bucket-partitioned state table via merge_rows). (The table-profiling
+  members it carried in r5 moved to ``profile_digest`` so the group
+  names stay truthful.)
 * ``profile_digest`` (r6) — data-quality profiling and auditing: the
   single-pass per-column table profile + exact per-month quantiles
   (testing/profile.py, acid_digest members in r5) and the
@@ -71,6 +74,7 @@ from ..llm import text as llm_text
 from ..plans import merge_fold as _merge_fold
 from ..plans import snapshots as _snapshots
 from ..streaming import sessionize as _sessionize_mod
+from ..streaming import upsert as _upsert
 from ..testing import audit as _audit
 from ..testing import profile as _profile
 from .digests import digest_df, digest_select_duck
@@ -519,6 +523,23 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("month", "string"),
             ],
             _merge_fold.ORACLES["acid_merge_fold"],
+        ),
+        # r6: streaming CDC upsert — foreachBatch + merge_rows (the
+        # Delta MERGE-from-a-stream pattern): 3 micro-batches fold into
+        # a bucket-partitioned per-user state table; end state == the
+        # batch aggregation over the whole feed (streaming/upsert.py)
+        "streaming_upsert_state": (
+            _upsert.streaming_upsert_state,
+            [
+                ("user_id", "bigint"),
+                ("bucket", "bigint"),
+                ("n_events", "bigint"),
+                ("value_cents", "bigint"),
+                ("last_ts_us", "bigint"),
+                ("last_event_id", "bigint"),
+                ("last_event_type", "string"),
+            ],
+            _upsert.ORACLES["streaming_upsert_state"],
         ),
     },
     # r6: profiling + auditing digest — the r5 acid_digest profiling

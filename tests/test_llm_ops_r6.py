@@ -240,3 +240,77 @@ def test_r6_operators_plan_shape(spark, sf_dir):
         .executedPlan()
         .toString()
     )
+
+
+def test_streaming_upsert_multibatch_and_restart(spark, sf_dir, tmp_path):
+    """Streaming CDC upsert (foreachBatch + merge_rows): three
+    single-file micro-batches fold into the bucket-partitioned state
+    table (overwrite, then real MERGE commits); a phase-2 restart with
+    the same checkpoint resumes offsets and does NOT re-fold committed
+    batches (counts would double); the final state equals the batch
+    aggregation over the whole feed."""
+    import pyarrow.parquet as pq
+
+    from dbt_jaffleshop_spark.streaming.upsert import (
+        streaming_events_upsert_to_acid,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    src = tmp_path / "feed"
+    src.mkdir()
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), src / "part-0.parquet")
+    pq.write_table(t.slice(third, third), src / "part-1.parquet")
+
+    tbl = str(tmp_path / "tbl")
+    table = streaming_events_upsert_to_acid(
+        spark, str(src), tbl, max_files_per_trigger=1
+    )
+    v_phase1 = table.current_version()
+    assert v_phase1 >= 2, "expected overwrite + at least one MERGE commit"
+    phase1 = {r.user_id: r.n_events for r in table.read(spark).collect()}
+
+    # phase 2: a third file arrives; the SAME checkpoint resumes
+    pq.write_table(t.slice(2 * third), src / "part-2.parquet")
+    table = streaming_events_upsert_to_acid(
+        spark, str(src), tbl, max_files_per_trigger=1
+    )
+    state = {r.user_id: r for r in table.read(spark).collect()}
+
+    # no double-folding: every user's count equals the full-feed count
+    import collections
+
+    expected = collections.Counter(t.column("user_id").to_pylist())
+    assert {u: r.n_events for u, r in state.items()} == dict(expected)
+    # phase-1 counts never shrink
+    assert all(state[u].n_events >= n for u, n in phase1.items())
+    # last-event selection matches the argmax over the whole feed
+    import pyarrow.compute as pc
+
+    ts_us = pc.cast(t.column("ts"), "int64").to_pylist()
+    best: dict = {}
+    for uid, us, eid, etype in zip(
+        t.column("user_id").to_pylist(),
+        ts_us,
+        t.column("event_id").to_pylist(),
+        t.column("event_type").to_pylist(),
+    ):
+        if uid not in best or (us, eid) > best[uid][:2]:
+            best[uid] = (us, eid, etype)
+    for uid, (us, eid, etype) in best.items():
+        r = state[uid]
+        assert (r.last_ts_us, r.last_event_id, r.last_event_type) == (
+            us, eid, etype,
+        )
+
+
+def test_streaming_upsert_state_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.streaming import upsert
+
+    assert_parity(
+        upsert.streaming_upsert_state(spark, sf_dir),
+        oracle,
+        upsert.ORACLES["streaming_upsert_state"],
+    )

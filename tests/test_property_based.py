@@ -349,3 +349,70 @@ def test_merge_rows_equals_dict_fold(spark, tmp_path_factory, upserts):
         for r in table.read(spark).select("id", "p", "v").collect()
     }
     assert got == expect
+
+
+@given(
+    a_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=12),                 # pk
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+        ),
+        max_size=10,
+    ),
+    b_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+        ),
+        max_size=10,
+    ),
+)
+@_prop_settings
+def test_compare_relations_summary_any_relations(spark, a_rows, b_rows):
+    """Property (r6): on ANY pair of keyed relations (including NULL
+    values on either side), the audit summary's PK-coverage counts
+    equal the set algebra of the key sets, matched+mismatched tile the
+    intersection, and per-column matched counts equal a direct Python
+    reference computation with NULL-safe equality."""
+    from dbt_jaffleshop_spark.testing.audit import compare_relations
+
+    schema = "pk long, v long, s string"
+    a = spark.createDataFrame(
+        [(k, v, s) for k, (v, s) in sorted(a_rows.items())], schema
+    )
+    b = spark.createDataFrame(
+        [(k, v, s) for k, (v, s) in sorted(b_rows.items())], schema
+    )
+    summary, mism = compare_relations(a, b, "pk", ["v", "s"])
+    rows = {r.col_name: r for r in summary.collect()}
+
+    ka, kb = set(a_rows), set(b_rows)
+    both = ka & kb
+    if not (ka | kb):
+        assert not rows  # two empty relations produce an empty audit
+        return
+    for ci, col in enumerate(["v", "s"]):
+        r = rows[col]
+        assert r.n_pk_only_a == len(ka - kb)
+        assert r.n_pk_only_b == len(kb - ka)
+        assert r.n_pk_both == len(both)
+        assert r.n_matched + r.n_mismatched == r.n_pk_both
+        expected_matched = sum(
+            1 for k in both if a_rows[k][ci] == b_rows[k][ci]
+        )
+        assert r.n_matched == expected_matched
+        if r.n_pk_both:
+            assert r.match_bp == r.n_matched * 10000 // r.n_pk_both
+        else:
+            assert r.match_bp is None
+    # the mismatch relation is exactly the complement of the matches
+    mism_keys = {(r.col_name, r.pk) for r in mism.collect()}
+    expected_mism = {
+        (col, k)
+        for ci, col in enumerate(["v", "s"])
+        for k in both
+        if a_rows[k][ci] != b_rows[k][ci]
+    }
+    assert mism_keys == expected_mism
