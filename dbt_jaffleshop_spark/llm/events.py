@@ -308,8 +308,14 @@ def events_retention_cohorts(
     No windows at all. date_trunc('week') is Monday-start in BOTH
     engines and the offset is an integer day-diff div 7, so parity is
     exact."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    # NULL user_ids are excluded explicitly: they cannot be cohorted
+    # (no identity to retain), and leaving them in would let Spark's
+    # groupBy NULL group and DuckDB's NULL-skipping count(DISTINCT)
+    # silently disagree on cohort_size
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
     )
     cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     cells = (
@@ -381,9 +387,16 @@ def events_daily_anomalies(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    # spine: per-type FIRST day (a type that launches late is not
+    # "anomalously absent" before it exists) through the GLOBAL last
+    # day — per-type max would hide an ongoing tail outage, the
+    # headline case (a type going dark while the rest of the feed
+    # continues). The global-max relation is 1 row, broadcast — the
+    # same sanctioned 1-row-broadcast shape as the zipf corpus total.
     spine = (
         sparse.groupBy("event_type")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .agg(F.min("day").alias("d0"))
+        .crossJoin(F.broadcast(sparse.agg(F.max("day").alias("d1"))))
         .select(
             "event_type",
             F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
@@ -590,6 +603,7 @@ FROM dau JOIN wau ON dau.day = wau.day
 RETENTION_ORACLE = """
 WITH ev AS (
     SELECT user_id, date_trunc('week', ts) AS week FROM events
+    WHERE user_id IS NOT NULL
 ),
 cohorts AS (
     SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
@@ -625,8 +639,8 @@ WITH sparse AS (
 spine AS (
     SELECT event_type, CAST(unnest(generate_series(d0, d1,
            INTERVAL 1 DAY)) AS DATE) AS day
-    FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
-          FROM sparse GROUP BY event_type)
+    FROM (SELECT event_type, min(day) AS d0 FROM sparse GROUP BY event_type)
+         CROSS JOIN (SELECT max(day) AS d1 FROM sparse)
 ),
 daily AS (
     SELECT sp.event_type, sp.day,

