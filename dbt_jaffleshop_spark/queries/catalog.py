@@ -129,6 +129,7 @@ _GROUP_DIGESTED = {
     "multimodal_framesample",
     "multimodal_resize",
     "multimodal_audio",
+    "multimodal_pixels",
     "corpus_curate",
     "corpus_sample_stratified",
     "events_funnel",

@@ -21,7 +21,9 @@ recording budget while every operator remains value-verified:
   sampling).
 * ``multimodal_digest`` — multimodal_extract / multimodal_framesample /
   multimodal_resize / multimodal_audio (r5 — the real PCM WAV decode
-  run over synthesized WAV bytes) (llm/multimodal.py).
+  run over synthesized WAV bytes) / multimodal_pixels (r6 — the real
+  PNG pixel decode: zlib inflate + all-five-filter unfilterer over
+  synthesized filtered PNGs) (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py);
@@ -410,6 +412,21 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("n_samples", "bigint"),
             ("duration_ms", "bigint"),
             ("rms_q", "bigint"),
+        ]),
+        # r6: REAL PNG pixel decode (zlib inflate + all-five-filter
+        # unfilterer, dependency-free) — synthesized filtered+deflated
+        # PNGs round-trip the actual decoder; the oracle regenerates the
+        # pixels from the formula, and the position-weighted checksum
+        # pins exact per-pixel recovery (llm/multimodal.py)
+        "multimodal_pixels": _m(llm_multimodal, "multimodal_pixels", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("px_min", "bigint"),
+            ("px_max", "bigint"),
+            ("px_sum", "bigint"),
+            ("px_checksum", "bigint"),
         ]),
     },
     # r4: event-analytics digest — funnel + JSON stats move here from

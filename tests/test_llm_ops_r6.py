@@ -328,3 +328,75 @@ def test_streaming_upsert_state_matches_oracle(spark, oracle, sf_dir):
         oracle,
         upsert.ORACLES["streaming_upsert_state"],
     )
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The dependency-free PNG codec: encode applies every spec filter
+    (y % 5), decode inflates and unfilters back to the exact pixels —
+    byte-perfect across shapes that exercise 1..5+ scanlines."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    for h, w, seed in [(1, 8, 3), (5, 5, 0), (9, 16, 7), (16, 8, 250)]:
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((seed + y * 31 + x * 13) % 256).astype(np.uint8)
+        assert (png_decode_gray(png_encode_gray(px)) == px).all()
+    # extremes: constant black / white (filter deltas all zero / wrap)
+    for v in (0, 255):
+        px = np.full((6, 6), v, dtype=np.uint8)
+        assert (png_decode_gray(png_encode_gray(px)) == px).all()
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        PNG_SIG,
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    good = bytearray(png_encode_gray(np.zeros((4, 4), dtype=np.uint8)))
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0xFF  # flip a byte inside a chunk
+    with pytest.raises(ValueError, match="CRC|length|invalid"):
+        png_decode_gray(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode_gray(b"GIF89a" + bytes(good))
+
+    # an RGB (color type 2) IHDR is honestly out of scope
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    data = zlib.compress(b"\x00" * (4 * (4 * 3 + 1)))
+    idat = (
+        struct.pack(">I", len(data)) + b"IDAT" + data
+        + struct.pack(">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        png_decode_gray(PNG_SIG + chunk + idat)
+
+
+def test_multimodal_pixels_matches_oracle(spark, oracle, sf_dir):
+    """The registered PNG round-trip: real deflate+filter encode, real
+    decode, position-weighted checksum vs the formula-recomputing
+    oracle — exact per-pixel recovery, not just aggregate luck."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import multimodal
+
+    assert_parity(
+        multimodal.multimodal_pixels(spark, sf_dir),
+        oracle,
+        multimodal.ORACLES["multimodal_pixels"],
+    )
