@@ -14,10 +14,13 @@ verification, stdlib-zlib inflate, all five spec scanline filters
 reversed; 8-bit grayscale non-interlaced, the honest subset), as does
 uncompressed 16-bit PCM WAV audio (`parse_wav` + the Arrow-batched
 `audio_features` operator — container walk, numpy sample extraction,
-integer RMS); other image formats decode through PIL when installed
-(capability-gated — see `_image_codec`); compressed-audio payloads and
-video PIXEL decode raise NotImplementedError (JPEG/MP3/H.264 genuinely
-need codec libraries absent here), while MP4 container metadata (movie
+integer RMS); animated-GIF FRAMES decode FOR REAL too (r6:
+`gif_decode_frames` — full LZW dictionary replay with code-size growth
+and dictionary resets, non-interlaced global-palette frames); other
+image formats decode through PIL when installed (capability-gated — see
+`_image_codec`); compressed-audio payloads and compressed-VIDEO pixel
+decode raise NotImplementedError (JPEG/MP3/H.264/VP9 genuinely need
+codec libraries absent here), while MP4 container metadata (movie
 duration, track count) parses dependency-free via `parse_mp4_header`. The
 deterministic metadata path (byte length, md5, fake dimensions derived
 from length) is fully implemented and oracle-checked regardless of
@@ -977,4 +980,323 @@ SELECT doc_id,
        CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(sum(p * weight) AS BIGINT) AS px_checksum
 FROM v GROUP BY doc_id
+"""
+
+
+# ------------------------------------- GIF animated-frame decode (r6)
+
+GIF_MIN_CODE = 8  # 256-entry palette
+
+
+def _gif_codec():
+    """Build the REAL dependency-free GIF codec pair (encode_frames,
+    decode_frames) for non-interlaced frames over a 256-entry global
+    palette — GIF's compression layer is LZW, implementable exactly in
+    ~60 lines each way, so animated-GIF FRAMES decode with no codec
+    library: this realizes real frame extraction for the one video-ish
+    container where that is possible dependency-free (H.264/VP9 frames
+    still need real codecs). Encoder and decoder are independent LZW
+    implementations (dictionary-build vs dictionary-replay), covering
+    code-size growth (9→12 bits) and mid-stream dictionary resets.
+
+    Nested-function factory for cloudpickle-by-value (see
+    _make_extract_batches)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    clear, eoi = 1 << GIF_MIN_CODE, (1 << GIF_MIN_CODE) + 1
+
+    def lzw_encode(data: bytes) -> bytes:
+        out_bits: list[tuple[int, int]] = []
+        size = GIF_MIN_CODE + 1
+        nxt = eoi + 1
+        dict_ = {bytes([i]): i for i in range(1 << GIF_MIN_CODE)}
+        out_bits.append((clear, size))
+        w = b""
+        for b in data:
+            k = bytes([b])
+            if w + k in dict_:
+                w = w + k
+                continue
+            out_bits.append((dict_[w], size))
+            dict_[w + k] = nxt
+            nxt += 1
+            if nxt == (1 << size) + 1 and size < 12:
+                size += 1
+            if nxt > 4095:  # dictionary full — reset (the spec's CLEAR)
+                out_bits.append((clear, size))
+                dict_ = {bytes([i]): i for i in range(1 << GIF_MIN_CODE)}
+                size = GIF_MIN_CODE + 1
+                nxt = eoi + 1
+            w = k
+        if w:
+            out_bits.append((dict_[w], size))
+        out_bits.append((eoi, size))
+        acc = n = 0
+        out = bytearray()
+        for code, s in out_bits:
+            acc |= code << n
+            n += s
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def lzw_decode(data: bytes) -> bytes:
+        pos = acc = nbits = 0
+
+        def read(size: int) -> int:
+            nonlocal pos, acc, nbits
+            while nbits < size:
+                if pos >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            return code
+
+        size = GIF_MIN_CODE + 1
+        table = [bytes([i]) for i in range(1 << GIF_MIN_CODE)] + [b"", b""]
+        out = bytearray()
+        prev = None
+        while True:
+            code = read(size)
+            if code == clear:
+                table = [bytes([i]) for i in range(1 << GIF_MIN_CODE)] + [b"", b""]
+                size = GIF_MIN_CODE + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out += entry
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+            prev = entry
+        return bytes(out)
+
+    def _sub_blocks(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            part = data[i : i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+        return bytes(out)
+
+    def encode_frames(frames) -> bytes:
+        """Animated GIF89a over the identity GRAYSCALE palette
+        (palette[i] = (i,i,i), so palette index == gray value)."""
+        frames = [_np.asarray(f, dtype=_np.uint8) for f in frames]
+        h, w = frames[0].shape
+        out = bytearray(b"GIF89a")
+        out += _struct.pack("<HH", w, h)
+        out.append(0b1111_0111)  # GCT present, 8-bit color, 256 entries
+        out += b"\x00\x00"  # bg color, aspect
+        for i in range(256):  # identity grayscale palette
+            out += bytes([i, i, i])
+        for frame in frames:
+            assert frame.shape == (h, w)
+            # Graphic Control Extension (delay 10cs, no transparency)
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+            out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            out.append(GIF_MIN_CODE)
+            out += _sub_blocks(lzw_encode(frame.tobytes()))
+        out += b"\x3b"
+        return bytes(out)
+
+    def decode_frames(payload: bytes):
+        """All frames as (h, w) uint8 index arrays + the palette."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF (bad signature)")
+        w, h = _struct.unpack("<HH", payload[6:10])
+        packed = payload[10]
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            palette = payload[pos : pos + n]
+            pos += n
+        frames = []
+        while pos < len(payload):
+            b = payload[pos]
+            pos += 1
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while pos < len(payload) and payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            if pos + 10 > len(payload):
+                raise ValueError("GIF truncated inside an image descriptor")
+            left, top, fw, fh = _struct.unpack("<HHHH", payload[pos : pos + 8])
+            fpacked = payload[pos + 8]
+            pos += 9
+            if fpacked & 0xC0:
+                raise NotImplementedError(
+                    "gif decode supports non-interlaced frames over the "
+                    "global palette (no local palettes)"
+                )
+            min_code = payload[pos]
+            pos += 1
+            if min_code != GIF_MIN_CODE:
+                raise NotImplementedError(
+                    f"gif decode expects an 8-bit palette image, got "
+                    f"LZW min code {min_code}"
+                )
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF truncated inside frame data")
+                ln = payload[pos]
+                if not ln:
+                    break
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = lzw_decode(bytes(data))
+            if len(raw) != fw * fh:
+                raise ValueError("GIF frame pixel payload has the wrong length")
+            frames.append(
+                _np.frombuffer(raw, dtype=_np.uint8).reshape(fh, fw)
+            )
+        return frames, palette
+
+    return encode_frames, decode_frames
+
+
+# module-level pair for driver-side use and the pytest vectors
+gif_encode_frames, gif_decode_frames = _gif_codec()
+
+GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_checksum", LongType()),
+    ]
+)
+
+
+def _make_gif_frames_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL animated GIF
+    per video doc (2 + doc_id % 3 frames, deterministic pixels
+    p(f,x,y) = (doc_id·7 + f·17 + y·31 + x·13) mod 256 over the
+    identity grayscale palette), then run the REAL LZW decoder on the
+    bytes and reduce each frame to position-weighted statistics."""
+    encode, decode = _gif_codec()
+
+    def gif_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + doc_id % 9, 8 + nb % 9
+                n_frames = 2 + doc_id % 3
+                y, x = _np.mgrid[0:h, 0:w]
+                frames = [
+                    ((doc_id * 7 + f * 17 + y * 31 + x * 13) % 256).astype(
+                        _np.uint8
+                    )
+                    for f in range(n_frames)
+                ]
+                decoded, _palette = decode(encode(frames))
+                weight = 1 + (x * 131 + y * 137) % 251
+                for f, frame in enumerate(decoded):
+                    px = frame.astype(_np.int64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": f,
+                            "width": w,
+                            "height": h,
+                            "px_sum": int(px.sum()),
+                            "px_checksum": int((px * weight).sum()),
+                        }
+                    )
+            yield _pd.DataFrame(rows)
+
+    return gif_batches
+
+
+def multimodal_gif_frames(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered GIF frame-decode query (multimodal_digest member,
+    r6): real animated GIFs (LZW-compressed, GCE-per-frame) round-trip
+    through the genuine LZW dictionary-replay decoder, one output row
+    per decoded frame with position-weighted pixel statistics. The
+    DuckDB oracle regenerates the pixels from the formula over
+    (frame, x, y) — the per-frame checksum pins exact per-position
+    recovery across the frame sequence, so frame order or off-by-one
+    frame mixing cannot slip through. One mapInPandas stage, no
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    video_docs = docs.where(F.expr("doc_id % 3 = 2")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return video_docs.mapInPandas(
+        _make_gif_frames_batches(), schema=GIF_FRAMES_SCHEMA
+    )
+
+
+ORACLES["multimodal_gif_frames"] = """
+WITH vid AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS w,
+           CAST(8 + strlen(text) % 9 AS BIGINT) AS h,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+),
+fs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, n_frames - 1)) AS f
+    FROM vid
+),
+xs AS (
+    SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM fs
+),
+px AS (
+    SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+v AS (
+    SELECT doc_id, w, h, f,
+           (doc_id * 7 + f * 17 + y * 31 + x * 13) % 256 AS p,
+           1 + (x * 131 + y * 137) % 251 AS weight
+    FROM px
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(p * weight) AS BIGINT) AS px_checksum
+FROM v GROUP BY doc_id, f
 """

@@ -130,6 +130,7 @@ _GROUP_DIGESTED = {
     "multimodal_resize",
     "multimodal_audio",
     "multimodal_pixels",
+    "multimodal_gif_frames",
     "corpus_curate",
     "corpus_sample_stratified",
     "events_funnel",

@@ -428,6 +428,18 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
         ]),
+        # r6: REAL animated-GIF frame decode (independent LZW encoder/
+        # decoder pair, code-size growth + dictionary resets) — one row
+        # per decoded frame, position-weighted checksums pin exact
+        # per-frame pixel recovery (llm/multimodal.py)
+        "multimodal_gif_frames": _m(llm_multimodal, "multimodal_gif_frames", [
+            ("doc_id", "bigint"),
+            ("frame_idx", "int"),
+            ("width", "int"),
+            ("height", "int"),
+            ("px_sum", "bigint"),
+            ("px_checksum", "bigint"),
+        ]),
     },
     # r4: event-analytics digest — funnel + JSON stats move here from
     # individual slots; sessionize/as-of keep their own (bench headline).
