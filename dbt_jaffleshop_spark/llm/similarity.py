@@ -116,18 +116,26 @@ IVF_TOP_K = 3
 
 
 def _assign_cells(q: DataFrame, n_probes: int = 1) -> DataFrame:
-    """The IVF coarse quantizer's E-step, shared by the search paths
-    (sim_ivf_topk, sim_ivf_probe2_topk) and the training step
-    (emb_kmeans_iter): broadcast the 16 seed centroids (the embeddings
-    of vec_ids 0..15), map-side integer-cosine argmax with a
-    deterministic cell tie-break. ``n_probes > 1`` keeps each vector's
-    top-N cells (multi-probe query expansion) instead of only the
-    argmax — still map-side, the row count just multiplies by N."""
+    """The IVF coarse quantizer's E-step against the 16 SEED centroids
+    (the embeddings of vec_ids 0..15) — shared by the search paths
+    (sim_ivf_topk, sim_ivf_probe2_topk) and the first training step
+    (emb_kmeans_iter). ``n_probes > 1`` keeps each vector's top-N cells
+    (multi-probe query expansion) instead of only the argmax — still
+    map-side, the row count just multiplies by N."""
     cents = q.where(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
+    return _assign_to(q, cents, n_probes)
+
+
+def _assign_to(q: DataFrame, cents: DataFrame, n_probes: int = 1) -> DataFrame:
+    """Assignment against an ARBITRARY (cell, ce, cn) centroid table —
+    broadcast (≤ N_CELLS rows), map-side integer-cosine argmax with a
+    deterministic cell tie-break. Taking the centroid table as input is
+    what makes Lloyd's loop composable: iteration k+1 assigns against
+    iteration k's means (emb_kmeans_iter2)."""
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("cell")
     )
@@ -262,8 +270,15 @@ def emb_kmeans_iter(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
     shuffle), posexplode fans each vector into 64 (cell, dim) rows that
     partial-aggregate BEFORE the one shuffle onto ≤ cells×dims = 1024
     keys — the classic distributed-k-means reduce. Iterating = re-run
-    with the output as the next centroid table."""
+    with the output as the next centroid table (emb_kmeans_iter2 DOES
+    exactly that under driver verification)."""
     assigned = _assign_cells(_quantized_embeddings(spark, sf_dir))
+    return _m_step(assigned)
+
+
+def _m_step(assigned: DataFrame) -> DataFrame:
+    """Lloyd M-step: per-(cell, dim) integer coordinate sums and
+    floor-div means over the assigned vectors."""
     coords = assigned.select(
         "cell", F.posexplode("e").alias("dim", "coord")
     )
@@ -279,6 +294,54 @@ def emb_kmeans_iter(spark: SparkSession, sf_dir: str | None = None) -> DataFrame
             "n_members",
             "sum_coord",
             F.expr("sum_coord div n_members").alias("mean_coord"),
+        )
+    )
+
+
+def emb_kmeans_iter2(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The SECOND Lloyd iteration (r6) — proves the loop composes:
+    iteration 1's per-(cell, dim) means pivot back into a ≤16-row
+    centroid table (array re-assembled in dim order, integer squared
+    norm recomputed), every vector re-assigns against THOSE centroids
+    through the same broadcast E-step, and the M-step re-runs. Each row
+    also carries ``shift_abs`` = |mean₂ − mean₁| for its coordinate —
+    the convergence signal a training loop stops on. A cell that loses
+    all members in round 2 disappears from the output (both engines).
+
+    Plan shape: identical per-iteration cost to emb_kmeans_iter — the
+    centroid pivot is a 1024-row aggregation, the re-assignment is the
+    same map-side broadcast, the M-step the same ≤1024-key shuffle —
+    which is the point: k-means at 100 TB is THIS, k times."""
+    base = _quantized_embeddings(spark, sf_dir)
+    means1 = emb_kmeans_iter(spark, sf_dir)
+    cents2 = (
+        means1.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_coord"))
+            ).alias("pairs")
+        )
+        .select(
+            "cell",
+            F.expr("transform(pairs, p -> p.mean_coord)").alias("ce"),
+        )
+        .withColumn("cn", F.expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)"))
+    )
+    means2 = _m_step(_assign_to(base, cents2))
+    return (
+        means2.join(
+            means1.select(
+                "cell", "dim", F.col("mean_coord").alias("prev_mean")
+            ),
+            ["cell", "dim"],
+        )
+        .select(
+            "cell",
+            "dim",
+            "n_members",
+            "sum_coord",
+            "mean_coord",
+            F.expr("abs(mean_coord - prev_mean)").alias("shift_abs"),
         )
     )
 
@@ -653,4 +716,72 @@ SELECT cell, dim,
        CAST(sum(coord) AS BIGINT) AS sum_coord,
        CAST(sum(coord) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_coord
 FROM coords GROUP BY cell, dim
+"""
+
+
+# Second unrolled Lloyd iteration (emb_kmeans_iter2) — driver-verified
+# via sim_eval_digest; the SQL re-runs assignment against iteration 1's
+# means and reports per-coordinate centroid shift.
+KMEANS2_ORACLE = f"""
+WITH {_QUANT_CTE.strip()},
+cents AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+assign_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY {_COS_D} DESC, cell ASC) AS rn
+        FROM assign_scored
+    ) WHERE rn = 1
+),
+coords AS (
+    SELECT cell, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,
+           unnest(e) AS coord
+    FROM assigned
+),
+means1 AS (
+    SELECT cell, dim,
+           CAST(sum(coord) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_coord
+    FROM coords GROUP BY cell, dim
+),
+cents2 AS (
+    SELECT cell, list(mean_coord ORDER BY dim) AS ce,
+           CAST(list_sum(list_transform(list(mean_coord ORDER BY dim),
+               x -> x * x)) AS BIGINT) AS cn
+    FROM means1 GROUP BY cell
+),
+assign2_scored AS (
+    SELECT v.vec_id, v.e, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents2 c
+),
+assigned2 AS (
+    SELECT vec_id, e, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY {_COS_D} DESC, cell ASC) AS rn
+        FROM assign2_scored
+    ) WHERE rn = 1
+),
+coords2 AS (
+    SELECT cell, CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS dim,
+           unnest(e) AS coord
+    FROM assigned2
+),
+means2 AS (
+    SELECT cell, dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(coord) AS BIGINT) AS sum_coord,
+           CAST(sum(coord) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_coord
+    FROM coords2 GROUP BY cell, dim
+)
+SELECT m2.cell, m2.dim, m2.n_members, m2.sum_coord, m2.mean_coord,
+       CAST(abs(m2.mean_coord - m1.mean_coord) AS BIGINT) AS shift_abs
+FROM means2 m2 JOIN means1 m1 ON m2.cell = m1.cell AND m2.dim = m1.dim
 """

@@ -34,8 +34,9 @@ recording budget while every operator remains value-verified:
   oracles are module constants RECALL_ORACLE / KNN_ORACLE rather than
   registry entries), emb_project (r4b, llm/prep.py), and
   emb_kmeans_iter (r5 — one Lloyd iteration of the IVF coarse
-  quantizer, KMEANS_ORACLE), and sim_ivf_probe2_topk (r6 — multi-probe
-  IVF search, PROBE2_ORACLE).
+  quantizer, KMEANS_ORACLE), emb_kmeans_iter2 (r6 — the second unrolled
+  iteration with per-coordinate centroid shift, KMEANS2_ORACLE), and
+  sim_ivf_probe2_topk (r6 — multi-probe IVF search, PROBE2_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
   snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
@@ -672,6 +673,17 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("sum_coord", "bigint"),
             ("mean_coord", "bigint"),
         ], oracle=llm_similarity.KMEANS_ORACLE),
+        # r6: the SECOND unrolled Lloyd iteration — re-assigns against
+        # iteration 1's means and reports per-coordinate centroid shift
+        # (the convergence signal); proves the training loop composes
+        "emb_kmeans_iter2": _m(llm_similarity, "emb_kmeans_iter2", [
+            ("cell", "bigint"),
+            ("dim", "bigint"),
+            ("n_members", "bigint"),
+            ("sum_coord", "bigint"),
+            ("mean_coord", "bigint"),
+            ("shift_abs", "bigint"),
+        ], oracle=llm_similarity.KMEANS2_ORACLE),
         # r6: multi-probe IVF search (nprobe=2 — FAISS's recall/cost
         # knob); per-query recall(probe2) >= recall(probe1) pytest-pinned
         "sim_ivf_probe2_topk": _m(llm_similarity, "sim_ivf_probe2_topk", [

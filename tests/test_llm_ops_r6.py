@@ -475,3 +475,38 @@ def test_multimodal_gif_frames_matches_oracle(spark, oracle, sf_dir):
         oracle,
         multimodal.ORACLES["multimodal_gif_frames"],
     )
+
+
+def test_emb_kmeans_iter2_matches_oracle_and_converges(spark, oracle, sf_dir):
+    """The unrolled second Lloyd iteration: bit-exact vs the DuckDB
+    twin (re-assignment against iteration-1 means, integer floor-div
+    means, per-coordinate shift), plus structural invariants — at most
+    16 cells, every surviving cell carries all 64 dims, and members
+    are conserved across cells within each iteration."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import similarity
+
+    df = similarity.emb_kmeans_iter2(spark, sf_dir)
+    assert_parity(df, oracle, similarity.KMEANS2_ORACLE)
+    rows = df.collect()
+    cells = {r.cell for r in rows}
+    assert len(cells) <= similarity.N_CELLS
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_vectors = None
+    for cell, rs in by_cell.items():
+        assert len(rs) == 64, f"cell {cell} missing dims"
+        members = {r.n_members for r in rs}
+        assert len(members) == 1  # every dim of a cell sees the same members
+    # member conservation: summing any one dim over cells = corpus size
+    dim0 = [r.n_members for r in rows if r.dim == 0]
+    from dbt_jaffleshop_spark.sources import load_table
+
+    assert sum(dim0) == load_table(spark, "embeddings", sf_dir).count()
+    # plan: no Python, no true cartesian (the <=16-row broadcasts are
+    # the sanctioned IVF assignment shape)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
