@@ -44,6 +44,13 @@ def union_relations(
         for c in df.columns:
             if c not in ordered_cols:
                 ordered_cols.append(c)
+    if include_source_column and source_column_name in ordered_cols:
+        # appending a second column with the same name would produce an
+        # ambiguous-reference failure far from the cause — fail fast
+        raise ValueError(
+            f"union_relations: an input already has a column named "
+            f"{source_column_name!r}; pass a different source_column_name"
+        )
     parts = []
     for name, df in relations.items():
         have = set(df.columns)
@@ -72,10 +79,23 @@ def deduplicate(
 
     100 TB shape: one shuffle on the partition keys; Spark plans the
     rank-1 filter as WindowGroupLimit (per-partition partial top-1
-    before the exchange), so no task materializes a whole group.
+    before the exchange), so no task materializes a whole group. An
+    EMPTY partition_by is refused (it would degenerate into a global
+    single-task window — the anti-pattern this module's plan contracts
+    forbid; dbt_utils.deduplicate requires the key too).
     """
     from pyspark.sql import Window
 
+    if not partition_by:
+        raise ValueError(
+            "deduplicate requires partition keys — an empty partition_by "
+            "would funnel the whole relation through one window task"
+        )
+    if "__dedup_rn" in df.columns:
+        raise ValueError(
+            "deduplicate: input already has a __dedup_rn column, which "
+            "this function would silently overwrite and drop"
+        )
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn("__dedup_rn", F.row_number().over(w))
@@ -88,38 +108,41 @@ def pivot(
     df: DataFrame,
     column: str,
     values: list,
+    group_by: list[str],
     agg: str = "sum",
     then_value: Column | None = None,
     prefix: str = "",
     suffix: str = "",
 ) -> DataFrame:
-    """dbt_utils.pivot: one output column per pinned value of
-    ``column``, aggregating ``then_value`` (default: 1 per matching
-    row, i.e. a count) with ``agg`` over whatever grouping the caller
-    applies next. Returns the df with the pivot columns APPENDED as
-    conditional expressions — the caller groups and aggregates them,
-    mirroring how the macro expands inside a SELECT:
-
-        pivot(df, "status", ["placed", "shipped"]).groupBy("cust")
-          .agg(F.sum("status_placed"), ...)
+    """dbt_utils.pivot: group by ``group_by`` and emit one aggregated
+    output column per pinned value of ``column`` — exactly the macro's
+    ``{{ agg }}(case when column = value then then_value else 0 end)``
+    expansion, with the aggregate genuinely applied (not left to the
+    caller). ``then_value`` defaults to 1 per matching row, so the
+    default sum is a per-value count.
 
     ``values`` must be pinned by the caller (the macro requires the
     same via get_column_values) — an unpinned pivot would need a
     driver-side distinct scan, a hidden action this library refuses to
     take implicitly.
 
-    100 TB shape: pure per-row projection; the aggregation that follows
-    is the caller's, with whatever partial-agg Catalyst gives it. The
-    `agg` name is validated against a fixed whitelist rather than
-    splicing arbitrary strings into expressions.
+    100 TB shape: per-row conditional projection into ONE
+    partial-aggregated groupBy on the grouping keys — the same plan as
+    the hand-written conditional-aggregate marts (A3's shape). ``agg``
+    resolves against a fixed whitelist of pyspark.sql.functions
+    aggregates — never string-spliced.
     """
-    if agg not in ("sum", "max", "min", "count", "avg"):
+    aggs = {"sum": F.sum, "max": F.max, "min": F.min, "avg": F.avg,
+            "count": F.count}
+    if agg not in aggs:
         raise ValueError(f"pivot: unsupported agg {agg!r}")
+    if not group_by:
+        raise ValueError("pivot requires grouping keys")
     base = then_value if then_value is not None else F.lit(1)
-    out = df
-    for v in values:
-        out = out.withColumn(
-            f"{prefix}{column}_{v}{suffix}",
-            F.when(F.col(column) == F.lit(v), base).otherwise(F.lit(0)),
-        )
-    return out
+    cols = [
+        aggs[agg](
+            F.when(F.col(column) == F.lit(v), base).otherwise(F.lit(0))
+        ).alias(f"{prefix}{column}_{v}{suffix}")
+        for v in values
+    ]
+    return df.groupBy(*group_by).agg(*cols)

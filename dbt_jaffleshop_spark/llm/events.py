@@ -358,12 +358,15 @@ def events_daily_anomalies(
     """Trailing-window volume anomaly flags (r6) — the ops-monitoring
     staple: per (event_type, day) counts, compared against the mean and
     variance of the 7 PRIOR CALENDAR days; a day is anomalous when its
-    z-score exceeds 2. The day axis is DENSIFIED per type (a date spine
-    from the type's first to last observed day), so an eventless day
-    appears as an explicit zero — a total outage, the single most
-    important volume anomaly, is flagged rather than silently absent,
-    and the ROWS frame genuinely means calendar days rather than "the 7
-    most recent days that happened to have events". The test is spelled
+    z-score exceeds 2. The day axis is DENSIFIED per type — a date
+    spine from the type's OWN first observed day (a late-launching type
+    is not "anomalously absent" before it exists) through the GLOBAL
+    last observed day (a per-type end would hide a type going
+    permanently dark while the feed continues) — so an eventless day
+    appears as an explicit zero: a total outage, mid-feed or ongoing at
+    the tail, is flagged rather than silently absent, and the ROWS
+    frame genuinely means calendar days rather than "the 7 most recent
+    days that happened to have events". The test is spelled
     WITHOUT division or floats — z² > Z²  ⇔  (n·c − s)² > Z²·(n·q − s²)
     for count c, window size n, window sum s, window sum-of-squares q —
     so both engines agree bit-for-bit (the same integer-variance move

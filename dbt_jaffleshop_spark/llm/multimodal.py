@@ -818,6 +818,10 @@ def _png_codec():
         while pos + 8 <= len(payload):
             (length,) = _struct.unpack(">I", payload[pos : pos + 4])
             ctype = payload[pos + 4 : pos + 8]
+            if pos + 12 + length > len(payload):
+                # struct.error is not a ValueError — truncation must
+                # surface through the documented corrupt-input contract
+                raise ValueError(f"PNG truncated inside chunk {ctype!r}")
             data = payload[pos + 8 : pos + 8 + length]
             (crc,) = _struct.unpack(
                 ">I", payload[pos + 8 + length : pos + 12 + length]
@@ -1032,6 +1036,15 @@ def _gif_codec():
             w = k
         if w:
             out_bits.append((dict_[w], size))
+            # the flush emission adds NO dict entry on the encoder side,
+            # but the decoder still appends one after replaying it — if
+            # that append lands its table exactly on 2^size, the decoder
+            # reads the NEXT code (EOI) one bit wider, so the encoder
+            # must grow too or the stream desyncs (surfaced only when
+            # the bitstream also ends on a byte boundary — no padding
+            # bits to absorb the misread)
+            if nxt == (1 << size) and size < 12:
+                size += 1
         out_bits.append((eoi, size))
         acc = n = 0
         out = bytearray()
@@ -1125,6 +1138,8 @@ def _gif_codec():
         """All frames as (h, w) uint8 index arrays + the palette."""
         if payload[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF (bad signature)")
+        if len(payload) < 13:
+            raise ValueError("GIF truncated inside the screen descriptor")
         w, h = _struct.unpack("<HH", payload[6:10])
         packed = payload[10]
         pos = 13
@@ -1156,6 +1171,15 @@ def _gif_codec():
                 raise NotImplementedError(
                     "gif decode supports non-interlaced frames over the "
                     "global palette (no local palettes)"
+                )
+            if (left, top) != (0, 0) or (fw, fh) != (w, h):
+                # partial-rect frame updates need canvas compositing +
+                # disposal handling — silently returning the sub-rect
+                # would be wrong frame data, so refuse honestly
+                raise NotImplementedError(
+                    "gif decode supports full-canvas frames only; got a "
+                    f"{fw}x{fh} sub-rect at ({left},{top}) on a {w}x{h} "
+                    "canvas (partial updates need compositing/disposal)"
                 )
             min_code = payload[pos]
             pos += 1

@@ -243,10 +243,13 @@ def test_r6_operators_plan_shape(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
-        if fn is not events.events_daily_anomalies:
+        if fn is events.events_daily_anomalies:
             # anomalies' ONE nested-loop join is the sanctioned 1-row
             # broadcast of the global last day onto the per-type spine
-            # starts (the zipf corpus-total pattern)
+            # starts (the zipf corpus-total pattern) — exactly one, so
+            # an accidental second non-equi join still fails here
+            assert plan.count("BroadcastNestedLoopJoin") == 1, fn.__name__
+        else:
             assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
     assert "Window" not in (
         events.events_retention_cohorts(spark, sf_dir)
@@ -510,3 +513,44 @@ def test_emb_kmeans_iter2_matches_oracle_and_converges(spark, oracle, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gif_lzw_flush_boundary_regression():
+    """r6 review (confirmed repro): when the decoder's table lands
+    exactly on 2^size at the final data code AND the bitstream ends on
+    a byte boundary, the old encoder wrote EOI one bit too narrow and
+    decode raised 'stream truncated'. Sweep single-row frames across
+    the dictionary-reset region (plus smaller growth boundaries) —
+    every length must round-trip byte-perfect."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        gif_decode_frames,
+        gif_encode_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    for n in list(range(4080, 4110)) + [250, 255, 256, 510, 511, 512, 1020]:
+        frame = rng.randint(0, 256, (1, n)).astype(np.uint8)
+        decoded, _ = gif_decode_frames(gif_encode_frames([frame]))
+        assert (decoded[0] == frame).all(), f"length {n} failed round-trip"
+
+
+def test_png_gif_truncation_raises_valueerror_not_struct_error():
+    """The corrupt-input contract is ValueError — a payload cut inside
+    a chunk header/CRC must not leak struct.error."""
+    import numpy as np
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        gif_decode_frames,
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    png = png_encode_gray(np.zeros((4, 4), dtype=np.uint8))
+    for cut in (10, 20, len(png) - 2):
+        with pytest.raises(ValueError):
+            png_decode_gray(png[:cut])
+    with pytest.raises(ValueError):
+        gif_decode_frames(b"GIF89a\x04\x00")  # cut inside the LSD

@@ -48,30 +48,47 @@ def test_deduplicate_keeps_first_by_order(spark):
     assert "WindowGroupLimit" in plan  # partial top-1 before the exchange
 
 
-def test_pivot_conditional_columns(spark):
+def test_pivot_applies_aggregate(spark):
     df = spark.createDataFrame(
-        [("c1", "placed", 3), ("c1", "shipped", 4), ("c2", "placed", 5)],
+        [("c1", "placed", 3), ("c1", "placed", 9), ("c1", "shipped", 4),
+         ("c2", "placed", 5)],
         "cust string, status string, qty long",
     )
-    out = (
-        pivot(df, "status", ["placed", "shipped"])
-        .groupBy("cust")
-        .agg(
-            F.sum("status_placed").alias("placed"),
-            F.sum("status_shipped").alias("shipped"),
-        )
-    )
+    out = pivot(df, "status", ["placed", "shipped"], group_by=["cust"])
     rows = {r.cust: r for r in out.collect()}
-    assert (rows["c1"].placed, rows["c1"].shipped) == (1, 1)
-    assert (rows["c2"].placed, rows["c2"].shipped) == (1, 0)
+    assert (rows["c1"].status_placed, rows["c1"].status_shipped) == (2, 1)
+    assert (rows["c2"].status_placed, rows["c2"].status_shipped) == (1, 0)
 
-    valued = (
-        pivot(df, "status", ["placed"], then_value=F.col("qty"))
-        .groupBy("cust")
-        .agg(F.sum("status_placed").alias("placed_qty"))
+    # the agg parameter genuinely changes semantics (the r6 review found
+    # a version where it was validated but never applied)
+    summed = pivot(
+        df, "status", ["placed"], group_by=["cust"], then_value=F.col("qty")
     )
-    vrows = {r.cust: r for r in valued.collect()}
-    assert vrows["c1"].placed_qty == 3 and vrows["c2"].placed_qty == 5
+    maxed = pivot(
+        df, "status", ["placed"], group_by=["cust"],
+        agg="max", then_value=F.col("qty"),
+    )
+    assert {r.cust: r.status_placed for r in summed.collect()} == {
+        "c1": 12, "c2": 5,
+    }
+    assert {r.cust: r.status_placed for r in maxed.collect()} == {
+        "c1": 9, "c2": 5,
+    }
 
     with pytest.raises(ValueError):
-        pivot(df, "status", ["placed"], agg="median; DROP TABLE")
+        pivot(df, "status", ["placed"], group_by=["cust"],
+              agg="median; DROP TABLE")
+    with pytest.raises(ValueError):
+        pivot(df, "status", ["placed"], group_by=[])
+
+
+def test_union_relations_and_deduplicate_guards(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, _source_relation string")
+    with pytest.raises(ValueError, match="source_column_name"):
+        union_relations({"a": a})
+    d = spark.createDataFrame([(1, 2)], "k long, __dedup_rn long")
+    with pytest.raises(ValueError, match="__dedup_rn"):
+        deduplicate(d, ["k"], [F.col("k").asc()])
+    plain = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="partition"):
+        deduplicate(plain, [], [F.col("v").asc()])
