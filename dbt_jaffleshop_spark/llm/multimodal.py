@@ -1324,3 +1324,120 @@ SELECT doc_id,
        CAST(sum(p * weight) AS BIGINT) AS px_checksum
 FROM v GROUP BY doc_id, f
 """
+
+
+# --------------------------------- real decode→resize pipeline (r6)
+
+THUMB_SIZE = 4  # nearest-neighbor thumbnail edge (pixels)
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("thumb_sum", LongType()),
+        StructField("thumb_checksum", LongType()),
+    ]
+)
+
+
+def _make_thumbnail_batches():
+    """Closure for cloudpickle-by-value: the full image pipeline —
+    synthesize a REAL PNG, decode it through the genuine inflate +
+    unfilter path, then nearest-neighbor downscale the RECOVERED pixels
+    to a THUMB_SIZE² thumbnail (src = (dst·in) div out, the standard
+    integer NN mapping) and reduce to position-weighted statistics.
+    Upgrades the r3 resize operator's byte-length planning stand-in to
+    an actual pixel transform over actually-decoded pixels."""
+    encode, decode = _png_codec()
+
+    def thumb_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        t = THUMB_SIZE
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + doc_id % 9, 8 + nb % 9
+                y, x = _np.mgrid[0:h, 0:w]
+                px = ((doc_id * 7 + y * 31 + x * 13) % 256).astype(_np.uint8)
+                rec = decode(encode(px)).astype(_np.int64)
+                ty, tx = _np.mgrid[0:t, 0:t]
+                thumb = rec[(ty * h) // t, (tx * w) // t]
+                weight = 1 + (tx * 131 + ty * 137) % 251
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "out_w": t,
+                        "out_h": t,
+                        "thumb_sum": int(thumb.sum()),
+                        "thumb_checksum": int((thumb * weight).sum()),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return thumb_batches
+
+
+def multimodal_thumbnail(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered decode→resize query (multimodal_digest member,
+    r6): real PNG decode feeding a real integer nearest-neighbor
+    downscale — the canonical image-preprocessing stage of a multimodal
+    training pipeline, value-verified end-to-end: the DuckDB oracle
+    maps each thumbnail position back through the SAME integer source
+    mapping and recomputes the pixel formula there, so a decode bug, an
+    off-by-one in the NN mapping, or a transposed axis all break the
+    position-weighted checksum. One mapInPandas stage, no shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return image_docs.mapInPandas(
+        _make_thumbnail_batches(), schema=THUMBNAIL_SCHEMA
+    )
+
+
+ORACLES["multimodal_thumbnail"] = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS w,
+           CAST(8 + strlen(text) % 9 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (
+    SELECT doc_id, w, h,
+           unnest(generate_series(0, {THUMB_SIZE - 1})) AS tx
+    FROM img
+),
+px AS (
+    SELECT doc_id, w, h, tx,
+           unnest(generate_series(0, {THUMB_SIZE - 1})) AS ty
+    FROM xs
+),
+v AS (
+    SELECT doc_id, w, h,
+           (doc_id * 7 + ((ty * h) // {THUMB_SIZE}) * 31
+            + ((tx * w) // {THUMB_SIZE}) * 13) % 256 AS p,
+           1 + (tx * 131 + ty * 137) % 251 AS weight
+    FROM px
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST({THUMB_SIZE} AS INTEGER) AS out_w,
+       CAST({THUMB_SIZE} AS INTEGER) AS out_h,
+       CAST(sum(p) AS BIGINT) AS thumb_sum,
+       CAST(sum(p * weight) AS BIGINT) AS thumb_checksum
+FROM v GROUP BY doc_id
+"""

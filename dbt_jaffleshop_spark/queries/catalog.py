@@ -131,6 +131,7 @@ _GROUP_DIGESTED = {
     "multimodal_audio",
     "multimodal_pixels",
     "multimodal_gif_frames",
+    "multimodal_thumbnail",
     "corpus_curate",
     "corpus_sample_stratified",
     "events_funnel",

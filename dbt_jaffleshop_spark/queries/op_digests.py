@@ -441,6 +441,18 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
         ]),
+        # r6: the full decode→resize pipeline — real PNG decode feeding
+        # an integer nearest-neighbor thumbnail; the oracle maps each
+        # thumbnail position back through the same source mapping
+        "multimodal_thumbnail": _m(llm_multimodal, "multimodal_thumbnail", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("out_w", "int"),
+            ("out_h", "int"),
+            ("thumb_sum", "bigint"),
+            ("thumb_checksum", "bigint"),
+        ]),
     },
     # r4: event-analytics digest — funnel + JSON stats move here from
     # individual slots; sessionize/as-of keep their own (bench headline).

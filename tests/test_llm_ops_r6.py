@@ -554,3 +554,38 @@ def test_png_gif_truncation_raises_valueerror_not_struct_error():
             png_decode_gray(png[:cut])
     with pytest.raises(ValueError):
         gif_decode_frames(b"GIF89a\x04\x00")  # cut inside the LSD
+
+
+def test_multimodal_thumbnail_matches_oracle(spark, oracle, sf_dir):
+    """decode→resize end-to-end: real PNG decode feeding the integer
+    nearest-neighbor downscale; the oracle recomputes each thumbnail
+    position through the same source mapping, so a decode bug, NN
+    off-by-one, or transposed axis breaks the weighted checksum."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import multimodal
+
+    assert_parity(
+        multimodal.multimodal_thumbnail(spark, sf_dir),
+        oracle,
+        multimodal.ORACLES["multimodal_thumbnail"],
+    )
+
+
+def test_thumbnail_nn_mapping_exact():
+    """The NN mapping on a hand-checkable case: downscaling an 8x8
+    gradient to 4x4 must pick exactly the (2y, 2x) source pixels."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        _png_codec,
+    )
+
+    encode, decode = _png_codec()
+    y, x = np.mgrid[0:8, 0:8]
+    px = (y * 16 + x).astype(np.uint8)
+    rec = decode(encode(px)).astype(np.int64)
+    t = 4
+    ty, tx = np.mgrid[0:t, 0:t]
+    thumb = rec[(ty * 8) // t, (tx * 8) // t]
+    assert (thumb == (ty * 2 * 16 + tx * 2)).all()
