@@ -446,8 +446,8 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     sample); the bucketed production path swaps in sim_lsh/ivf_topk's
     candidate generation, unchanged voting.
 
-    Not in the driver registry (50-slot cap) — pytest-verified against
-    KNN_ORACLE."""
+    Driver-verified as a `sim_eval_digest` member (queries/op_digests.py)
+    against KNN_ORACLE, plus the direct pytest."""
     qn = _quantized_embeddings(spark, sf_dir, extra_cols=("label",)).withColumn(
         "label", F.col("label").cast("bigint")
     )

@@ -40,9 +40,11 @@ recording budget while every operator remains value-verified:
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
   snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
-  (plans/merge_fold.py), and the streaming CDC upsert sink (r6,
+  (plans/merge_fold.py), the streaming CDC upsert sink (r6,
   streaming/upsert.py — foreachBatch folding micro-batches into a
-  bucket-partitioned state table via merge_rows). (The table-profiling
+  bucket-partitioned state table via merge_rows), and the Z-order
+  layout rewrite + manifest-stats file-skipping scan (r6,
+  plans/layout.py — Delta OPTIMIZE ZORDER + data skipping). (The table-profiling
   members it carried in r5 moved to ``profile_digest`` so the group
   names stay truthful.)
 * ``profile_digest`` (r6) — data-quality profiling and auditing: the
@@ -74,6 +76,7 @@ from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
 from ..llm import similarity as llm_similarity
 from ..llm import text as llm_text
+from ..plans import layout as _layout
 from ..plans import merge_fold as _merge_fold
 from ..plans import snapshots as _snapshots
 from ..streaming import sessionize as _sessionize_mod
@@ -583,6 +586,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ],
             _upsert.ORACLES["streaming_upsert_state"],
         ),
+        # r6: Z-order layout rewrite + manifest-stats file skipping
+        # (Delta OPTIMIZE ZORDER + data-skipping, plans/layout.py): the
+        # custkey-range scan through the pruned read path must equal
+        # DuckDB's plain filtered scan — stats skipping loses no rows
+        "layout_zorder_scan": (
+            _layout.layout_zorder_scan,
+            [
+                ("o_orderkey", "bigint"),
+                ("o_custkey", "bigint"),
+                ("o_totalprice", "double"),
+                ("o_orderdate", "timestamp"),
+            ],
+            _layout.ORACLES["layout_zorder_scan"],
+        ),
     },
     # r6: profiling + auditing digest — the r5 acid_digest profiling
     # members moved here (truthful group naming, r5 verdict item 8)
@@ -615,6 +632,21 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("p99_cents", "bigint"),
             ],
             _profile.ORACLES["orders_quantiles"],
+        ),
+        # r6: ANSI GROUPING SETS — the CUBE summary table (all four
+        # aggregation levels in ONE Expand pass, grouping_id-tagged,
+        # integer-cents revenue so super-aggregate sums are exact)
+        "orders_cube_summary": (
+            _profile.orders_cube_summary,
+            [
+                ("order_year", "int"),
+                ("priority", "string"),
+                ("grp_id", "bigint"),
+                ("n_orders", "bigint"),
+                ("revenue_cents", "bigint"),
+                ("n_customers", "bigint"),
+            ],
+            _profile.ORACLES["orders_cube_summary"],
         ),
         # r6: compare_relations — per-column full-outer-join audit of
         # orders vs its deterministically drifted copy (the

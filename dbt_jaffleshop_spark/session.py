@@ -51,6 +51,11 @@ def get_spark(app_name: str = "dbt_jaffleshop_spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the Spark default) is deprecated AND statless: parquet
+        # footers carry no min/max for it, which disables both row-group
+        # pruning and the manifest-stats file skipping in plans/layout.py.
+        # TIMESTAMP_MICROS is what Delta/Iceberg write.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

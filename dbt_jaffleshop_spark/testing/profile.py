@@ -251,6 +251,52 @@ FROM e
 """
 
 
+def orders_cube_summary(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Multi-level aggregation via CUBE — every (order_year, priority)
+    combination PLUS both one-dimension rollups and the grand total in
+    one pass, disambiguated by ``grouping_id`` (ANSI GROUPING SETS;
+    Spark compiles it to a single Expand over one scan, so the four
+    aggregation levels cost one shuffle, not four queries — the standard
+    warehouse summary-table shape).
+
+    Revenue sums as integer cents: super-aggregate rows sum the whole
+    table, where double accumulation order would drift between engines;
+    integers cannot. grouping_id bit order (first column = MSB) matches
+    DuckDB/Postgres GROUPING()."""
+    o = load_table(spark, "orders", sf_dir).select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_custkey",
+    )
+    return (
+        o.cube("order_year", "priority")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            "order_year", "priority", "grp_id",
+            "n_orders", "revenue_cents", "n_customers",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderpriority AS priority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS grp_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+"""
+
+
 def _profile_select(name: str, expr: str) -> str:
     return f"""
 SELECT '{name}' AS col_name,
@@ -268,4 +314,5 @@ ORACLES: dict[str, str] = {
     ),
     "orders_quantiles": _quantiles_oracle(),
     "events_distinct_kmv": _kmv_oracle(),
+    "orders_cube_summary": _CUBE_ORACLE,
 }

@@ -1,0 +1,156 @@
+"""Z-order layout + file-skipping tests (plans/layout.py).
+
+The digest slot verifies the pruned scan's CONTENT equals the plain
+filtered scan; these tests pin the parts content-equality cannot see:
+the Morton interleave itself, that per-file stats land in the manifest,
+that files really are skipped, and that a concurrent commit aborts the
+layout rewrite instead of being silently dropped.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_jaffleshop_spark.plans import layout
+from dbt_jaffleshop_spark.plans.acid import AcidTable, ConcurrentWriteError
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    out = 0
+    n = len(vals)
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_value_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 511), (700, 700)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", layout.zorder_value([F.col("a"), F.col("b")], bits=10)
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_morton([a, b], 10), (a, b)
+
+
+def test_zorder_value_rejects_overflow():
+    with pytest.raises(ValueError, match="exceeds"):
+        layout.zorder_value([F.lit(1), F.lit(1), F.lit(1)], bits=22)
+
+
+def _build_table(spark, tmp_path, sf_dir) -> AcidTable:
+    from dbt_jaffleshop_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    t = AcidTable(os.path.join(str(tmp_path), "orders_z"))
+    t.overwrite(orders.repartition(8))
+    return t
+
+
+def test_optimize_records_stats_and_skips_files(spark, tmp_path, sf_dir):
+    t = _build_table(spark, tmp_path, sf_dir)
+    v = layout.optimize_zorder(
+        t, spark, ["o_custkey", "o_orderdate"], target_files=8
+    )
+    m = t.manifest(v)
+    assert m["meta"]["layout"] == {
+        "zorder": ["o_custkey", "o_orderdate"],
+        "bits": 31,
+    }
+    # every rewritten file carries stats for both clustering columns
+    for f in m["files"]:
+        st = m["meta"]["stats"][f]
+        assert set(st) == {"o_custkey", "o_orderdate"}
+        assert st["o_custkey"][0] <= st["o_custkey"][1]
+    # a narrow custkey slice prunes real files...
+    kept = layout.prune_files(m, "o_custkey", layout.SCAN_LO, layout.SCAN_HI)
+    assert 0 < len(kept) < len(m["files"])
+    # ...and the pruned read equals the full-scan filter exactly
+    pruned = layout.read_skipping(
+        t, spark, "o_custkey", layout.SCAN_LO, layout.SCAN_HI
+    )
+    full = t.read(spark).where(
+        F.col("o_custkey").between(layout.SCAN_LO, layout.SCAN_HI)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_timestamp_stats_prune_lexicographically(spark, tmp_path, sf_dir):
+    """Date/timestamp stats serialize as ISO strings whose lexicographic
+    order equals value order — pin that a date-range prune over them
+    both drops files and loses no rows."""
+    t = _build_table(spark, tmp_path, sf_dir)
+    layout.optimize_zorder(t, spark, ["o_orderdate", "o_custkey"], target_files=8)
+    m = t.manifest()
+    lo, hi = "1995-01-01 00:00:00", "1995-12-31 23:59:59"
+    kept = layout.prune_files(m, "o_orderdate", lo, hi)
+    assert 0 < len(kept) < len(m["files"])
+    pruned = layout.read_skipping(t, spark, "o_orderdate", lo, hi)
+    full = t.read(spark).where(
+        F.col("o_orderdate").between(F.lit(lo), F.lit(hi))
+    )
+    assert pruned.count() == full.count() > 0
+
+
+def test_statless_files_are_kept_conservatively(spark, tmp_path, sf_dir):
+    """An append AFTER the layout rewrite produces files with no stats
+    entry — skipping must keep them (it is an optimization, never a
+    filter), so the appended rows still appear in a pruned scan."""
+    t = _build_table(spark, tmp_path, sf_dir)
+    layout.optimize_zorder(t, spark, ["o_custkey", "o_orderdate"], target_files=4)
+    extra = t.read(spark).limit(5).withColumn("o_custkey", F.lit(7).cast("long"))
+    t.append(extra)
+    pruned = layout.read_skipping(t, spark, "o_custkey", 7, 7)
+    assert pruned.where(F.col("o_custkey") == 7).count() >= 5
+
+
+def test_optimize_aborts_on_concurrent_commit(spark, tmp_path, sf_dir, monkeypatch):
+    """A commit landing between the rewrite's snapshot read and its
+    commit must abort it (ConcurrentWriteError) — retry-merging would
+    silently drop the racer's rows. Delta raises ConcurrentAppend for
+    the same interleaving on OPTIMIZE."""
+    t = _build_table(spark, tmp_path, sf_dir)
+    racer_rows = t.read(spark).limit(3)
+    real = layout.file_column_stats
+
+    def racy(*a, **kw):
+        t.append(racer_rows)  # concurrent writer wins the window
+        return real(*a, **kw)
+
+    monkeypatch.setattr(layout, "file_column_stats", racy)
+    before = set(os.listdir(t.data_dir))
+    with pytest.raises(ConcurrentWriteError, match="committed since"):
+        layout.optimize_zorder(t, spark, ["o_custkey"], target_files=4)
+    # the aborted rewrite discarded its staged files: everything on disk
+    # is referenced by the (append-winning) current manifest
+    live = {os.path.basename(f) for f in t.manifest()["files"]}
+    on_disk = {
+        f
+        for f in os.listdir(t.data_dir)
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+    assert before - on_disk == set()  # no pre-existing file was touched
+
+
+def test_partitioned_table_rejected(spark, tmp_path, sf_dir):
+    from dbt_jaffleshop_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    t = AcidTable(os.path.join(str(tmp_path), "orders_p"))
+    t.overwrite(orders, partition_by=["month"])
+    with pytest.raises(ValueError, match="partition"):
+        layout.optimize_zorder(t, spark, ["o_custkey"])
