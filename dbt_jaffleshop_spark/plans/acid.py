@@ -368,6 +368,14 @@ class AcidTable:
                     f"{self.path}: append schema {my_schema} does "
                     f"not match table schema {stored}"
                 )
+            # carry forward per-file column stats (layout.py) for files
+            # this append keeps: an append must not disable file skipping
+            # for the still-live z-ordered files (Delta keeps stats per
+            # AddFile, so they survive appends there too)
+            prev_stats = prev.get("meta", {}).get("stats", {})
+            if prev_stats:
+                live = {f: s for f, s in prev_stats.items() if f in set(prev["files"])}
+                meta["stats"] = {**live, **meta.get("stats", {})}
             return sorted(prev["files"] + files), prev["version"]
 
         return self._commit_with_retry(

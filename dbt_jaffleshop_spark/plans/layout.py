@@ -200,6 +200,10 @@ def optimize_zorder(
         *[f(c).alias(f"{n}_{i}") for i, c in enumerate(longs) for n, f in
           (("lo", F.min), ("hi", F.max))]
     ).first()
+    if bounds["lo_0"] is None:
+        # empty table: nothing to cluster, and _normalize would crash on
+        # None bounds — a maintenance no-op, current version stands
+        return v0
     norm = [
         _normalize(c, bounds[f"lo_{i}"], bounds[f"hi_{i}"], bits)
         for i, c in enumerate(longs)
@@ -213,7 +217,13 @@ def optimize_zorder(
 
     stage, files = table._stage(clustered, [])
     stats = file_column_stats(table.data_dir, files, set(zorder_by))
+    # carry the prior manifest's meta forward (as compact() does): a
+    # layout rewrite must not drop unrelated commit metadata — the
+    # streaming sinks' stream_batch_id replay guard in particular, or a
+    # checkpoint restart after this maintenance op would re-append
+    # already-committed micro-batches
     meta = {
+        **m0.get("meta", {}),
         "schema": table._schema_map(df),
         "layout": {"zorder": zorder_by, "bits": bits},
         "stats": stats,
@@ -264,7 +274,12 @@ def read_skipping(
     if not kept:
         return table.read(spark).where(pred).limit(0)
     paths = [os.path.join(table.data_dir, f) for f in kept]
-    return spark.read.parquet(*paths).where(pred)
+    # basePath keeps Hive-partition columns in the schema when the kept
+    # files live under partition dirs (stats-less files are always kept,
+    # so a partitioned table IS reachable here), matching AcidTable.read
+    return (
+        spark.read.option("basePath", table.data_dir).parquet(*paths).where(pred)
+    )
 
 
 # ------------------------------------- driver-verified registered query

@@ -144,6 +144,63 @@ def test_optimize_aborts_on_concurrent_commit(spark, tmp_path, sf_dir, monkeypat
     assert before - on_disk == set()  # no pre-existing file was touched
 
 
+def test_optimize_preserves_unrelated_meta(spark, tmp_path, sf_dir):
+    """A layout rewrite must carry the prior manifest's meta forward —
+    in particular the streaming sinks' stream_batch_id replay guard
+    (streaming/sink.py): dropping it would make a checkpoint restart
+    after maintenance re-append already-committed micro-batches."""
+    t = _build_table(spark, tmp_path, sf_dir)
+    rows = t.read(spark).limit(2)
+    t.append(rows, meta={"stream_batch_id": 41})
+    layout.optimize_zorder(t, spark, ["o_custkey"], target_files=4)
+    m = t.manifest()
+    assert m["meta"]["stream_batch_id"] == 41
+    assert "layout" in m["meta"] and "stats" in m["meta"]
+
+
+def test_append_carries_stats_for_live_files(spark, tmp_path, sf_dir):
+    """An append after OPTIMIZE keeps the z-ordered files' stats in the
+    new manifest (Delta keeps stats per AddFile) — skipping stays armed
+    for the still-live clustered files, while the appended stats-less
+    files are conservatively kept."""
+    t = _build_table(spark, tmp_path, sf_dir)
+    layout.optimize_zorder(t, spark, ["o_custkey", "o_orderdate"], target_files=4)
+    z_files = set(t.manifest()["files"])
+    t.append(t.read(spark).limit(3))
+    m = t.manifest()
+    stats = m["meta"]["stats"]
+    assert set(stats) == z_files  # all clustered files kept their stats
+    kept = layout.prune_files(m, "o_custkey", layout.SCAN_LO, layout.SCAN_HI)
+    # the appended file(s) are stats-less → kept; some z-files pruned
+    assert len(kept) < len(m["files"])
+    assert set(m["files"]) - z_files <= set(kept)
+
+
+def test_optimize_empty_table_is_noop(spark, tmp_path):
+    t = AcidTable(os.path.join(str(tmp_path), "empty_z"))
+    df = spark.createDataFrame([], "o_custkey long, o_orderdate date")
+    t.overwrite(df)
+    v0 = t.current_version()
+    assert layout.optimize_zorder(t, spark, ["o_custkey"]) == v0
+    assert t.current_version() == v0
+
+
+def test_read_skipping_keeps_partition_columns(spark, tmp_path, sf_dir):
+    """On a Hive-partitioned table (all files stats-less → all kept) the
+    skipping read must still surface the partition column — basePath,
+    matching AcidTable.read — so predicates on it resolve."""
+    from dbt_jaffleshop_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).select("o_orderkey", "o_custkey", "month")
+    t = AcidTable(os.path.join(str(tmp_path), "orders_pk"))
+    t.overwrite(orders, partition_by=["month"])
+    got = layout.read_skipping(t, spark, "o_custkey", 0, 40)
+    assert "month" in got.columns
+    assert got.where(F.col("month").isNotNull()).count() == got.count() > 0
+
+
 def test_partitioned_table_rejected(spark, tmp_path, sf_dir):
     from dbt_jaffleshop_spark.sources import load_table
 
