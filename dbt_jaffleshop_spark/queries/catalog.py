@@ -130,6 +130,7 @@ _GROUP_DIGESTED = {
     "multimodal_resize",
     "multimodal_audio",
     "multimodal_pixels",
+    "multimodal_jpeg_pixels",
     "multimodal_gif_frames",
     "multimodal_thumbnail",
     "corpus_curate",

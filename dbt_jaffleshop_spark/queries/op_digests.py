@@ -23,7 +23,10 @@ recording budget while every operator remains value-verified:
   multimodal_resize / multimodal_audio (r5 — the real PCM WAV decode
   run over synthesized WAV bytes) / multimodal_pixels (r6 — the real
   PNG pixel decode: zlib inflate + all-five-filter unfilterer over
-  synthesized filtered PNGs) (llm/multimodal.py).
+  synthesized filtered PNGs) / multimodal_jpeg_pixels (r7 — the real
+  baseline-JPEG pixel decode: canonical Huffman entropy decode +
+  dequant + 8x8 IDCT over synthesized coefficient streams)
+  (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py);
@@ -441,6 +444,22 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("frame_idx", "int"),
             ("width", "int"),
             ("height", "int"),
+            ("px_sum", "bigint"),
+            ("px_checksum", "bigint"),
+        ]),
+        # r7: REAL baseline-JPEG pixel decode (canonical Huffman entropy
+        # decode + DC prediction + ZRL/EOB + dequant + float 8x8 IDCT,
+        # dependency-free) — coefficients in the exactly-integer
+        # {0,4}x{0,4} frequency subspace so the oracle recomputes every
+        # pixel in closed form while the decoder runs the general
+        # transform (llm/multimodal.py)
+        "multimodal_jpeg_pixels": _m(llm_multimodal, "multimodal_jpeg_pixels", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("px_min", "bigint"),
+            ("px_max", "bigint"),
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
         ]),

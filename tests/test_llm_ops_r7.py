@@ -1,0 +1,161 @@
+"""Round-7 operator tests: baseline-JPEG pixel decode.
+
+The digest slot verifies decoded-pixel statistics against the DuckDB
+closed-form oracle; these tests pin what content-equality cannot see:
+that the entropy layer is lossless (parsed quantized coefficients ==
+synthesized), that the general float IDCT matches a per-definition
+naive transform on arbitrary coefficients (not just the
+exactly-integer test subspace), that byte stuffing really occurs and
+survives, and that the unsupported-subset/corruption contracts hold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dbt_jaffleshop_spark.llm import multimodal as mm
+
+ZZ = mm._jpeg_zigzag()
+
+
+def _zz_list(block) -> list[int]:
+    return [int(block[r][c]) for r, c in ZZ]
+
+
+def test_jpeg_zigzag_walk_matches_spec_landmarks():
+    # T.81 Figure 5 landmarks: start, first diagonal, the (4,*) row
+    # entries the oracle constants depend on, and the end
+    assert ZZ[0] == (0, 0)
+    assert ZZ[1] == (0, 1) and ZZ[2] == (1, 0)
+    assert ZZ[10] == (4, 0) and ZZ[14] == (0, 4) and ZZ[39] == (4, 4)
+    assert ZZ[63] == (7, 7)
+    assert sorted(ZZ) == [(r, c) for r in range(8) for c in range(8)]
+
+
+def test_jpeg_exact_subspace_matches_closed_form():
+    """Pixels from the {0,4}x{0,4} coefficient subspace must equal the
+    integer closed form the DuckDB oracle computes — the float IDCT's
+    error stays far below the 0.5 rounding margin."""
+    for doc_id in (1, 4, 13, 25, 52):
+        nb = (doc_id * 37) % 400
+        w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        coefs = mm._jpeg_test_coefs(doc_id, nby, nbx)
+        px = mm.jpeg_decode_gray(
+            mm.jpeg_encode_gray_coefs(coefs, w, h)
+        ).astype(np.int64)
+        assert px.shape == (h, w)
+        y, x = np.mgrid[0:h, 0:w]
+        sx = np.where(np.isin(x % 8, [0, 3, 4, 7]), 1, -1)
+        sy = np.where(np.isin(y % 8, [0, 3, 4, 7]), 1, -1)
+        bx, by = x // 8, y // 8
+        exp = np.clip(
+            128
+            + mm.JQ_DC * ((doc_id * 5 + bx * 3 + by * 7) % 41 - 20)
+            + mm.JQ_V4 * sy * ((doc_id + bx * 11 + by * 5) % 9 - 4)
+            + mm.JQ_U4 * sx * ((doc_id * 3 + bx + by * 2) % 9 - 4)
+            + mm.JQ_UV4 * sx * sy * ((doc_id + bx + by * 13) % 7 - 3),
+            0,
+            255,
+        )
+        assert (px == exp).all(), doc_id
+
+
+def test_jpeg_entropy_layer_is_lossless_on_general_coefs():
+    """Arbitrary coefficients (every frequency, DC swings both ways,
+    zero runs of every length) must survive encode->parse exactly:
+    Huffman + DC prediction + ZRL/EOB + byte stuffing are lossless."""
+    rng = np.random.default_rng(11)
+    coefs = rng.integers(-40, 41, size=(3, 2, 8, 8)).astype(np.int32)
+    coefs[0, 0, 5:, :] = 0  # trailing zeros -> EOB path
+    coefs[1, 1, :, :] = 0  # all-zero block -> immediate EOB
+    coefs[1, 1, 7, 7] = 3  # 62-zero run -> 3x ZRL then (run, size)
+    payload = mm.jpeg_encode_gray_coefs(coefs, 16, 24)
+    w, h, quant, blocks = mm.jpeg_parse_gray(payload)
+    assert (w, h) == (16, 24)
+    assert quant == mm.JPEG_QUANT_ZZ
+    for by in range(3):
+        for bx in range(2):
+            assert list(blocks[by, bx]) == _zz_list(coefs[by, bx])
+
+
+def test_jpeg_idct_matches_naive_definition():
+    """The vectorized einsum IDCT must match a straight per-definition
+    O(64^2) transform on random general coefficients."""
+    rng = np.random.default_rng(23)
+    coefs = rng.integers(-30, 31, size=(1, 1, 8, 8)).astype(np.int32)
+    px = mm.jpeg_decode_gray(mm.jpeg_encode_gray_coefs(coefs, 8, 8))
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    deq = np.zeros((8, 8))
+    for k, (r, cc) in enumerate(ZZ):
+        deq[r][cc] = int(coefs[0, 0, r, cc]) * mm.JPEG_QUANT_ZZ[k]
+    naive = np.zeros((8, 8))
+    for yy in range(8):
+        for xx in range(8):
+            naive[yy][xx] = sum(
+                c(u) * c(v) / 4 * deq[v][u]
+                * np.cos((2 * xx + 1) * u * np.pi / 16)
+                * np.cos((2 * yy + 1) * v * np.pi / 16)
+                for v in range(8)
+                for u in range(8)
+            )
+    expected = np.clip(np.round(naive + 128), 0, 255).astype(np.uint8)
+    assert (px == expected).all()
+
+
+def test_jpeg_byte_stuffing_is_exercised():
+    """At least one synthesized stream must contain a stuffed 0xFF 0x00
+    inside the entropy data (and still decode) — otherwise the
+    de-stuffing path would be dead code in the verified corpus."""
+    hit = False
+    for doc_id in range(1, 200):
+        nb = (doc_id * 37) % 400
+        w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        payload = mm.jpeg_encode_gray_coefs(
+            mm._jpeg_test_coefs(doc_id, nby, nbx), w, h
+        )
+        # entropy data lies between the SOS header and EOI
+        sos = payload.find(b"\xff\xda")
+        body = payload[sos + 2 :-2]
+        if b"\xff\x00" in body:
+            mm.jpeg_decode_gray(payload)  # must still decode cleanly
+            hit = True
+            break
+    assert hit, "no stuffed byte in 200 synthesized streams"
+
+
+def test_jpeg_unsupported_subset_is_honest():
+    base = mm.jpeg_encode_gray_coefs(np.zeros((1, 1, 8, 8), np.int32), 8, 8)
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.jpeg_parse_gray(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        mm.jpeg_decode_gray(base[:-4] + b"\xff\xd9")
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        mm.jpeg_parse_gray(b"\x00\x01\x02\x03")
+
+
+def test_jpeg_dc_prediction_spans_blocks():
+    """DC coding is differential across blocks in scan order — pin it by
+    decoding a 2-block image whose DCs differ and checking both blocks'
+    mean levels recover independently."""
+    coefs = np.zeros((1, 2, 8, 8), np.int32)
+    coefs[0, 0, 0, 0] = 10  # first block: 128 + 10*2
+    coefs[0, 1, 0, 0] = -10  # second: diff of -20 through the predictor
+    px = mm.jpeg_decode_gray(mm.jpeg_encode_gray_coefs(coefs, 16, 8))
+    assert int(px[0, 0]) == 128 + mm.JQ_DC * 10
+    assert int(px[0, 8]) == 128 - mm.JQ_DC * 10
+
+
+def test_jpeg_pixels_query_runs(spark, sf_dir):
+    df = mm.multimodal_jpeg_pixels(spark, sf_dir)
+    rows = df.limit(5).collect()
+    assert rows and all(r["n_pixels"] == r["width"] * r["height"] for r in rows)
