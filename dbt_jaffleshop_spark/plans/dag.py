@@ -256,6 +256,51 @@ def _cache_policy(name: str, df: DataFrame) -> bool:
     return est <= _CACHE_MAX_BYTES
 
 
+def materialize_table_snapshot(
+    spark: SparkSession,
+    table,
+    out: DataFrame,
+    part_col: str | None,
+    partition_by: list[str],
+    watermark_col: str | None,
+    fingerprint: str | None,
+    incremental: bool,
+) -> str:
+    """The ONE table-materialization commit path — run_pipeline's table
+    branch and the driver-verified ``incremental_orders_state`` fold
+    (plans/incremental.py) both go through here, so the digest verifies
+    the production machinery, not a re-implementation.
+
+    Full build: atomic snapshot overwrite. Incremental
+    (dbt `incremental`, the Spark-native way): find partitions
+    containing rows newer than the stored max(watermark), recompute
+    ONLY those from the full frame (late rows inside an existing
+    partition get their whole partition rebuilt — idempotent), and
+    commit ONE new snapshot that reuses every untouched partition's
+    files by reference (plans/acid.py — atomic under concurrent
+    readers; cost O(changed partitions)). Returns which path ran:
+    'full' | 'incremental' | 'noop'."""
+    from pyspark.sql import functions as F
+
+    meta = {"fingerprint": fingerprint} if fingerprint else {}
+    if incremental and watermark_col and part_col and table.exists():
+        existing = table.read(spark)
+        hwm = existing.agg(F.max(watermark_col)).collect()[0][0]
+        affected = [
+            r[0]
+            for r in out.where(F.col(watermark_col) > F.lit(hwm))
+            .select(part_col)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return "noop"
+        table.overwrite_partitions(out, part_col, affected, meta=meta)
+        return "incremental"
+    table.overwrite(out, partition_by, meta=meta)
+    return "full"
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str | None = None,
@@ -370,38 +415,16 @@ def run_pipeline(
                         "seconds": round(_time.perf_counter() - _t0, 2),
                     }
                 return
-            if (
-                incremental
-                and spec.watermark_col
-                and part_col
-                and table.exists()
-            ):
-                # Incremental: find partitions containing rows newer than
-                # the stored watermark, recompute ONLY those from the full
-                # frame (late rows inside an existing partition get their
-                # whole partition rebuilt — idempotent), and commit ONE new
-                # snapshot that reuses every untouched partition's files by
-                # reference (plans/acid.py — atomic under concurrent
-                # readers; cost O(changed partitions)).
-                existing = table.read(spark)
-                hwm = existing.agg(
-                    F.max(spec.watermark_col)
-                ).collect()[0][0]
-                affected = [
-                    r[0]
-                    for r in out.where(F.col(spec.watermark_col) > F.lit(hwm))
-                    .select(part_col)
-                    .distinct()
-                    .collect()
-                ]
-                if affected:
-                    table.overwrite_partitions(
-                        out, part_col, affected, meta={"fingerprint": fp}
-                    )
-            else:
-                table.overwrite(
-                    out, spec.partition_by, meta={"fingerprint": fp}
-                )
+            materialize_table_snapshot(
+                spark,
+                table,
+                out,
+                part_col=part_col,
+                partition_by=spec.partition_by,
+                watermark_col=spec.watermark_col,
+                fingerprint=fp,
+                incremental=incremental,
+            )
             # Bound on-disk growth: keep the committed snapshot plus its
             # predecessor (readers that resolved the pointer just before
             # this commit still see an intact snapshot), drop older files.

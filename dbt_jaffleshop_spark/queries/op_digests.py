@@ -45,9 +45,12 @@ recording budget while every operator remains value-verified:
   upsert fold through the real AcidTable.merge_rows commit path
   (plans/merge_fold.py), the streaming CDC upsert sink (r6,
   streaming/upsert.py — foreachBatch folding micro-batches into a
-  bucket-partitioned state table via merge_rows), and the Z-order
+  bucket-partitioned state table via merge_rows), the Z-order
   layout rewrite + manifest-stats file-skipping scan (r6,
-  plans/layout.py — Delta OPTIMIZE ZORDER + data skipping). (The table-profiling
+  plans/layout.py — Delta OPTIMIZE ZORDER + data skipping), and the
+  incremental materialization fold (r7, plans/incremental.py —
+  split-feed watermark catch-up through run_pipeline's own
+  materialize_table_snapshot commit path). (The table-profiling
   members it carried in r5 moved to ``profile_digest`` so the group
   names stay truthful.)
 * ``profile_digest`` (r6) — data-quality profiling and auditing: the
@@ -79,6 +82,7 @@ from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
 from ..llm import similarity as llm_similarity
 from ..llm import text as llm_text
+from ..plans import incremental as _incremental
 from ..plans import layout as _layout
 from ..plans import merge_fold as _merge_fold
 from ..plans import snapshots as _snapshots
@@ -604,6 +608,22 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("last_event_type", "string"),
             ],
             _upsert.ORACLES["streaming_upsert_state"],
+        ),
+        # r7: incremental materialization fold (dbt `incremental`,
+        # plans/incremental.py): split-feed build through the production
+        # materialize_table_snapshot path — initial truncated build,
+        # watermark-driven changed-partition catch-up, asserted no-op
+        # replay; end state must equal DuckDB's plain full-source scan
+        "incremental_orders_state": (
+            _incremental.incremental_orders_state,
+            [
+                ("o_orderkey", "bigint"),
+                ("o_custkey", "bigint"),
+                ("o_orderstatus", "string"),
+                ("o_totalprice", "double"),
+                ("month", "string"),
+            ],
+            _incremental.ORACLES["incremental_orders_state"],
         ),
         # r6: Z-order layout rewrite + manifest-stats file skipping
         # (Delta OPTIMIZE ZORDER + data-skipping, plans/layout.py): the
