@@ -346,6 +346,143 @@ def emb_kmeans_iter2(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     )
 
 
+# --------------------------------------------------- IVF-PQ (ADC) search
+
+PQ_M = 8      # subspaces (64 dims / 8)
+PQ_DSUB = 8   # dims per subspace
+PQ_K = N_CELLS  # 16 codewords per subspace: the seed vectors 0..15
+
+
+def _pq_codebook(q: DataFrame) -> DataFrame:
+    """The PQ codebook: subvectors of the 16 seed embeddings — the same
+    deterministic stand-in for trained centroids the IVF coarse
+    quantizer uses, so both quantization levels share one convention.
+    Carries each codeword's per-subspace squared norm for the
+    reconstructed-norm term."""
+    subn = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
+        f"slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " 0L, (acc, x) -> acc + x * x))"
+    )
+    return q.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("j"),
+        F.col("e").alias("cbe"),
+    ).withColumn("subn", F.expr(subn))
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """FAISS-style IVFADC (r7): IVF cell restriction + product-quantized
+    codes + per-query asymmetric-distance lookup tables.
+
+    This is the actual 100 TB ANN memory story: the corpus is stored as
+    M=8 codes of 4 bits (plus a cell id) instead of 64 floats — codes
+    ≪ vectors — and search never touches the original embeddings:
+
+    * **Encode** (index build, one-time): each vector's 8 subvectors are
+      assigned to the nearest of 16 codewords by exact integer squared
+      L2 (broadcast 16-row codebook → per-vector fold over the collected
+      16 candidates; ONE shuffle on vec_id, then everything is per-row).
+      The chosen codewords' subnorms sum to the reconstructed norm.
+    * **Search** (the hot path): each query precomputes an 8x16 LUT of
+      integer subvector dot products against the broadcast codebook —
+      after that, scoring a candidate is 8 array lookups + adds
+      (`adot = sum_m LUT[m][code_m]`), never a 64-dim dot. Candidates
+      come only from the query's IVF cell (nprobe=1, the shared
+      `_assign_cells` E-step). Ranking by `adot / (sqrt(|q|)·sqrt(|x̂|))`
+      — asymmetric cosine against the RECONSTRUCTION, the ADC quantity.
+
+    Integer-exact end to end (dots, distances, norms all int64; one
+    final float division chain), so the DuckDB oracle (IVFPQ_ORACLE)
+    replays it bit-for-bit — rare for an ANN index, and exactly why the
+    codebook is deterministic. Zero-reconstruction guard: greatest(.,1)
+    keeps the division well-defined; pairs fold ties break to the
+    lowest codeword id (array_sort by j + strict <)."""
+    q = _quantized_embeddings(spark, sf_dir)
+    assigned = _assign_cells(q)
+    cb = _pq_codebook(q)
+
+    subd = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
+        f"zip_with(slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        f" slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
+    )
+    sel = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate(pairs,"
+        " named_struct('d', 9223372036854775807L, 'c', -1L, 'n', 0L),"
+        " (acc, p) -> IF(p.subd[m] < acc.d,"
+        " named_struct('d', p.subd[m], 'c', p.j, 'n', p.subn[m]), acc)))"
+    )
+    enc = (
+        assigned.crossJoin(F.broadcast(cb))
+        .withColumn("subd", F.expr(subd))
+        .groupBy("vec_id")
+        .agg(
+            F.first("cell").alias("cell"),
+            F.expr("array_sort(collect_list(struct(j, subd, subn)))").alias(
+                "pairs"
+            ),
+        )
+        .withColumn("sel", F.expr(sel))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("transform(sel, s -> s.c)").alias("codes"),
+            F.expr(
+                "greatest(aggregate(sel, 0L, (acc, s) -> acc + s.n), 1L)"
+            ).alias("recon_nrm"),
+        )
+    )
+
+    subdot = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
+        f"zip_with(slice(qe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        f" slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " (x, y) -> x * y), 0L, (acc, x) -> acc + x))"
+    )
+    lutq = (
+        assigned.where(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+        .crossJoin(F.broadcast(cb))
+        .withColumn("sd", F.expr(subdot))
+        .groupBy("query_id")
+        .agg(
+            F.first("qn").alias("na"),
+            F.first("cell").alias("cell"),
+            F.expr("array_sort(collect_list(struct(j, sd)))").alias("lut"),
+        )
+    )
+    adot = (
+        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (acc, m) -> "
+        "acc + lut[cast(codes[m] as int)].sd[m])"
+    )
+    scored = (
+        lutq.join(enc, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(adot).alias("dot"),
+            "na",
+            F.col("recon_nrm").alias("nb"),
+        )
+        .withColumn("adc_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 
@@ -654,6 +791,85 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM ranked WHERE rank <= {IVF_TOP_K}
+"""
+
+
+# IVF-PQ ADC search (sim_ivfpq_topk) — driver-verified via
+# sim_eval_digest (module constant, registry slot budget). The
+# relational replay of the same algorithm: per-(vector, codeword,
+# subspace) exact integer L2 → windowed argmin (lowest-j tie-break,
+# matching the sorted-fold's strict <) → reconstructed norms → query
+# subspace dot products joined on (m, code) and summed — the LUT
+# lookup, spelled as a join.
+IVFPQ_ORACLE = f"""
+WITH {_QUANT_CTE.strip()},
+cents AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < {N_CELLS}),
+assign_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           CAST(list_sum(list_transform(list_zip(v.e, c.ce),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           v.nrm AS na, c.cn AS nb
+    FROM n v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, e, nrm, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY {_COS_D} DESC, cell ASC) AS rn
+        FROM assign_scored
+    ) WHERE rn = 1
+),
+cb AS (SELECT vec_id AS j, e AS cbe FROM n WHERE vec_id < {PQ_K}),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+enc3 AS (
+    SELECT a.vec_id, a.cell, b.j, ms.m,
+           CAST(list_sum(list_transform(
+               list_zip(list_slice(a.e, ms.m * {PQ_DSUB} + 1, ms.m * {PQ_DSUB} + {PQ_DSUB}),
+                        list_slice(b.cbe, ms.m * {PQ_DSUB} + 1, ms.m * {PQ_DSUB} + {PQ_DSUB})),
+               pr -> (pr[1] - pr[2]) * (pr[1] - pr[2]))) AS BIGINT) AS d,
+           CAST(list_sum(list_transform(
+               list_slice(b.cbe, ms.m * {PQ_DSUB} + 1, ms.m * {PQ_DSUB} + {PQ_DSUB}),
+               x -> x * x)) AS BIGINT) AS sn
+    FROM assigned a CROSS JOIN cb b CROSS JOIN ms
+),
+codes AS (
+    SELECT vec_id, cell, m, j AS code, sn FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d ASC, j ASC) AS rn
+        FROM enc3
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT vec_id, any_value(cell) AS cell,
+           GREATEST(CAST(sum(sn) AS BIGINT), 1) AS recon_nrm
+    FROM codes GROUP BY vec_id
+),
+qsub AS (
+    SELECT q.vec_id AS query_id, q.nrm AS qn, q.cell AS qcell, ms.m, b.j,
+           CAST(list_sum(list_transform(
+               list_zip(list_slice(q.e, ms.m * {PQ_DSUB} + 1, ms.m * {PQ_DSUB} + {PQ_DSUB}),
+                        list_slice(b.cbe, ms.m * {PQ_DSUB} + 1, ms.m * {PQ_DSUB} + {PQ_DSUB})),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS sd
+    FROM assigned q CROSS JOIN cb b CROSS JOIN ms
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+),
+adots AS (
+    SELECT s.query_id, c.vec_id AS neighbor_id,
+           CAST(sum(s.sd) AS BIGINT) AS dot,
+           any_value(s.qn) AS na, any_value(r.recon_nrm) AS nb
+    FROM codes c
+    JOIN recon r ON c.vec_id = r.vec_id
+    JOIN qsub s ON s.m = c.m AND s.j = c.code AND s.qcell = r.cell
+    WHERE s.query_id != c.vec_id
+    GROUP BY s.query_id, c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_COS_D} AS adc_sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COS_D} DESC, neighbor_id ASC) AS rank
+    FROM adots
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_sim
 FROM ranked WHERE rank <= {IVF_TOP_K}
 """
 

@@ -38,8 +38,9 @@ recording budget while every operator remains value-verified:
   registry entries), emb_project (r4b, llm/prep.py), and
   emb_kmeans_iter (r5 — one Lloyd iteration of the IVF coarse
   quantizer, KMEANS_ORACLE), emb_kmeans_iter2 (r6 — the second unrolled
-  iteration with per-coordinate centroid shift, KMEANS2_ORACLE), and
-  sim_ivf_probe2_topk (r6 — multi-probe IVF search, PROBE2_ORACLE).
+  iteration with per-coordinate centroid shift, KMEANS2_ORACLE),
+  sim_ivf_probe2_topk (r6 — multi-probe IVF search, PROBE2_ORACLE), and
+  sim_ivfpq_topk (r7 — IVFADC product-quantized search, IVFPQ_ORACLE).
 * ``acid_digest`` (r5) — the ACID materialization folds: the SCD2
   snapshot (plans/snapshots.py, an individual slot in r4), the MERGE
   upsert fold through the real AcidTable.merge_rows commit path
@@ -775,6 +776,17 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("rank", "bigint"),
             ("cos_sim", "double"),
         ], oracle=llm_similarity.PROBE2_ORACLE),
+        # r7: FAISS-style IVFADC — IVF cell restriction + product-
+        # quantized codes (8 subspaces x 16 codewords, the seed vectors)
+        # + per-query asymmetric-distance LUTs; integer-exact so the
+        # relational DuckDB replay matches bit-for-bit. The 100 TB ANN
+        # memory story: search touches codes, never the vectors
+        "sim_ivfpq_topk": _m(llm_similarity, "sim_ivfpq_topk", [
+            ("query_id", "bigint"),
+            ("neighbor_id", "bigint"),
+            ("rank", "bigint"),
+            ("adc_sim", "double"),
+        ], oracle=llm_similarity.IVFPQ_ORACLE),
         # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
         # projected coordinates + distortion evaluation
         "emb_project": _m(llm_prep, "emb_project", [

@@ -159,3 +159,103 @@ def test_jpeg_pixels_query_runs(spark, sf_dir):
     df = mm.multimodal_jpeg_pixels(spark, sf_dir)
     rows = df.limit(5).collect()
     assert rows and all(r["n_pixels"] == r["width"] * r["height"] for r in rows)
+
+
+# ----------------------------- IVF-PQ (ADC) search (llm/similarity.py)
+
+
+def test_sim_ivfpq_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import similarity
+
+    assert_parity(
+        similarity.sim_ivfpq_topk(spark, sf_dir),
+        oracle,
+        similarity.IVFPQ_ORACLE,
+    )
+
+
+def test_sim_ivfpq_seed_vectors_score_exactly(spark, sf_dir):
+    """The asymmetric-distance property, pinned on its exact case: a
+    seed vector IS its own codeword in every subspace (distance 0), so
+    its PQ reconstruction is lossless — for any query, the ADC score of
+    a seed-vector candidate must equal the EXACT cosine. Quantization
+    error exists only on the database side, and for these rows it is
+    zero."""
+    from dbt_jaffleshop_spark.llm import similarity
+    from dbt_jaffleshop_spark.llm.dedup import _quantized_embeddings
+    from pyspark.sql import functions as F
+
+    q = _quantized_embeddings(spark, sf_dir)
+    # exact cosine of every (query, seed) pair
+    seeds = q.where(F.col("vec_id") < similarity.PQ_K)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in F.broadcast(
+            q.where(F.col("vec_id") % similarity.QUERY_STRIDE == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("nrm").alias("na"),
+            )
+        )
+        .join(seeds.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("nb"),
+        ))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "cast(aggregate(zip_with(qe, ce, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x) as double)"
+                " / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))"
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    adc = similarity.sim_ivfpq_topk(spark, sf_dir).collect()
+    seed_rows = [r for r in adc if r.neighbor_id < similarity.PQ_K]
+    assert seed_rows, "no seed vector reached any query's top-k"
+    for r in seed_rows:
+        assert r.adc_sim == exact[(r.query_id, r.neighbor_id)], r
+
+
+def test_sim_ivfpq_plan_is_jvm_side(spark, sf_dir):
+    from dbt_jaffleshop_spark.llm import similarity
+
+    plan = (
+        similarity.sim_ivfpq_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_ivfpq_recall_measured_against_exact(spark, sf_dir):
+    """ADC search approximates the in-cell exact ranking: per query, the
+    ADC top-3 and the exact-cosine top-3 restricted to the SAME cell
+    must overlap substantially (planted sanity floor: mean in-cell
+    recall >= 1/3 — ADC error comes only from PQ reconstruction, the
+    cell restriction is identical by construction)."""
+    from collections import defaultdict
+
+    from dbt_jaffleshop_spark.llm import similarity
+
+    def hits(df):
+        by_q = defaultdict(set)
+        for r in df.collect():
+            by_q[r.query_id].add(r.neighbor_id)
+        return by_q
+
+    in_cell_exact = hits(similarity.sim_ivf_topk(spark, sf_dir))
+    adc = hits(similarity.sim_ivfpq_topk(spark, sf_dir))
+    assert set(adc) == set(in_cell_exact)  # same query universe (same cells)
+    recalls = [
+        len(adc[q] & truth) / max(len(truth), 1)
+        for q, truth in in_cell_exact.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 1 / 3, recalls
