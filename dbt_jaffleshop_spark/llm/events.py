@@ -372,11 +372,20 @@ def events_daily_anomalies(
     so both engines agree bit-for-bit (the same integer-variance move
     as the A7 stddev mart); a zero-variance window flags ANY deviation
     and never flags equality. Only days with a full 7-day history are
-    emitted (a partial window has no calibrated baseline). Overflow
-    honesty: n·q with q ≤ n·c² bounds safe daily counts at
-    c ≤ √(2⁶³/n²) ≈ 4.3×10⁸/day — beyond that, pre-scale counts to
-    thousands before the test (Spark would wrap silently where DuckDB
-    raises, the exact divergence this module designs out).
+    emitted (a partial window has no calibrated baseline).
+
+    Overflow guard (r7, automatic): both sides of the test are bounded
+    by 4·n²·max_c², so int64 is safe only while the max daily count
+    stays ≤ √(2⁶³)/(2n) ≈ 2.2×10⁸ — beyond that Spark would wrap (or
+    raise under ANSI) where DuckDB raises. Instead of advising the
+    caller, the operator PRE-SCALES: one global max over the (already
+    tiny, post-aggregation) daily relation picks the smallest
+    power-of-1000 divisor that brings counts under ANOMALY_SAFE_MAX,
+    and the z-test runs on the floor-divided counts (identical integer
+    semantics in both engines; scale = 1 — the arithmetic unchanged —
+    whenever the data is within bounds, which every test sf is). The
+    quantized test at scale > 1 is the documented semantics for
+    hot-type corpora: z-scores computed on counts-per-thousand(+).
 
     Plan shape for 100 TB: the corpus-sized work is ONE partial-
     aggregated groupBy onto (event_type, day); the spine explode and
@@ -408,16 +417,47 @@ def events_daily_anomalies(
     daily = spine.join(sparse, ["event_type", "day"], "left").select(
         "event_type", "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
+    return _anomaly_flags(daily)
+
+
+# 4·n²·c² < 2⁶³ for n=7 ⇔ c ≲ 2.17×10⁸; the guard margin keeps every
+# term of the integer z-test provably inside int64
+ANOMALY_SAFE_MAX = 200_000_000
+
+
+def _anomaly_flags(daily: DataFrame) -> DataFrame:
+    """The windowed z-test over a densified (event_type, day, n_events)
+    relation — split out so the overflow pytest can drive it with
+    planted near-bound counts. One global-max broadcast picks the
+    power-of-1000 pre-scale (scale stays 1 inside ANOMALY_SAFE_MAX);
+    the test runs on the scaled counts, the emitted n_events/win_sum
+    stay raw."""
+    n = ANOMALY_WINDOW_DAYS
+    s = ANOMALY_SAFE_MAX
+    scaled = (
+        daily.crossJoin(
+            F.broadcast(daily.agg(F.max("n_events").alias("mx")))
+        )
+        .withColumn(
+            "c_s",
+            F.expr(
+                f"n_events div (CASE WHEN mx <= {s}L THEN 1L"
+                f" WHEN mx <= {s * 1000}L THEN 1000L"
+                f" WHEN mx <= {s * 1000_000}L THEN 1000000L"
+                " ELSE 1000000000L END)"
+            ),
+        )
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(-ANOMALY_WINDOW_DAYS, -1)
     )
-    n = ANOMALY_WINDOW_DAYS
     return (
-        daily.withColumn("win_n", F.count(F.lit(1)).over(w))
+        scaled.withColumn("win_n", F.count(F.lit(1)).over(w))
         .withColumn("win_sum", F.sum("n_events").over(w))
-        .withColumn("win_sumsq", F.sum(F.expr("n_events * n_events")).over(w))
+        .withColumn("win_sum_s", F.sum("c_s").over(w))
+        .withColumn("win_sumsq_s", F.sum(F.expr("c_s * c_s")).over(w))
         .where(F.col("win_n") == n)
         .select(
             "event_type",
@@ -425,8 +465,9 @@ def events_daily_anomalies(
             "n_events",
             "win_sum",
             F.expr(
-                f"({n}L * n_events - win_sum) * ({n}L * n_events - win_sum) >"
-                f" {ANOMALY_Z * ANOMALY_Z} * ({n}L * win_sumsq - win_sum * win_sum)"
+                f"({n}L * c_s - win_sum_s) * ({n}L * c_s - win_sum_s) >"
+                f" {ANOMALY_Z * ANOMALY_Z}"
+                f" * ({n}L * win_sumsq_s - win_sum_s * win_sum_s)"
             ).alias("is_anomaly"),
         )
     )
@@ -651,18 +692,27 @@ daily AS (
     FROM spine sp LEFT JOIN sparse s
       ON sp.event_type = s.event_type AND sp.day = s.day
 ),
+scaled AS (
+    SELECT d.*, d.n_events // (CASE
+               WHEN g.mx <= {ANOMALY_SAFE_MAX} THEN 1
+               WHEN g.mx <= {ANOMALY_SAFE_MAX * 1000} THEN 1000
+               WHEN g.mx <= {ANOMALY_SAFE_MAX * 1000_000} THEN 1000000
+               ELSE 1000000000 END) AS c_s
+    FROM daily d CROSS JOIN (SELECT max(n_events) AS mx FROM daily) g
+),
 win AS (
-    SELECT event_type, day, n_events,
+    SELECT event_type, day, n_events, c_s,
            CAST(count(*) OVER tw AS BIGINT) AS win_n,
            CAST(sum(n_events) OVER tw AS BIGINT) AS win_sum,
-           CAST(sum(n_events * n_events) OVER tw AS BIGINT) AS win_sumsq
-    FROM daily
+           CAST(sum(c_s) OVER tw AS BIGINT) AS win_sum_s,
+           CAST(sum(c_s * c_s) OVER tw AS BIGINT) AS win_sumsq_s
+    FROM scaled
     WINDOW tw AS (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN {_AN} PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, win_sum,
-       ({_AN} * n_events - win_sum) * ({_AN} * n_events - win_sum) >
-       {ANOMALY_Z * ANOMALY_Z} * ({_AN} * win_sumsq - win_sum * win_sum)
+       ({_AN} * c_s - win_sum_s) * ({_AN} * c_s - win_sum_s) >
+       {ANOMALY_Z * ANOMALY_Z} * ({_AN} * win_sumsq_s - win_sum_s * win_sum_s)
        AS is_anomaly
 FROM win WHERE win_n = {_AN}
 """

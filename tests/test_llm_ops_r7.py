@@ -259,3 +259,56 @@ def test_sim_ivfpq_recall_measured_against_exact(spark, sf_dir):
         for q, truth in in_cell_exact.items()
     ]
     assert sum(recalls) / len(recalls) >= 1 / 3, recalls
+
+
+# --------------------- anomaly overflow auto-guard (llm/events.py)
+
+
+def test_anomaly_guard_survives_near_bound_counts(spark):
+    """Planted counts past the int64-safe bound (~2.2e8/day) must
+    neither wrap nor raise: the automatic power-of-1000 pre-scale keeps
+    every term of the z-test in range, and the flags match an
+    arbitrary-precision Python replay of the scaled algorithm."""
+    import datetime as dt
+
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    base = dt.date(2025, 1, 1)
+    # hot type: ~4e9 events/day (unscaled sumsq alone would exceed
+    # 2^63), calm for 9 days then a 3x spike on day 10
+    counts = [4_000_000_000 + d * 1_000_000 for d in range(9)]
+    counts.append(12_000_000_000)
+    rows = [
+        ("hot", base + dt.timedelta(days=d), c)
+        for d, c in enumerate(counts)
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, n_events long"
+    )
+    got = {r.day: r for r in ev._anomaly_flags(daily).collect()}
+    n, z2 = ev.ANOMALY_WINDOW_DAYS, ev.ANOMALY_Z**2
+    scale = 1000  # max 1.2e10 is in the (2e8, 2e11] tier
+    cs = [c // scale for c in counts]
+    expect = {}
+    for i in range(n, len(counts)):
+        win = cs[i - n : i]
+        s, q = sum(win), sum(x * x for x in win)
+        expect[str(base + dt.timedelta(days=i))] = (
+            (n * cs[i] - s) ** 2 > z2 * (n * q - s * s)
+        )
+    assert {d: r.is_anomaly for d, r in got.items()} == expect
+    assert got[str(base + dt.timedelta(days=9))].is_anomaly  # the spike
+    # raw outputs stay unscaled
+    assert got[str(base + dt.timedelta(days=9))].n_events == counts[9]
+
+
+def test_anomaly_guard_is_identity_within_bounds(spark, oracle, sf_dir):
+    """On in-bound data scale == 1: the operator still matches the
+    (also-guarded) DuckDB oracle bit-for-bit on the real corpus."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    assert_parity(
+        ev.events_daily_anomalies(spark, sf_dir), oracle, ev.ANOMALY_ORACLE
+    )
