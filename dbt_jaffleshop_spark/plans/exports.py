@@ -55,7 +55,7 @@ EXPORTS: dict[str, ExportSpec] = {
         ExportSpec("customer_segmentation_metrics", "sq_customer_segmentation",
                    "customer_segmentation",
                    "models/marts/customer_segmentation.yml:127-130"),
-        ExportSpec("time_analytics_metrics", "sq_time_analytics_monthly",
+        ExportSpec("time_analytics_metrics", "sq_time_analytics_quarterly",
                    "time_analytics", "models/marts/time_analytics.yml:119-122"),
     ]
 }

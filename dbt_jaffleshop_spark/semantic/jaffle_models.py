@@ -469,14 +469,16 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         ],
         group_by=["customer_id"],
     ),
-    # time_analytics.yml:109-122 — time_analytics_metrics by
-    # TimeDimension('metric_time', 'month')
-    "sq_time_analytics_monthly": MetricQuery(
+    # time_analytics.yml:109-122 — time_analytics_metrics, served at
+    # QUARTER grain since r7 (the mart's own seasonal analysis,
+    # time_analytics.sql:69-71, is quarterly; metric_time__month stays
+    # driver-verified through sq_order_metrics_monthly)
+    "sq_time_analytics_quarterly": MetricQuery(
         TIME_ANALYTICS_MODEL,
         metrics=[
             "total_daily_orders", "total_daily_revenue_cents",
             "total_daily_profit_cents", "avg_daily_customers",
         ],
-        group_by=["metric_time__month"],
+        group_by=["metric_time__quarter"],
     ),
 }

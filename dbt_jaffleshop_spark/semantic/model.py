@@ -123,7 +123,11 @@ class SemanticModel:
     metrics: dict[str, Metric] = field(default_factory=dict)
 
 
-GRAIN_OK = ("day", "week", "month")
+# date_trunc grains with identical semantics in Spark and DuckDB.
+# quarter/year added r7 — the reference's own seasonal analyses
+# (products.sql:75-76, time_analytics.sql:69-71) make quarter the next
+# grain a metrics user reaches for after month.
+GRAIN_OK = ("day", "week", "month", "quarter", "year")
 
 
 class MetricQuery:

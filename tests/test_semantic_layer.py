@@ -50,3 +50,33 @@ def test_derived_offset_metric_nulls_first_period(spark, sf_dir):
     rows = q.to_df(spark, sf_dir).orderBy("metric_time").collect()
     assert rows[0]["revenue_growth_pct"] is None
     assert any(r["revenue_growth_pct"] is not None for r in rows[1:])
+
+
+def test_quarter_and_year_grains_resolve(spark, oracle, sf_dir):
+    """r7: quarter/year joined GRAIN_OK — a quarterly request compiles,
+    matches its own generated oracle, and truncation really is
+    quarterly (every metric_time is the first day of a quarter)."""
+    from dbt_jaffleshop_spark.semantic.jaffle_models import ORDERS_MODEL
+    from dbt_jaffleshop_spark.semantic.model import GRAIN_OK, MetricQuery
+    from tests.conftest import assert_parity
+
+    assert "quarter" in GRAIN_OK and "year" in GRAIN_OK
+    q = MetricQuery(
+        ORDERS_MODEL,
+        metrics=["orders", "order_total_cents"],
+        group_by=["metric_time__quarter"],
+    )
+    assert_parity(q.to_df(spark, sf_dir), oracle, q.to_oracle_sql())
+    for r in q.to_df(spark, sf_dir).collect():
+        assert r.metric_time.month in (1, 4, 7, 10) and r.metric_time.day == 1
+    y = MetricQuery(
+        ORDERS_MODEL, metrics=["orders"], group_by=["metric_time__year"]
+    )
+    assert_parity(y.to_df(spark, sf_dir), oracle, y.to_oracle_sql())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported grain"):
+        MetricQuery(
+            ORDERS_MODEL, metrics=["orders"], group_by=["metric_time__hour"]
+        ).to_df(spark, sf_dir)
