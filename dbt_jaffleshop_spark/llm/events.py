@@ -716,3 +716,72 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, win_sum,
        AS is_anomaly
 FROM win WHERE win_n = {_AN}
 """
+
+
+# ------------------------------- salted skew-join verification (r7)
+
+# 70% of fact rows collapse onto ONE hot key — the deliberate skew that
+# makes salting load-bearing rather than decorative
+_SKEW_KEY = "CASE WHEN user_id % 10 < 7 THEN 0L ELSE user_id END"
+
+
+def events_salted_join(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Driver-verified skew-mitigation join (r7): the `salted_join`
+    library function (functions/joins.py — the designated 100 TB answer
+    for hot-key joins, previously plan/pytest-verified only) run on a
+    DELIBERATELY skewed key distribution: 70% of events collapse onto
+    one hot key, the rest stay per-user. The fact side joins a derived
+    per-key dimension through 16 salts and aggregates per event_type;
+    the DuckDB oracle performs the PLAIN join — equality therefore
+    proves the salting transform is row-identical to the unsalted join
+    (no row met its dim twice, none missed it) under full value
+    verification, not just a pytest corpus.
+
+    Scale shape: the fact side gains one map-side hash column; the
+    16-way replicated dim stays the small relation; the hot key's work
+    spreads over 16 tasks where the plain shuffle would bottleneck one.
+    """
+    from ..functions.joins import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    fact = ev.withColumn("skew_key", F.expr(_SKEW_KEY))
+    dim = (
+        fact.select("skew_key")
+        .distinct()
+        .withColumn("weight", F.expr("skew_key % 97 + 1"))
+    )
+    joined = salted_join(
+        fact, dim, on=["skew_key"], salt_cols=["event_id"], salts=16
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("value_cents * weight")).alias("weighted_cents"),
+        F.sum("skew_key").alias("sum_skew_key"),
+    )
+
+
+ORACLES["events_salted_join"] = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+fact AS (
+    SELECT *, CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS skew_key
+    FROM ev
+),
+dim AS (SELECT DISTINCT skew_key, skew_key % 97 + 1 AS weight FROM fact)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_cents * weight) AS BIGINT) AS weighted_cents,
+       CAST(sum(skew_key) AS BIGINT) AS sum_skew_key
+FROM fact JOIN dim USING (skew_key)
+GROUP BY event_type
+"""

@@ -139,6 +139,7 @@ _GROUP_DIGESTED = {
     "events_json_stats",
     "events_stickiness",
     "events_transition_topk",
+    "events_salted_join",
     "text_zipf_topk",
 }
 # (llm/prep.py's operators — corpus_segment_dedup, corpus_mix_sample,

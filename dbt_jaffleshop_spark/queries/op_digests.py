@@ -29,9 +29,10 @@ recording budget while every operator remains value-verified:
   (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
-  streaming_session_window (llm/events.py, streaming/sessionize.py);
-  sessionize and as-of keep their own slots (bench headline
-  continuity).
+  streaming_session_window (llm/events.py, streaming/sessionize.py) /
+  events_salted_join (r7 — the salted skew-join verified against the
+  oracle's plain join); sessionize and as-of keep their own slots
+  (bench headline continuity).
 * ``sim_eval_digest`` (r4) — the ANN/embedding evaluation + training
   operators: sim_recall_at_k / sim_knn_classify (llm/similarity.py,
   oracles are module constants RECALL_ORACLE / KNN_ORACLE rather than
@@ -562,6 +563,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("is_anomaly", "boolean"),
             ],
             llm_events.ANOMALY_ORACLE,
+        ),
+        # r7: the salted_join skew-mitigation library function under
+        # full value verification — 70% of events collapse onto one hot
+        # key, the salted 16-way join + rollup must equal the oracle's
+        # PLAIN join (salting is row-identical by construction)
+        "events_salted_join": (
+            llm_events.events_salted_join,
+            [
+                ("event_type", "string"),
+                ("n_rows", "bigint"),
+                ("weighted_cents", "bigint"),
+                ("sum_skew_key", "bigint"),
+            ],
+            llm_events.ORACLES["events_salted_join"],
         ),
     },
     # r5: ACID-materialization digest — the SCD2 snapshot fold (its own

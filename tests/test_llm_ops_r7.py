@@ -312,3 +312,35 @@ def test_anomaly_guard_is_identity_within_bounds(spark, oracle, sf_dir):
     assert_parity(
         ev.events_daily_anomalies(spark, sf_dir), oracle, ev.ANOMALY_ORACLE
     )
+
+
+# --------------------- salted skew-join verification (llm/events.py)
+
+
+def test_events_salted_join_matches_plain_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    assert_parity(
+        ev.events_salted_join(spark, sf_dir),
+        oracle,
+        ev.ORACLES["events_salted_join"],
+    )
+
+
+def test_events_salted_join_skew_is_real(spark, sf_dir):
+    """The verified distribution must actually be skewed (one key owns
+    the majority of fact rows) — otherwise the digest row would verify
+    salting on a flat distribution where it is decorative."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import events as ev
+    from dbt_jaffleshop_spark.sources import load_table
+
+    fact = load_table(spark, "events", sf_dir).withColumn(
+        "skew_key", F.expr(ev._SKEW_KEY)
+    )
+    total = fact.count()
+    hot = fact.where(F.col("skew_key") == 0).count()
+    assert hot / total > 0.6, (hot, total)
