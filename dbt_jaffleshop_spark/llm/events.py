@@ -428,25 +428,30 @@ ANOMALY_SAFE_MAX = 200_000_000
 def _anomaly_flags(daily: DataFrame) -> DataFrame:
     """The windowed z-test over a densified (event_type, day, n_events)
     relation — split out so the overflow pytest can drive it with
-    planted near-bound counts. One global-max broadcast picks the
-    power-of-1000 pre-scale (scale stays 1 inside ANOMALY_SAFE_MAX);
-    the test runs on the scaled counts, the emitted n_events/win_sum
-    stay raw."""
+    planted near-bound counts. An unpartitioned window-max over the
+    tiny densified relation picks the power-of-1000 pre-scale (scale
+    stays 1 inside ANOMALY_SAFE_MAX); the test runs on the scaled
+    counts, the emitted n_events/win_sum stay raw."""
     n = ANOMALY_WINDOW_DAYS
     s = ANOMALY_SAFE_MAX
-    scaled = (
-        daily.crossJoin(
-            F.broadcast(daily.agg(F.max("n_events").alias("mx")))
-        )
-        .withColumn(
-            "c_s",
-            F.expr(
-                f"n_events div (CASE WHEN mx <= {s}L THEN 1L"
-                f" WHEN mx <= {s * 1000}L THEN 1000L"
-                f" WHEN mx <= {s * 1000_000}L THEN 1000000L"
-                " ELSE 1000000000L END)"
-            ),
-        )
+    # the global max comes from an unpartitioned window over the SAME
+    # single pass (daily is the tiny post-aggregation relation, so the
+    # one-partition move is |types|·|days| rows) — an agg+crossJoin
+    # formulation would plant a second subtree that re-runs the
+    # corpus-sized groupBy (no exchange reuse, measured: 6 scans)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = daily.withColumn(
+        "mx", F.max("n_events").over(w_all)
+    ).withColumn(
+        "c_s",
+        F.expr(
+            f"n_events div (CASE WHEN mx <= {s}L THEN 1L"
+            f" WHEN mx <= {s * 1000}L THEN 1000L"
+            f" WHEN mx <= {s * 1000_000}L THEN 1000000L"
+            " ELSE 1000000000L END)"
+        ),
     )
     w = (
         Window.partitionBy("event_type")
@@ -693,12 +698,12 @@ daily AS (
       ON sp.event_type = s.event_type AND sp.day = s.day
 ),
 scaled AS (
-    SELECT d.*, d.n_events // (CASE
-               WHEN g.mx <= {ANOMALY_SAFE_MAX} THEN 1
-               WHEN g.mx <= {ANOMALY_SAFE_MAX * 1000} THEN 1000
-               WHEN g.mx <= {ANOMALY_SAFE_MAX * 1000_000} THEN 1000000
+    SELECT *, n_events // (CASE
+               WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX} THEN 1
+               WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX * 1000} THEN 1000
+               WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX * 1000_000} THEN 1000000
                ELSE 1000000000 END) AS c_s
-    FROM daily d CROSS JOIN (SELECT max(n_events) AS mx FROM daily) g
+    FROM daily
 ),
 win AS (
     SELECT event_type, day, n_events, c_s,
