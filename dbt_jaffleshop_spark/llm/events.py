@@ -790,3 +790,141 @@ SELECT event_type,
 FROM fact JOIN dim USING (skew_key)
 GROUP BY event_type
 """
+
+
+def events_range_join(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Driver-verified interval join (r7): the `range_bin_join` library
+    function (functions/joins.py — binning turns a point-in-interval
+    predicate into a shuffled equi-join; Catalyst would otherwise plan
+    a nested-loop join) joining each purchase event to the same user's
+    same-day browsing span (min..max ts of that user-day's view
+    events). The DuckDB oracle states the PLAIN range predicate
+    (`t BETWEEN lo AND hi` + user equality) — equality proves the
+    bin-explode rewrite is row-identical (every in-span purchase met
+    its span exactly once, none missed, none doubled).
+
+    Scale shape: spans are one-day intervals binned at one hour, so
+    each interval explodes into ≤ 25 bins; the join shuffles on
+    (user_id, bin) — partitionable and AQE-splittable where the naive
+    plan broadcasts every span against every purchase.
+    """
+    from ..functions.joins import range_bin_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    spans = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "value_cents",
+    )
+    joined = range_bin_join(
+        purchases, spans, "t", "lo", "hi", on=["user_id"],
+        bin_width=3_600_000_000,
+    )
+    return joined.groupBy(
+        "user_id", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_in_span"),
+        F.sum("value_cents").alias("span_cents"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+ORACLES["events_range_join"] = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, ts,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+spans AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+    FROM ev WHERE event_type = 'view'
+    GROUP BY 1, 2
+),
+purchases AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t, value_cents
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_in_span,
+       CAST(sum(p.value_cents) AS BIGINT) AS span_cents,
+       CAST(sum(p.event_id) AS BIGINT) AS sum_event_id
+FROM purchases p
+JOIN spans s ON p.user_id = s.user_id AND p.t BETWEEN s.lo AND s.hi
+GROUP BY 1, 2
+"""
+
+
+def events_bloom_join(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Driver-verified Bloom-prefiltered join (r7): the
+    `bloom_prefilter_join` library function (functions/joins.py — the
+    runtime-filter idea as an explicit operator) joining the events
+    fact to BUILDING-segment customers on user_id. Only ~23% of users
+    are BUILDING, so the broadcast bitmap drops ~77% of event rows
+    BEFORE the join shuffle; the DuckDB oracle performs the PLAIN
+    join — equality proves the prefilter dropped only rows that could
+    never match (false positives ride to the join and are dropped
+    there; false negatives would show as missing rows here).
+    """
+    from ..functions.joins import bloom_prefilter_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("value_cents"),
+    )
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"), "c_acctbal")
+    )
+    joined = bloom_prefilter_join(ev, dim, on=["user_id"], m_bits=1 << 12)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").alias("sum_cents"),
+        F.sum(F.expr("cast(round(c_acctbal * 100) as bigint)")).alias(
+            "sum_acctbal_cents"
+        ),
+    )
+
+
+ORACLES["events_bloom_join"] = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+dim AS (
+    SELECT c_custkey AS user_id, c_acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_acctbal_cents
+FROM ev JOIN dim USING (user_id)
+GROUP BY event_type
+"""

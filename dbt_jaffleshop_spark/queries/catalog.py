@@ -140,6 +140,8 @@ _GROUP_DIGESTED = {
     "events_stickiness",
     "events_transition_topk",
     "events_salted_join",
+    "events_range_join",
+    "events_bloom_join",
     "text_zipf_topk",
 }
 # (llm/prep.py's operators — corpus_segment_dedup, corpus_mix_sample,

@@ -31,8 +31,11 @@ recording budget while every operator remains value-verified:
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py) /
   events_salted_join (r7 — the salted skew-join verified against the
-  oracle's plain join); sessionize and as-of keep their own slots
-  (bench headline continuity).
+  oracle's plain join) / events_range_join (r7 — the binned interval
+  join vs the oracle's plain BETWEEN predicate) / events_bloom_join
+  (r7 — the Bloom-prefiltered join vs the oracle's plain join);
+  sessionize and as-of keep their own slots (bench headline
+  continuity).
 * ``sim_eval_digest`` (r4) — the ANN/embedding evaluation + training
   operators: sim_recall_at_k / sim_knn_classify (llm/similarity.py,
   oracles are module constants RECALL_ORACLE / KNN_ORACLE rather than
@@ -577,6 +580,38 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("sum_skew_key", "bigint"),
             ],
             llm_events.ORACLES["events_salted_join"],
+        ),
+        # r7: the range_bin_join library function (point-in-interval →
+        # binned equi-join) under full value verification — purchases
+        # joined to same-user same-day view spans; the oracle states
+        # the plain BETWEEN predicate, so equality proves the
+        # bin-explode rewrite is row-identical (no doubles, no misses)
+        "events_range_join": (
+            llm_events.events_range_join,
+            [
+                ("user_id", "bigint"),
+                ("day", "string"),
+                ("n_in_span", "bigint"),
+                ("span_cents", "bigint"),
+                ("sum_event_id", "bigint"),
+            ],
+            llm_events.ORACLES["events_range_join"],
+        ),
+        # r7: the bloom_prefilter_join library function (broadcast
+        # Bloom bitmap drops definitely-unmatched probe rows before the
+        # join shuffle) vs the oracle's PLAIN join — equality proves
+        # zero false negatives; false positives are dropped by the real
+        # join and cannot show here
+        "events_bloom_join": (
+            llm_events.events_bloom_join,
+            [
+                ("event_type", "string"),
+                ("n_rows", "bigint"),
+                ("n_users", "bigint"),
+                ("sum_cents", "bigint"),
+                ("sum_acctbal_cents", "bigint"),
+            ],
+            llm_events.ORACLES["events_bloom_join"],
         ),
     },
     # r5: ACID-materialization digest — the SCD2 snapshot fold (its own

@@ -344,3 +344,141 @@ def test_events_salted_join_skew_is_real(spark, sf_dir):
     total = fact.count()
     hot = fact.where(F.col("skew_key") == 0).count()
     assert hot / total > 0.6, (hot, total)
+
+
+# --------------------- range_bin_join / bloom_prefilter_join
+# (functions/joins.py + llm/events.py wrappers)
+
+
+def test_range_bin_join_identity_vs_naive(spark):
+    """The binned rewrite must be row-identical to the naive range join
+    on a randomized (fixed-seed) corpus that exercises multi-bin
+    intervals, zero-length intervals, and bin-boundary points."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.functions.joins import range_bin_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 5), rng.randint(0, 10_000)) for i in range(800)]
+    ivs = []
+    for j in range(160):
+        lo = rng.choice([rng.randint(0, 9_500), 256 * rng.randint(0, 37)])
+        ivs.append(
+            (j, rng.randint(0, 5), lo, lo + rng.choice([0, 1, 50, 500, 3000]))
+        )
+    left = spark.createDataFrame(pts, "pid long, k long, t long")
+    right = spark.createDataFrame(ivs, "iid long, k long, lo long, hi long")
+    got = range_bin_join(left, right, "t", "lo", "hi", on=["k"], bin_width=256)
+    want = left.join(right, on=["k"], how="inner").where(
+        F.col("t").between(F.col("lo"), F.col("hi"))
+    )
+    a = sorted(map(tuple, got.select("pid", "iid").collect()))
+    b = sorted(map(tuple, want.select("pid", "iid").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_events_range_join_matches_plain_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    assert_parity(
+        ev.events_range_join(spark, sf_dir),
+        oracle,
+        ev.ORACLES["events_range_join"],
+    )
+
+
+def test_events_range_join_plan_is_equi(spark, sf_dir):
+    """THE claim: binning turns the range predicate into a hashable
+    equi-join — the plan must contain no nested-loop or cartesian join
+    and no Python eval."""
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    plan = (
+        ev.events_range_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bloom_prefilter_join_identity_and_soundness(spark):
+    from dbt_jaffleshop_spark.functions.joins import bloom_prefilter_join
+
+    big = spark.createDataFrame(
+        [(i, i % 997) for i in range(20_000)], "rid long, key long"
+    )
+    small = spark.createDataFrame(
+        [(v, v * 3) for v in range(0, 997, 7)], "key long, w long"
+    )
+    got = bloom_prefilter_join(big, small, on=["key"], m_bits=1 << 12, k=3)
+    want = big.join(small, on=["key"], how="inner")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    semi = bloom_prefilter_join(big, small, on=["key"], how="left_semi")
+    semi_want = big.join(small, on=["key"], how="left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(
+        map(tuple, semi_want.collect())
+    )
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(big, small, on=["key"], how="left")
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_dir):
+    """The prefilter must drop a real fraction of the probe side
+    BEFORE the join (on the digest distribution ~77% of events belong
+    to non-BUILDING users) — otherwise the operator is decorative.
+    Measured on the prefilter's intermediate relation itself, and the
+    kept set must cover every true match."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.functions.joins import bloom_bitmap, bloom_prefilter
+    from dbt_jaffleshop_spark.sources import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    m_bits, k = 1 << 12, 3
+    words = bloom_bitmap(dim, ["user_id"], m_bits, k)
+    kept = bloom_prefilter(ev, words, ["user_id"], m_bits, k)
+    total, survived = ev.count(), kept.count()
+    assert survived < 0.4 * total, (survived, total)
+    # zero false negatives: the kept set contains every matching row
+    true_matches = ev.join(dim, on=["user_id"], how="left_semi")
+    assert true_matches.join(kept, on=["event_id"], how="left_anti").count() == 0
+
+
+def test_events_bloom_join_matches_plain_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    assert_parity(
+        ev.events_bloom_join(spark, sf_dir),
+        oracle,
+        ev.ORACLES["events_bloom_join"],
+    )
+
+
+def test_events_bloom_join_plan_is_jvm_side(spark, sf_dir):
+    from dbt_jaffleshop_spark.llm import events as ev
+
+    plan = (
+        ev.events_bloom_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the bitmap probes
