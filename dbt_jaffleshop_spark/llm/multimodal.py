@@ -1517,9 +1517,33 @@ JPEG_AC_VALS = (
 )
 
 
+# Chroma quantization table (tq=1), again every entry a multiple of 8
+# so the exactly-representable subspace stays integer; a DIFFERENT
+# progression from the luma table so per-component dequant routing is
+# genuinely exercised (a luma/chroma table swap breaks oracle parity).
+JPEG_QUANT_CHROMA_ZZ = [8 * (3 + (5 * k) % 7) for k in range(64)]
+
+# T.81 Annex K.3.3.1 chroma DC Huffman spec: different code-length
+# histogram from the luma table, so the color scan routes through a
+# structurally different canonical tree per component class.
+JPEG_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+JPEG_DC_CHROMA_VALS = list(range(12))
+
+# Fixed-point BT.601 YCbCr->RGB constants (libjpeg-style FIX(x) =
+# round(x * 65536)): 1.40200, 0.34414, 0.71414, 1.77200. The >> 16 is a
+# FLOOR shift — the DuckDB oracle replays it as floor(a / 65536.0)
+# (its integer `//` truncates toward zero, which differs on negatives).
+JPEG_FIX_RCR = 91881
+JPEG_FIX_GCB = 22554
+JPEG_FIX_GCR = 46802
+JPEG_FIX_BCB = 116130
+
+
 def _jpeg_codec():
-    """Build the dependency-free baseline-JPEG codec triple
-    ``(encode, parse, decode)`` for single-component 8-bit grayscale.
+    """Build the dependency-free baseline-JPEG codec functions
+    ``(encode, parse, decode, encode3, parse_any, decode3)`` —
+    single-component 8-bit grayscale plus interleaved 3-component
+    YCbCr 4:4:4 color (r7b).
 
     Factory for cloudpickle-by-value capture (see _make_extract_batches).
     Encoder and decoder are independent forward/backward paths that meet
@@ -1591,27 +1615,9 @@ def _jpeg_codec():
         prev_dc = 0
         for by in range(nby):
             for bx in range(nbx):
-                blk = coefs[by, bx]
-                zz = [int(blk[r][c]) for r, c in ZZ]
-                diff = zz[0] - prev_dc
-                prev_dc = zz[0]
-                size = abs(diff).bit_length()
-                w.put(*dc_tab[size])
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    w.put(v, size)
-                run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        w.put(*ac_tab[0xF0])  # ZRL: 16 zeros
-                        run -= 16
-                    _put_coef(w, ac_tab, run, zz[k])
-                    run = 0
-                if run:
-                    w.put(*ac_tab[0x00])  # EOB
+                prev_dc = _encode_block(
+                    w, coefs[by, bx], prev_dc, dc_tab, ac_tab
+                )
         dqt = bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
         # 8-bit multiples-of-8 table entries: cap at 255 would corrupt —
         # JPEG_QUANT_ZZ maxes at 8*(2+8)=80, well inside one byte
@@ -1621,6 +1627,84 @@ def _jpeg_codec():
             + bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
         )
         sos = bytes([1, 1, 0x00, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + _marker(0xFFDB, dqt)
+            + _marker(0xFFC0, sof)
+            + _marker(0xFFC4, dht)
+            + _marker(0xFFDA, sos)
+            + w.flush()
+            + b"\xff\xd9"
+        )
+
+    def _encode_block(w, blk, prev_dc, dc_tab, ac_tab) -> int:
+        """Write one 8x8 natural-order block; returns its DC for the
+        caller's per-component predictor chain."""
+        zz = [int(blk[r][c]) for r, c in ZZ]
+        diff = zz[0] - prev_dc
+        size = abs(diff).bit_length()
+        w.put(*dc_tab[size])
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            w.put(v, size)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.put(*ac_tab[0xF0])  # ZRL: 16 zeros
+                run -= 16
+            _put_coef(w, ac_tab, run, zz[k])
+            run = 0
+        if run:
+            w.put(*ac_tab[0x00])  # EOB
+        return zz[0]
+
+    def encode3(coefs, width: int, height: int) -> bytes:
+        """Quantized coefficient blocks (3, nby, nbx, 8, 8) natural
+        order (Y, Cb, Cr) -> complete interleaved baseline YCbCr 4:4:4
+        JPEG: two DQT tables (luma tq=0, chroma tq=1), four DHT tables
+        (chroma DC uses the Annex-K chroma histogram), MCU order
+        Y,Cb,Cr with independent DC predictors."""
+        coefs = _np.asarray(coefs, dtype=_np.int32)
+        ncomp, nby, nbx = coefs.shape[:3]
+        assert ncomp == 3
+        tabs = [
+            (
+                _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS),
+                _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS),
+            ),
+            (
+                _canonical_codes(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS),
+                _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS),
+            ),
+        ]
+        w = _BitWriter()
+        prev = [0, 0, 0]
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(3):
+                    dc_tab, ac_tab = tabs[0 if ci == 0 else 1]
+                    prev[ci] = _encode_block(
+                        w, coefs[ci, by, bx], prev[ci], dc_tab, ac_tab
+                    )
+        dqt = (
+            bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
+            + bytes([1])
+            + bytes(JPEG_QUANT_CHROMA_ZZ[k] & 0xFF for k in range(64))
+        )
+        sof = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        dht = (
+            bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+            + bytes([0x01])
+            + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+            + bytes([0x11]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
         return (
             b"\xff\xd8"
             + _marker(0xFFDB, dqt)
@@ -1673,11 +1757,16 @@ def _jpeg_codec():
     def _extend(v: int, size: int) -> int:
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-    def parse(payload: bytes):
-        """Marker walk + entropy decode. Returns (width, height,
-        quant_zz, blocks) with blocks (nby, nbx, 64) QUANTIZED zigzag
-        ints — the lossless layer, split out so tests can pin exact
-        coefficient recovery independently of the IDCT."""
+    def parse_any(payload: bytes):
+        """Marker walk + entropy decode, 1 or 3 interleaved components
+        (all 1x1 sampling). Returns (width, height, quants, blocks):
+        `quants` a per-component list of 64-entry zigzag tables,
+        `blocks` (ncomp, nby, nbx, 64) QUANTIZED zigzag ints — the
+        lossless layer, split out so tests can pin exact coefficient
+        recovery independently of the IDCT. Components decode MCU-
+        interleaved in scan order with per-component DC predictors and
+        per-component Huffman table selectors, exactly as T.81 A.2
+        specifies for Hi=Vi=1."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (missing SOI)")
         pos = 2
@@ -1712,14 +1801,18 @@ def _jpeg_codec():
                     p += 17 + n
             elif tag == 0xC0 or tag == 0xC1:  # SOF0/1: baseline sequential
                 depth, h, w, ncomp = _struct.unpack(">BHHB", seg[:6])
-                if depth != 8 or ncomp != 1:
+                if depth != 8 or ncomp not in (1, 3):
                     raise NotImplementedError(
-                        f"jpeg decode supports 8-bit 1-component; got "
-                        f"depth={depth} ncomp={ncomp}"
+                        f"jpeg decode supports 8-bit 1- or 3-component; "
+                        f"got depth={depth} ncomp={ncomp}"
                     )
-                if seg[7] != 0x11:
-                    raise NotImplementedError("chroma subsampling")
-                sof = (w, h, seg[8])
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if hv != 0x11:
+                        raise NotImplementedError("chroma subsampling")
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
             elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                          0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
@@ -1730,43 +1823,63 @@ def _jpeg_codec():
             elif tag == 0xDA:  # SOS: entropy data follows the header
                 if sof is None:
                     raise ValueError("JPEG SOS before SOF")
+                w_px, h_px, comps = sof
                 ns = seg[0]
-                if ns != 1:
-                    raise NotImplementedError("multi-component scan")
-                td, ta = seg[2] >> 4, seg[2] & 0xF
-                w_px, h_px, tq = sof
+                if ns != len(comps):
+                    raise ValueError("scan/frame component mismatch")
+                scan = []
+                for si in range(ns):
+                    cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                    tqs = [tq for cid, tq in comps if cid == cs]
+                    if len(tqs) != 1:
+                        raise ValueError("SOS names unknown component")
+                    scan.append(
+                        (tqs[0], huff[(0, tt >> 4)], huff[(1, tt & 0xF)])
+                    )
                 nbx, nby = (w_px + 7) // 8, (h_px + 7) // 8
                 reader = _BitReader(payload, pos + 2 + seglen)
-                dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
-                blocks = _np.zeros((nby, nbx, 64), dtype=_np.int32)
-                prev_dc = 0
+                blocks = _np.zeros((ns, nby, nbx, 64), dtype=_np.int32)
+                prev_dc = [0] * ns
                 for by in range(nby):
                     for bx in range(nbx):
-                        size = _decode_huff(reader, dc_t)
-                        diff = _extend(reader.bits(size), size) if size else 0
-                        prev_dc += diff
-                        blocks[by, bx, 0] = prev_dc
-                        k = 1
-                        while k < 64:
-                            sym = _decode_huff(reader, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blocks[by, bx, k] = _extend(
-                                reader.bits(size), size
+                        for ci, (_tq, dc_t, ac_t) in enumerate(scan):
+                            size = _decode_huff(reader, dc_t)
+                            diff = (
+                                _extend(reader.bits(size), size)
+                                if size
+                                else 0
                             )
-                            k += 1
-                return w_px, h_px, quant[tq], blocks
+                            prev_dc[ci] += diff
+                            blocks[ci, by, bx, 0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                sym = _decode_huff(reader, ac_t)
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, size = sym >> 4, sym & 0xF
+                                if size == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                blocks[ci, by, bx, k] = _extend(
+                                    reader.bits(size), size
+                                )
+                                k += 1
+                return w_px, h_px, [quant[tq] for tq, _, _ in scan], blocks
             pos += 2 + seglen
         raise ValueError("JPEG missing SOS")
+
+    def parse(payload: bytes):
+        """Single-component adapter preserving the r7 gray contract:
+        (width, height, quant_zz, blocks) with blocks (nby, nbx, 64)."""
+        w_px, h_px, quants, blocks = parse_any(payload)
+        if blocks.shape[0] != 1:
+            raise NotImplementedError("gray parse on multi-component scan")
+        return w_px, h_px, quants[0], blocks[0]
 
     # IDCT basis: A[u][x] = C(u)/2 * cos((2x+1) u pi / 16); spatial
     # block = A.T @ F @ A for F in natural [v][u] order
@@ -1781,11 +1894,10 @@ def _jpeg_codec():
         ]
     )
 
-    def decode(payload: bytes):
-        """Full pixel decode: parse -> dequant -> de-zigzag -> IDCT ->
-        +128 level shift -> round -> clamp -> crop. Returns (h, w)
-        uint8."""
-        w_px, h_px, quant_zz, blocks = parse(payload)
+    def _plane(quant_zz, blocks, w_px: int, h_px: int):
+        """One component's blocks -> cropped (h, w) uint8 sample plane:
+        dequant -> de-zigzag -> IDCT -> +128 level shift -> round ->
+        clamp (T.81 clamps each component's output samples) -> crop."""
         nby, nbx = blocks.shape[:2]
         q = _np.asarray(quant_zz, dtype=_np.int64)
         deq = blocks.astype(_np.int64) * q  # (nby, nbx, 64), zigzag
@@ -1797,11 +1909,41 @@ def _jpeg_codec():
         full = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         return full[:h_px, :w_px]
 
-    return encode, parse, decode
+    def decode(payload: bytes):
+        """Full grayscale pixel decode. Returns (h, w) uint8."""
+        w_px, h_px, quant_zz, blocks = parse(payload)
+        return _plane(quant_zz, blocks, w_px, h_px)
+
+    def decode3(payload: bytes):
+        """Full color pixel decode: per-component entropy + IDCT planes
+        (Y, Cb, Cr), then the fixed-point BT.601 conversion (JPEG_FIX_*
+        constants, floor shifts) to RGB. Returns (h, w, 3) uint8."""
+        w_px, h_px, quants, blocks = parse_any(payload)
+        if blocks.shape[0] != 3:
+            raise ValueError("color decode needs a 3-component scan")
+        y, cb, cr = (
+            _plane(quants[ci], blocks[ci], w_px, h_px).astype(_np.int64)
+            for ci in range(3)
+        )
+        cb, cr = cb - 128, cr - 128
+        r = y + ((JPEG_FIX_RCR * cr + 32768) >> 16)
+        g = y - ((JPEG_FIX_GCB * cb + JPEG_FIX_GCR * cr + 32768) >> 16)
+        b = y + ((JPEG_FIX_BCB * cb + 32768) >> 16)
+        rgb = _np.stack([r, g, b], axis=-1)
+        return _np.clip(rgb, 0, 255).astype(_np.uint8)
+
+    return encode, parse, decode, encode3, parse_any, decode3
 
 
-# module-level triple for driver-side use and the pytest vectors
-jpeg_encode_gray_coefs, jpeg_parse_gray, jpeg_decode_gray = _jpeg_codec()
+# module-level functions for driver-side use and the pytest vectors
+(
+    jpeg_encode_gray_coefs,
+    jpeg_parse_gray,
+    jpeg_decode_gray,
+    jpeg_encode_color_coefs,
+    jpeg_parse_any,
+    jpeg_decode_color,
+) = _jpeg_codec()
 
 # Oracle constants: dequantized contribution of each test frequency is
 # coef * Q / 8 (IDCT of the exactly-representable basis {(0,0),(4,0),
@@ -1812,6 +1954,12 @@ JQ_DC = JPEG_QUANT_ZZ[_ZZ_INDEX[(0, 0)]] // 8   # DC
 JQ_V4 = JPEG_QUANT_ZZ[_ZZ_INDEX[(4, 0)]] // 8   # (u=0, v=4): y-sign
 JQ_U4 = JPEG_QUANT_ZZ[_ZZ_INDEX[(0, 4)]] // 8   # (u=4, v=0): x-sign
 JQ_UV4 = JPEG_QUANT_ZZ[_ZZ_INDEX[(4, 4)]] // 8  # (u=4, v=4): both
+
+# chroma-table counterparts (r7b, tq=1) for the color oracle
+JQC_DC = JPEG_QUANT_CHROMA_ZZ[_ZZ_INDEX[(0, 0)]] // 8
+JQC_V4 = JPEG_QUANT_CHROMA_ZZ[_ZZ_INDEX[(4, 0)]] // 8
+JQC_U4 = JPEG_QUANT_CHROMA_ZZ[_ZZ_INDEX[(0, 4)]] // 8
+JQC_UV4 = JPEG_QUANT_CHROMA_ZZ[_ZZ_INDEX[(4, 4)]] // 8
 
 JPEG_PIXELS_SCHEMA = StructType(
     [
@@ -1859,7 +2007,7 @@ def _make_jpeg_pixels_batches():
     per image doc from deterministic quantized coefficients, run the
     REAL decoder (Huffman + dequant + IDCT + level shift) on the bytes
     and reduce to position-weighted pixel statistics."""
-    encode, _parse, decode = _jpeg_codec()
+    encode, _parse, decode, *_ = _jpeg_codec()
     _jpeg_test_coefs = _make_jpeg_test_coefs()
 
     def jpeg_batches(
@@ -1965,4 +2113,199 @@ SELECT doc_id,
        CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(sum(p * weight) AS BIGINT) AS px_checksum
 FROM v GROUP BY doc_id
+"""
+
+
+# --------------------------- color-JPEG pixel decode (r7b)
+
+COLOR_PIXELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("rgb_checksum", LongType()),
+    ]
+)
+
+
+def _make_jpeg_color_coefs():
+    """Factory (cloudpickle-by-value) for deterministic per-channel
+    quantized coefficients in the exactly-representable subspace — the
+    gray formulas salted per channel, so a component swap, a
+    luma/chroma table swap, or a broken MCU interleave each breaks
+    oracle parity on its own."""
+
+    def color_coefs(doc_id: int, nby: int, nbx: int):
+        import numpy as np
+
+        coefs = np.zeros((3, nby, nbx, 8, 8), dtype=np.int32)
+        for ch in range(3):
+            for by in range(nby):
+                for bx in range(nbx):
+                    coefs[ch, by, bx, 0, 0] = (
+                        doc_id * 5 + ch * 17 + bx * 3 + by * 7
+                    ) % 41 - 20
+                    coefs[ch, by, bx, 4, 0] = (
+                        doc_id + ch * 7 + bx * 11 + by * 5
+                    ) % 9 - 4
+                    coefs[ch, by, bx, 0, 4] = (
+                        doc_id * 3 + ch * 5 + bx + by * 2
+                    ) % 9 - 4
+                    coefs[ch, by, bx, 4, 4] = (
+                        doc_id + ch * 3 + bx + by * 13
+                    ) % 7 - 3
+        return coefs
+
+    return color_coefs
+
+
+_jpeg_color_coefs = _make_jpeg_color_coefs()
+
+
+def _make_color_pixels_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL interleaved
+    YCbCr 4:4:4 baseline JPEG per image doc, run the REAL 3-component
+    decoder (per-component Huffman tables + predictors, per-component
+    dequant, IDCT planes, fixed-point BT.601 to RGB) and reduce to
+    per-channel position-weighted statistics."""
+    *_, encode3, _parse_any, decode3 = _jpeg_codec()
+    color_coefs = _make_jpeg_color_coefs()
+
+    def color_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
+                nbx, nby = (w + 7) // 8, (h + 7) // 8
+                rgb = decode3(
+                    encode3(color_coefs(doc_id, nby, nbx), w, h)
+                ).astype(_np.int64)
+                assert rgb.shape == (h, w, 3)
+                y, x = _np.mgrid[0:h, 0:w]
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(r.sum()),
+                        "g_sum": int(g.sum()),
+                        "b_sum": int(b.sum()),
+                        "rgb_checksum": int(
+                            (r * w1 + g * w2 + b * w3).sum()
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return color_batches
+
+
+def multimodal_color_pixels(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered color-JPEG pixel-decode query (multimodal_digest
+    member, r7b): per image doc, a real interleaved baseline YCbCr
+    4:4:4 JPEG — two quant tables, four Huffman tables (Annex-K chroma
+    DC histogram), MCU order Y,Cb,Cr with independent DC predictors —
+    round-trips through :func:`jpeg_decode_color`'s genuine multi-
+    component entropy decode + per-plane IDCT + fixed-point BT.601
+    conversion. Per-channel coefficients live in the exactly-integer
+    subspace, and the RGB conversion is spelled in floor-shift integer
+    arithmetic (JPEG_FIX_* constants), so DuckDB recomputes every
+    channel of every pixel from closed-form arithmetic while the
+    decoder runs the fully general float transform. One mapInPandas
+    stage, no shuffle.
+
+    Reference parity: extends the r7 grayscale close of the decode
+    seam to the sampling-format family real corpora actually carry
+    (4:2:0 subsampling remains the documented NotImplementedError)."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 2")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return image_docs.mapInPandas(
+        _make_color_pixels_batches(), schema=COLOR_PIXELS_SCHEMA
+    )
+
+
+ORACLES["multimodal_color_pixels"] = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 17 AS BIGINT) AS w,
+           CAST(8 + (doc_id * 3 + strlen(text)) % 17 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 2
+),
+xs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img
+),
+px AS (
+    SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+g AS (
+    SELECT doc_id, w, h, x, y, x // 8 AS bx, y // 8 AS by,
+           CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+planes AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0,
+               128 + {JQ_DC} * ((doc_id * 5 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQ_V4} * sy * ((doc_id + bx * 11 + by * 5) % 9 - 4)
+                   + {JQ_U4} * sx * ((doc_id * 3 + bx + by * 2) % 9 - 4)
+                   + {JQ_UV4} * sx * sy * ((doc_id + bx + by * 13) % 7 - 3)
+           )) AS yy,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 17 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQC_V4} * sy * ((doc_id + 7 + bx * 11 + by * 5) % 9 - 4)
+                   + {JQC_U4} * sx * ((doc_id * 3 + 5 + bx + by * 2) % 9 - 4)
+                   + {JQC_UV4} * sx * sy * ((doc_id + 3 + bx + by * 13) % 7 - 3)
+           )) - 128 AS cb,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 34 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQC_V4} * sy * ((doc_id + 14 + bx * 11 + by * 5) % 9 - 4)
+                   + {JQC_U4} * sx * ((doc_id * 3 + 10 + bx + by * 2) % 9 - 4)
+                   + {JQC_UV4} * sx * sy * ((doc_id + 6 + bx + by * 13) % 7 - 3)
+           )) - 128 AS cr
+    FROM g
+),
+rgb AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_RCR} * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           LEAST(255, GREATEST(0, yy - CAST(floor(
+               ({JPEG_FIX_GCB} * cb + {JPEG_FIX_GCR} * cr + 32768)
+               / 65536.0) AS BIGINT))) AS gg,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_BCB} * cb + 32768) / 65536.0) AS BIGINT))) AS b
+    FROM planes
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(gg) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(sum(r * (1 + (x * 127 + y * 149) % 241)
+              + gg * (1 + (x * 131 + y * 137) % 239)
+              + b * (1 + (x * 113 + y * 151) % 251)) AS BIGINT)
+           AS rgb_checksum
+FROM rgb GROUP BY doc_id
 """

@@ -131,6 +131,7 @@ _GROUP_DIGESTED = {
     "multimodal_audio",
     "multimodal_pixels",
     "multimodal_jpeg_pixels",
+    "multimodal_color_pixels",
     "multimodal_gif_frames",
     "multimodal_thumbnail",
     "corpus_curate",

@@ -25,7 +25,9 @@ recording budget while every operator remains value-verified:
   PNG pixel decode: zlib inflate + all-five-filter unfilterer over
   synthesized filtered PNGs) / multimodal_jpeg_pixels (r7 — the real
   baseline-JPEG pixel decode: canonical Huffman entropy decode +
-  dequant + 8x8 IDCT over synthesized coefficient streams)
+  dequant + 8x8 IDCT over synthesized coefficient streams) /
+  multimodal_color_pixels (r7b — the real interleaved YCbCr 4:4:4
+  color-JPEG decode + fixed-point BT.601 RGB conversion)
   (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
@@ -471,6 +473,22 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("px_max", "bigint"),
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
+        ]),
+        # r7b: REAL color-JPEG pixel decode — interleaved YCbCr 4:4:4
+        # scan (two quant tables, four Huffman tables with the Annex-K
+        # chroma DC histogram, per-component predictors) + fixed-point
+        # BT.601 to RGB, all replayed in closed form by the oracle; a
+        # component swap, table swap, or broken MCU interleave each
+        # breaks parity on its own (llm/multimodal.py)
+        "multimodal_color_pixels": _m(llm_multimodal, "multimodal_color_pixels", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("rgb_checksum", "bigint"),
         ]),
         # r6: the full decode→resize pipeline — real PNG decode feeding
         # an integer nearest-neighbor thumbnail; the oracle maps each

@@ -482,3 +482,140 @@ def test_events_bloom_join_plan_is_jvm_side(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the bitmap probes
+
+
+# --------------------- color-JPEG decode (llm/multimodal.py, r7b)
+
+
+def test_jpeg_color_entropy_layer_is_lossless():
+    """Interleaved 3-component entropy coding must recover every
+    quantized coefficient of every component exactly — general random
+    coefficients, not just the oracle's subspace."""
+    rng = np.random.default_rng(42)
+    coefs = rng.integers(-60, 60, size=(3, 2, 3, 8, 8)).astype(np.int32)
+    payload = mm.jpeg_encode_color_coefs(coefs, 24, 16)
+    w, h, quants, blocks = mm.jpeg_parse_any(payload)
+    assert (w, h) == (24, 16)
+    nat = np.zeros_like(coefs)
+    for ci in range(3):
+        for k, (r, c) in enumerate(ZZ):
+            nat[ci, :, :, r, c] = blocks[ci, :, :, k]
+    assert np.array_equal(nat, coefs)
+    # per-component quant routing: luma table 0, chroma table 1
+    assert quants[0] == mm.JPEG_QUANT_ZZ
+    assert quants[1] == mm.JPEG_QUANT_CHROMA_ZZ
+    assert quants[2] == mm.JPEG_QUANT_CHROMA_ZZ
+
+
+def test_jpeg_color_exact_subspace_matches_closed_form():
+    """RGB pixels from the per-channel {0,4}x{0,4} subspace must equal
+    the integer closed form the DuckDB oracle computes, through the
+    general float IDCT and the fixed-point BT.601 conversion."""
+    zzi = {rc: k for k, rc in enumerate(ZZ)}
+
+    for doc_id in (2, 8, 14, 23):
+        w, h = 8 + doc_id % 17, 8 + (doc_id * 5) % 17
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        rgb = mm.jpeg_decode_color(
+            mm.jpeg_encode_color_coefs(
+                mm._jpeg_color_coefs(doc_id, nby, nbx), w, h
+            )
+        ).astype(np.int64)
+        assert rgb.shape == (h, w, 3)
+        y_, x_ = np.mgrid[0:h, 0:w]
+        sx = np.where(np.isin(x_ % 8, [0, 3, 4, 7]), 1, -1)
+        sy = np.where(np.isin(y_ % 8, [0, 3, 4, 7]), 1, -1)
+        bx, by = x_ // 8, y_ // 8
+        planes = []
+        for ch in range(3):
+            tab = mm.JPEG_QUANT_ZZ if ch == 0 else mm.JPEG_QUANT_CHROMA_ZZ
+
+            def q(rc):
+                return tab[zzi[rc]] // 8
+
+            planes.append(
+                np.clip(
+                    128
+                    + q((0, 0))
+                    * ((doc_id * 5 + ch * 17 + bx * 3 + by * 7) % 41 - 20)
+                    + q((4, 0)) * sy
+                    * ((doc_id + ch * 7 + bx * 11 + by * 5) % 9 - 4)
+                    + q((0, 4)) * sx
+                    * ((doc_id * 3 + ch * 5 + bx + by * 2) % 9 - 4)
+                    + q((4, 4)) * sx * sy
+                    * ((doc_id + ch * 3 + bx + by * 13) % 7 - 3),
+                    0,
+                    255,
+                ).astype(np.int64)
+            )
+        yy, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        exp = np.stack(
+            [
+                np.clip(yy + ((mm.JPEG_FIX_RCR * cr + 32768) >> 16), 0, 255),
+                np.clip(
+                    yy
+                    - (
+                        (mm.JPEG_FIX_GCB * cb + mm.JPEG_FIX_GCR * cr + 32768)
+                        >> 16
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(yy + ((mm.JPEG_FIX_BCB * cb + 32768) >> 16), 0, 255),
+            ],
+            axis=-1,
+        )
+        assert np.array_equal(rgb, exp), doc_id
+
+
+def test_jpeg_color_honest_subset():
+    coefs = np.zeros((3, 1, 1, 8, 8), np.int32)
+    base = mm.jpeg_encode_color_coefs(coefs, 8, 8)
+    # the gray adapter refuses a 3-component scan rather than mis-decoding
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        mm.jpeg_parse_gray(base)
+    # 4:2:0 stays a documented NotImplementedError: flip comp 1's
+    # sampling byte (SOF payload: ... ncomp, [id, hv, tq]*3)
+    sof_at = base.find(b"\xff\xc0")
+    hv_at = sof_at + 4 + 6 + 1  # marker+len, then depth/h/w/ncomp, id
+    assert base[hv_at] == 0x11
+    subsampled = base[:hv_at] + b"\x22" + base[hv_at + 1 :]
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        mm.jpeg_parse_any(subsampled)
+    # component-count honesty unchanged: 2-component SOF is rejected
+    ncomp_at = sof_at + 4 + 5
+    assert base[ncomp_at] == 3
+    twocomp = base[:ncomp_at] + b"\x02" + base[ncomp_at + 1 :]
+    with pytest.raises(NotImplementedError, match="1- or 3-component"):
+        mm.jpeg_parse_any(twocomp)
+
+
+def test_jpeg_color_dc_predictors_are_independent():
+    """Each component carries its own DC predictor chain through the
+    interleaved MCU stream: distinct per-component DC ramps must
+    recover independently."""
+    coefs = np.zeros((3, 1, 3, 8, 8), np.int32)
+    coefs[0, 0, :, 0, 0] = [10, -10, 10]
+    coefs[1, 0, :, 0, 0] = [2, 4, 6]
+    coefs[2, 0, :, 0, 0] = [-3, 0, 3]
+    _w, _h, _q, blocks = mm.jpeg_parse_any(
+        mm.jpeg_encode_color_coefs(coefs, 24, 8)
+    )
+    assert list(blocks[0, 0, :, 0]) == [10, -10, 10]
+    assert list(blocks[1, 0, :, 0]) == [2, 4, 6]
+    assert list(blocks[2, 0, :, 0]) == [-3, 0, 3]
+
+
+def test_color_pixels_query_runs(spark, sf_dir):
+    rows = mm.multimodal_color_pixels(spark, sf_dir).limit(5).collect()
+    assert rows and all(r.n_pixels == r.width * r.height for r in rows)
+
+
+def test_color_pixels_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    assert_parity(
+        mm.multimodal_color_pixels(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_color_pixels"],
+    )
