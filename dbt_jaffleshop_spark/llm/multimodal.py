@@ -17,10 +17,12 @@ uncompressed 16-bit PCM WAV audio (`parse_wav` + the Arrow-batched
 integer RMS); animated-GIF FRAMES decode FOR REAL too (r6:
 `gif_decode_frames` — full LZW dictionary replay with code-size growth
 and dictionary resets, non-interlaced global-palette frames); baseline
-JPEG pixels decode FOR REAL as well (r7: `jpeg_decode_gray` — marker
-walk, canonical Huffman entropy decode with DC prediction and ZRL/EOB,
-dequant, float 8x8 IDCT, level shift; single-component 8-bit baseline,
-the honest subset — progressive/chroma-subsampled/DRI still raise);
+JPEG pixels decode FOR REAL as well (r7/r7b: `jpeg_decode_gray` +
+`jpeg_decode_color` — marker walk, canonical Huffman entropy decode
+with DC prediction and ZRL/EOB, interleaved MCUs with per-component
+tables/predictors including 4:2:0 subsampling, dequant, float 8x8
+IDCT, level shift, fixed-point BT.601 to RGB; 8-bit baseline —
+progressive/DRI/factors>2 still raise);
 other image formats decode through PIL when installed (capability-gated
 — see `_image_codec`); compressed-audio payloads and compressed-VIDEO
 pixel decode raise NotImplementedError (MP3/H.264/VP9 genuinely need
@@ -1452,9 +1454,10 @@ FROM v GROUP BY doc_id
 # The last feasible piece of the compressed-codec seam: baseline DCT
 # JPEG (ITU-T T.81 / ISO 10918-1) needs only canonical Huffman tables,
 # dequantization, an 8x8 IDCT and a level shift — all implementable
-# dependency-free in numpy. Progressive JPEG, chroma subsampling and
-# restart markers stay behind NotImplementedError (honest subset:
-# baseline sequential, single 8-bit grayscale component).
+# dependency-free in numpy. Supported (r7/r7b): baseline sequential,
+# 8-bit, grayscale AND interleaved YCbCr color with sampling factors
+# 1..2 per axis (4:4:4, 4:2:0, 4:2:2). Progressive JPEG, restart
+# markers (DRI) and factors >2 stay behind NotImplementedError.
 
 
 def _jpeg_zigzag() -> list[tuple[int, int]]:
@@ -1715,6 +1718,65 @@ def _jpeg_codec():
             + b"\xff\xd9"
         )
 
+    def encode420(coefs_y, coefs_c, width: int, height: int) -> bytes:
+        """4:2:0 encoder: luma blocks (2*nmy, 2*nmx, 8, 8), chroma
+        blocks (2, nmy, nmx, 8, 8) — each MCU writes four raster-order
+        Y blocks then one Cb and one Cr, per T.81 A.2.3. Same table
+        assignments as encode3."""
+        coefs_y = _np.asarray(coefs_y, dtype=_np.int32)
+        coefs_c = _np.asarray(coefs_c, dtype=_np.int32)
+        nmy, nmx = coefs_c.shape[1:3]
+        assert coefs_y.shape[:2] == (2 * nmy, 2 * nmx)
+        luma = (
+            _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS),
+            _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS),
+        )
+        chroma = (
+            _canonical_codes(JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS),
+            _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS),
+        )
+        w = _BitWriter()
+        prev = [0, 0, 0]
+        for my in range(nmy):
+            for mx in range(nmx):
+                for byi in range(2):
+                    for bxi in range(2):
+                        prev[0] = _encode_block(
+                            w,
+                            coefs_y[my * 2 + byi, mx * 2 + bxi],
+                            prev[0],
+                            *luma,
+                        )
+                for ci in range(2):
+                    prev[1 + ci] = _encode_block(
+                        w, coefs_c[ci, my, mx], prev[1 + ci], *chroma
+                    )
+        dqt = (
+            bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
+            + bytes([1])
+            + bytes(JPEG_QUANT_CHROMA_ZZ[k] & 0xFF for k in range(64))
+        )
+        sof = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        dht = (
+            bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+            + bytes([0x01])
+            + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+            + bytes([0x11]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+        )
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        return (
+            b"\xff\xd8"
+            + _marker(0xFFDB, dqt)
+            + _marker(0xFFC0, sof)
+            + _marker(0xFFC4, dht)
+            + _marker(0xFFDA, sos)
+            + w.flush()
+            + b"\xff\xd9"
+        )
+
     class _BitReader:
         def __init__(self, buf: bytes, pos: int):
             self.buf = buf
@@ -1809,9 +1871,12 @@ def _jpeg_codec():
                 comps = []
                 for ci in range(ncomp):
                     cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    if hv != 0x11:
-                        raise NotImplementedError("chroma subsampling")
-                    comps.append((cid, tq))
+                    hi, vi = hv >> 4, hv & 0xF
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        raise NotImplementedError(
+                            f"sampling factors {hi}x{vi} (1..2 only)"
+                        )
+                    comps.append((cid, hi, vi, tq))
                 sof = (w, h, comps)
             elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                          0xCD, 0xCE, 0xCF):
@@ -1830,54 +1895,82 @@ def _jpeg_codec():
                 scan = []
                 for si in range(ns):
                     cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                    tqs = [tq for cid, tq in comps if cid == cs]
-                    if len(tqs) != 1:
+                    match = [
+                        (hi, vi, tq)
+                        for cid, hi, vi, tq in comps
+                        if cid == cs
+                    ]
+                    if len(match) != 1:
                         raise ValueError("SOS names unknown component")
+                    hi, vi, tq = match[0]
                     scan.append(
-                        (tqs[0], huff[(0, tt >> 4)], huff[(1, tt & 0xF)])
+                        (hi, vi, tq, huff[(0, tt >> 4)], huff[(1, tt & 0xF)])
                     )
-                nbx, nby = (w_px + 7) // 8, (h_px + 7) // 8
+                # T.81 A.2: interleaved MCUs tile the frame at
+                # (8*Hmax, 8*Vmax); each MCU carries hi*vi raster-order
+                # blocks per component. A single-component scan (our
+                # gray subset, hi=vi=1) degenerates to one block per
+                # MCU on the plain ceil/8 grid.
+                hmax = max(hi for hi, _, _, _, _ in scan)
+                vmax = max(vi for _, vi, _, _, _ in scan)
+                nmx = (w_px + 8 * hmax - 1) // (8 * hmax)
+                nmy = (h_px + 8 * vmax - 1) // (8 * vmax)
                 reader = _BitReader(payload, pos + 2 + seglen)
-                blocks = _np.zeros((ns, nby, nbx, 64), dtype=_np.int32)
+                blocks = [
+                    _np.zeros((vi * nmy, hi * nmx, 64), dtype=_np.int32)
+                    for hi, vi, _, _, _ in scan
+                ]
                 prev_dc = [0] * ns
-                for by in range(nby):
-                    for bx in range(nbx):
-                        for ci, (_tq, dc_t, ac_t) in enumerate(scan):
-                            size = _decode_huff(reader, dc_t)
-                            diff = (
-                                _extend(reader.bits(size), size)
-                                if size
-                                else 0
-                            )
-                            prev_dc[ci] += diff
-                            blocks[ci, by, bx, 0] = prev_dc[ci]
-                            k = 1
-                            while k < 64:
-                                sym = _decode_huff(reader, ac_t)
-                                if sym == 0x00:  # EOB
-                                    break
-                                run, size = sym >> 4, sym & 0xF
-                                if size == 0:
-                                    if run != 15:
-                                        raise ValueError("bad AC symbol")
-                                    k += 16  # ZRL
-                                    continue
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC run past block end")
-                                blocks[ci, by, bx, k] = _extend(
-                                    reader.bits(size), size
-                                )
-                                k += 1
-                return w_px, h_px, [quant[tq] for tq, _, _ in scan], blocks
+
+                def _one_block(ci, by, bx) -> None:
+                    _hi, _vi, _tq, dc_t, ac_t = scan[ci]
+                    size = _decode_huff(reader, dc_t)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    blocks[ci][by, bx, 0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _decode_huff(reader, ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blocks[ci][by, bx, k] = _extend(
+                            reader.bits(size), size
+                        )
+                        k += 1
+
+                for my in range(nmy):
+                    for mx in range(nmx):
+                        for ci, (hi, vi, _tq, _d, _a) in enumerate(scan):
+                            for byi in range(vi):
+                                for bxi in range(hi):
+                                    _one_block(
+                                        ci, my * vi + byi, mx * hi + bxi
+                                    )
+                samplings = [(hi, vi) for hi, vi, _, _, _ in scan]
+                return (
+                    w_px,
+                    h_px,
+                    [quant[tq] for _, _, tq, _, _ in scan],
+                    blocks,
+                    samplings,
+                )
             pos += 2 + seglen
         raise ValueError("JPEG missing SOS")
 
     def parse(payload: bytes):
         """Single-component adapter preserving the r7 gray contract:
         (width, height, quant_zz, blocks) with blocks (nby, nbx, 64)."""
-        w_px, h_px, quants, blocks = parse_any(payload)
-        if blocks.shape[0] != 1:
+        w_px, h_px, quants, blocks, _samplings = parse_any(payload)
+        if len(blocks) != 1:
             raise NotImplementedError("gray parse on multi-component scan")
         return w_px, h_px, quants[0], blocks[0]
 
@@ -1916,23 +2009,33 @@ def _jpeg_codec():
 
     def decode3(payload: bytes):
         """Full color pixel decode: per-component entropy + IDCT planes
-        (Y, Cb, Cr), then the fixed-point BT.601 conversion (JPEG_FIX_*
-        constants, floor shifts) to RGB. Returns (h, w, 3) uint8."""
-        w_px, h_px, quants, blocks = parse_any(payload)
-        if blocks.shape[0] != 3:
+        (Y, Cb, Cr) at each component's own sampling resolution,
+        sample-replication upsampling to frame resolution (the
+        non-fancy libjpeg mode — chroma sample (y, x) comes from plane
+        position (y*vi//Vmax, x*hi//Hmax), exactly replayable), then
+        the fixed-point BT.601 conversion (JPEG_FIX_* constants, floor
+        shifts) to RGB. Returns (h, w, 3) uint8."""
+        w_px, h_px, quants, blocks, samplings = parse_any(payload)
+        if len(blocks) != 3:
             raise ValueError("color decode needs a 3-component scan")
-        y, cb, cr = (
-            _plane(quants[ci], blocks[ci], w_px, h_px).astype(_np.int64)
-            for ci in range(3)
-        )
-        cb, cr = cb - 128, cr - 128
+        hmax = max(hi for hi, _ in samplings)
+        vmax = max(vi for _, vi in samplings)
+        planes = []
+        yi, xi = _np.mgrid[0:h_px, 0:w_px]
+        for ci in range(3):
+            hi, vi = samplings[ci]
+            cw = (w_px * hi + hmax - 1) // hmax
+            ch = (h_px * vi + vmax - 1) // vmax
+            p = _plane(quants[ci], blocks[ci], cw, ch).astype(_np.int64)
+            planes.append(p[yi * vi // vmax, xi * hi // hmax])
+        y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
         r = y + ((JPEG_FIX_RCR * cr + 32768) >> 16)
         g = y - ((JPEG_FIX_GCB * cb + JPEG_FIX_GCR * cr + 32768) >> 16)
         b = y + ((JPEG_FIX_BCB * cb + 32768) >> 16)
         rgb = _np.stack([r, g, b], axis=-1)
         return _np.clip(rgb, 0, 255).astype(_np.uint8)
 
-    return encode, parse, decode, encode3, parse_any, decode3
+    return encode, parse, decode, encode3, parse_any, decode3, encode420
 
 
 # module-level functions for driver-side use and the pytest vectors
@@ -1943,6 +2046,7 @@ def _jpeg_codec():
     jpeg_encode_color_coefs,
     jpeg_parse_any,
     jpeg_decode_color,
+    jpeg_encode_420_coefs,
 ) = _jpeg_codec()
 
 # Oracle constants: dequantized contribution of each test frequency is
@@ -2172,7 +2276,7 @@ def _make_color_pixels_batches():
     decoder (per-component Huffman tables + predictors, per-component
     dequant, IDCT planes, fixed-point BT.601 to RGB) and reduce to
     per-channel position-weighted statistics."""
-    *_, encode3, _parse_any, decode3 = _jpeg_codec()
+    _e, _p, _d, encode3, _pa, decode3, _e420 = _jpeg_codec()
     color_coefs = _make_jpeg_color_coefs()
 
     def color_batches(
@@ -2232,8 +2336,8 @@ def multimodal_color_pixels(
     stage, no shuffle.
 
     Reference parity: extends the r7 grayscale close of the decode
-    seam to the sampling-format family real corpora actually carry
-    (4:2:0 subsampling remains the documented NotImplementedError)."""
+    seam to full-resolution color; the 4:2:0 subsampled family is
+    covered by :func:`multimodal_jpeg420_pixels`."""
     docs = load_table(spark, "documents", sf_dir)
     image_docs = docs.where(F.expr("doc_id % 3 = 2")).select(
         "doc_id",
@@ -2282,6 +2386,203 @@ planes AS (
                    + {JQC_V4} * sy * ((doc_id + 14 + bx * 11 + by * 5) % 9 - 4)
                    + {JQC_U4} * sx * ((doc_id * 3 + 10 + bx + by * 2) % 9 - 4)
                    + {JQC_UV4} * sx * sy * ((doc_id + 6 + bx + by * 13) % 7 - 3)
+           )) - 128 AS cr
+    FROM g
+),
+rgb AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_RCR} * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           LEAST(255, GREATEST(0, yy - CAST(floor(
+               ({JPEG_FIX_GCB} * cb + {JPEG_FIX_GCR} * cr + 32768)
+               / 65536.0) AS BIGINT))) AS gg,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_BCB} * cb + 32768) / 65536.0) AS BIGINT))) AS b
+    FROM planes
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(gg) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(sum(r * (1 + (x * 127 + y * 149) % 241)
+              + gg * (1 + (x * 131 + y * 137) % 239)
+              + b * (1 + (x * 113 + y * 151) % 251)) AS BIGINT)
+           AS rgb_checksum
+FROM rgb GROUP BY doc_id
+"""
+
+
+# --------------------------- 4:2:0-subsampled JPEG decode (r7b)
+
+
+def _make_jpeg_420_coefs():
+    """Factory (cloudpickle-by-value) for the 4:2:0 coefficient pair:
+    luma blocks on the (2*nmy, 2*nmx) grid with the ch=0 formulas,
+    chroma blocks on the (nmy, nmx) grid with the ch=1/2 formulas —
+    same closed forms as 4:4:4, only the grids differ, so the oracle
+    reuses the per-channel arithmetic with half-resolution chroma
+    indexing."""
+
+    def coefs_420(doc_id: int, nmy: int, nmx: int):
+        import numpy as np
+
+        luma = np.zeros((2 * nmy, 2 * nmx, 8, 8), dtype=np.int32)
+        for by in range(2 * nmy):
+            for bx in range(2 * nmx):
+                luma[by, bx, 0, 0] = (doc_id * 5 + bx * 3 + by * 7) % 41 - 20
+                luma[by, bx, 4, 0] = (doc_id + bx * 11 + by * 5) % 9 - 4
+                luma[by, bx, 0, 4] = (doc_id * 3 + bx + by * 2) % 9 - 4
+                luma[by, bx, 4, 4] = (doc_id + bx + by * 13) % 7 - 3
+        chroma = np.zeros((2, nmy, nmx, 8, 8), dtype=np.int32)
+        for ci in range(2):
+            ch = ci + 1
+            for by in range(nmy):
+                for bx in range(nmx):
+                    chroma[ci, by, bx, 0, 0] = (
+                        doc_id * 5 + ch * 17 + bx * 3 + by * 7
+                    ) % 41 - 20
+                    chroma[ci, by, bx, 4, 0] = (
+                        doc_id + ch * 7 + bx * 11 + by * 5
+                    ) % 9 - 4
+                    chroma[ci, by, bx, 0, 4] = (
+                        doc_id * 3 + ch * 5 + bx + by * 2
+                    ) % 9 - 4
+                    chroma[ci, by, bx, 4, 4] = (
+                        doc_id + ch * 3 + bx + by * 13
+                    ) % 7 - 3
+        return luma, chroma
+
+    return coefs_420
+
+
+_jpeg_420_coefs = _make_jpeg_420_coefs()
+
+
+def _make_jpeg420_pixels_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL 4:2:0
+    baseline JPEG per image doc (four Y blocks + Cb + Cr per MCU), run
+    the REAL subsampled decoder (generic MCU walk, per-component-
+    resolution IDCT planes, replication upsampling, fixed-point BT.601)
+    and reduce to per-channel position-weighted statistics."""
+    _e, _p, _d, _e3, _pa, decode3, encode420 = _jpeg_codec()
+    coefs_420 = _make_jpeg_420_coefs()
+
+    def jpeg420_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
+                nmx, nmy = (w + 15) // 16, (h + 15) // 16
+                luma, chroma = coefs_420(doc_id, nmy, nmx)
+                rgb = decode3(encode420(luma, chroma, w, h)).astype(
+                    _np.int64
+                )
+                assert rgb.shape == (h, w, 3)
+                y, x = _np.mgrid[0:h, 0:w]
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(r.sum()),
+                        "g_sum": int(g.sum()),
+                        "b_sum": int(b.sum()),
+                        "rgb_checksum": int(
+                            (r * w1 + g * w2 + b * w3).sum()
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return jpeg420_batches
+
+
+def multimodal_jpeg420_pixels(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered 4:2:0-JPEG pixel-decode query (multimodal_digest
+    member, r7b): per image doc, a real chroma-subsampled baseline
+    JPEG — each MCU interleaves four raster-order Y blocks with one Cb
+    and one Cr — round-trips through the genuine generic-MCU entropy
+    decoder, per-component-resolution IDCT planes, replication
+    upsampling (chroma sample (y, x) from plane (y//2, x//2), the
+    exactly-replayable non-fancy libjpeg mode) and the fixed-point
+    BT.601 conversion. DuckDB recomputes every channel in closed form,
+    with chroma terms indexed at half resolution — a broken MCU walk,
+    upsampler, or predictor chain each breaks parity. One mapInPandas
+    stage, no shuffle.
+
+    Reference parity: 4:2:0 is the sampling real-world JPEG corpora
+    overwhelmingly use; with it the decode seam for images closes
+    except where compression libraries themselves are absent."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return image_docs.mapInPandas(
+        _make_jpeg420_pixels_batches(), schema=COLOR_PIXELS_SCHEMA
+    )
+
+
+ORACLES["multimodal_jpeg420_pixels"] = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 17 AS BIGINT) AS w,
+           CAST(8 + (doc_id * 3 + strlen(text)) % 17 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img
+),
+px AS (
+    SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+g AS (
+    SELECT doc_id, w, h, x, y,
+           x // 8 AS bx, y // 8 AS by,
+           (x // 2) // 8 AS bxc, (y // 2) // 8 AS byc,
+           CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy,
+           CASE WHEN ((x // 2) % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1
+               END AS sxc,
+           CASE WHEN ((y // 2) % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1
+               END AS syc
+    FROM px
+),
+planes AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0,
+               128 + {JQ_DC} * ((doc_id * 5 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQ_V4} * sy * ((doc_id + bx * 11 + by * 5) % 9 - 4)
+                   + {JQ_U4} * sx * ((doc_id * 3 + bx + by * 2) % 9 - 4)
+                   + {JQ_UV4} * sx * sy * ((doc_id + bx + by * 13) % 7 - 3)
+           )) AS yy,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 17 + bxc * 3 + byc * 7) % 41 - 20)
+                   + {JQC_V4} * syc * ((doc_id + 7 + bxc * 11 + byc * 5) % 9 - 4)
+                   + {JQC_U4} * sxc * ((doc_id * 3 + 5 + bxc + byc * 2) % 9 - 4)
+                   + {JQC_UV4} * sxc * syc * ((doc_id + 3 + bxc + byc * 13) % 7 - 3)
+           )) - 128 AS cb,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 34 + bxc * 3 + byc * 7) % 41 - 20)
+                   + {JQC_V4} * syc * ((doc_id + 14 + bxc * 11 + byc * 5) % 9 - 4)
+                   + {JQC_U4} * sxc * ((doc_id * 3 + 10 + bxc + byc * 2) % 9 - 4)
+                   + {JQC_UV4} * sxc * syc * ((doc_id + 6 + bxc + byc * 13) % 7 - 3)
            )) - 128 AS cr
     FROM g
 ),

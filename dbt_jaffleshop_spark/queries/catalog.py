@@ -132,6 +132,7 @@ _GROUP_DIGESTED = {
     "multimodal_pixels",
     "multimodal_jpeg_pixels",
     "multimodal_color_pixels",
+    "multimodal_jpeg420_pixels",
     "multimodal_gif_frames",
     "multimodal_thumbnail",
     "corpus_curate",

@@ -27,8 +27,9 @@ recording budget while every operator remains value-verified:
   baseline-JPEG pixel decode: canonical Huffman entropy decode +
   dequant + 8x8 IDCT over synthesized coefficient streams) /
   multimodal_color_pixels (r7b — the real interleaved YCbCr 4:4:4
-  color-JPEG decode + fixed-point BT.601 RGB conversion)
-  (llm/multimodal.py).
+  color-JPEG decode + fixed-point BT.601 RGB conversion) /
+  multimodal_jpeg420_pixels (r7b — the real 4:2:0 chroma-subsampled
+  decode with replication upsampling) (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py) /
@@ -481,6 +482,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
         # component swap, table swap, or broken MCU interleave each
         # breaks parity on its own (llm/multimodal.py)
         "multimodal_color_pixels": _m(llm_multimodal, "multimodal_color_pixels", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("rgb_checksum", "bigint"),
+        ]),
+        # r7b: REAL 4:2:0-subsampled JPEG decode — four Y blocks + Cb +
+        # Cr per MCU through the generic MCU walk, per-component-
+        # resolution IDCT planes, replication upsampling; the oracle
+        # indexes chroma terms at half resolution (llm/multimodal.py)
+        "multimodal_jpeg420_pixels": _m(llm_multimodal, "multimodal_jpeg420_pixels", [
             ("doc_id", "bigint"),
             ("width", "int"),
             ("height", "int"),

@@ -494,12 +494,13 @@ def test_jpeg_color_entropy_layer_is_lossless():
     rng = np.random.default_rng(42)
     coefs = rng.integers(-60, 60, size=(3, 2, 3, 8, 8)).astype(np.int32)
     payload = mm.jpeg_encode_color_coefs(coefs, 24, 16)
-    w, h, quants, blocks = mm.jpeg_parse_any(payload)
+    w, h, quants, blocks, samplings = mm.jpeg_parse_any(payload)
     assert (w, h) == (24, 16)
+    assert samplings == [(1, 1)] * 3
     nat = np.zeros_like(coefs)
     for ci in range(3):
         for k, (r, c) in enumerate(ZZ):
-            nat[ci, :, :, r, c] = blocks[ci, :, :, k]
+            nat[ci, :, :, r, c] = blocks[ci][:, :, k]
     assert np.array_equal(nat, coefs)
     # per-component quant routing: luma table 0, chroma table 1
     assert quants[0] == mm.JPEG_QUANT_ZZ
@@ -574,14 +575,14 @@ def test_jpeg_color_honest_subset():
     # the gray adapter refuses a 3-component scan rather than mis-decoding
     with pytest.raises(NotImplementedError, match="multi-component"):
         mm.jpeg_parse_gray(base)
-    # 4:2:0 stays a documented NotImplementedError: flip comp 1's
-    # sampling byte (SOF payload: ... ncomp, [id, hv, tq]*3)
+    # sampling factors beyond 2 stay a documented NotImplementedError:
+    # set comp 1's horizontal factor to 3 (SOF: ..., [id, hv, tq]*3)
     sof_at = base.find(b"\xff\xc0")
     hv_at = sof_at + 4 + 6 + 1  # marker+len, then depth/h/w/ncomp, id
     assert base[hv_at] == 0x11
-    subsampled = base[:hv_at] + b"\x22" + base[hv_at + 1 :]
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        mm.jpeg_parse_any(subsampled)
+    oversampled = base[:hv_at] + b"\x31" + base[hv_at + 1 :]
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        mm.jpeg_parse_any(oversampled)
     # component-count honesty unchanged: 2-component SOF is rejected
     ncomp_at = sof_at + 4 + 5
     assert base[ncomp_at] == 3
@@ -598,12 +599,12 @@ def test_jpeg_color_dc_predictors_are_independent():
     coefs[0, 0, :, 0, 0] = [10, -10, 10]
     coefs[1, 0, :, 0, 0] = [2, 4, 6]
     coefs[2, 0, :, 0, 0] = [-3, 0, 3]
-    _w, _h, _q, blocks = mm.jpeg_parse_any(
+    _w, _h, _q, blocks, _s = mm.jpeg_parse_any(
         mm.jpeg_encode_color_coefs(coefs, 24, 8)
     )
-    assert list(blocks[0, 0, :, 0]) == [10, -10, 10]
-    assert list(blocks[1, 0, :, 0]) == [2, 4, 6]
-    assert list(blocks[2, 0, :, 0]) == [-3, 0, 3]
+    assert list(blocks[0][0, :, 0]) == [10, -10, 10]
+    assert list(blocks[1][0, :, 0]) == [2, 4, 6]
+    assert list(blocks[2][0, :, 0]) == [-3, 0, 3]
 
 
 def test_color_pixels_query_runs(spark, sf_dir):
@@ -618,4 +619,97 @@ def test_color_pixels_matches_oracle(spark, oracle, sf_dir):
         mm.multimodal_color_pixels(spark, sf_dir),
         oracle,
         mm.ORACLES["multimodal_color_pixels"],
+    )
+
+
+# --------------------- 4:2:0-subsampled JPEG decode (r7b)
+
+
+def test_jpeg420_entropy_and_mcu_walk_are_lossless():
+    """Four-Y-plus-chroma MCU interleave must recover every quantized
+    coefficient of every block on both grids — general random
+    coefficients, multi-MCU frame."""
+    rng = np.random.default_rng(5)
+    nmy, nmx = 2, 3
+    luma = rng.integers(-50, 50, size=(2 * nmy, 2 * nmx, 8, 8)).astype(
+        np.int32
+    )
+    chroma = rng.integers(-50, 50, size=(2, nmy, nmx, 8, 8)).astype(np.int32)
+    payload = mm.jpeg_encode_420_coefs(luma, chroma, 48, 32)
+    w, h, quants, blocks, samplings = mm.jpeg_parse_any(payload)
+    assert (w, h) == (48, 32)
+    assert samplings == [(2, 2), (1, 1), (1, 1)]
+    for grid, got in ((luma, blocks[0]), (chroma[0], blocks[1]), (chroma[1], blocks[2])):
+        nat = np.zeros(got.shape[:2] + (8, 8), np.int32)
+        for k, (r, c) in enumerate(ZZ):
+            nat[:, :, r, c] = got[:, :, k]
+        assert np.array_equal(nat, grid)
+
+
+def test_jpeg420_matches_closed_form_with_half_res_chroma():
+    """Decoded RGB must equal the integer closed form with chroma terms
+    indexed at (x//2, y//2) — pins the replication upsampler and the
+    per-component plane resolutions, including odd frame sizes that
+    exercise the padded MCU crop."""
+    zzi = {rc: k for k, rc in enumerate(ZZ)}
+
+    def q(tab, rc):
+        return tab[zzi[rc]] // 8
+
+    for doc_id, (w, h) in ((3, (21, 13)), (11, (16, 16)), (20, (9, 23))):
+        nmx, nmy = (w + 15) // 16, (h + 15) // 16
+        luma, chroma = mm._jpeg_420_coefs(doc_id, nmy, nmx)
+        rgb = mm.jpeg_decode_color(
+            mm.jpeg_encode_420_coefs(luma, chroma, w, h)
+        ).astype(np.int64)
+        assert rgb.shape == (h, w, 3)
+        yg, xg = np.mgrid[0:h, 0:w]
+
+        def plane(ch, x, y, tab):
+            bx, by = x // 8, y // 8
+            sx = np.where(np.isin(x % 8, [0, 3, 4, 7]), 1, -1)
+            sy = np.where(np.isin(y % 8, [0, 3, 4, 7]), 1, -1)
+            return np.clip(
+                128
+                + q(tab, (0, 0))
+                * ((doc_id * 5 + ch * 17 + bx * 3 + by * 7) % 41 - 20)
+                + q(tab, (4, 0)) * sy
+                * ((doc_id + ch * 7 + bx * 11 + by * 5) % 9 - 4)
+                + q(tab, (0, 4)) * sx
+                * ((doc_id * 3 + ch * 5 + bx + by * 2) % 9 - 4)
+                + q(tab, (4, 4)) * sx * sy
+                * ((doc_id + ch * 3 + bx + by * 13) % 7 - 3),
+                0,
+                255,
+            ).astype(np.int64)
+
+        yy = plane(0, xg, yg, mm.JPEG_QUANT_ZZ)
+        cb = plane(1, xg // 2, yg // 2, mm.JPEG_QUANT_CHROMA_ZZ) - 128
+        cr = plane(2, xg // 2, yg // 2, mm.JPEG_QUANT_CHROMA_ZZ) - 128
+        exp = np.stack(
+            [
+                np.clip(yy + ((mm.JPEG_FIX_RCR * cr + 32768) >> 16), 0, 255),
+                np.clip(
+                    yy
+                    - (
+                        (mm.JPEG_FIX_GCB * cb + mm.JPEG_FIX_GCR * cr + 32768)
+                        >> 16
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(yy + ((mm.JPEG_FIX_BCB * cb + 32768) >> 16), 0, 255),
+            ],
+            axis=-1,
+        )
+        assert np.array_equal(rgb, exp), doc_id
+
+
+def test_jpeg420_pixels_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    assert_parity(
+        mm.multimodal_jpeg420_pixels(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_jpeg420_pixels"],
     )
