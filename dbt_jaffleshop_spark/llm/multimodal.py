@@ -649,7 +649,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str | None = None) -> DataFram
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    wav = audio_docs.mapInPandas(
+    wav = _spread(audio_docs).mapInPandas(
         _make_wav_synth_batches(), schema="doc_id long, payload binary"
     )
     return audio_features(wav)
@@ -959,7 +959,9 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str | None = None) -> DataFra
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return image_docs.mapInPandas(_make_pixels_batches(), schema=PIXELS_SCHEMA)
+    return _spread(image_docs).mapInPandas(
+        _make_pixels_batches(), schema=PIXELS_SCHEMA
+    )
 
 
 ORACLES["multimodal_pixels"] = """
@@ -1293,7 +1295,7 @@ def multimodal_gif_frames(
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return video_docs.mapInPandas(
+    return _spread(video_docs).mapInPandas(
         _make_gif_frames_batches(), schema=GIF_FRAMES_SCHEMA
     )
 
@@ -1409,7 +1411,7 @@ def multimodal_thumbnail(
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return image_docs.mapInPandas(
+    return _spread(image_docs).mapInPandas(
         _make_thumbnail_batches(), schema=THUMBNAIL_SCHEMA
     )
 
@@ -1447,6 +1449,23 @@ SELECT doc_id,
        CAST(sum(p * weight) AS BIGINT) AS thumb_checksum
 FROM v GROUP BY doc_id
 """
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a decode input to the session's
+    default parallelism. The pixel-decode members are CPU-bound Python
+    stages; when the upstream scan yields fewer partitions than cores
+    (one small parquet file at bench scale — and even at 100 TB, a
+    skewed or coalesced upstream), the whole codec runs on one task.
+    The exchanged relation is only the projected (doc_id, n_bytes)
+    pairs, so the shuffle is orders of magnitude cheaper than the
+    decode work it balances — this is load-balancing for CPU-bound
+    batch stages, not a data-shape shuffle. Skipped when the input
+    already has enough partitions (the 100 TB fast path: no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # --------------------------- baseline-JPEG pixel decode (r7)
@@ -2171,7 +2190,7 @@ def multimodal_jpeg_pixels(
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return image_docs.mapInPandas(
+    return _spread(image_docs).mapInPandas(
         _make_jpeg_pixels_batches(), schema=JPEG_PIXELS_SCHEMA
     )
 
@@ -2343,7 +2362,7 @@ def multimodal_color_pixels(
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return image_docs.mapInPandas(
+    return _spread(image_docs).mapInPandas(
         _make_color_pixels_batches(), schema=COLOR_PIXELS_SCHEMA
     )
 
@@ -2534,7 +2553,7 @@ def multimodal_jpeg420_pixels(
         "doc_id",
         F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
     )
-    return image_docs.mapInPandas(
+    return _spread(image_docs).mapInPandas(
         _make_jpeg420_pixels_batches(), schema=COLOR_PIXELS_SCHEMA
     )
 
