@@ -21,8 +21,8 @@ JPEG pixels decode FOR REAL as well (r7/r7b: `jpeg_decode_gray` +
 `jpeg_decode_color` — marker walk, canonical Huffman entropy decode
 with DC prediction and ZRL/EOB, interleaved MCUs with per-component
 tables/predictors including 4:2:0 subsampling, dequant, float 8x8
-IDCT, level shift, fixed-point BT.601 to RGB; 8-bit baseline —
-progressive/DRI/factors>2 still raise);
+IDCT, level shift, fixed-point BT.601 to RGB, DRI restart markers;
+8-bit baseline — progressive/factors>2 still raise);
 other image formats decode through PIL when installed (capability-gated
 — see `_image_codec`); compressed-audio payloads and compressed-VIDEO
 pixel decode raise NotImplementedError (MP3/H.264/VP9 genuinely need
@@ -1473,10 +1473,12 @@ def _spread(df: DataFrame) -> DataFrame:
 # The last feasible piece of the compressed-codec seam: baseline DCT
 # JPEG (ITU-T T.81 / ISO 10918-1) needs only canonical Huffman tables,
 # dequantization, an 8x8 IDCT and a level shift — all implementable
-# dependency-free in numpy. Supported (r7/r7b): baseline sequential,
-# 8-bit, grayscale AND interleaved YCbCr color with sampling factors
-# 1..2 per axis (4:4:4, 4:2:0, 4:2:2). Progressive JPEG, restart
-# markers (DRI) and factors >2 stay behind NotImplementedError.
+# dependency-free in numpy. Supported (r7/r7b/r7c): baseline
+# sequential, 8-bit, grayscale AND interleaved YCbCr color with
+# sampling factors 1..2 per axis (4:4:4, 4:2:0, 4:2:2), and DRI
+# restart intervals (RST markers with byte realignment + predictor
+# resets). Progressive JPEG and factors >2 stay behind
+# NotImplementedError.
 
 
 def _jpeg_zigzag() -> list[tuple[int, int]]:
@@ -1619,6 +1621,15 @@ def _jpeg_codec():
                 self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
             return bytes(self.out)
 
+        def restart_marker(self, m: int) -> None:
+            """Byte-align (1-bit padding) and emit RSTm verbatim —
+            restart markers are real markers, never byte-stuffed."""
+            if self.nbits:
+                pad = 8 - self.nbits
+                self.put((1 << pad) - 1, pad)
+            self.out.append(0xFF)
+            self.out.append(0xD0 + (m % 8))
+
     def _put_coef(w: _BitWriter, table, run: int, value: int) -> None:
         size = int(value).bit_length() if value else 0
         w.put(*table[(run << 4) | size])
@@ -1737,11 +1748,16 @@ def _jpeg_codec():
             + b"\xff\xd9"
         )
 
-    def encode420(coefs_y, coefs_c, width: int, height: int) -> bytes:
+    def encode420(
+        coefs_y, coefs_c, width: int, height: int, restart_interval: int = 0
+    ) -> bytes:
         """4:2:0 encoder: luma blocks (2*nmy, 2*nmx, 8, 8), chroma
         blocks (2, nmy, nmx, 8, 8) — each MCU writes four raster-order
         Y blocks then one Cb and one Cr, per T.81 A.2.3. Same table
-        assignments as encode3."""
+        assignments as encode3. With restart_interval > 0, a DRI
+        segment declares the interval and RST0..RST7 markers (cycling)
+        separate every `restart_interval` MCUs: byte-aligned, DC
+        predictors reset, per T.81 B.2.4.4/E.2.4."""
         coefs_y = _np.asarray(coefs_y, dtype=_np.int32)
         coefs_c = _np.asarray(coefs_c, dtype=_np.int32)
         nmy, nmx = coefs_c.shape[1:3]
@@ -1756,8 +1772,18 @@ def _jpeg_codec():
         )
         w = _BitWriter()
         prev = [0, 0, 0]
+        mcu_count, rst_seq = 0, 0
         for my in range(nmy):
             for mx in range(nmx):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                    prev = [0, 0, 0]
+                mcu_count += 1
                 for byi in range(2):
                     for bxi in range(2):
                         prev[0] = _encode_block(
@@ -1786,11 +1812,17 @@ def _jpeg_codec():
             + bytes([0x11]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
         )
         sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        dri = (
+            _marker(0xFFDD, _struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
         return (
             b"\xff\xd8"
             + _marker(0xFFDB, dqt)
             + _marker(0xFFC0, sof)
             + _marker(0xFFC4, dht)
+            + dri
             + _marker(0xFFDA, sos)
             + w.flush()
             + b"\xff\xd9"
@@ -1825,6 +1857,24 @@ def _jpeg_codec():
                 v = (v << 1) | self.bit()
             return v
 
+        def restart(self, expected: int) -> None:
+            """Consume one RSTm marker at an MCU-restart boundary:
+            discard the 1-bit padding of the current partial byte
+            (T.81 E.2.4 — the encoder pads the byte the last code
+            ended in, so those bits are already in `acc` iff nbits>0),
+            then require the marker with the expected cycling
+            sequence number."""
+            self.nbits = 0
+            if (
+                self.pos + 1 >= len(self.buf)
+                or self.buf[self.pos] != 0xFF
+                or not 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+            ):
+                raise ValueError("expected JPEG restart marker")
+            if self.buf[self.pos + 1] - 0xD0 != expected % 8:
+                raise ValueError("JPEG restart marker out of sequence")
+            self.pos += 2
+
     def _decode_huff(reader, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
         while length < 17:
@@ -1854,6 +1904,7 @@ def _jpeg_codec():
         quant: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         sof = None
+        ri = 0  # DRI restart interval in MCUs; 0 = no restarts
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker desync")
@@ -1902,8 +1953,8 @@ def _jpeg_codec():
                 raise NotImplementedError(
                     "progressive/hierarchical JPEG (baseline only)"
                 )
-            elif tag == 0xDD:
-                raise NotImplementedError("restart intervals (DRI)")
+            elif tag == 0xDD:  # DRI: restart interval in MCUs (r7c)
+                (ri,) = _struct.unpack(">H", seg[:2])
             elif tag == 0xDA:  # SOS: entropy data follows the header
                 if sof is None:
                     raise ValueError("JPEG SOS before SOF")
@@ -1966,8 +2017,15 @@ def _jpeg_codec():
                         )
                         k += 1
 
+                mcu_count, rst_seq = 0, 0
                 for my in range(nmy):
                     for mx in range(nmx):
+                        if ri and mcu_count and mcu_count % ri == 0:
+                            reader.restart(rst_seq)
+                            rst_seq += 1
+                            for ci in range(ns):
+                                prev_dc[ci] = 0
+                        mcu_count += 1
                         for ci, (hi, vi, _tq, _d, _a) in enumerate(scan):
                             for byi in range(vi):
                                 for bxi in range(hi):
@@ -2502,9 +2560,15 @@ def _make_jpeg420_pixels_batches():
                 w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
                 nmx, nmy = (w + 15) // 16, (h + 15) // 16
                 luma, chroma = coefs_420(doc_id, nmy, nmx)
-                rgb = decode3(encode420(luma, chroma, w, h)).astype(
-                    _np.int64
-                )
+                # multi-MCU frames carry DRI restart markers (interval
+                # 1) so the restart path — byte realignment + predictor
+                # resets — is exercised under driver verification; the
+                # oracle is unchanged because restarts don't change
+                # pixels. Single-MCU frames keep the no-DRI path alive.
+                ri = 1 if nmx * nmy > 1 else 0
+                rgb = decode3(
+                    encode420(luma, chroma, w, h, restart_interval=ri)
+                ).astype(_np.int64)
                 assert rgb.shape == (h, w, 3)
                 y, x = _np.mgrid[0:h, 0:w]
                 w1 = 1 + (x * 127 + y * 149) % 241
@@ -2546,8 +2610,8 @@ def multimodal_jpeg420_pixels(
     stage, no shuffle.
 
     Reference parity: 4:2:0 is the sampling real-world JPEG corpora
-    overwhelmingly use; with it the decode seam for images closes
-    except where compression libraries themselves are absent."""
+    overwhelmingly use; with it (and DRI) the baseline decode seam for
+    images closes except progressive scans."""
     docs = load_table(spark, "documents", sf_dir)
     image_docs = docs.where(F.expr("doc_id % 3 = 0")).select(
         "doc_id",

@@ -746,6 +746,54 @@ class AcidTable:
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
+    # ------------------------------------------------------------ restore
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Delta
+        `RESTORE TABLE ... TO VERSION AS OF` semantics): the next
+        manifest re-references the old snapshot's immutable files — no
+        data is copied, and history is preserved (the bad versions stay
+        time-travelable until vacuumed; a restore is undone by another
+        restore).
+
+        Meta policy: data-state keys (``schema``/``stats``/``layout``/
+        ``partition_by``) come from the RESTORED manifest — they
+        describe the files now live again — while operational
+        high-water marks (``stream_batch_id``, the streaming replay
+        guard) carry forward from the CURRENT manifest: restoring data
+        must not re-open the exactly-once replay window, or a
+        checkpoint replay after the rollback would double-append
+        batches that were committed before the restore point.
+
+        Raises FileNotFoundError if any restored file was already
+        vacuumed (Delta's ``spark.sql.files.ignoreMissingFiles`` escape
+        hatch is deliberately not offered — a partial restore is a
+        silent data loss), and CommitConflictError if a writer lands
+        between the read and the commit."""
+        src = self.manifest(version)
+        cur_v = self.current_version()
+        cur_meta = self.manifest(cur_v).get("meta", {})
+        missing = [
+            rel
+            for rel in src["files"]
+            if not os.path.exists(os.path.join(self.data_dir, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: cannot restore v{version} — "
+                f"{len(missing)} file(s) already vacuumed "
+                f"(e.g. {missing[0]})"
+            )
+        meta = {**src.get("meta", {}), "restored_from": version}
+        if "stream_batch_id" in cur_meta:
+            meta["stream_batch_id"] = cur_meta["stream_batch_id"]
+        return self._commit(
+            src["files"],
+            src["partition_by"],
+            meta,
+            expected_parent=cur_v,
+        )
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(

@@ -583,3 +583,56 @@ def test_read_empty_snapshot_without_schema_raises(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(ValueError, match="no .*meta.schema"):
         table.read(spark)
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """Delta RESTORE semantics: restoring re-references the old
+    snapshot's files in a NEW commit — content rolls back, history is
+    preserved (the bad version stays time-travelable), no data copies,
+    and a second restore undoes the first."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.overwrite(_df(spark, 0, 10))                 # v1
+    table.append(_df(spark, 10, 25))                   # v2
+    table.overwrite(_df(spark, 100, 103))              # v3 ("the bad one")
+
+    v4 = table.restore(1)
+    assert v4 == 4
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))
+    # history intact: the overwritten state is still reachable
+    assert sorted(
+        r.id for r in table.read(spark, version=3).collect()
+    ) == [100, 101, 102]
+    assert table.manifest()["meta"]["restored_from"] == 1
+    # no data copy: the restored manifest references v1's exact files
+    assert table.manifest()["files"] == table.manifest(1)["files"]
+    # restore of the restore: back to v3's content
+    table.restore(3)
+    assert sorted(
+        r.id for r in table.read(spark).collect()
+    ) == [100, 101, 102]
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    """A restore target whose files were reclaimed must fail loudly —
+    a partial restore would be silent data loss."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.overwrite(_df(spark, 0, 10))           # v1
+    table.overwrite(_df(spark, 50, 60))          # v2 (disjoint files)
+    table.overwrite(_df(spark, 80, 90))          # v3
+    table.vacuum(keep_last=1, orphan_grace_s=0)  # v1/v2 files reclaimed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(1)
+
+
+def test_restore_keeps_stream_replay_guard(spark, tmp_path):
+    """Restoring data must not re-open the streaming exactly-once
+    window: the stream_batch_id high-water mark carries forward from
+    the CURRENT manifest, so a checkpoint replay after the rollback
+    still skips batches committed before the restore point."""
+    table = AcidTable(str(tmp_path / "tbl"))
+    table.append(_df(spark, 0, 10), meta={"stream_batch_id": 0})   # v1
+    table.append(_df(spark, 10, 20), meta={"stream_batch_id": 1})  # v2
+    table.restore(1)
+    meta = table.manifest()["meta"]
+    assert meta["stream_batch_id"] == 1  # NOT v1's 0
+    assert meta["restored_from"] == 1

@@ -713,3 +713,65 @@ def test_jpeg420_pixels_matches_oracle(spark, oracle, sf_dir):
         oracle,
         mm.ORACLES["multimodal_jpeg420_pixels"],
     )
+
+
+# --------------------- DRI restart intervals (r7c)
+
+
+def test_jpeg_dri_roundtrip_is_pixel_identical():
+    """Restart markers change the byte stream (alignment padding, RST
+    bytes, predictor resets) but never the pixels — every interval must
+    decode identically to the plain stream, and the entropy layer must
+    stay lossless through the restarts."""
+    rng = np.random.default_rng(3)
+    nmy, nmx = 3, 4  # 12 MCUs
+    luma = rng.integers(-50, 50, size=(2 * nmy, 2 * nmx, 8, 8)).astype(
+        np.int32
+    )
+    chroma = rng.integers(-50, 50, size=(2, nmy, nmx, 8, 8)).astype(np.int32)
+    w, h = 16 * nmx - 5, 16 * nmy - 3
+    want = mm.jpeg_decode_color(mm.jpeg_encode_420_coefs(luma, chroma, w, h))
+    for ri in (1, 2, 5, 12, 100):
+        payload = mm.jpeg_encode_420_coefs(
+            luma, chroma, w, h, restart_interval=ri
+        )
+        assert b"\xff\xdd" in payload  # DRI segment present
+        assert np.array_equal(mm.jpeg_decode_color(payload), want), ri
+        _w, _h, _q, blocks, _s = mm.jpeg_parse_any(payload)
+        nat = np.zeros_like(luma)
+        for k, (r, c) in enumerate(ZZ):
+            nat[:, :, r, c] = blocks[0][:, :, k]
+        assert np.array_equal(nat, luma), ri
+
+
+def test_jpeg_dri_predictor_reset_is_real():
+    """DC predictors reset at each restart (T.81 E.2.4): encode a DC
+    ramp whose diffs would overflow the category table if predicted
+    across the boundary — with interval 1 every MCU's DC is coded
+    absolute, and the parsed DCs must still match."""
+    nmy, nmx = 1, 4
+    luma = np.zeros((2 * nmy, 2 * nmx, 8, 8), np.int32)
+    for mx in range(nmx):
+        luma[:, 2 * mx : 2 * mx + 2, 0, 0] = (-1) ** mx * 900
+    chroma = np.zeros((2, nmy, nmx, 8, 8), np.int32)
+    payload = mm.jpeg_encode_420_coefs(
+        luma, chroma, 16 * nmx, 16, restart_interval=1
+    )
+    # interval 1 -> a marker between every MCU pair, cycling RST0..
+    assert payload.count(b"\xff\xd0", payload.find(b"\xff\xda")) >= 1
+    _w, _h, _q, blocks, _s = mm.jpeg_parse_any(payload)
+    assert list(blocks[0][0, ::2, 0]) == [900, -900, 900, -900]
+
+
+def test_jpeg_dri_out_of_sequence_marker_rejected():
+    rng = np.random.default_rng(8)
+    luma = rng.integers(-20, 20, size=(2, 4, 8, 8)).astype(np.int32)
+    chroma = rng.integers(-20, 20, size=(2, 1, 2, 8, 8)).astype(np.int32)
+    payload = mm.jpeg_encode_420_coefs(
+        luma, chroma, 32, 16, restart_interval=1
+    )
+    i = payload.find(b"\xff\xd0", payload.find(b"\xff\xda"))
+    assert i > 0
+    bad = payload[: i + 1] + bytes([0xD3]) + payload[i + 2 :]
+    with pytest.raises(ValueError, match="out of sequence"):
+        mm.jpeg_parse_any(bad)
