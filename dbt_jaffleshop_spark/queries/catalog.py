@@ -133,6 +133,7 @@ _GROUP_DIGESTED = {
     "multimodal_jpeg_pixels",
     "multimodal_color_pixels",
     "multimodal_jpeg420_pixels",
+    "multimodal_progressive_pixels",
     "multimodal_gif_frames",
     "multimodal_thumbnail",
     "corpus_curate",

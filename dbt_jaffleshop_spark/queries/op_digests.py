@@ -29,7 +29,9 @@ recording budget while every operator remains value-verified:
   multimodal_color_pixels (r7b — the real interleaved YCbCr 4:4:4
   color-JPEG decode + fixed-point BT.601 RGB conversion) /
   multimodal_jpeg420_pixels (r7b — the real 4:2:0 chroma-subsampled
-  decode with replication upsampling) (llm/multimodal.py).
+  decode with replication upsampling) / multimodal_progressive_pixels
+  (r7d — the real SOF2 spectral-selection progressive decode with
+  EOB-run coding) (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py) /
@@ -504,6 +506,21 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("g_sum", "bigint"),
             ("b_sum", "bigint"),
             ("rgb_checksum", "bigint"),
+        ]),
+        # r7d: REAL progressive-JPEG decode — SOF2 spectral selection:
+        # DC scan + per-band AC scans with EOB-run coding, accumulated
+        # across scans by the multi-scan parser; per-doc band splits
+        # vary so every boundary class decodes under verification
+        # (llm/multimodal.py)
+        "multimodal_progressive_pixels": _m(llm_multimodal, "multimodal_progressive_pixels", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("px_min", "bigint"),
+            ("px_max", "bigint"),
+            ("px_sum", "bigint"),
+            ("px_checksum", "bigint"),
         ]),
         # r6: the full decode→resize pipeline — real PNG decode feeding
         # an integer nearest-neighbor thumbnail; the oracle maps each

@@ -131,9 +131,12 @@ def test_jpeg_byte_stuffing_is_exercised():
 
 def test_jpeg_unsupported_subset_is_honest():
     base = mm.jpeg_encode_gray_coefs(np.zeros((1, 1, 8, 8), np.int32), 8, 8)
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # flipping SOF0 to SOF2 makes the baseline full-band scan an
+    # ILLEGAL progressive scan (Ss=0 requires Se=0) — since r7d the
+    # parser understands progressive frames and rejects the bad band
+    # instead of refusing the frame type
     prog = base.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Ss=Se=0"):
         mm.jpeg_parse_gray(prog)
     # truncated entropy stream
     with pytest.raises(ValueError):
@@ -775,3 +778,67 @@ def test_jpeg_dri_out_of_sequence_marker_rejected():
     bad = payload[: i + 1] + bytes([0xD3]) + payload[i + 2 :]
     with pytest.raises(ValueError, match="out of sequence"):
         mm.jpeg_parse_any(bad)
+
+
+# --------------------- progressive JPEG (spectral selection, r7d)
+
+
+def test_jpeg_progressive_entropy_is_lossless():
+    """DC scan + band scans must reassemble every quantized coefficient
+    exactly — general random coefficients, EOB-run and ZRL paths
+    forced."""
+    rng = np.random.default_rng(17)
+    coefs = rng.integers(-40, 41, size=(3, 4, 8, 8)).astype(np.int32)
+    coefs[0, 1] = 0              # all-zero block -> cross-block EOB run
+    coefs[2, 3, :, :] = 0
+    coefs[2, 3, 7, 7] = 2        # long in-band zero run -> ZRL path
+    w, h = 4 * 8 - 3, 3 * 8 - 1
+    payload = mm.jpeg_encode_progressive_coefs(coefs, w, h)
+    pw, ph, _q, blocks = mm.jpeg_parse_gray(payload)
+    assert (pw, ph) == (w, h)
+    nat = np.zeros_like(coefs)
+    for k, (r, c) in enumerate(ZZ):
+        nat[:, :, r, c] = blocks[:, :, k]
+    assert np.array_equal(nat, coefs)
+
+
+def test_jpeg_progressive_pixels_equal_sequential():
+    """Pixels are a property of the coefficients, not the scan script:
+    every band split must decode identically to the sequential
+    stream of the same blocks."""
+    rng = np.random.default_rng(29)
+    coefs = rng.integers(-30, 31, size=(2, 3, 8, 8)).astype(np.int32)
+    w, h = 3 * 8, 2 * 8 - 5
+    want = mm.jpeg_decode_gray(mm.jpeg_encode_gray_coefs(coefs, w, h))
+    for bands in (((1, 5), (6, 63)), ((1, 1), (2, 9), (10, 63)), ((1, 63),)):
+        got = mm.jpeg_decode_gray(
+            mm.jpeg_encode_progressive_coefs(coefs, w, h, bands=bands)
+        )
+        assert np.array_equal(got, want), bands
+
+
+def test_jpeg_progressive_honest_subset():
+    coefs = np.zeros((1, 1, 8, 8), np.int32)
+    payload = mm.jpeg_encode_progressive_coefs(coefs, 8, 8)
+    # successive approximation: set AhAl of the first SOS to 0x10
+    i = payload.find(b"\xff\xda")
+    bad = bytearray(payload)
+    bad[i + 9] = 0x10  # SOS payload [len2][ns, cs, tt, Ss, Se, AhAl]
+    with pytest.raises(NotImplementedError, match="successive"):
+        mm.jpeg_parse_any(bytes(bad))
+    # color progressive frames stay rejected
+    prog3 = mm.jpeg_encode_color_coefs(
+        np.zeros((3, 1, 1, 8, 8), np.int32), 8, 8
+    ).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="progressive color"):
+        mm.jpeg_parse_any(prog3)
+
+
+def test_progressive_pixels_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    assert_parity(
+        mm.multimodal_progressive_pixels(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_progressive_pixels"],
+    )
