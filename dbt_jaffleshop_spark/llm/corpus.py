@@ -151,3 +151,74 @@ ORACLES: dict[str, str] = {
     "corpus_curate": _corpus_oracle(),
     "corpus_sample_stratified": _sample_oracle(),
 }
+
+
+N_SHARDS = 8
+_SHUFFLE_SALT = "shuffle7:"
+
+
+def corpus_shuffle_shard(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Deterministic global shuffle + sharding (r7) — the
+    write-the-training-set move: every epoch-0 data loader wants the
+    corpus in a pseudorandom order split into fixed shards, and doing
+    it with rand() is irreproducible (partition retries re-draw).
+    Instead the permutation IS a hash: h = md5(salt || doc_id) gives
+    each doc a shard (h mod N_SHARDS) and a position (rank of h within
+    the shard), so any engine — and any retry — derives the identical
+    layout. Output is the (doc_id, shard, pos, n_tokens) manifest a
+    sharded writer consumes.
+
+    Scale shape for 100 TB: ONE shuffle on the shard key, then a
+    per-shard sort — the unavoidable cost of a global shuffle, but
+    parallel across shards and AQE-splittable; no global window, no
+    driver-side state. Pick N_SHARDS so a shard's manifest fits an
+    executor (the docs themselves move later, streamed per shard).
+    Tie-break doc_id keeps the order total even under hash collisions.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_exprs
+
+    e = quality_exprs("spark")
+    h = (
+        f"cast(conv(substring(md5(concat('{_SHUFFLE_SALT}',"
+        f" cast(doc_id as string))), 1, 15), 16, 10) as long)"
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr(h).alias("h"),
+        F.expr(e["n"]).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("shard", F.expr(f"h % {N_SHARDS}"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos", "n_tokens")
+    )
+
+
+def _shuffle_oracle() -> str:
+    from .text import quality_exprs
+
+    e = quality_exprs("duck")
+    h = (
+        f"CAST('0x' || substr(md5('{_SHUFFLE_SALT}'"
+        f" || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, {h} AS h, {e["n"]} AS n_tokens
+    FROM documents
+)
+SELECT doc_id, h % {N_SHARDS} AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+       ) AS INTEGER) AS pos,
+       n_tokens
+FROM d
+"""
+
+
+ORACLES["corpus_shuffle_shard"] = _shuffle_oracle()

@@ -138,6 +138,7 @@ _GROUP_DIGESTED = {
     "multimodal_thumbnail",
     "corpus_curate",
     "corpus_sample_stratified",
+    "corpus_shuffle_shard",
     "events_funnel",
     "events_json_stats",
     "events_stickiness",

@@ -397,6 +397,16 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("sample_bucket", "bigint"),
             ("stratum_rate_bp", "int"),
         ]),
+        # r7: deterministic global shuffle + sharding — the hash IS
+        # the permutation (retry- and engine-reproducible, no rand()),
+        # one shard-key shuffle + per-shard sort, the epoch-0
+        # training-set layout manifest
+        "corpus_shuffle_shard": _m(llm_corpus, "corpus_shuffle_shard", [
+            ("doc_id", "bigint"),
+            ("shard", "bigint"),
+            ("pos", "int"),
+            ("n_tokens", "int"),
+        ]),
     },
     "multimodal_digest": {
         "multimodal_extract": _m(llm_multimodal, "multimodal_extract", [
@@ -787,6 +797,27 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("n_customers", "bigint"),
             ],
             _profile.ORACLES["orders_cube_summary"],
+        ),
+        # r7: bottom-k quantile sketch — constant-memory-per-group
+        # quantile estimation from a fixed-hash uniform sample
+        # (WindowGroupLimit bottom-k, mergeable like KMV), with the
+        # exact value-domain quantiles and the estimator's p90 error
+        # in the same verified row
+        "orders_quantiles_sketch": (
+            _profile.orders_quantiles_sketch,
+            [
+                ("month", "string"),
+                ("n_orders", "bigint"),
+                ("k_sample", "bigint"),
+                ("p50_cents", "bigint"),
+                ("p50_est", "bigint"),
+                ("p90_cents", "bigint"),
+                ("p90_est", "bigint"),
+                ("p99_cents", "bigint"),
+                ("p99_est", "bigint"),
+                ("p90_err_bp", "bigint"),
+            ],
+            _profile.ORACLES["orders_quantiles_sketch"],
         ),
         # r6: compare_relations — per-column full-outer-join audit of
         # orders vs its deterministically drifted copy (the

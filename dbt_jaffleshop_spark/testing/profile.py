@@ -308,6 +308,119 @@ SELECT '{name}' AS col_name,
 FROM orders"""
 
 
+
+SKETCH_K = 64  # bottom-k sample size per month
+
+
+def orders_quantiles_sketch(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """Per-month quantile ESTIMATION from a deterministic bottom-k
+    sample (r7) — the constant-memory-per-group companion to
+    `orders_quantiles`' exact value-domain method. Keep the K orders
+    with the smallest fixed-hash values (a uniform random sample any
+    engine can replay: h = (key % M · A + B) % M, the KMV constants),
+    then read p50/p90/p99 off the SAMPLE's ascending cents at rank
+    ceil(q·k). `approx_percentile`'s GK sketch is engine-internal (no
+    cross-engine oracle); bottom-k under a fixed hash is bit-identical
+    in DuckDB — and samples from disjoint partitions merge by keeping
+    the K smallest of the union, the same mergeability that makes KMV
+    a warehouse primitive. Exact quantiles (from the value-domain
+    method) and the estimator's p90 basis-point error ship in the same
+    row, so estimation QUALITY is driver-verified too.
+
+    Plan shape for 100 TB: the bottom-k rank runs through
+    WindowGroupLimit — each map task keeps its own K smallest rows
+    BEFORE the (month)-key exchange, so the shuffle carries
+    O(K · tasks) rows, never the fact table; every later window runs
+    over the ≤K-row samples (W2 contract). Hash ties cannot occur
+    (order keys are unique and below M, so h is injective); the
+    in-sample sort is totally ordered by (cents, h)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).selectExpr(
+        "date_format(o_orderdate, 'yyyy-MM') as month",
+        "cast(round(o_totalprice * 100) as bigint) as cents",
+        f"((o_orderkey % {KMV_M}) * {KMV_A} + {KMV_B}) % {KMV_M} as h",
+    )
+    bottom_w = Window.partitionBy("month").orderBy("h")
+    sample = (
+        orders.withColumn("rn", F.row_number().over(bottom_w))
+        .where(F.col("rn") <= SKETCH_K)
+        .drop("rn")
+    )
+    rank_w = Window.partitionBy("month").orderBy("cents", "h")
+    k_w = Window.partitionBy("month")
+    ranked = sample.withColumn("srn", F.row_number().over(rank_w)).withColumn(
+        "k", F.count(F.lit(1)).over(k_w)
+    )
+    est_cols = [
+        F.min(
+            F.when(
+                F.col("srn") >= F.expr(f"(k * {q} + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias(f"p{q}_est")
+        for q in QUANTILES_BP
+    ]
+    est = ranked.groupBy("month").agg(
+        F.max("k").alias("k_sample"), *est_cols
+    )
+    exact = orders_quantiles(spark, sf_dir)
+    return (
+        est.join(exact, "month")
+        .withColumn(
+            "p90_err_bp",
+            F.expr("abs(p90_est - p90_cents) * 10000 div p90_cents"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "k_sample",
+            *[c for q in QUANTILES_BP for c in (f"p{q}_cents", f"p{q}_est")],
+            "p90_err_bp",
+        )
+    )
+
+
+def _quantiles_sketch_oracle() -> str:
+    exact = _quantiles_oracle()
+    quantile_sel = ", ".join(
+        f"""min(CASE WHEN srn >= (k * {q} + 99) // 100 THEN cents END)
+            AS p{q}_est"""
+        for q in QUANTILES_BP
+    )
+    return f"""
+WITH o AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           ((o_orderkey % {KMV_M}) * {KMV_A} + {KMV_B}) % {KMV_M} AS h
+    FROM orders
+),
+bk AS (
+    SELECT month, cents, h,
+           row_number() OVER (PARTITION BY month ORDER BY h) AS rn
+    FROM o
+),
+sample AS (SELECT month, cents, h FROM bk WHERE rn <= {SKETCH_K}),
+ranked AS (
+    SELECT month, cents,
+           row_number() OVER (PARTITION BY month ORDER BY cents, h) AS srn,
+           count(*) OVER (PARTITION BY month) AS k
+    FROM sample
+),
+est AS (
+    SELECT month, CAST(max(k) AS BIGINT) AS k_sample, {quantile_sel}
+    FROM ranked GROUP BY month
+),
+exact AS ({exact})
+SELECT e.month, x.n_orders, e.k_sample,
+       {", ".join(f"x.p{q}_cents, e.p{q}_est" for q in QUANTILES_BP)},
+       CAST(abs(e.p90_est - x.p90_cents) * 10000 // x.p90_cents AS BIGINT)
+           AS p90_err_bp
+FROM est e JOIN exact x ON e.month = x.month
+"""
+
 ORACLES: dict[str, str] = {
     "orders_profile": " UNION ALL ".join(
         _profile_select(name, expr) for name, expr in _SPECS
@@ -315,4 +428,5 @@ ORACLES: dict[str, str] = {
     "orders_quantiles": _quantiles_oracle(),
     "events_distinct_kmv": _kmv_oracle(),
     "orders_cube_summary": _CUBE_ORACLE,
+    "orders_quantiles_sketch": _quantiles_sketch_oracle(),
 }

@@ -842,3 +842,97 @@ def test_progressive_pixels_matches_oracle(spark, oracle, sf_dir):
         oracle,
         mm.ORACLES["multimodal_progressive_pixels"],
     )
+
+
+# --------------------- bottom-k quantile sketch (testing/profile.py)
+
+
+def test_orders_quantiles_sketch_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.testing import profile
+
+    assert_parity(
+        profile.orders_quantiles_sketch(spark, sf_dir),
+        oracle,
+        profile.ORACLES["orders_quantiles_sketch"],
+    )
+
+
+def test_orders_quantiles_sketch_plan_and_quality(spark, sf_dir):
+    """100 TB contract: the bottom-k rank is WindowGroupLimit-pruned
+    (each map task keeps its own K smallest BEFORE the month-key
+    exchange), nothing drops to Python; and on the real corpus the
+    p50 estimate from a 64-row sample stays within 25% of exact
+    (median of a uniform sample — loose bound, tight enough to catch
+    a broken sampler that returns e.g. the first K rows by date)."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.testing import profile
+
+    df = profile.orders_quantiles_sketch(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows and all(r.k_sample <= profile.SKETCH_K for r in rows)
+    for r in rows:
+        if r.k_sample == r.n_orders:
+            # under-filled sample IS the population: estimates must be
+            # exactly the exact quantiles — catches any sampler or
+            # rank-formula bug outright
+            assert (r.p50_est, r.p90_est, r.p99_est) == (
+                r.p50_cents,
+                r.p90_cents,
+                r.p99_cents,
+            ), r
+        else:
+            # a filled 64-row uniform sample: median within 25% —
+            # loose, but catches a non-uniform sampler (e.g. first K
+            # rows by date)
+            assert abs(r.p50_est - r.p50_cents) <= 0.25 * r.p50_cents, r
+
+
+# --------------------- deterministic shuffle-shard (llm/corpus.py)
+
+
+def test_corpus_shuffle_shard_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import corpus as co
+
+    assert_parity(
+        co.corpus_shuffle_shard(spark, sf_dir),
+        oracle,
+        co.ORACLES["corpus_shuffle_shard"],
+    )
+
+
+def test_corpus_shuffle_shard_is_a_shuffled_permutation(spark, sf_dir):
+    """(shard, pos) must be a bijection over the corpus, shards must be
+    hash-balanced, and the layout must actually SHUFFLE: consecutive
+    doc_ids should almost never stay consecutive in the same shard
+    (a sorted-by-id 'shuffle' fails this immediately)."""
+    from dbt_jaffleshop_spark.llm import corpus as co
+
+    rows = co.corpus_shuffle_shard(spark, sf_dir).collect()
+    n = len(rows)
+    assert len({(r.shard, r.pos) for r in rows}) == n
+    assert {r.shard for r in rows} <= set(range(co.N_SHARDS))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, 0)
+        by_shard[r.shard] += 1
+        assert 1 <= r.pos
+    expected = n / co.N_SHARDS
+    assert all(0.5 * expected <= c <= 1.5 * expected for c in by_shard.values())
+    layout = {r.doc_id: (r.shard, r.pos) for r in rows}
+    adjacent_kept = sum(
+        1
+        for d in layout
+        if d + 1 in layout
+        and layout[d + 1][0] == layout[d][0]
+        and layout[d + 1][1] == layout[d][1] + 1
+    )
+    assert adjacent_kept <= 0.02 * n, adjacent_kept
