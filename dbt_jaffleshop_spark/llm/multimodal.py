@@ -1764,20 +1764,28 @@ def _jpeg_codec():
             + b"\xff\xd9"
         )
 
-    def encode420(
-        coefs_y, coefs_c, width: int, height: int, restart_interval: int = 0
+    def encode_sampled(
+        coefs_y,
+        coefs_c,
+        width: int,
+        height: int,
+        hy: int = 2,
+        vy: int = 2,
+        restart_interval: int = 0,
     ) -> bytes:
-        """4:2:0 encoder: luma blocks (2*nmy, 2*nmx, 8, 8), chroma
-        blocks (2, nmy, nmx, 8, 8) — each MCU writes four raster-order
-        Y blocks then one Cb and one Cr, per T.81 A.2.3. Same table
-        assignments as encode3. With restart_interval > 0, a DRI
-        segment declares the interval and RST0..RST7 markers (cycling)
-        separate every `restart_interval` MCUs: byte-aligned, DC
-        predictors reset, per T.81 B.2.4.4/E.2.4."""
+        """Chroma-subsampled encoder, luma sampling (hy, vy) vs 1x1
+        chroma: luma blocks (vy*nmy, hy*nmx, 8, 8), chroma blocks
+        (2, nmy, nmx, 8, 8) — each MCU writes hy*vy raster-order Y
+        blocks then one Cb and one Cr, per T.81 A.2.3. (2,2) is 4:2:0,
+        (2,1) is 4:2:2. Same table assignments as encode3. With
+        restart_interval > 0, a DRI segment declares the interval and
+        RST0..RST7 markers (cycling) separate every `restart_interval`
+        MCUs: byte-aligned, DC predictors reset, per T.81
+        B.2.4.4/E.2.4."""
         coefs_y = _np.asarray(coefs_y, dtype=_np.int32)
         coefs_c = _np.asarray(coefs_c, dtype=_np.int32)
         nmy, nmx = coefs_c.shape[1:3]
-        assert coefs_y.shape[:2] == (2 * nmy, 2 * nmx)
+        assert coefs_y.shape[:2] == (vy * nmy, hy * nmx)
         luma = (
             _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS),
             _canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS),
@@ -1800,11 +1808,11 @@ def _jpeg_codec():
                     rst_seq += 1
                     prev = [0, 0, 0]
                 mcu_count += 1
-                for byi in range(2):
-                    for bxi in range(2):
+                for byi in range(vy):
+                    for bxi in range(hy):
                         prev[0] = _encode_block(
                             w,
-                            coefs_y[my * 2 + byi, mx * 2 + bxi],
+                            coefs_y[my * vy + byi, mx * hy + bxi],
                             prev[0],
                             *luma,
                         )
@@ -1818,7 +1826,7 @@ def _jpeg_codec():
             + bytes(JPEG_QUANT_CHROMA_ZZ[k] & 0xFF for k in range(64))
         )
         sof = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
-            [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+            [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
         )
         dht = (
             bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
@@ -1842,6 +1850,14 @@ def _jpeg_codec():
             + _marker(0xFFDA, sos)
             + w.flush()
             + b"\xff\xd9"
+        )
+
+    def encode420(
+        coefs_y, coefs_c, width: int, height: int, restart_interval: int = 0
+    ) -> bytes:
+        """The 4:2:0 instance of :func:`encode_sampled`."""
+        return encode_sampled(
+            coefs_y, coefs_c, width, height, 2, 2, restart_interval
         )
 
     def encode_progressive(
@@ -2329,6 +2345,7 @@ def _jpeg_codec():
         decode3,
         encode420,
         encode_progressive,
+        encode_sampled,
     )
 
 
@@ -2342,6 +2359,7 @@ def _jpeg_codec():
     jpeg_decode_color,
     jpeg_encode_420_coefs,
     jpeg_encode_progressive_coefs,
+    jpeg_encode_sampled_coefs,
 ) = _jpeg_codec()
 
 # Oracle constants: dequantized contribution of each test frequency is
@@ -2762,7 +2780,7 @@ def _make_jpeg420_pixels_batches():
     the REAL subsampled decoder (generic MCU walk, per-component-
     resolution IDCT planes, replication upsampling, fixed-point BT.601)
     and reduce to per-channel position-weighted statistics."""
-    _e, _p, _d, _e3, _pa, decode3, encode420, _ep = _jpeg_codec()
+    _e, _p, _d, _e3, _pa, decode3, encode420, *_rest = _jpeg_codec()
     coefs_420 = _make_jpeg_420_coefs()
 
     def jpeg420_batches(
@@ -2923,7 +2941,7 @@ def _make_progressive_pixels_batches():
     multi-scan parser — coefficient accumulation across scans, band
     bookkeeping, EOB-run skips — then the same IDCT path as the
     sequential member."""
-    _e, _p, decode, _e3, _pa, _d3, _e420, encode_prog = _jpeg_codec()
+    _e, _p, decode, _e3, _pa, _d3, _e420, encode_prog, _es = _jpeg_codec()
     test_coefs = _make_jpeg_test_coefs()
 
     def prog_batches(

@@ -936,3 +936,72 @@ def test_corpus_shuffle_shard_is_a_shuffled_permutation(spark, sf_dir):
         and layout[d + 1][1] == layout[d][1] + 1
     )
     assert adjacent_kept <= 0.02 * n, adjacent_kept
+
+
+def test_jpeg_422_decodes_through_the_generic_walk():
+    """4:2:2 (luma 2x1) needs no decoder change — the generic MCU walk
+    and per-axis replication upsampler cover it. Pin with a closed-form
+    frame: chroma half-res HORIZONTALLY only."""
+    zzi = {rc: k for k, rc in enumerate(ZZ)}
+
+    def q(tab, rc):
+        return tab[zzi[rc]] // 8
+
+    doc_id, w, h = 5, 21, 13
+    nmx, nmy = (w + 15) // 16, (h + 7) // 8  # 4:2:2 MCU is 16x8
+    luma = np.zeros((nmy, 2 * nmx, 8, 8), np.int32)
+    chroma = np.zeros((2, nmy, nmx, 8, 8), np.int32)
+    for by in range(nmy):
+        for bx in range(2 * nmx):
+            luma[by, bx, 0, 0] = (doc_id * 5 + bx * 3 + by * 7) % 41 - 20
+            luma[by, bx, 4, 4] = (doc_id + bx + by * 13) % 7 - 3
+    for ci in range(2):
+        ch = ci + 1
+        for by in range(nmy):
+            for bx in range(nmx):
+                chroma[ci, by, bx, 0, 0] = (
+                    doc_id * 5 + ch * 17 + bx * 3 + by * 7
+                ) % 41 - 20
+    payload = mm.jpeg_encode_sampled_coefs(luma, chroma, w, h, 2, 1)
+    _w, _h, _q, _blocks, samplings = mm.jpeg_parse_any(payload)
+    assert samplings == [(2, 1), (1, 1), (1, 1)]
+    rgb = mm.jpeg_decode_color(payload).astype(np.int64)
+    yg, xg = np.mgrid[0:h, 0:w]
+    sx = np.where(np.isin(xg % 8, [0, 3, 4, 7]), 1, -1)
+    sy = np.where(np.isin(yg % 8, [0, 3, 4, 7]), 1, -1)
+    yy = np.clip(
+        128
+        + q(mm.JPEG_QUANT_ZZ, (0, 0))
+        * ((doc_id * 5 + (xg // 8) * 3 + (yg // 8) * 7) % 41 - 20)
+        + q(mm.JPEG_QUANT_ZZ, (4, 4)) * sx * sy
+        * ((doc_id + xg // 8 + (yg // 8) * 13) % 7 - 3),
+        0,
+        255,
+    ).astype(np.int64)
+    xc = xg // 2  # horizontal-only subsampling
+    planes = []
+    for ch in (1, 2):
+        planes.append(
+            np.clip(
+                128
+                + q(mm.JPEG_QUANT_CHROMA_ZZ, (0, 0))
+                * ((doc_id * 5 + ch * 17 + (xc // 8) * 3 + (yg // 8) * 7) % 41 - 20),
+                0,
+                255,
+            ).astype(np.int64)
+            - 128
+        )
+    cb, cr = planes
+    exp = np.stack(
+        [
+            np.clip(yy + ((mm.JPEG_FIX_RCR * cr + 32768) >> 16), 0, 255),
+            np.clip(
+                yy - ((mm.JPEG_FIX_GCB * cb + mm.JPEG_FIX_GCR * cr + 32768) >> 16),
+                0,
+                255,
+            ),
+            np.clip(yy + ((mm.JPEG_FIX_BCB * cb + 32768) >> 16), 0, 255),
+        ],
+        axis=-1,
+    )
+    assert np.array_equal(rgb, exp)
