@@ -22,8 +22,9 @@ JPEG pixels decode FOR REAL as well (r7/r7b: `jpeg_decode_gray` +
 with DC prediction and ZRL/EOB, interleaved MCUs with per-component
 tables/predictors including 4:2:0 subsampling, dequant, float 8x8
 IDCT, level shift, fixed-point BT.601 to RGB, DRI restart markers,
-and SOF2 spectral-selection progressive scans with EOB-run coding;
-successive approximation and factors>2 still raise);
+and SOF2 progressive scans — spectral selection with EOB-run coding
+AND successive approximation with refinement correction bits;
+progressive color and factors>2 still raise);
 other image formats decode through PIL when installed (capability-gated
 — see `_image_codec`); compressed-audio payloads and compressed-VIDEO
 pixel decode raise NotImplementedError (MP3/H.264/VP9 genuinely need
@@ -1478,10 +1479,11 @@ def _spread(df: DataFrame) -> DataFrame:
 # sequential, 8-bit, grayscale AND interleaved YCbCr color with
 # sampling factors 1..2 per axis (4:4:4, 4:2:0, 4:2:2), DRI restart
 # intervals (RST markers with byte realignment + predictor resets),
-# and grayscale SOF2 PROGRESSIVE frames under spectral selection (DC
-# scan + per-band AC scans with EOB-run coding). Successive
-# approximation (Ah/Al), progressive color, and factors >2 stay
-# behind NotImplementedError.
+# and grayscale SOF2 PROGRESSIVE frames — spectral selection (DC scan
+# + per-band AC scans with EOB-run coding) AND successive
+# approximation (point-transformed first scans + DC/AC refinement
+# scans with correction bits, r7e). Progressive color and factors >2
+# stay behind NotImplementedError.
 
 
 def _jpeg_zigzag() -> list[tuple[int, int]]:
@@ -1865,13 +1867,22 @@ def _jpeg_codec():
         width: int,
         height: int,
         bands: tuple = ((1, 5), (6, 63)),
+        al: int = 0,
     ) -> bytes:
-        """Spectral-selection progressive encoder (grayscale, Ah=Al=0):
-        one DC scan (Ss=Se=0, differential predictors) followed by one
-        AC scan per band, each band coded with EOB-run symbols
-        (T.81 G.1.2.2) across blocks. Same quantized-coefficient
-        contract as the sequential encoder — a progressive stream of
-        the same blocks decodes to the same pixels."""
+        """Progressive encoder (grayscale): spectral selection — one DC
+        scan (Ss=Se=0, differential predictors) followed by one AC scan
+        per band, each band coded with EOB-run symbols (T.81 G.1.2.2)
+        across blocks — and, with ``al > 0``, full SUCCESSIVE
+        APPROXIMATION (r7e): the first scans code the point-transformed
+        coefficients (DC arithmetic-shifted, AC sign-magnitude-shifted
+        by ``al``), then refinement scans walk al-1..0 — DC refinements
+        one bit per block, AC refinements per band with ±1<<lvl
+        insertions and buffered correction bits for every
+        already-nonzero coefficient, flushed after the next
+        ZRL/insertion/EOBn exactly as the decoder consumes them
+        (T.81 G.1.2.3 structure). Same quantized-coefficient contract
+        as the sequential encoder — any scan script of the same blocks
+        decodes to the same pixels."""
         coefs = _np.asarray(coefs, dtype=_np.int32)
         nby, nbx = coefs.shape[:2]
         dc_tab = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
@@ -1884,18 +1895,31 @@ def _jpeg_codec():
             for by in range(nby)
         ]
 
-        def dc_scan() -> bytes:
+        def _pt(v: int, lvl: int) -> int:
+            """AC point transform: sign-magnitude shift (T.81 G.1.2.2;
+            DC uses a plain arithmetic shift instead)."""
+            return (abs(v) >> lvl) * (1 if v >= 0 else -1)
+
+        def dc_scan(lvl: int) -> bytes:
             w = _BitWriter()
             prev = 0
             for by in range(nby):
                 for bx in range(nbx):
-                    diff = zz_blocks[by][bx][0] - prev
-                    prev = zz_blocks[by][bx][0]
+                    cur = zz_blocks[by][bx][0] >> lvl  # arithmetic shift
+                    diff = cur - prev
+                    prev = cur
                     size = abs(diff).bit_length()
                     w.put(*dc_tab[size])
                     if size:
                         v = diff if diff >= 0 else diff + (1 << size) - 1
                         w.put(v, size)
+            return w.flush()
+
+        def dc_refine_scan(lvl: int) -> bytes:
+            w = _BitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    w.put((zz_blocks[by][bx][0] >> lvl) & 1, 1)
             return w.flush()
 
         def flush_eob(w, run: int) -> None:
@@ -1907,12 +1931,14 @@ def _jpeg_codec():
                     w.put(chunk - (1 << r), r)
                 run -= chunk
 
-        def ac_scan(ss: int, se: int) -> bytes:
+        def ac_scan(ss: int, se: int, lvl: int) -> bytes:
             w = _BitWriter()
             eob_run = 0
             for by in range(nby):
                 for bx in range(nbx):
-                    band = zz_blocks[by][bx][ss : se + 1]
+                    band = [
+                        _pt(v, lvl) for v in zz_blocks[by][bx][ss : se + 1]
+                    ]
                     nz = [i for i, v in enumerate(band) if v]
                     if not nz:
                         eob_run += 1
@@ -1938,6 +1964,70 @@ def _jpeg_codec():
             flush_eob(w, eob_run)
             return w.flush()
 
+        def ac_refine_scan(ss: int, se: int, lvl: int) -> bytes:
+            """T.81 G.1.2.3 / the jcphuff structure: per block, walk
+            the band; zero-history positions accumulate the run,
+            already-nonzero positions buffer a correction bit, newly-
+            nonzero (|v| >> lvl == 1) positions flush the pending EOB
+            run, emit (run, 1) + sign + the buffered bits. Blocks
+            ending in zeros/corrections join the EOB run, whose
+            correction bits ride behind the eventual EOBn."""
+            w = _BitWriter()
+            eob_run = 0
+            be_bits: list[int] = []  # corrections owned by the EOB run
+
+            def flush_run() -> None:
+                nonlocal eob_run, be_bits
+                if eob_run:
+                    r = eob_run.bit_length() - 1
+                    w.put(*ac_tab[r << 4])
+                    if r:
+                        w.put(eob_run - (1 << r), r)
+                    eob_run = 0
+                    for b in be_bits:
+                        w.put(b, 1)
+                    be_bits = []
+
+            for by in range(nby):
+                for bx in range(nbx):
+                    full = zz_blocks[by][bx][ss : se + 1]
+                    absv = [abs(v) >> lvl for v in full]
+                    eob_k = -1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob_k = i
+                    run = 0
+                    br: list[int] = []  # this block's pending bits
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and i <= eob_k:
+                            flush_run()
+                            w.put(*ac_tab[0xF0])
+                            run -= 16
+                            for b in br:
+                                w.put(b, 1)
+                            br = []
+                        if t > 1:  # history: correction bit only
+                            br.append(t & 1)
+                            continue
+                        # newly nonzero at this level
+                        flush_run()
+                        w.put(*ac_tab[(run << 4) | 1])
+                        w.put(1 if full[i] >= 0 else 0, 1)
+                        for b in br:
+                            w.put(b, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eob_run += 1
+                        be_bits.extend(br)
+                        if eob_run == 0x7FFF:
+                            flush_run()
+            flush_run()
+            return w.flush()
+
         dqt = bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
         sof = _struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
         dht = (
@@ -1945,19 +2035,29 @@ def _jpeg_codec():
             + bytes([0x10])
             + bytes(JPEG_PROG_AC_BITS) + bytes(JPEG_PROG_AC_VALS)
         )
+
+        def sos(ss: int, se: int, ah: int, a_low: int) -> bytes:
+            return _marker(
+                0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | a_low])
+            )
+
         out = (
             b"\xff\xd8"
             + _marker(0xFFDB, dqt)
             + _marker(0xFFC2, sof)
             + _marker(0xFFC4, dht)
-            + _marker(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
-            + dc_scan()
+            + sos(0, 0, 0, al)
+            + dc_scan(al)
         )
+        for lvl in range(al - 1, -1, -1):
+            out += sos(0, 0, lvl + 1, lvl) + dc_refine_scan(lvl)
         for ss, se in bands:
-            out += (
-                _marker(0xFFDA, bytes([1, 1, 0x00, ss, se, 0]))
-                + ac_scan(ss, se)
-            )
+            out += sos(ss, se, 0, al) + ac_scan(ss, se, al)
+        for lvl in range(al - 1, -1, -1):
+            for ss, se in bands:
+                out += sos(ss, se, lvl + 1, lvl) + ac_refine_scan(
+                    ss, se, lvl
+                )
         return out + b"\xff\xd9"
 
     class _BitReader:
@@ -2101,10 +2201,16 @@ def _jpeg_codec():
                 w_px, h_px, comps = sof
                 ns = seg[0]
                 if progressive:
-                    # Spectral-selection progressive (r7d): each scan
-                    # covers one coefficient band [Ss, Se] of the single
-                    # grayscale component; successive approximation
-                    # (Ah/Al != 0) stays honestly unimplemented.
+                    # Progressive (r7d/r7e): spectral selection AND
+                    # successive approximation over the single
+                    # grayscale component. Scan kinds (T.81 G.1.2):
+                    # DC first (Ss=Se=0, Ah=0, point transform Al),
+                    # DC refinement (Ah>0, one bit per block),
+                    # AC-band first (Ah=0, sign-magnitude >> Al with
+                    # EOB-run coding), AC-band refinement (Ah=Al+1:
+                    # ±1<<Al insertions plus inline correction bits on
+                    # every nonzero-history coefficient passed,
+                    # including through EOB-run skips).
                     if ns != 1:
                         raise NotImplementedError(
                             "interleaved progressive scan"
@@ -2115,23 +2221,22 @@ def _jpeg_codec():
                         )
                     cs, tt = seg[1], seg[2]
                     ss_, se_, ahal = seg[3], seg[4], seg[5]
-                    if ahal != 0:
-                        raise NotImplementedError(
-                            "successive approximation (Ah/Al)"
-                        )
+                    ah, al = ahal >> 4, ahal & 0xF
                     if (ss_ == 0) != (se_ == 0):
                         raise ValueError(
                             "progressive DC scan must have Ss=Se=0"
                         )
                     if not 0 <= ss_ <= se_ <= 63:
                         raise ValueError("bad spectral band")
+                    if ah and ah != al + 1:
+                        raise ValueError("refinement needs Ah = Al + 1")
                     nbx, nby = (w_px + 7) // 8, (h_px + 7) // 8
                     if prog_blocks is None:
                         prog_blocks = _np.zeros(
                             (nby, nbx, 64), dtype=_np.int32
                         )
                     reader = _BitReader(payload, pos + 2 + seglen)
-                    if ss_ == 0:  # DC scan, full predictors
+                    if ss_ == 0 and ah == 0:  # DC first, predictors
                         dc_t = huff[(0, tt >> 4)]
                         prev = 0
                         for by in range(nby):
@@ -2143,8 +2248,13 @@ def _jpeg_codec():
                                     else 0
                                 )
                                 prev += diff
-                                prog_blocks[by, bx, 0] = prev
-                    else:  # AC band scan with EOB-run coding (G.1.2.2)
+                                prog_blocks[by, bx, 0] = prev << al
+                    elif ss_ == 0:  # DC refinement: one bit per block
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                if reader.bit():
+                                    prog_blocks[by, bx, 0] |= 1 << al
+                    elif ah == 0:  # AC first (G.1.2.2, EOB-run coded)
                         ac_t = huff[(1, tt & 0xF)]
                         eobrun = 0
                         for by in range(nby):
@@ -2169,10 +2279,80 @@ def _jpeg_codec():
                                         raise ValueError(
                                             "AC run past band end"
                                         )
-                                    prog_blocks[by, bx, k] = _extend(
-                                        reader.bits(size), size
+                                    prog_blocks[by, bx, k] = (
+                                        _extend(reader.bits(size), size)
+                                        << al
                                     )
                                     k += 1
+                    else:  # AC refinement (G.1.2.3 shape)
+                        ac_t = huff[(1, tt & 0xF)]
+                        p1, m1 = 1 << al, -1 << al
+
+                        def _correct(blk, k: int) -> None:
+                            """Append this scan's bit to an already-
+                            nonzero coefficient: move it one step away
+                            from zero iff the bit is set and the bit
+                            position is still clear."""
+                            if reader.bit() and not (abs(int(blk[k])) & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+
+                        eobrun = 0
+                        for by in range(nby):
+                            for bx in range(nbx):
+                                blk = prog_blocks[by, bx]
+                                k = ss_
+                                if eobrun:
+                                    # EOB-run block: only correction
+                                    # bits for nonzero history
+                                    eobrun -= 1
+                                    for kk in range(ss_, se_ + 1):
+                                        if blk[kk]:
+                                            _correct(blk, kk)
+                                    continue
+                                while k <= se_:
+                                    sym = _decode_huff(reader, ac_t)
+                                    r, size = sym >> 4, sym & 0xF
+                                    newval = 0
+                                    if size == 0:
+                                        if r != 15:  # EOBn
+                                            eobrun = (1 << r) - 1 + (
+                                                reader.bits(r) if r else 0
+                                            )
+                                            break
+                                        # ZRL: r=15 zero-history slots
+                                        # decrement below, the 16th
+                                        # (r==0) breaks with newval=0
+                                    else:
+                                        if size != 1:
+                                            raise ValueError(
+                                                "refinement size must"
+                                                " be 1"
+                                            )
+                                        newval = (
+                                            p1 if reader.bit() else m1
+                                        )
+                                    # advance past r zero-history slots
+                                    # (correcting nonzero history on
+                                    # the way), then place newval
+                                    while k <= se_:
+                                        if blk[k]:
+                                            _correct(blk, k)
+                                        else:
+                                            if r == 0:
+                                                if newval:
+                                                    blk[k] = newval
+                                                k += 1
+                                                break
+                                            r -= 1
+                                        k += 1
+                                # EOBn terminated the block early:
+                                # its remaining nonzero-history
+                                # positions still take correction bits
+                                # (eobrun counts SUBSEQUENT blocks)
+                                if k <= se_:
+                                    for kk in range(k, se_ + 1):
+                                        if blk[kk]:
+                                            _correct(blk, kk)
                     pos = reader.pos
                     continue
                 if ns != len(comps):
@@ -2956,9 +3136,12 @@ def _make_progressive_pixels_batches():
                 doc_id, nb = int(doc_id), int(nb)
                 w, h = 8 + (doc_id * 7) % 17, 8 + (doc_id * 5 + nb) % 17
                 nbx, nby = (w + 7) // 8, (h + 7) // 8
-                # per-doc band split varies so scan boundaries land on
-                # every zigzag position class across the corpus; pixels
-                # are split-invariant, so the oracle is untouched
+                # per-doc band split AND approximation depth vary so
+                # scan boundaries land on every zigzag position class
+                # and half the corpus exercises the full successive-
+                # approximation path (r7e: DC/AC refinement scans with
+                # correction bits); pixels are script-invariant, so
+                # the oracle is untouched
                 split = 1 + doc_id % 20
                 px = decode(
                     encode_prog(
@@ -2966,6 +3149,7 @@ def _make_progressive_pixels_batches():
                         w,
                         h,
                         bands=((1, split), (split + 1, 63)),
+                        al=doc_id % 2,
                     )
                 ).astype(_np.int64)
                 assert px.shape == (h, w)
@@ -2996,17 +3180,20 @@ def multimodal_progressive_pixels(
     spectral-selection progressive JPEG — SOF2, a DC scan with
     differential predictors, then per-band AC scans coded with EOB-run
     symbols across blocks (T.81 G.1.2.2) — decodes through the genuine
-    multi-scan parser that accumulates coefficients scan by scan. The
+    multi-scan parser that accumulates coefficients scan by scan; for
+    half the corpus the script additionally uses successive
+    approximation (al=1: point-transformed first scans, then DC/AC
+    refinement scans with inline correction bits, r7e). The
     coefficients are the SAME exactly-integer subspace as the
     sequential member, so DuckDB recomputes every pixel in closed form;
     the per-doc band split varies, so parity requires every band
     boundary and EOB-run length the corpus produces to decode
     correctly. One mapInPandas stage, spread across cores.
 
-    Reference parity: with this, every baseline AND
-    spectral-selection-progressive JPEG the warehouse carries decodes;
-    the remaining honest gap is successive approximation (Ah/Al) and
-    sampling factors > 2."""
+    Reference parity: with this, every baseline AND progressive
+    (spectral selection + successive approximation) grayscale JPEG the
+    warehouse carries decodes; the remaining honest gaps are
+    progressive color and sampling factors > 2."""
     docs = load_table(spark, "documents", sf_dir)
     image_docs = docs.where(F.expr("doc_id % 3 = 1")).select(
         "doc_id",

@@ -820,11 +820,12 @@ def test_jpeg_progressive_pixels_equal_sequential():
 def test_jpeg_progressive_honest_subset():
     coefs = np.zeros((1, 1, 8, 8), np.int32)
     payload = mm.jpeg_encode_progressive_coefs(coefs, 8, 8)
-    # successive approximation: set AhAl of the first SOS to 0x10
+    # an invalid approximation step (Ah must equal Al + 1): set AhAl of
+    # the first SOS to 0x20
     i = payload.find(b"\xff\xda")
     bad = bytearray(payload)
-    bad[i + 9] = 0x10  # SOS payload [len2][ns, cs, tt, Ss, Se, AhAl]
-    with pytest.raises(NotImplementedError, match="successive"):
+    bad[i + 9] = 0x20  # SOS payload [len2][ns, cs, tt, Ss, Se, AhAl]
+    with pytest.raises(ValueError, match="Ah = Al"):
         mm.jpeg_parse_any(bytes(bad))
     # color progressive frames stay rejected
     prog3 = mm.jpeg_encode_color_coefs(
@@ -1005,3 +1006,74 @@ def test_jpeg_422_decodes_through_the_generic_walk():
         axis=-1,
     )
     assert np.array_equal(rgb, exp)
+
+
+# --------------------- successive approximation (r7e)
+
+
+def test_jpeg_sa_roundtrip_random_scripts():
+    """Full successive-approximation scripts (al 1..3, varied band
+    splits) must be coefficient-lossless and pixel-identical to the
+    sequential stream of the same blocks — randomized corpus with
+    planted zero/sparse blocks."""
+    rng = np.random.default_rng(101)
+    for trial in range(12):
+        nby, nbx = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        coefs = rng.integers(-70, 71, size=(nby, nbx, 8, 8)).astype(np.int32)
+        if nby * nbx > 1:
+            coefs[0, 0] = 0
+            coefs[0, 0, 0, 0] = int(rng.integers(-5, 6))
+        w = int(nbx * 8 - rng.integers(0, 8))
+        h = int(nby * 8 - rng.integers(0, 8))
+        al = int(rng.choice([1, 2, 3]))
+        bands = [((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 20), (21, 63))][
+            trial % 3
+        ]
+        want = mm.jpeg_decode_gray(mm.jpeg_encode_gray_coefs(coefs, w, h))
+        payload = mm.jpeg_encode_progressive_coefs(
+            coefs, w, h, bands=bands, al=al
+        )
+        got = mm.jpeg_decode_gray(payload)
+        assert np.array_equal(got, want), (trial, al, bands)
+        _w, _h, _q, blocks = mm.jpeg_parse_gray(payload)
+        nat = np.zeros_like(coefs)
+        for k, (r, c) in enumerate(ZZ):
+            nat[:, :, r, c] = blocks[:, :, k]
+        assert np.array_equal(nat, coefs), (trial, al, bands)
+
+
+def test_jpeg_sa_refinement_edge_cases():
+    """The three refinement paths that break first in a wrong
+    implementation: a coefficient visible ONLY at the last level
+    (±1 insertions), a ZRL inside a refinement scan with interleaved
+    history corrections, and a long cross-block EOB run whose
+    correction bits ride behind the EOBn."""
+    zz_pos = {k: rc for k, rc in enumerate(ZZ)}
+
+    def rt(coefs, w, h, bands, al):
+        payload = mm.jpeg_encode_progressive_coefs(
+            coefs, w, h, bands=bands, al=al
+        )
+        _w, _h, _q, blocks = mm.jpeg_parse_gray(payload)
+        nat = np.zeros_like(coefs)
+        for k, (r, c) in enumerate(ZZ):
+            nat[:, :, r, c] = blocks[:, :, k]
+        return np.array_equal(nat, coefs)
+
+    c = np.zeros((2, 3, 8, 8), np.int32)
+    for i, k in enumerate(range(1, 40, 3)):
+        c[i % 2, i % 3][zz_pos[k]] = (-1) ** i * 1  # last-level only
+        c[(i + 1) % 2, i % 3][zz_pos[k]] = (-1) ** i * 2
+    assert rt(c, 24, 16, ((1, 20), (21, 63)), 1)
+
+    c = np.zeros((1, 1, 8, 8), np.int32)
+    c[0, 0][zz_pos[1]] = 4    # history through the refinement
+    c[0, 0][zz_pos[20]] = 1   # 18 zero-history slots -> ZRL in refine
+    c[0, 0][zz_pos[30]] = 8
+    c[0, 0][zz_pos[63]] = -1
+    assert rt(c, 8, 8, ((1, 63),), 1)
+
+    c = np.zeros((4, 5, 8, 8), np.int32)
+    c[3, 4][zz_pos[10]] = 3   # 19 all-zero blocks first -> long EOB run
+    c[3, 4][zz_pos[11]] = -1
+    assert rt(c, 40, 32, ((1, 63),), 2)
