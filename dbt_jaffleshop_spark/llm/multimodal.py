@@ -1479,11 +1479,12 @@ def _spread(df: DataFrame) -> DataFrame:
 # sequential, 8-bit, grayscale AND interleaved YCbCr color with
 # sampling factors 1..2 per axis (4:4:4, 4:2:0, 4:2:2), DRI restart
 # intervals (RST markers with byte realignment + predictor resets),
-# and grayscale SOF2 PROGRESSIVE frames — spectral selection (DC scan
-# + per-band AC scans with EOB-run coding) AND successive
-# approximation (point-transformed first scans + DC/AC refinement
-# scans with correction bits, r7e). Progressive color and factors >2
-# stay behind NotImplementedError.
+# and SOF2 PROGRESSIVE frames (grayscale or 4:4:4 color) — spectral
+# selection (interleaved DC scan + per-component AC band scans with
+# EOB-run coding) AND successive approximation (point-transformed
+# first scans + DC/AC refinement scans with correction bits, r7e).
+# Subsampled progressive frames and factors >2 stay behind
+# NotImplementedError.
 
 
 def _jpeg_zigzag() -> list[tuple[int, int]]:
@@ -1862,6 +1863,159 @@ def _jpeg_codec():
             coefs_y, coefs_c, width, height, 2, 2, restart_interval
         )
 
+    def _zzb(comp) -> list:
+        """One component's (nby, nbx, 8, 8) natural-order blocks as
+        nested zigzag lists for the progressive scan writers."""
+        nby, nbx = comp.shape[:2]
+        return [
+            [
+                [int(comp[by, bx][r][c]) for r, c in ZZ]
+                for bx in range(nbx)
+            ]
+            for by in range(nby)
+        ]
+
+    def _pt(v: int, lvl: int) -> int:
+        """AC point transform: sign-magnitude shift (T.81 G.1.2.2; DC
+        uses a plain arithmetic shift instead)."""
+        return (abs(v) >> lvl) * (1 if v >= 0 else -1)
+
+    def _prog_dc_first(comp_list, lvl: int) -> bytes:
+        """Interleaved DC first scan: per block position, each
+        component codes the diff of its arithmetic-shifted DC against
+        its own predictor with its own table."""
+        w = _BitWriter()
+        prev = [0] * len(comp_list)
+        nby, nbx = len(comp_list[0][0]), len(comp_list[0][0][0])
+        for by in range(nby):
+            for bx in range(nbx):
+                for si, (zzb, dc_tab) in enumerate(comp_list):
+                    cur = zzb[by][bx][0] >> lvl
+                    diff = cur - prev[si]
+                    prev[si] = cur
+                    size = abs(diff).bit_length()
+                    w.put(*dc_tab[size])
+                    if size:
+                        v = diff if diff >= 0 else diff + (1 << size) - 1
+                        w.put(v, size)
+        return w.flush()
+
+    def _prog_dc_refine(comp_list, lvl: int) -> bytes:
+        w = _BitWriter()
+        nby, nbx = len(comp_list[0][0]), len(comp_list[0][0][0])
+        for by in range(nby):
+            for bx in range(nbx):
+                for zzb, _dc_tab in comp_list:
+                    w.put((zzb[by][bx][0] >> lvl) & 1, 1)
+        return w.flush()
+
+    def _prog_ac_first(zzb, ac_tab, ss: int, se: int, lvl: int) -> bytes:
+        w = _BitWriter()
+        nby, nbx = len(zzb), len(zzb[0])
+
+        def flush_eob(run: int) -> None:
+            while run:
+                chunk = min(run, (1 << 15) - 1)
+                r = chunk.bit_length() - 1
+                w.put(*ac_tab[r << 4])
+                if r:
+                    w.put(chunk - (1 << r), r)
+                run -= chunk
+
+        eob_run = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [_pt(v, lvl) for v in zzb[by][bx][ss : se + 1]]
+                nz = [i for i, v in enumerate(band) if v]
+                if not nz:
+                    eob_run += 1
+                    continue
+                flush_eob(eob_run)
+                eob_run = 0
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        w.put(*ac_tab[0xF0])
+                        run -= 16
+                    size = abs(v).bit_length()
+                    w.put(*ac_tab[(run << 4) | size])
+                    vv = v if v >= 0 else v + (1 << size) - 1
+                    w.put(vv, size)
+                    run = 0
+                if nz[-1] < se - ss:  # trailing zeros -> EOB
+                    eob_run += 1
+        flush_eob(eob_run)
+        return w.flush()
+
+    def _prog_ac_refine(zzb, ac_tab, ss: int, se: int, lvl: int) -> bytes:
+        """T.81 G.1.2.3 / the jcphuff structure: per block, walk the
+        band; zero-history positions accumulate the run, already-
+        nonzero positions buffer a correction bit, newly-nonzero
+        (|v| >> lvl == 1) positions flush the pending EOB run, emit
+        (run, 1) + sign + the buffered bits. Blocks ending in zeros/
+        corrections join the EOB run, whose correction bits ride
+        behind the eventual EOBn."""
+        w = _BitWriter()
+        nby, nbx = len(zzb), len(zzb[0])
+        eob_run = 0
+        be_bits: list = []  # corrections owned by the EOB run
+
+        def flush_run() -> None:
+            nonlocal eob_run, be_bits
+            if eob_run:
+                r = eob_run.bit_length() - 1
+                w.put(*ac_tab[r << 4])
+                if r:
+                    w.put(eob_run - (1 << r), r)
+                eob_run = 0
+                for b in be_bits:
+                    w.put(b, 1)
+                be_bits = []
+
+        for by in range(nby):
+            for bx in range(nbx):
+                full = zzb[by][bx][ss : se + 1]
+                absv = [abs(v) >> lvl for v in full]
+                eob_k = -1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_k = i
+                run = 0
+                br: list = []  # this block's pending bits
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_k:
+                        flush_run()
+                        w.put(*ac_tab[0xF0])
+                        run -= 16
+                        for b in br:
+                            w.put(b, 1)
+                        br = []
+                    if t > 1:  # history: correction bit only
+                        br.append(t & 1)
+                        continue
+                    # newly nonzero at this level
+                    flush_run()
+                    w.put(*ac_tab[(run << 4) | 1])
+                    w.put(1 if full[i] >= 0 else 0, 1)
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eob_run += 1
+                    be_bits.extend(br)
+                    if eob_run == 0x7FFF:
+                        flush_run()
+        flush_run()
+        return w.flush()
+
     def encode_progressive(
         coefs,
         width: int,
@@ -1873,161 +2027,16 @@ def _jpeg_codec():
         scan (Ss=Se=0, differential predictors) followed by one AC scan
         per band, each band coded with EOB-run symbols (T.81 G.1.2.2)
         across blocks — and, with ``al > 0``, full SUCCESSIVE
-        APPROXIMATION (r7e): the first scans code the point-transformed
-        coefficients (DC arithmetic-shifted, AC sign-magnitude-shifted
-        by ``al``), then refinement scans walk al-1..0 — DC refinements
-        one bit per block, AC refinements per band with ±1<<lvl
-        insertions and buffered correction bits for every
-        already-nonzero coefficient, flushed after the next
-        ZRL/insertion/EOBn exactly as the decoder consumes them
-        (T.81 G.1.2.3 structure). Same quantized-coefficient contract
-        as the sequential encoder — any scan script of the same blocks
-        decodes to the same pixels."""
+        APPROXIMATION (r7e): point-transformed first scans, then DC/AC
+        refinement scans walking al-1..0 with ±1<<lvl insertions and
+        correction bits (T.81 G.1.2.3 structure). Same
+        quantized-coefficient contract as the sequential encoder — any
+        scan script of the same blocks decodes to the same pixels."""
         coefs = _np.asarray(coefs, dtype=_np.int32)
-        nby, nbx = coefs.shape[:2]
         dc_tab = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
         ac_tab = _canonical_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
-        zz_blocks = [
-            [
-                [int(coefs[by, bx][r][c]) for r, c in ZZ]
-                for bx in range(nbx)
-            ]
-            for by in range(nby)
-        ]
-
-        def _pt(v: int, lvl: int) -> int:
-            """AC point transform: sign-magnitude shift (T.81 G.1.2.2;
-            DC uses a plain arithmetic shift instead)."""
-            return (abs(v) >> lvl) * (1 if v >= 0 else -1)
-
-        def dc_scan(lvl: int) -> bytes:
-            w = _BitWriter()
-            prev = 0
-            for by in range(nby):
-                for bx in range(nbx):
-                    cur = zz_blocks[by][bx][0] >> lvl  # arithmetic shift
-                    diff = cur - prev
-                    prev = cur
-                    size = abs(diff).bit_length()
-                    w.put(*dc_tab[size])
-                    if size:
-                        v = diff if diff >= 0 else diff + (1 << size) - 1
-                        w.put(v, size)
-            return w.flush()
-
-        def dc_refine_scan(lvl: int) -> bytes:
-            w = _BitWriter()
-            for by in range(nby):
-                for bx in range(nbx):
-                    w.put((zz_blocks[by][bx][0] >> lvl) & 1, 1)
-            return w.flush()
-
-        def flush_eob(w, run: int) -> None:
-            while run:
-                chunk = min(run, (1 << 15) - 1)
-                r = chunk.bit_length() - 1
-                w.put(*ac_tab[r << 4])
-                if r:
-                    w.put(chunk - (1 << r), r)
-                run -= chunk
-
-        def ac_scan(ss: int, se: int, lvl: int) -> bytes:
-            w = _BitWriter()
-            eob_run = 0
-            for by in range(nby):
-                for bx in range(nbx):
-                    band = [
-                        _pt(v, lvl) for v in zz_blocks[by][bx][ss : se + 1]
-                    ]
-                    nz = [i for i, v in enumerate(band) if v]
-                    if not nz:
-                        eob_run += 1
-                        continue
-                    flush_eob(w, eob_run)
-                    eob_run = 0
-                    run = 0
-                    for i in range(nz[-1] + 1):
-                        v = band[i]
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            w.put(*ac_tab[0xF0])
-                            run -= 16
-                        size = abs(v).bit_length()
-                        w.put(*ac_tab[(run << 4) | size])
-                        vv = v if v >= 0 else v + (1 << size) - 1
-                        w.put(vv, size)
-                        run = 0
-                    if nz[-1] < se - ss:  # trailing zeros -> EOB
-                        eob_run += 1
-            flush_eob(w, eob_run)
-            return w.flush()
-
-        def ac_refine_scan(ss: int, se: int, lvl: int) -> bytes:
-            """T.81 G.1.2.3 / the jcphuff structure: per block, walk
-            the band; zero-history positions accumulate the run,
-            already-nonzero positions buffer a correction bit, newly-
-            nonzero (|v| >> lvl == 1) positions flush the pending EOB
-            run, emit (run, 1) + sign + the buffered bits. Blocks
-            ending in zeros/corrections join the EOB run, whose
-            correction bits ride behind the eventual EOBn."""
-            w = _BitWriter()
-            eob_run = 0
-            be_bits: list[int] = []  # corrections owned by the EOB run
-
-            def flush_run() -> None:
-                nonlocal eob_run, be_bits
-                if eob_run:
-                    r = eob_run.bit_length() - 1
-                    w.put(*ac_tab[r << 4])
-                    if r:
-                        w.put(eob_run - (1 << r), r)
-                    eob_run = 0
-                    for b in be_bits:
-                        w.put(b, 1)
-                    be_bits = []
-
-            for by in range(nby):
-                for bx in range(nbx):
-                    full = zz_blocks[by][bx][ss : se + 1]
-                    absv = [abs(v) >> lvl for v in full]
-                    eob_k = -1
-                    for i, t in enumerate(absv):
-                        if t == 1:
-                            eob_k = i
-                    run = 0
-                    br: list[int] = []  # this block's pending bits
-                    for i, t in enumerate(absv):
-                        if t == 0:
-                            run += 1
-                            continue
-                        while run > 15 and i <= eob_k:
-                            flush_run()
-                            w.put(*ac_tab[0xF0])
-                            run -= 16
-                            for b in br:
-                                w.put(b, 1)
-                            br = []
-                        if t > 1:  # history: correction bit only
-                            br.append(t & 1)
-                            continue
-                        # newly nonzero at this level
-                        flush_run()
-                        w.put(*ac_tab[(run << 4) | 1])
-                        w.put(1 if full[i] >= 0 else 0, 1)
-                        for b in br:
-                            w.put(b, 1)
-                        br = []
-                        run = 0
-                    if run > 0 or br:
-                        eob_run += 1
-                        be_bits.extend(br)
-                        if eob_run == 0x7FFF:
-                            flush_run()
-            flush_run()
-            return w.flush()
-
+        zzb = _zzb(coefs)
+        comp_list = [(zzb, dc_tab)]
         dqt = bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
         sof = _struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
         dht = (
@@ -2047,17 +2056,104 @@ def _jpeg_codec():
             + _marker(0xFFC2, sof)
             + _marker(0xFFC4, dht)
             + sos(0, 0, 0, al)
-            + dc_scan(al)
+            + _prog_dc_first(comp_list, al)
         )
         for lvl in range(al - 1, -1, -1):
-            out += sos(0, 0, lvl + 1, lvl) + dc_refine_scan(lvl)
+            out += sos(0, 0, lvl + 1, lvl) + _prog_dc_refine(comp_list, lvl)
         for ss, se in bands:
-            out += sos(ss, se, 0, al) + ac_scan(ss, se, al)
+            out += sos(ss, se, 0, al) + _prog_ac_first(
+                zzb, ac_tab, ss, se, al
+            )
         for lvl in range(al - 1, -1, -1):
             for ss, se in bands:
-                out += sos(ss, se, lvl + 1, lvl) + ac_refine_scan(
-                    ss, se, lvl
+                out += sos(ss, se, lvl + 1, lvl) + _prog_ac_refine(
+                    zzb, ac_tab, ss, se, lvl
                 )
+        return out + b"\xff\xd9"
+
+    def encode_progressive3(
+        coefs,
+        width: int,
+        height: int,
+        bands: tuple = ((1, 5), (6, 63)),
+        al: int = 0,
+    ) -> bytes:
+        """Progressive COLOR encoder (r7e, YCbCr 4:4:4): one
+        interleaved DC scan over all three components (per-component
+        predictors and tables, chroma DC uses the Annex-K histogram),
+        DC refinements in the same interleave, then per-COMPONENT AC
+        band scans and refinements (T.81 restricts progressive AC
+        scans to a single component) — Y under ta=0, chroma under
+        ta=1, both carrying the flat progressive AC spec read back
+        from this file's own DHT."""
+        coefs = _np.asarray(coefs, dtype=_np.int32)
+        assert coefs.shape[0] == 3
+        dc_luma = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+        dc_chroma = _canonical_codes(
+            JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS
+        )
+        ac_tab = _canonical_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+        zzbs = [_zzb(coefs[ci]) for ci in range(3)]
+        comp_list = [
+            (zzbs[0], dc_luma),
+            (zzbs[1], dc_chroma),
+            (zzbs[2], dc_chroma),
+        ]
+        dqt = (
+            bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
+            + bytes([1])
+            + bytes(JPEG_QUANT_CHROMA_ZZ[k] & 0xFF for k in range(64))
+        )
+        sof = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        dht = (
+            bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+            + bytes([0x01])
+            + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+            + bytes([0x10])
+            + bytes(JPEG_PROG_AC_BITS) + bytes(JPEG_PROG_AC_VALS)
+            + bytes([0x11])
+            + bytes(JPEG_PROG_AC_BITS) + bytes(JPEG_PROG_AC_VALS)
+        )
+
+        def sos_dc(ah: int, a_low: int) -> bytes:
+            return _marker(
+                0xFFDA,
+                bytes(
+                    [3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (ah << 4) | a_low]
+                ),
+            )
+
+        def sos_ac(cid: int, ta: int, ss: int, se: int, ah: int, a_low: int) -> bytes:
+            return _marker(
+                0xFFDA,
+                bytes([1, cid, ta, ss, se, (ah << 4) | a_low]),
+            )
+
+        out = (
+            b"\xff\xd8"
+            + _marker(0xFFDB, dqt)
+            + _marker(0xFFC2, sof)
+            + _marker(0xFFC4, dht)
+            + sos_dc(0, al)
+            + _prog_dc_first(comp_list, al)
+        )
+        for lvl in range(al - 1, -1, -1):
+            out += sos_dc(lvl + 1, lvl) + _prog_dc_refine(comp_list, lvl)
+        for ci in range(3):
+            ta = 0 if ci == 0 else 1
+            for ss, se in bands:
+                out += sos_ac(ci + 1, ta, ss, se, 0, al) + _prog_ac_first(
+                    zzbs[ci], ac_tab, ss, se, al
+                )
+        for lvl in range(al - 1, -1, -1):
+            for ci in range(3):
+                ta = 0 if ci == 0 else 1
+                for ss, se in bands:
+                    out += sos_ac(
+                        ci + 1, ta, ss, se, lvl + 1, lvl
+                    ) + _prog_ac_refine(zzbs[ci], ac_tab, ss, se, lvl)
         return out + b"\xff\xd9"
 
     class _BitReader:
@@ -2168,11 +2264,17 @@ def _jpeg_codec():
             elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
                 progressive = tag == 0xC2
                 depth, h, w, ncomp = _struct.unpack(">BHHB", seg[:6])
-                if progressive and ncomp != 1:
-                    raise NotImplementedError(
-                        "progressive color (grayscale spectral selection"
-                        " only)"
-                    )
+                if progressive and ncomp == 3:
+                    # r7e: progressive color supported at 4:4:4 (all
+                    # 1x1 sampling — interleaved-DC and per-component
+                    # AC grids coincide there; subsampled progressive
+                    # frames have distinct dummy-block geometries and
+                    # stay honestly out)
+                    for ci in range(3):
+                        if seg[7 + 3 * ci] != 0x11:
+                            raise NotImplementedError(
+                                "progressive with chroma subsampling"
+                            )
                 if depth != 8 or ncomp not in (1, 3):
                     raise NotImplementedError(
                         f"jpeg decode supports 8-bit 1- or 3-component; "
@@ -2202,60 +2304,80 @@ def _jpeg_codec():
                 ns = seg[0]
                 if progressive:
                     # Progressive (r7d/r7e): spectral selection AND
-                    # successive approximation over the single
-                    # grayscale component. Scan kinds (T.81 G.1.2):
-                    # DC first (Ss=Se=0, Ah=0, point transform Al),
-                    # DC refinement (Ah>0, one bit per block),
-                    # AC-band first (Ah=0, sign-magnitude >> Al with
-                    # EOB-run coding), AC-band refinement (Ah=Al+1:
-                    # ±1<<Al insertions plus inline correction bits on
-                    # every nonzero-history coefficient passed,
-                    # including through EOB-run skips).
-                    if ns != 1:
-                        raise NotImplementedError(
-                            "interleaved progressive scan"
-                        )
+                    # successive approximation, 1 or 3 components
+                    # (4:4:4). Scan kinds (T.81 G.1.2):
+                    # DC first (Ss=Se=0, Ah=0, point transform Al —
+                    # may interleave all components, per-component
+                    # predictors/tables), DC refinement (Ah>0, one bit
+                    # per block in the same order), AC-band first
+                    # (single component, Ah=0, sign-magnitude >> Al
+                    # with EOB-run coding), AC-band refinement
+                    # (Ah=Al+1: ±1<<Al insertions plus inline
+                    # correction bits on every nonzero-history
+                    # coefficient passed, including through EOB-run
+                    # skips).
                     if ri:
                         raise NotImplementedError(
                             "DRI inside a progressive frame"
                         )
-                    cs, tt = seg[1], seg[2]
-                    ss_, se_, ahal = seg[3], seg[4], seg[5]
+                    ss_, se_, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                     ah, al = ahal >> 4, ahal & 0xF
                     if (ss_ == 0) != (se_ == 0):
                         raise ValueError(
                             "progressive DC scan must have Ss=Se=0"
                         )
+                    if ss_ != 0 and ns != 1:
+                        raise ValueError(
+                            "progressive AC scans are single-component"
+                        )
                     if not 0 <= ss_ <= se_ <= 63:
                         raise ValueError("bad spectral band")
                     if ah and ah != al + 1:
                         raise ValueError("refinement needs Ah = Al + 1")
+                    cids = [cid for cid, _hi, _vi, _tq in comps]
+                    scan_ci, scan_tt = [], []
+                    for si in range(ns):
+                        cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                        if cs not in cids:
+                            raise ValueError("SOS names unknown component")
+                        scan_ci.append(cids.index(cs))
+                        scan_tt.append(tt)
                     nbx, nby = (w_px + 7) // 8, (h_px + 7) // 8
                     if prog_blocks is None:
-                        prog_blocks = _np.zeros(
-                            (nby, nbx, 64), dtype=_np.int32
-                        )
+                        prog_blocks = [
+                            _np.zeros((nby, nbx, 64), dtype=_np.int32)
+                            for _ in comps
+                        ]
                     reader = _BitReader(payload, pos + 2 + seglen)
                     if ss_ == 0 and ah == 0:  # DC first, predictors
-                        dc_t = huff[(0, tt >> 4)]
-                        prev = 0
+                        dc_ts = [huff[(0, tt >> 4)] for tt in scan_tt]
+                        prev = [0] * ns
                         for by in range(nby):
                             for bx in range(nbx):
-                                size = _decode_huff(reader, dc_t)
-                                diff = (
-                                    _extend(reader.bits(size), size)
-                                    if size
-                                    else 0
-                                )
-                                prev += diff
-                                prog_blocks[by, bx, 0] = prev << al
+                                for si in range(ns):
+                                    size = _decode_huff(
+                                        reader, dc_ts[si]
+                                    )
+                                    diff = (
+                                        _extend(reader.bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    prev[si] += diff
+                                    prog_blocks[scan_ci[si]][
+                                        by, bx, 0
+                                    ] = prev[si] << al
                     elif ss_ == 0:  # DC refinement: one bit per block
                         for by in range(nby):
                             for bx in range(nbx):
-                                if reader.bit():
-                                    prog_blocks[by, bx, 0] |= 1 << al
+                                for si in range(ns):
+                                    if reader.bit():
+                                        prog_blocks[scan_ci[si]][
+                                            by, bx, 0
+                                        ] |= 1 << al
                     elif ah == 0:  # AC first (G.1.2.2, EOB-run coded)
-                        ac_t = huff[(1, tt & 0xF)]
+                        ac_t = huff[(1, scan_tt[0] & 0xF)]
+                        blocks_c = prog_blocks[scan_ci[0]]
                         eobrun = 0
                         for by in range(nby):
                             for bx in range(nbx):
@@ -2279,13 +2401,14 @@ def _jpeg_codec():
                                         raise ValueError(
                                             "AC run past band end"
                                         )
-                                    prog_blocks[by, bx, k] = (
+                                    blocks_c[by, bx, k] = (
                                         _extend(reader.bits(size), size)
                                         << al
                                     )
                                     k += 1
                     else:  # AC refinement (G.1.2.3 shape)
-                        ac_t = huff[(1, tt & 0xF)]
+                        ac_t = huff[(1, scan_tt[0] & 0xF)]
+                        blocks_c = prog_blocks[scan_ci[0]]
                         p1, m1 = 1 << al, -1 << al
 
                         def _correct(blk, k: int) -> None:
@@ -2299,7 +2422,7 @@ def _jpeg_codec():
                         eobrun = 0
                         for by in range(nby):
                             for bx in range(nbx):
-                                blk = prog_blocks[by, bx]
+                                blk = blocks_c[by, bx]
                                 k = ss_
                                 if eobrun:
                                     # EOB-run block: only correction
@@ -2441,9 +2564,9 @@ def _jpeg_codec():
             return (
                 w_px,
                 h_px,
-                [quant[comps[0][3]]],
-                [prog_blocks],
-                [(1, 1)],
+                [quant[tq] for _cid, _hi, _vi, tq in comps],
+                prog_blocks,
+                [(1, 1)] * len(comps),
             )
         raise ValueError("JPEG missing SOS")
 
@@ -2526,6 +2649,7 @@ def _jpeg_codec():
         encode420,
         encode_progressive,
         encode_sampled,
+        encode_progressive3,
     )
 
 
@@ -2540,6 +2664,7 @@ def _jpeg_codec():
     jpeg_encode_420_coefs,
     jpeg_encode_progressive_coefs,
     jpeg_encode_sampled_coefs,
+    jpeg_encode_progressive3_coefs,
 ) = _jpeg_codec()
 
 # Oracle constants: dequantized contribution of each test frequency is
@@ -3121,7 +3246,7 @@ def _make_progressive_pixels_batches():
     multi-scan parser — coefficient accumulation across scans, band
     bookkeeping, EOB-run skips — then the same IDCT path as the
     sequential member."""
-    _e, _p, decode, _e3, _pa, _d3, _e420, encode_prog, _es = _jpeg_codec()
+    _e, _p, decode, _e3, _pa, _d3, _e420, encode_prog, *_r = _jpeg_codec()
     test_coefs = _make_jpeg_test_coefs()
 
     def prog_batches(
@@ -3192,8 +3317,8 @@ def multimodal_progressive_pixels(
 
     Reference parity: with this, every baseline AND progressive
     (spectral selection + successive approximation) grayscale JPEG the
-    warehouse carries decodes; the remaining honest gaps are
-    progressive color and sampling factors > 2."""
+    warehouse carries decodes; :func:`multimodal_progressive_color`
+    extends it to color frames."""
     docs = load_table(spark, "documents", sf_dir)
     image_docs = docs.where(F.expr("doc_id % 3 = 1")).select(
         "doc_id",
@@ -3245,4 +3370,163 @@ SELECT doc_id,
        CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(sum(p * weight) AS BIGINT) AS px_checksum
 FROM v GROUP BY doc_id
+"""
+
+
+# ------------------------ progressive color-JPEG pixel decode (r7e)
+
+
+def _make_progressive_color_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL progressive
+    COLOR JPEG per image doc (interleaved DC scan over Y/Cb/Cr with
+    per-component predictors and tables, per-component AC band scans,
+    successive approximation for half the corpus) and decode through
+    the genuine multi-scan multi-component parser + BT.601 path."""
+    _e, _p, _d, _e3, _pa, decode3, _e420, _ep, _es, encode_prog3 = (
+        _jpeg_codec()
+    )
+    color_coefs = _make_jpeg_color_coefs()
+
+    def prog_color_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + (doc_id * 11) % 17, 8 + (doc_id * 7 + nb) % 17
+                nbx, nby = (w + 7) // 8, (h + 7) // 8
+                split = 1 + doc_id % 20
+                rgb = decode3(
+                    encode_prog3(
+                        color_coefs(doc_id, nby, nbx),
+                        w,
+                        h,
+                        bands=((1, split), (split + 1, 63)),
+                        al=doc_id % 2,
+                    )
+                ).astype(_np.int64)
+                assert rgb.shape == (h, w, 3)
+                y, x = _np.mgrid[0:h, 0:w]
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(r.sum()),
+                        "g_sum": int(g.sum()),
+                        "b_sum": int(b.sum()),
+                        "rgb_checksum": int(
+                            (r * w1 + g * w2 + b * w3).sum()
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return prog_color_batches
+
+
+def multimodal_progressive_color(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered progressive COLOR JPEG decode query
+    (multimodal_digest member, r7e): per image doc, a real SOF2 YCbCr
+    4:4:4 progressive JPEG — ONE interleaved DC scan over all three
+    components (per-component predictors; chroma DC under the Annex-K
+    histogram), then per-COMPONENT AC band scans (T.81 restricts
+    progressive AC scans to one component), with half the corpus
+    additionally running the full successive-approximation ladder —
+    decodes through the genuine multi-scan multi-component parser and
+    the fixed-point BT.601 conversion. Same per-channel closed forms
+    as the sequential color member at a different frame geometry, so
+    DuckDB replays every channel of every pixel; band split and
+    approximation depth vary per doc. One mapInPandas stage, spread
+    across cores.
+
+    Reference parity: closes the last progressive gap — every
+    baseline OR progressive JPEG at 4:4:4/4:2:0/4:2:2 (progressive:
+    4:4:4) now decodes; remaining honest gaps are subsampled
+    progressive frames and sampling factors > 2."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return _spread(image_docs).mapInPandas(
+        _make_progressive_color_batches(), schema=COLOR_PIXELS_SCHEMA
+    )
+
+
+ORACLES["multimodal_progressive_color"] = f"""
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + (doc_id * 11) % 17 AS BIGINT) AS w,
+           CAST(8 + (doc_id * 7 + strlen(text)) % 17 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img
+),
+px AS (
+    SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+g AS (
+    SELECT doc_id, w, h, x, y, x // 8 AS bx, y // 8 AS by,
+           CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+           CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy
+    FROM px
+),
+planes AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0,
+               128 + {JQ_DC} * ((doc_id * 5 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQ_V4} * sy * ((doc_id + bx * 11 + by * 5) % 9 - 4)
+                   + {JQ_U4} * sx * ((doc_id * 3 + bx + by * 2) % 9 - 4)
+                   + {JQ_UV4} * sx * sy * ((doc_id + bx + by * 13) % 7 - 3)
+           )) AS yy,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 17 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQC_V4} * sy * ((doc_id + 7 + bx * 11 + by * 5) % 9 - 4)
+                   + {JQC_U4} * sx * ((doc_id * 3 + 5 + bx + by * 2) % 9 - 4)
+                   + {JQC_UV4} * sx * sy * ((doc_id + 3 + bx + by * 13) % 7 - 3)
+           )) - 128 AS cb,
+           LEAST(255, GREATEST(0,
+               128 + {JQC_DC} * ((doc_id * 5 + 34 + bx * 3 + by * 7) % 41 - 20)
+                   + {JQC_V4} * sy * ((doc_id + 14 + bx * 11 + by * 5) % 9 - 4)
+                   + {JQC_U4} * sx * ((doc_id * 3 + 10 + bx + by * 2) % 9 - 4)
+                   + {JQC_UV4} * sx * sy * ((doc_id + 6 + bx + by * 13) % 7 - 3)
+           )) - 128 AS cr
+    FROM g
+),
+rgb AS (
+    SELECT doc_id, w, h, x, y,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_RCR} * cr + 32768) / 65536.0) AS BIGINT))) AS r,
+           LEAST(255, GREATEST(0, yy - CAST(floor(
+               ({JPEG_FIX_GCB} * cb + {JPEG_FIX_GCR} * cr + 32768)
+               / 65536.0) AS BIGINT))) AS gg,
+           LEAST(255, GREATEST(0, yy + CAST(floor(
+               ({JPEG_FIX_BCB} * cb + 32768) / 65536.0) AS BIGINT))) AS b
+    FROM planes
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(gg) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(sum(r * (1 + (x * 127 + y * 149) % 241)
+              + gg * (1 + (x * 131 + y * 137) % 239)
+              + b * (1 + (x * 113 + y * 151) % 251)) AS BIGINT)
+           AS rgb_checksum
+FROM rgb GROUP BY doc_id
 """

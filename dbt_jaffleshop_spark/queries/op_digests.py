@@ -31,7 +31,10 @@ recording budget while every operator remains value-verified:
   multimodal_jpeg420_pixels (r7b — the real 4:2:0 chroma-subsampled
   decode with replication upsampling) / multimodal_progressive_pixels
   (r7d — the real SOF2 spectral-selection progressive decode with
-  EOB-run coding) (llm/multimodal.py).
+  EOB-run coding; half the corpus on the successive-approximation
+  ladder, r7e) / multimodal_progressive_color (r7e — the real
+  progressive COLOR decode: interleaved DC scan + per-component AC
+  scans) (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py) /
@@ -531,6 +534,21 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("px_max", "bigint"),
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
+        ]),
+        # r7e: REAL progressive COLOR decode — one interleaved DC scan
+        # over Y/Cb/Cr (per-component predictors/tables), per-component
+        # AC band scans, half the corpus on the full successive-
+        # approximation ladder; same closed forms as the sequential
+        # color member at a different geometry (llm/multimodal.py)
+        "multimodal_progressive_color": _m(llm_multimodal, "multimodal_progressive_color", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("rgb_checksum", "bigint"),
         ]),
         # r6: the full decode→resize pipeline — real PNG decode feeding
         # an integer nearest-neighbor thumbnail; the oracle maps each

@@ -827,11 +827,21 @@ def test_jpeg_progressive_honest_subset():
     bad[i + 9] = 0x20  # SOS payload [len2][ns, cs, tt, Ss, Se, AhAl]
     with pytest.raises(ValueError, match="Ah = Al"):
         mm.jpeg_parse_any(bytes(bad))
-    # color progressive frames stay rejected
+    # a SUBSAMPLED frame flipped to progressive stays rejected (the
+    # interleaved-DC and per-component AC grids differ there)
+    luma, chroma = mm._jpeg_420_coefs(3, 1, 1)
+    prog420 = mm.jpeg_encode_420_coefs(luma, chroma, 16, 16).replace(
+        b"\xff\xc0", b"\xff\xc2"
+    )
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        mm.jpeg_parse_any(prog420)
+    # a baseline 4:4:4 color file flipped to SOF2 fails on its illegal
+    # interleaved full-band scan, not the frame type (color progressive
+    # decodes for real since r7e)
     prog3 = mm.jpeg_encode_color_coefs(
         np.zeros((3, 1, 1, 8, 8), np.int32), 8, 8
     ).replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="progressive color"):
+    with pytest.raises(ValueError, match="Ss=Se=0"):
         mm.jpeg_parse_any(prog3)
 
 
@@ -1077,3 +1087,46 @@ def test_jpeg_sa_refinement_edge_cases():
     c[3, 4][zz_pos[10]] = 3   # 19 all-zero blocks first -> long EOB run
     c[3, 4][zz_pos[11]] = -1
     assert rt(c, 40, 32, ((1, 63),), 2)
+
+
+# --------------------- progressive color (r7e)
+
+
+def test_jpeg_progressive_color_roundtrip():
+    """Interleaved DC + per-component AC scans (with and without the
+    successive-approximation ladder) must be coefficient-lossless per
+    component and pixel-identical to the sequential color stream."""
+    rng = np.random.default_rng(55)
+    for trial in range(6):
+        nby, nbx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        coefs = rng.integers(-60, 61, size=(3, nby, nbx, 8, 8)).astype(
+            np.int32
+        )
+        w = int(nbx * 8 - rng.integers(0, 8))
+        h = int(nby * 8 - rng.integers(0, 8))
+        al = int(rng.choice([0, 1, 2]))
+        bands = [((1, 5), (6, 63)), ((1, 63),)][trial % 2]
+        seq = mm.jpeg_decode_color(mm.jpeg_encode_color_coefs(coefs, w, h))
+        prog = mm.jpeg_encode_progressive3_coefs(
+            coefs, w, h, bands=bands, al=al
+        )
+        assert np.array_equal(mm.jpeg_decode_color(prog), seq), (trial, al)
+        _w, _h, quants, blocks, samplings = mm.jpeg_parse_any(prog)
+        assert samplings == [(1, 1)] * 3
+        assert quants[0] == mm.JPEG_QUANT_ZZ
+        assert quants[1] == mm.JPEG_QUANT_CHROMA_ZZ
+        nat = np.zeros_like(coefs)
+        for ci in range(3):
+            for k, (r, c) in enumerate(ZZ):
+                nat[ci, :, :, r, c] = blocks[ci][:, :, k]
+        assert np.array_equal(nat, coefs), (trial, al)
+
+
+def test_progressive_color_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    assert_parity(
+        mm.multimodal_progressive_color(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_progressive_color"],
+    )
