@@ -550,6 +550,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("b_sum", "bigint"),
             ("rgb_checksum", "bigint"),
         ]),
+        # r7e: REAL truecolor-PNG pixel decode — three interleaved
+        # channels per scanline through the bytewise unfilterer (bpp=3
+        # stride: a stride bug mixes channels and breaks per-channel
+        # sums instantly), all five filters (llm/multimodal.py)
+        "multimodal_png_color": _m(llm_multimodal, "multimodal_png_color", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("rgb_checksum", "bigint"),
+        ]),
         # r6: the full decode→resize pipeline — real PNG decode feeding
         # an integer nearest-neighbor thumbnail; the oracle maps each
         # thumbnail position back through the same source mapping

@@ -1130,3 +1130,40 @@ def test_progressive_color_matches_oracle(spark, oracle, sf_dir):
         oracle,
         mm.ORACLES["multimodal_progressive_color"],
     )
+
+
+# --------------------- truecolor PNG (r7e)
+
+
+def test_png_color_roundtrip_and_stride():
+    """Random RGB pixels survive all five filters; gray behavior is
+    unchanged; the decoder refuses what it does not support."""
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, size=(11, 17, 3)).astype(np.uint8)
+    out = mm.png_decode_gray(mm.png_encode_gray(rgb))
+    assert out.shape == (11, 17, 3) and np.array_equal(out, rgb)
+    gray = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
+    assert np.array_equal(mm.png_decode_gray(mm.png_encode_gray(gray)), gray)
+    # a palette (color type 3) header is still refused honestly
+    payload = bytearray(mm.png_encode_gray(gray))
+    ihdr_at = payload.find(b"IHDR")
+    payload[ihdr_at + 4 + 9] = 3  # color type byte inside IHDR data
+    import struct as _struct
+    import zlib as _zlib
+
+    data = bytes(payload[ihdr_at + 4 : ihdr_at + 4 + 13])
+    payload[ihdr_at + 17 : ihdr_at + 21] = _struct.pack(
+        ">I", _zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="grayscale or"):
+        mm.png_decode_gray(bytes(payload))
+
+
+def test_png_color_matches_oracle(spark, oracle, sf_dir):
+    from tests.conftest import assert_parity
+
+    assert_parity(
+        mm.multimodal_png_color(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_png_color"],
+    )
