@@ -431,7 +431,12 @@ def _anomaly_flags(daily: DataFrame) -> DataFrame:
     planted near-bound counts. An unpartitioned window-max over the
     tiny densified relation picks the power-of-1000 pre-scale (scale
     stays 1 inside ANOMALY_SAFE_MAX); the test runs on the scaled
-    counts, the emitted n_events/win_sum stay raw."""
+    counts, the emitted n_events/win_sum stay raw. Tiers run to 1e12
+    (ADVICE r7): mx div tier <= ANOMALY_SAFE_MAX for every
+    representable int64 count, so the z-test terms provably fit int64.
+    The RAW win_sum output still requires the window's 7-day sum to fit
+    int64 (counts <= ~1.3e18/day) — beyond that the unscaled sum the
+    operator emits is itself unrepresentable."""
     n = ANOMALY_WINDOW_DAYS
     s = ANOMALY_SAFE_MAX
     # the global max comes from an unpartitioned window over the SAME
@@ -450,7 +455,8 @@ def _anomaly_flags(daily: DataFrame) -> DataFrame:
             f"n_events div (CASE WHEN mx <= {s}L THEN 1L"
             f" WHEN mx <= {s * 1000}L THEN 1000L"
             f" WHEN mx <= {s * 1000_000}L THEN 1000000L"
-            " ELSE 1000000000L END)"
+            f" WHEN mx <= {s * 1000_000_000}L THEN 1000000000L"
+            " ELSE 1000000000000L END)"
         ),
     )
     w = (
@@ -702,7 +708,8 @@ scaled AS (
                WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX} THEN 1
                WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX * 1000} THEN 1000
                WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX * 1000_000} THEN 1000000
-               ELSE 1000000000 END) AS c_s
+               WHEN max(n_events) OVER () <= {ANOMALY_SAFE_MAX * 1000_000_000} THEN 1000000000
+               ELSE 1000000000000 END) AS c_s
     FROM daily
 ),
 win AS (

@@ -747,7 +747,8 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_codec():
     """Build the REAL dependency-free PNG codec pair (encode, decode)
-    for 8-bit non-interlaced GRAYSCALE — zlib (stdlib) handles the
+    for 8-bit non-interlaced grayscale AND truecolor (color types 0
+    and 2; extended from gray-only in r7) — zlib (stdlib) handles the
     DEFLATE layer, so PNG pixels need no external codec library at all;
     this closes the pixel half of the compressed-codec seam for the one
     format where that is possible dependency-free (JPEG/MP3/H.264 still
@@ -905,8 +906,12 @@ def _png_codec():
     return encode, decode
 
 
-# module-level pair for driver-side use and the pytest vectors
-png_encode_gray, png_decode_gray = _png_codec()
+# module-level pair for driver-side use and the pytest vectors.
+# r7 extended the codec to truecolor (color type 2), so the canonical
+# names drop the `_gray` suffix; the old names remain as aliases for
+# any external callers pinned to the r6 surface.
+png_encode, png_decode = _png_codec()
+png_encode_gray, png_decode_gray = png_encode, png_decode
 
 PIXELS_SCHEMA = StructType(
     [

@@ -247,11 +247,17 @@ class AcidTable:
     ) -> int:
         """The ONE commit-retry protocol every writer goes through.
 
-        ``recompute() -> (all_files, expected_parent)`` re-reads the
-        CURRENT manifest, re-validates compatibility (layout, schema —
-        a concurrent overwrite may have changed either since this
-        writer's pre-stage checks), and merges the staged files against
-        it; raising ValueError from recompute aborts the commit. On a
+        ``recompute() -> (all_files, expected_parent)`` — or
+        ``(all_files, expected_parent, meta)`` when the attempt derives
+        manifest metadata from the parent it merged against (append's
+        stats carry-forward): the per-attempt meta replaces the outer
+        ``meta`` for THAT commit attempt only, so a retry never commits
+        a previous attempt's stale merge (r7 advisor fix) —
+        re-reads the CURRENT manifest, re-validates compatibility
+        (layout, schema — a concurrent overwrite may have changed
+        either since this writer's pre-stage checks), and merges the
+        staged files against it; raising ValueError from recompute
+        aborts the commit. On a
         lost race the loop backs off and re-runs recompute against the
         winner's manifest. On ANY terminal failure (retries exhausted,
         incompatible concurrent change, or an unexpected error) the
@@ -263,9 +269,14 @@ class AcidTable:
             try:
                 for attempt in range(max_retries + 1):
                     try:
-                        all_files, parent = recompute()
+                        out = recompute()
+                        all_files, parent = out[0], out[1]
+                        attempt_meta = out[2] if len(out) > 2 else meta
                         return self._commit(
-                            all_files, partition_by, meta, expected_parent=parent
+                            all_files,
+                            partition_by,
+                            attempt_meta,
+                            expected_parent=parent,
                         )
                     except (CommitConflictError, FileNotFoundError):
                         if attempt == max_retries:
@@ -351,9 +362,9 @@ class AcidTable:
         my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
 
-        def recompute() -> tuple[list[str], int]:
+        def recompute() -> tuple[list[str], int, dict]:
             if not self.exists():
-                return sorted(files), 0
+                return sorted(files), 0, meta
             prev = self.manifest()
             if prev["partition_by"] != partition_by:
                 # a concurrent creator/overwrite raced us with a
@@ -371,12 +382,18 @@ class AcidTable:
             # carry forward per-file column stats (layout.py) for files
             # this append keeps: an append must not disable file skipping
             # for the still-live z-ordered files (Delta keeps stats per
-            # AddFile, so they survive appends there too)
+            # AddFile, so they survive appends there too). Merged into a
+            # PER-ATTEMPT copy — mutating the captured meta would let a
+            # lost-race retry commit the losing attempt's live set, with
+            # stale entries for files the winner dropped (r7 advisor fix)
+            attempt_meta = meta
             prev_stats = prev.get("meta", {}).get("stats", {})
             if prev_stats:
                 live = {f: s for f, s in prev_stats.items() if f in set(prev["files"])}
-                meta["stats"] = {**live, **meta.get("stats", {})}
-            return sorted(prev["files"] + files), prev["version"]
+                attempt_meta = {
+                    **meta, "stats": {**live, **meta.get("stats", {})}
+                }
+            return sorted(prev["files"] + files), prev["version"], attempt_meta
 
         return self._commit_with_retry(
             stage, files, partition_by, meta, recompute, max_retries

@@ -108,7 +108,12 @@ _register(ModelSpec(
     ["stg_order_items", "stg_orders", "stg_products", "stg_supplies"],
     materialization="table",
     tests=_YAML_TESTS["order_items"],
-    partition_by=[],
+    # SURVEY §7.4 (r8): month-partition the line-item fact like its
+    # parent `orders` — the largest mart by rows; incremental catch-up
+    # then commits O(changed months), and month-bounded consumers prune.
+    partition_by=["order_month"],
+    partition_expr={"order_month": "cast(date_trunc('month', ordered_at) as date)"},
+    watermark_col="ordered_at",
 ))
 _register(ModelSpec(
     # stg_customers is a declared dep because fk_orders_customers reads it:
@@ -192,6 +197,7 @@ def build(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFram
 # have, without a JVM extension).
 _PARTITION_SOURCE: dict[str, dict[str, str]] = {
     "orders": {"order_month": "ordered_at"},
+    "order_items": {"order_month": "ordered_at"},
 }
 
 

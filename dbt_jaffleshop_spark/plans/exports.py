@@ -55,7 +55,11 @@ EXPORTS: dict[str, ExportSpec] = {
         ExportSpec("customer_segmentation_metrics", "sq_customer_segmentation",
                    "customer_segmentation",
                    "models/marts/customer_segmentation.yml:127-130"),
-        ExportSpec("time_analytics_metrics", "sq_time_analytics_quarterly",
+        # MONTH grain — the reference saved query's declared grain
+        # (time_analytics.yml:118, TimeDimension('metric_time','month'));
+        # the quarter-grain variant stays a standalone query, not this
+        # export's source (ADVICE r7, medium).
+        ExportSpec("time_analytics_metrics", "sq_time_analytics_monthly",
                    "time_analytics", "models/marts/time_analytics.yml:119-122"),
     ]
 }

@@ -192,7 +192,6 @@ def optimize_zorder(
     df = table.read(spark, v0)
     dtypes = dict(df.dtypes)
     longs = [_to_long(F.col(c), dtypes[c]) for c in zorder_by]
-    bits = bits or min(31, 63 // len(zorder_by))
 
     # ONE driver-collected row of global per-column min/max feeds the
     # normalization as literals — the only non-file-local input.
@@ -200,13 +199,21 @@ def optimize_zorder(
         *[f(c).alias(f"{n}_{i}") for i, c in enumerate(longs) for n, f in
           (("lo", F.min), ("hi", F.max))]
     ).first()
-    if bounds["lo_0"] is None:
-        # empty table: nothing to cluster, and _normalize would crash on
-        # None bounds — a maintenance no-op, current version stands
+    # a column's min is None iff the table is empty OR that column is
+    # all-NULL — either way it contributes no clustering signal and
+    # _normalize would crash on (hi - lo). Skip such columns; with NONE
+    # left (empty table, or every requested column all-NULL) the rewrite
+    # is a maintenance no-op and the current version stands (r7 advisor
+    # fix: the old guard only checked lo_0, so an all-NULL SECOND column
+    # crashed a real table and an all-NULL FIRST column no-op'ed one).
+    present = [i for i in range(len(longs)) if bounds[f"lo_{i}"] is not None]
+    if not present:
         return v0
+    effective = [zorder_by[i] for i in present]
+    bits = bits or min(31, 63 // len(present))
     norm = [
-        _normalize(c, bounds[f"lo_{i}"], bounds[f"hi_{i}"], bits)
-        for i, c in enumerate(longs)
+        _normalize(longs[i], bounds[f"lo_{i}"], bounds[f"hi_{i}"], bits)
+        for i in present
     ]
     clustered = (
         df.withColumn("__zv", zorder_value(norm, bits))
@@ -225,7 +232,14 @@ def optimize_zorder(
     meta = {
         **m0.get("meta", {}),
         "schema": table._schema_map(df),
-        "layout": {"zorder": zorder_by, "bits": bits},
+        # record the EFFECTIVE clustering (all-NULL columns contributed
+        # nothing and were skipped), plus the requested list when they
+        # differ, so readers of the manifest see the true layout
+        "layout": (
+            {"zorder": effective, "bits": bits}
+            if effective == zorder_by
+            else {"zorder": effective, "bits": bits, "requested": zorder_by}
+        ),
         "stats": stats,
     }
 

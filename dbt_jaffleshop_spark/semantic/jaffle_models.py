@@ -469,10 +469,23 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         ],
         group_by=["customer_id"],
     ),
-    # time_analytics.yml:109-122 — time_analytics_metrics, served at
-    # QUARTER grain since r7 (the mart's own seasonal analysis,
-    # time_analytics.sql:69-71, is quarterly; metric_time__month stays
-    # driver-verified through sq_order_metrics_monthly)
+    # time_analytics.yml:109-122 — the reference saved query proper:
+    # TimeDimension('metric_time', 'month') (yml:118). This MONTH-grain
+    # query backs the time_analytics_metrics export (plans/exports.py)
+    # so export consumers get exactly the rows the reference framework
+    # produces.
+    "sq_time_analytics_monthly": MetricQuery(
+        TIME_ANALYTICS_MODEL,
+        metrics=[
+            "total_daily_orders", "total_daily_revenue_cents",
+            "total_daily_profit_cents", "avg_daily_customers",
+        ],
+        group_by=["metric_time__month"],
+    ),
+    # ADDITIONAL quarter-grain variant (kept as the registered driver
+    # query — it exercises the metric_time quarter grain, M7; the
+    # mart's own seasonal analysis, time_analytics.sql:69-71, is
+    # quarterly). Not the export's source — see sq_time_analytics_monthly.
     "sq_time_analytics_quarterly": MetricQuery(
         TIME_ANALYTICS_MODEL,
         metrics=[

@@ -93,6 +93,43 @@ def test_append_partition_by_mismatch_raises(spark, tmp_path):
     assert table.read(spark).count() == 30
 
 
+def test_append_retry_stats_track_winner_not_first_attempt(spark, tmp_path):
+    """A lost-race append retry must rebuild its stats carry-forward
+    against the WINNER's manifest (r7 advisor fix: recompute used to
+    mutate the captured meta dict, so the FIRST attempt's merge — keyed
+    to the pre-race manifest's files — won over the retry's fresh live
+    set and stale entries for dropped files got committed)."""
+    path = str(tmp_path / "tbl")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 10))  # v1
+    f1 = table.manifest()["files"]
+    # plant per-file stats keyed to v1's (live) files, layout.py's shape
+    table.append(
+        _df(spark, 10, 15), meta={"stats": {f: {"id": [0, 9]} for f in f1}}
+    )  # v2: stats present and keyed to still-live files
+
+    other = AcidTable(path)
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # the racer OVERWRITES: v1/v2's files (and their stats) die
+            other.overwrite(_df(spark, 100, 120))
+        return orig_commit(files, partition_by, meta, expected_parent)
+
+    table._commit = racing_commit  # type: ignore[method-assign]
+    table.append(_df(spark, 20, 25))  # loses the race once, retries
+
+    assert raced["done"]
+    final = table.manifest()
+    # the winner's table has no stats; the retried append adds none —
+    # NO stale v2-era entries (keyed to dead files) may survive
+    assert final.get("meta", {}).get("stats", {}) == {}
+    assert table.read(spark).count() == 20 + 5
+
+
 def test_append_schema_drift_raises(spark, tmp_path):
     """Appending a frame with drifted columns must fail loudly: parquet
     would accept the write, but a later snapshot read silently resolves

@@ -56,6 +56,41 @@ def _build_table(spark, tmp_path, sf_dir) -> AcidTable:
     return t
 
 
+def test_optimize_skips_all_null_columns(spark, tmp_path, sf_dir):
+    """All-NULL z-order columns carry no clustering signal (r7 advisor
+    fix): a real table with an all-NULL SECOND column must still be
+    rewritten clustered by the remaining column (not crash on None
+    bounds), an all-NULL FIRST column must not mask a live second one,
+    and a table where EVERY requested column is all-NULL (or the table
+    is empty) is a maintenance no-op."""
+    from dbt_jaffleshop_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("long").alias("all_null"),
+    )
+    for cols in (["o_custkey", "all_null"], ["all_null", "o_custkey"]):
+        t = AcidTable(os.path.join(str(tmp_path), "_".join(cols)))
+        t.overwrite(orders.repartition(8))
+        v = layout.optimize_zorder(t, spark, cols, target_files=4)
+        assert v == 2  # a real rewrite committed
+        lay = t.manifest()["meta"]["layout"]
+        assert lay["zorder"] == ["o_custkey"]  # the effective clustering
+        assert lay["requested"] == cols
+        assert t.read(spark).count() == orders.count()
+        # the surviving column still skips files
+        hit = layout.prune_files(t.manifest(), "o_custkey", 1, 1)
+        assert len(hit) < len(t.manifest()["files"])
+
+    t2 = AcidTable(os.path.join(str(tmp_path), "nosignal"))
+    t2.overwrite(orders.select("o_orderkey", "all_null").limit(10))
+    assert layout.optimize_zorder(t2, spark, ["all_null"]) == 1  # no-op
+    t3 = AcidTable(os.path.join(str(tmp_path), "empty"))
+    t3.overwrite(orders.limit(0))
+    assert layout.optimize_zorder(t3, spark, ["o_custkey"]) == 1  # no-op
+
+
 def test_optimize_records_stats_and_skips_files(spark, tmp_path, sf_dir):
     t = _build_table(spark, tmp_path, sf_dir)
     v = layout.optimize_zorder(

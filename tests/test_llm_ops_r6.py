@@ -375,19 +375,31 @@ def test_png_decode_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError, match="signature"):
         png_decode_gray(b"GIF89a" + bytes(good))
 
-    # an RGB (color type 2) IHDR is honestly out of scope
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    data = zlib.compress(b"\x00" * (4 * (4 * 3 + 1)))
-    idat = (
-        struct.pack(">I", len(data)) + b"IDAT" + data
-        + struct.pack(">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF)
-    )
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        png_decode_gray(PNG_SIG + chunk + idat)
+    # r7 extended the decoder to truecolor: an RGB (color type 2)
+    # stream now DECODES to (h, w, 3) instead of raising
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = png_decode_gray(png_encode_gray(rgb))
+    assert out.shape == (4, 4, 3) and (out == rgb).all()
+
+    def _png(depth, color, interlace, bpp):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        data = zlib.compress(b"\x00" * (4 * (4 * bpp + 1)))
+        idat = (
+            struct.pack(">I", len(data)) + b"IDAT" + data
+            + struct.pack(">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF)
+        )
+        return PNG_SIG + chunk + idat
+
+    # still-unsupported shapes stay honest NotImplementedError gates:
+    # 16-bit depth and Adam7 interlace
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        png_decode_gray(_png(16, 0, 0, 2))
+    with pytest.raises(NotImplementedError, match="interlace=1"):
+        png_decode_gray(_png(8, 0, 1, 1))
 
 
 def test_multimodal_pixels_matches_oracle(spark, oracle, sf_dir):

@@ -304,6 +304,34 @@ def test_anomaly_guard_survives_near_bound_counts(spark):
     # raw outputs stay unscaled
     assert got[str(base + dt.timedelta(days=9))].n_events == counts[9]
 
+    # top tier (ADVICE r7): counts past 2.17e17 must hit the 1e12
+    # divisor — under the old 1e9 ceiling c_s itself exceeded the safe
+    # bound and the z-test terms could still wrap int64. (Counts are
+    # kept under ~1.3e18 so the RAW win_sum output — a 7-day sum the
+    # operator emits unscaled — itself stays inside int64.)
+    counts = [1_000_000_000_000_000_000 + d * 10**13 for d in range(9)]
+    counts.append(3_000_000_000_000_000_000)  # 3e18 spike, tier-4 max
+    rows = [
+        ("vast", base + dt.timedelta(days=d), c)
+        for d, c in enumerate(counts)
+    ]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, n_events long"
+    )
+    got = {r.day: r for r in ev._anomaly_flags(daily).collect()}
+    scale = 10**12
+    cs = [c // scale for c in counts]
+    assert max(cs) <= ev.ANOMALY_SAFE_MAX  # the guard's invariant holds
+    expect = {}
+    for i in range(n, len(counts)):
+        win = cs[i - n : i]
+        s, q = sum(win), sum(x * x for x in win)
+        expect[str(base + dt.timedelta(days=i))] = (
+            (n * cs[i] - s) ** 2 > z2 * (n * q - s * s)
+        )
+    assert {d: r.is_anomaly for d, r in got.items()} == expect
+    assert got[str(base + dt.timedelta(days=9))].n_events == counts[9]
+
 
 def test_anomaly_guard_is_identity_within_bounds(spark, oracle, sf_dir):
     """On in-bound data scale == 1: the operator still matches the

@@ -122,12 +122,17 @@ def test_fail_fast_skips_descendants(spark, sf_dir, tmp_path, monkeypatch):
     assert results["metricflow_time_spine"]["status"] == "ok"
 
 
-def test_incremental_rebuilds_only_affected_partitions(spark, sf_dir, built_warehouse):
+@pytest.mark.parametrize("mart", ["orders", "order_items"])
+def test_incremental_rebuilds_only_affected_partitions(
+    spark, sf_dir, built_warehouse, mart
+):
     """Incremental materialization (dbt `incremental` with Iceberg-style
-    commits): regress the orders mart to a snapshot missing its newest
-    month, then run incrementally — the new commit writes ONLY that
-    month's files and carries every untouched partition's files forward
-    by reference (same paths, untouched mtimes)."""
+    commits): regress a month-partitioned mart (both `orders` and the
+    line-item fact `order_items` since r8) to a snapshot missing its
+    newest month, then run incrementally — the new commit writes ONLY
+    that month's files (touched-partition count == 1) and carries every
+    untouched partition's files forward by reference (same paths,
+    untouched mtimes)."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -135,7 +140,7 @@ def test_incremental_rebuilds_only_affected_partitions(spark, sf_dir, built_ware
     from dbt_jaffleshop_spark.plans.acid import AcidTable
 
     wh, _ = built_warehouse
-    table = AcidTable(f"{wh}/orders")
+    table = AcidTable(f"{wh}/{mart}")
     full = table.read(spark)
     full_count = full.count()
     months = sorted(
@@ -157,13 +162,16 @@ def test_incremental_rebuilds_only_affected_partitions(spark, sf_dir, built_ware
     }
 
     results = run_pipeline(spark, sf_dir, warehouse_dir=wh, incremental=True)
-    assert results["orders"]["status"] == "ok"
+    assert results[mart]["status"] == "ok"
     assert table.read(spark).count() == full_count
 
     latest = table.manifest()
     new_files = set(latest["files"]) - set(regressed["files"])
     assert new_files, "incremental commit must add the missing month's files"
     assert all(f"order_month={newest}" in f for f in new_files)
+    # touched-partition count: exactly the one regressed month
+    touched = {f.split(_os.sep)[0] for f in new_files}
+    assert touched == {f"order_month={newest}"}
     # untouched partitions: same files, by reference, never rewritten
     assert set(regressed["files"]) <= set(latest["files"])
     for f, mtime in kept_mtimes.items():
