@@ -23,8 +23,11 @@ with DC prediction and ZRL/EOB, interleaved MCUs with per-component
 tables/predictors including 4:2:0 subsampling, dequant, float 8x8
 IDCT, level shift, fixed-point BT.601 to RGB, DRI restart markers,
 and SOF2 progressive scans — spectral selection with EOB-run coding
-AND successive approximation with refinement correction bits;
-progressive color and factors>2 still raise);
+AND successive approximation with refinement correction bits, color
+AND chroma-subsampled progressive frames with per-component grid
+geometry, sampling factors across T.81's full 1..4, and DRI restarts
+inside progressive scans — r8 closes the format: every T.81
+Huffman-coded non-hierarchical JPEG shape decodes);
 other image formats decode through PIL when installed (capability-gated
 — see `_image_codec`); compressed-audio payloads and compressed-VIDEO
 pixel decode raise NotImplementedError (MP3/H.264/VP9 genuinely need
@@ -1902,15 +1905,22 @@ def _jpeg_codec():
         uses a plain arithmetic shift instead)."""
         return (abs(v) >> lvl) * (1 if v >= 0 else -1)
 
-    def _prog_dc_first(comp_list, lvl: int) -> bytes:
+    def _prog_dc_first(comp_list, lvl: int, ri: int = 0) -> bytes:
         """Interleaved DC first scan: per block position, each
         component codes the diff of its arithmetic-shifted DC against
-        its own predictor with its own table."""
+        its own predictor with its own table. (All-1x1 sampling: one
+        block position == one MCU, the restart unit.)"""
         w = _BitWriter()
         prev = [0] * len(comp_list)
         nby, nbx = len(comp_list[0][0]), len(comp_list[0][0][0])
+        n_units, rst_seq = 0, 0
         for by in range(nby):
             for bx in range(nbx):
+                if ri and n_units and n_units % ri == 0:
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                    prev = [0] * len(comp_list)
+                n_units += 1
                 for si, (zzb, dc_tab) in enumerate(comp_list):
                     cur = zzb[by][bx][0] >> lvl
                     diff = cur - prev[si]
@@ -1922,16 +1932,81 @@ def _jpeg_codec():
                         w.put(v, size)
         return w.flush()
 
-    def _prog_dc_refine(comp_list, lvl: int) -> bytes:
+    def _prog_dc_refine(comp_list, lvl: int, ri: int = 0) -> bytes:
         w = _BitWriter()
         nby, nbx = len(comp_list[0][0]), len(comp_list[0][0][0])
+        n_units, rst_seq = 0, 0
         for by in range(nby):
             for bx in range(nbx):
+                if ri and n_units and n_units % ri == 0:
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                n_units += 1
                 for zzb, _dc_tab in comp_list:
                     w.put((zzb[by][bx][0] >> lvl) & 1, 1)
         return w.flush()
 
-    def _prog_ac_first(zzb, ac_tab, ss: int, se: int, lvl: int) -> bytes:
+    def _prog_dc_first_mcu(
+        comp_list, samplings, nmy: int, nmx: int, lvl: int, ri: int = 0
+    ) -> bytes:
+        """Interleaved DC first scan over a subsampled frame (r8): MCU
+        order, hi*vi raster blocks per component per MCU — dummy blocks
+        past a component's edge are encoded too (T.81 A.2.3); each
+        component keeps its own predictor and table. The all-1x1 case
+        reduces to :func:`_prog_dc_first`."""
+        w = _BitWriter()
+        prev = [0] * len(comp_list)
+        n_units, rst_seq = 0, 0
+        for my in range(nmy):
+            for mx in range(nmx):
+                if ri and n_units and n_units % ri == 0:
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                    prev = [0] * len(comp_list)
+                n_units += 1
+                for si, ((zzb, dc_tab), (hi, vi)) in enumerate(
+                    zip(comp_list, samplings)
+                ):
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            cur = zzb[my * vi + byi][mx * hi + bxi][0] >> lvl
+                            diff = cur - prev[si]
+                            prev[si] = cur
+                            size = abs(diff).bit_length()
+                            w.put(*dc_tab[size])
+                            if size:
+                                v = (
+                                    diff
+                                    if diff >= 0
+                                    else diff + (1 << size) - 1
+                                )
+                                w.put(v, size)
+        return w.flush()
+
+    def _prog_dc_refine_mcu(
+        comp_list, samplings, nmy: int, nmx: int, lvl: int, ri: int = 0
+    ) -> bytes:
+        w = _BitWriter()
+        n_units, rst_seq = 0, 0
+        for my in range(nmy):
+            for mx in range(nmx):
+                if ri and n_units and n_units % ri == 0:
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                n_units += 1
+                for (zzb, _dc_tab), (hi, vi) in zip(comp_list, samplings):
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            w.put(
+                                (zzb[my * vi + byi][mx * hi + bxi][0] >> lvl)
+                                & 1,
+                                1,
+                            )
+        return w.flush()
+
+    def _prog_ac_first(
+        zzb, ac_tab, ss: int, se: int, lvl: int, ri: int = 0
+    ) -> bytes:
         w = _BitWriter()
         nby, nbx = len(zzb), len(zzb[0])
 
@@ -1945,8 +2020,16 @@ def _jpeg_codec():
                 run -= chunk
 
         eob_run = 0
+        n_units, rst_seq = 0, 0  # restart units = blocks (Ns=1 scan)
         for by in range(nby):
             for bx in range(nbx):
+                if ri and n_units and n_units % ri == 0:
+                    # T.81 E.2.4: the EOB run may not cross a restart
+                    flush_eob(eob_run)
+                    eob_run = 0
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                n_units += 1
                 band = [_pt(v, lvl) for v in zzb[by][bx][ss : se + 1]]
                 nz = [i for i, v in enumerate(band) if v]
                 if not nz:
@@ -1973,7 +2056,9 @@ def _jpeg_codec():
         flush_eob(eob_run)
         return w.flush()
 
-    def _prog_ac_refine(zzb, ac_tab, ss: int, se: int, lvl: int) -> bytes:
+    def _prog_ac_refine(
+        zzb, ac_tab, ss: int, se: int, lvl: int, ri: int = 0
+    ) -> bytes:
         """T.81 G.1.2.3 / the jcphuff structure: per block, walk the
         band; zero-history positions accumulate the run, already-
         nonzero positions buffer a correction bit, newly-nonzero
@@ -1998,8 +2083,14 @@ def _jpeg_codec():
                     w.put(b, 1)
                 be_bits = []
 
+        n_units, rst_seq = 0, 0  # restart units = blocks (Ns=1 scan)
         for by in range(nby):
             for bx in range(nbx):
+                if ri and n_units and n_units % ri == 0:
+                    flush_run()  # EOB run + its bits end at the marker
+                    w.restart_marker(rst_seq)
+                    rst_seq += 1
+                n_units += 1
                 full = zzb[by][bx][ss : se + 1]
                 absv = [abs(v) >> lvl for v in full]
                 eob_k = -1
@@ -2044,6 +2135,7 @@ def _jpeg_codec():
         height: int,
         bands: tuple = ((1, 5), (6, 63)),
         al: int = 0,
+        restart_interval: int = 0,
     ) -> bytes:
         """Progressive encoder (grayscale): spectral selection — one DC
         scan (Ss=Se=0, differential predictors) followed by one AC scan
@@ -2072,24 +2164,29 @@ def _jpeg_codec():
                 0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | a_low])
             )
 
+        ri = restart_interval
+        dri = _marker(0xFFDD, _struct.pack(">H", ri)) if ri else b""
         out = (
             b"\xff\xd8"
             + _marker(0xFFDB, dqt)
             + _marker(0xFFC2, sof)
             + _marker(0xFFC4, dht)
+            + dri
             + sos(0, 0, 0, al)
-            + _prog_dc_first(comp_list, al)
+            + _prog_dc_first(comp_list, al, ri)
         )
         for lvl in range(al - 1, -1, -1):
-            out += sos(0, 0, lvl + 1, lvl) + _prog_dc_refine(comp_list, lvl)
+            out += sos(0, 0, lvl + 1, lvl) + _prog_dc_refine(
+                comp_list, lvl, ri
+            )
         for ss, se in bands:
             out += sos(ss, se, 0, al) + _prog_ac_first(
-                zzb, ac_tab, ss, se, al
+                zzb, ac_tab, ss, se, al, ri
             )
         for lvl in range(al - 1, -1, -1):
             for ss, se in bands:
                 out += sos(ss, se, lvl + 1, lvl) + _prog_ac_refine(
-                    zzb, ac_tab, ss, se, lvl
+                    zzb, ac_tab, ss, se, lvl, ri
                 )
         return out + b"\xff\xd9"
 
@@ -2099,6 +2196,7 @@ def _jpeg_codec():
         height: int,
         bands: tuple = ((1, 5), (6, 63)),
         al: int = 0,
+        restart_interval: int = 0,
     ) -> bytes:
         """Progressive COLOR encoder (r7e, YCbCr 4:4:4): one
         interleaved DC scan over all three components (per-component
@@ -2153,21 +2251,26 @@ def _jpeg_codec():
                 bytes([1, cid, ta, ss, se, (ah << 4) | a_low]),
             )
 
+        ri = restart_interval
+        dri = _marker(0xFFDD, _struct.pack(">H", ri)) if ri else b""
         out = (
             b"\xff\xd8"
             + _marker(0xFFDB, dqt)
             + _marker(0xFFC2, sof)
             + _marker(0xFFC4, dht)
+            + dri
             + sos_dc(0, al)
-            + _prog_dc_first(comp_list, al)
+            + _prog_dc_first(comp_list, al, ri)
         )
         for lvl in range(al - 1, -1, -1):
-            out += sos_dc(lvl + 1, lvl) + _prog_dc_refine(comp_list, lvl)
+            out += sos_dc(lvl + 1, lvl) + _prog_dc_refine(
+                comp_list, lvl, ri
+            )
         for ci in range(3):
             ta = 0 if ci == 0 else 1
             for ss, se in bands:
                 out += sos_ac(ci + 1, ta, ss, se, 0, al) + _prog_ac_first(
-                    zzbs[ci], ac_tab, ss, se, al
+                    zzbs[ci], ac_tab, ss, se, al, ri
                 )
         for lvl in range(al - 1, -1, -1):
             for ci in range(3):
@@ -2175,7 +2278,114 @@ def _jpeg_codec():
                 for ss, se in bands:
                     out += sos_ac(
                         ci + 1, ta, ss, se, lvl + 1, lvl
-                    ) + _prog_ac_refine(zzbs[ci], ac_tab, ss, se, lvl)
+                    ) + _prog_ac_refine(zzbs[ci], ac_tab, ss, se, lvl, ri)
+        return out + b"\xff\xd9"
+
+    def encode_progressive_sampled(
+        coefs_y,
+        coefs_c,
+        width: int,
+        height: int,
+        hy: int = 2,
+        vy: int = 2,
+        bands: tuple = ((1, 5), (6, 63)),
+        al: int = 0,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """Progressive CHROMA-SUBSAMPLED encoder (r8): luma sampled
+        (hy, vy) vs 1x1 chroma, same coefficient contract as
+        :func:`encode_sampled` — luma blocks (vy*nmy, hy*nmx, 8, 8)
+        covering the full MCU grid (dummy blocks included), chroma
+        (2, nmy, nmx, 8, 8). Scan script: one INTERLEAVED DC scan in
+        MCU order (dummy luma blocks encoded, per T.81 A.2.3), DC
+        refinements in the same interleave when al > 0, then
+        per-component AC band scans + refinements over each
+        component's REAL block grid only (T.81 restricts progressive
+        AC scans to one component; non-interleaved scans carry no
+        dummies)."""
+        coefs_y = _np.asarray(coefs_y, dtype=_np.int32)
+        coefs_c = _np.asarray(coefs_c, dtype=_np.int32)
+        nmy, nmx = coefs_c.shape[1:3]
+        assert coefs_y.shape[:2] == (vy * nmy, hy * nmx)
+        dc_luma = _canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+        dc_chroma = _canonical_codes(
+            JPEG_DC_CHROMA_BITS, JPEG_DC_CHROMA_VALS
+        )
+        ac_tab = _canonical_codes(JPEG_PROG_AC_BITS, JPEG_PROG_AC_VALS)
+        zzbs = [_zzb(coefs_y), _zzb(coefs_c[0]), _zzb(coefs_c[1])]
+        # real (non-dummy) per-component AC grids: luma ceil(h/8) x
+        # ceil(w/8); chroma's ceil-of-scaled size IS its full grid
+        nby_y, nbx_y = (height + 7) // 8, (width + 7) // 8
+        zz_ac = [
+            [row[:nbx_y] for row in zzbs[0][:nby_y]],
+            zzbs[1],
+            zzbs[2],
+        ]
+        comp_list = [
+            (zzbs[0], dc_luma),
+            (zzbs[1], dc_chroma),
+            (zzbs[2], dc_chroma),
+        ]
+        samplings = [(hy, vy), (1, 1), (1, 1)]
+        dqt = (
+            bytes([0]) + bytes(JPEG_QUANT_ZZ[k] & 0xFF for k in range(64))
+            + bytes([1])
+            + bytes(JPEG_QUANT_CHROMA_ZZ[k] & 0xFF for k in range(64))
+        )
+        sof = _struct.pack(">BHHB", 8, height, width, 3) + bytes(
+            [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        dht = (
+            bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+            + bytes([0x01])
+            + bytes(JPEG_DC_CHROMA_BITS) + bytes(JPEG_DC_CHROMA_VALS)
+            + bytes([0x10])
+            + bytes(JPEG_PROG_AC_BITS) + bytes(JPEG_PROG_AC_VALS)
+            + bytes([0x11])
+            + bytes(JPEG_PROG_AC_BITS) + bytes(JPEG_PROG_AC_VALS)
+        )
+
+        def sos_dc(ah: int, a_low: int) -> bytes:
+            return _marker(
+                0xFFDA,
+                bytes(
+                    [3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, (ah << 4) | a_low]
+                ),
+            )
+
+        def sos_ac(cid: int, ta: int, ss: int, se: int, ah: int, a_low: int) -> bytes:
+            return _marker(
+                0xFFDA, bytes([1, cid, ta, ss, se, (ah << 4) | a_low])
+            )
+
+        ri = restart_interval
+        dri = _marker(0xFFDD, _struct.pack(">H", ri)) if ri else b""
+        out = (
+            b"\xff\xd8"
+            + _marker(0xFFDB, dqt)
+            + _marker(0xFFC2, sof)
+            + _marker(0xFFC4, dht)
+            + dri
+            + sos_dc(0, al)
+            + _prog_dc_first_mcu(comp_list, samplings, nmy, nmx, al, ri)
+        )
+        for lvl in range(al - 1, -1, -1):
+            out += sos_dc(lvl + 1, lvl) + _prog_dc_refine_mcu(
+                comp_list, samplings, nmy, nmx, lvl, ri
+            )
+        for ci in range(3):
+            ta = 0 if ci == 0 else 1
+            for ss, se in bands:
+                out += sos_ac(ci + 1, ta, ss, se, 0, al) + _prog_ac_first(
+                    zz_ac[ci], ac_tab, ss, se, al, ri
+                )
+        for lvl in range(al - 1, -1, -1):
+            for ci in range(3):
+                ta = 0 if ci == 0 else 1
+                for ss, se in bands:
+                    out += sos_ac(
+                        ci + 1, ta, ss, se, lvl + 1, lvl
+                    ) + _prog_ac_refine(zz_ac[ci], ac_tab, ss, se, lvl, ri)
         return out + b"\xff\xd9"
 
     class _BitReader:
@@ -2286,17 +2496,6 @@ def _jpeg_codec():
             elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
                 progressive = tag == 0xC2
                 depth, h, w, ncomp = _struct.unpack(">BHHB", seg[:6])
-                if progressive and ncomp == 3:
-                    # r7e: progressive color supported at 4:4:4 (all
-                    # 1x1 sampling — interleaved-DC and per-component
-                    # AC grids coincide there; subsampled progressive
-                    # frames have distinct dummy-block geometries and
-                    # stay honestly out)
-                    for ci in range(3):
-                        if seg[7 + 3 * ci] != 0x11:
-                            raise NotImplementedError(
-                                "progressive with chroma subsampling"
-                            )
                 if depth != 8 or ncomp not in (1, 3):
                     raise NotImplementedError(
                         f"jpeg decode supports 8-bit 1- or 3-component; "
@@ -2306,9 +2505,12 @@ def _jpeg_codec():
                 for ci in range(ncomp):
                     cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                     hi, vi = hv >> 4, hv & 0xF
-                    if hi not in (1, 2) or vi not in (1, 2):
-                        raise NotImplementedError(
-                            f"sampling factors {hi}x{vi} (1..2 only)"
+                    # T.81 B.2.2: Hi/Vi in 1..4 (r8: was 1..2 — the MCU
+                    # walk, per-component planes, and the replication
+                    # upsampler are all generic in the factors)
+                    if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                        raise ValueError(
+                            f"sampling factors {hi}x{vi} outside T.81's 1..4"
                         )
                     comps.append((cid, hi, vi, tq))
                 sof = (w, h, comps)
@@ -2325,9 +2527,10 @@ def _jpeg_codec():
                 w_px, h_px, comps = sof
                 ns = seg[0]
                 if progressive:
-                    # Progressive (r7d/r7e): spectral selection AND
-                    # successive approximation, 1 or 3 components
-                    # (4:4:4). Scan kinds (T.81 G.1.2):
+                    # Progressive (r7d/r7e; r8 adds chroma-subsampled
+                    # frames): spectral selection AND successive
+                    # approximation, 1 or 3 components at any T.81
+                    # sampling. Scan kinds (T.81 G.1.2):
                     # DC first (Ss=Se=0, Ah=0, point transform Al —
                     # may interleave all components, per-component
                     # predictors/tables), DC refinement (Ah>0, one bit
@@ -2337,11 +2540,12 @@ def _jpeg_codec():
                     # (Ah=Al+1: ±1<<Al insertions plus inline
                     # correction bits on every nonzero-history
                     # coefficient passed, including through EOB-run
-                    # skips).
-                    if ri:
-                        raise NotImplementedError(
-                            "DRI inside a progressive frame"
-                        )
+                    # skips). With DRI (r8), every `ri` restart units
+                    # (MCUs in interleaved scans, blocks in single-
+                    # component scans — T.81 E.2.4) an RSTm marker
+                    # byte-realigns the reader and resets the scan's
+                    # entropy state: DC predictors, and the EOB run
+                    # (which may not cross a restart).
                     ss_, se_, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                     ah, al = ahal >> 4, ahal & 0xF
                     if (ss_ == 0) != (se_ == 0):
@@ -2364,45 +2568,121 @@ def _jpeg_codec():
                             raise ValueError("SOS names unknown component")
                         scan_ci.append(cids.index(cs))
                         scan_tt.append(tt)
-                    nbx, nby = (w_px + 7) // 8, (h_px + 7) // 8
+                    # Geometry (T.81 A.2): per-component storage covers
+                    # the FULL interleaved-MCU grid (hi*nmx_f, vi*nmy_f
+                    # blocks — interleaved DC scans encode the dummy
+                    # blocks past the component edge too); single-
+                    # component scans (all AC scans, and non-interleaved
+                    # DC) walk only the component's REAL ceil-grid.
+                    # At 4:4:4 (all 1x1) the grids coincide — the r7
+                    # case is the degenerate instance of this walk.
+                    hmax_f = max(hi for _c, hi, _v, _t in comps)
+                    vmax_f = max(vi for _c, _h, vi, _t in comps)
+                    nmx_f = (w_px + 8 * hmax_f - 1) // (8 * hmax_f)
+                    nmy_f = (h_px + 8 * vmax_f - 1) // (8 * vmax_f)
                     if prog_blocks is None:
                         prog_blocks = [
-                            _np.zeros((nby, nbx, 64), dtype=_np.int32)
-                            for _ in comps
+                            _np.zeros(
+                                (vi * nmy_f, hi * nmx_f, 64),
+                                dtype=_np.int32,
+                            )
+                            for _c, hi, vi, _t in comps
                         ]
+
+                    def _real_grid(ci: int) -> tuple[int, int]:
+                        _c, hi, vi, _t = comps[ci]
+                        cw = (w_px * hi + hmax_f - 1) // hmax_f
+                        ch = (h_px * vi + vmax_f - 1) // vmax_f
+                        return (ch + 7) // 8, (cw + 7) // 8
+
                     reader = _BitReader(payload, pos + 2 + seglen)
+                    # DRI restart bookkeeping (r8): n counts restart
+                    # units consumed so far in THIS scan, seq the
+                    # cycling RSTm number; _at_restart() is called at
+                    # the top of every unit and consumes the marker
+                    # when one is due, telling the caller to reset the
+                    # scan's entropy state.
+                    rst = {"n": 0, "seq": 0}
+
+                    def _at_restart() -> bool:
+                        due = bool(ri) and rst["n"] > 0 and rst["n"] % ri == 0
+                        if due:
+                            reader.restart(rst["seq"])
+                            rst["seq"] = (rst["seq"] + 1) % 8
+                        rst["n"] += 1
+                        return due
+
                     if ss_ == 0 and ah == 0:  # DC first, predictors
                         dc_ts = [huff[(0, tt >> 4)] for tt in scan_tt]
                         prev = [0] * ns
-                        for by in range(nby):
-                            for bx in range(nbx):
-                                for si in range(ns):
-                                    size = _decode_huff(
-                                        reader, dc_ts[si]
-                                    )
-                                    diff = (
-                                        _extend(reader.bits(size), size)
-                                        if size
-                                        else 0
-                                    )
-                                    prev[si] += diff
-                                    prog_blocks[scan_ci[si]][
-                                        by, bx, 0
-                                    ] = prev[si] << al
+
+                        def _dc_first(si: int, by: int, bx: int) -> None:
+                            size = _decode_huff(reader, dc_ts[si])
+                            diff = (
+                                _extend(reader.bits(size), size)
+                                if size
+                                else 0
+                            )
+                            prev[si] += diff
+                            prog_blocks[scan_ci[si]][by, bx, 0] = (
+                                prev[si] << al
+                            )
+
+                        if ns == 1:  # non-interleaved: real grid only
+                            nby_c, nbx_c = _real_grid(scan_ci[0])
+                            for by in range(nby_c):
+                                for bx in range(nbx_c):
+                                    if _at_restart():
+                                        prev = [0] * ns
+                                    _dc_first(0, by, bx)
+                        else:  # interleaved MCU walk, dummies included
+                            for my in range(nmy_f):
+                                for mx in range(nmx_f):
+                                    if _at_restart():
+                                        prev = [0] * ns
+                                    for si in range(ns):
+                                        _c, hi, vi, _t = comps[scan_ci[si]]
+                                        for byi in range(vi):
+                                            for bxi in range(hi):
+                                                _dc_first(
+                                                    si,
+                                                    my * vi + byi,
+                                                    mx * hi + bxi,
+                                                )
                     elif ss_ == 0:  # DC refinement: one bit per block
-                        for by in range(nby):
-                            for bx in range(nbx):
-                                for si in range(ns):
+                        if ns == 1:
+                            nby_c, nbx_c = _real_grid(scan_ci[0])
+                            blk_c = prog_blocks[scan_ci[0]]
+                            for by in range(nby_c):
+                                for bx in range(nbx_c):
+                                    _at_restart()  # realign only
                                     if reader.bit():
-                                        prog_blocks[scan_ci[si]][
-                                            by, bx, 0
-                                        ] |= 1 << al
+                                        blk_c[by, bx, 0] |= 1 << al
+                        else:
+                            for my in range(nmy_f):
+                                for mx in range(nmx_f):
+                                    _at_restart()  # realign only
+                                    for si in range(ns):
+                                        _c, hi, vi, _t = comps[scan_ci[si]]
+                                        for byi in range(vi):
+                                            for bxi in range(hi):
+                                                if reader.bit():
+                                                    prog_blocks[
+                                                        scan_ci[si]
+                                                    ][
+                                                        my * vi + byi,
+                                                        mx * hi + bxi,
+                                                        0,
+                                                    ] |= 1 << al
                     elif ah == 0:  # AC first (G.1.2.2, EOB-run coded)
                         ac_t = huff[(1, scan_tt[0] & 0xF)]
                         blocks_c = prog_blocks[scan_ci[0]]
+                        nby_c, nbx_c = _real_grid(scan_ci[0])
                         eobrun = 0
-                        for by in range(nby):
-                            for bx in range(nbx):
+                        for by in range(nby_c):
+                            for bx in range(nbx_c):
+                                if _at_restart():
+                                    eobrun = 0  # may not cross RSTm
                                 if eobrun:
                                     eobrun -= 1
                                     continue
@@ -2431,6 +2711,7 @@ def _jpeg_codec():
                     else:  # AC refinement (G.1.2.3 shape)
                         ac_t = huff[(1, scan_tt[0] & 0xF)]
                         blocks_c = prog_blocks[scan_ci[0]]
+                        nby_c, nbx_c = _real_grid(scan_ci[0])
                         p1, m1 = 1 << al, -1 << al
 
                         def _correct(blk, k: int) -> None:
@@ -2442,8 +2723,10 @@ def _jpeg_codec():
                                 blk[k] += p1 if blk[k] > 0 else m1
 
                         eobrun = 0
-                        for by in range(nby):
-                            for bx in range(nbx):
+                        for by in range(nby_c):
+                            for bx in range(nbx_c):
+                                if _at_restart():
+                                    eobrun = 0  # may not cross RSTm
                                 blk = blocks_c[by, bx]
                                 k = ss_
                                 if eobrun:
@@ -2588,7 +2871,7 @@ def _jpeg_codec():
                 h_px,
                 [quant[tq] for _cid, _hi, _vi, tq in comps],
                 prog_blocks,
-                [(1, 1)] * len(comps),
+                [(hi, vi) for _cid, hi, vi, _tq in comps],
             )
         raise ValueError("JPEG missing SOS")
 
@@ -2672,6 +2955,7 @@ def _jpeg_codec():
         encode_progressive,
         encode_sampled,
         encode_progressive3,
+        encode_progressive_sampled,
     )
 
 
@@ -2687,6 +2971,7 @@ def _jpeg_codec():
     jpeg_encode_progressive_coefs,
     jpeg_encode_sampled_coefs,
     jpeg_encode_progressive3_coefs,
+    jpeg_encode_progressive_sampled_coefs,
 ) = _jpeg_codec()
 
 # Oracle constants: dequantized contribution of each test frequency is
@@ -3258,6 +3543,112 @@ FROM rgb GROUP BY doc_id
 """
 
 
+# ------------------ progressive 4:2:0-JPEG pixel decode (r8)
+
+
+def _make_progressive420_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL progressive
+    CHROMA-SUBSAMPLED (4:2:0) JPEG per image doc — one interleaved DC
+    scan in MCU order (four Y blocks incl. dummies + Cb + Cr per MCU),
+    per-component AC band scans over each component's real grid,
+    successive approximation over a per-doc depth — and decode through
+    the genuine multi-scan parser with per-component grid geometry,
+    then the same subsampled IDCT/upsample/BT.601 path as the
+    sequential 4:2:0 member. The scan script is pixel-invariant, so
+    the oracle is the sequential 4:2:0 closed form verbatim."""
+    (
+        _e, _p, _d, _e3, _pa, decode3, _e420, _ep, _es, _ep3,
+        encode_prog_sampled,
+    ) = _jpeg_codec()
+    coefs_420 = _make_jpeg_420_coefs()
+
+    def prog420_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + doc_id % 17, 8 + (doc_id * 3 + nb) % 17
+                nmx, nmy = (w + 15) // 16, (h + 15) // 16
+                luma, chroma = coefs_420(doc_id, nmy, nmx)
+                # per-doc band split and approximation depth (0..2)
+                # vary so dummy-block DC interleave, real-grid AC
+                # walks, and the refinement ladder all verify; multi-
+                # MCU frames carry DRI restarts (interval 1) in EVERY
+                # scan — per-scan realignment, predictor resets, and
+                # EOB-run termination at markers (r8) — while single-
+                # MCU frames keep the no-DRI path alive
+                split = 1 + doc_id % 20
+                ri = 1 if nmx * nmy > 1 else 0
+                rgb = decode3(
+                    encode_prog_sampled(
+                        luma, chroma, w, h, 2, 2,
+                        bands=((1, split), (split + 1, 63)),
+                        al=doc_id % 3,
+                        restart_interval=ri,
+                    )
+                ).astype(_np.int64)
+                assert rgb.shape == (h, w, 3)
+                y, x = _np.mgrid[0:h, 0:w]
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(r.sum()),
+                        "g_sum": int(g.sum()),
+                        "b_sum": int(b.sum()),
+                        "rgb_checksum": int(
+                            (r * w1 + g * w2 + b * w3).sum()
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return prog420_batches
+
+
+def multimodal_progressive420_pixels(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered progressive-4:2:0 pixel-decode query
+    (multimodal_digest member, r8): the last non-library-bound JPEG
+    seam — chroma-subsampled PROGRESSIVE frames. The interleaved DC
+    scan walks the MCU grid (dummy luma blocks included, T.81 A.2.3)
+    while AC scans walk each component's real ceil-grid; a per-doc
+    successive-approximation depth (0..2) exercises the refinement
+    ladder on the subsampled geometry. Pixels equal the sequential
+    4:2:0 decode of the same coefficients, so DuckDB's half-resolution
+    chroma closed form verifies every doc. One mapInPandas stage.
+
+    Reference parity: with this, baseline AND progressive JPEGs at any
+    T.81 sampling (factors 1..4, subsampled or not) decode for real."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 2")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return _spread(image_docs).mapInPandas(
+        _make_progressive420_batches(), schema=COLOR_PIXELS_SCHEMA
+    )
+
+
+# identical closed form (the scan script never changes pixels); only
+# the doc slice differs so the corpus coverage spreads across members
+ORACLES["multimodal_progressive420_pixels"] = ORACLES[
+    "multimodal_jpeg420_pixels"
+].replace("doc_id % 3 = 0", "doc_id % 3 = 2")
+
+
 # --------------------------- progressive-JPEG pixel decode (r7d)
 
 
@@ -3404,7 +3795,7 @@ def _make_progressive_color_batches():
     per-component predictors and tables, per-component AC band scans,
     successive approximation for half the corpus) and decode through
     the genuine multi-scan multi-component parser + BT.601 path."""
-    _e, _p, _d, _e3, _pa, decode3, _e420, _ep, _es, encode_prog3 = (
+    _e, _p, _d, _e3, _pa, decode3, _e420, _ep, _es, encode_prog3, *_r = (
         _jpeg_codec()
     )
     color_coefs = _make_jpeg_color_coefs()

@@ -550,6 +550,22 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("b_sum", "bigint"),
             ("rgb_checksum", "bigint"),
         ]),
+        # r8: REAL progressive 4:2:0 decode — interleaved DC scan over
+        # the MCU grid (dummy luma blocks included), per-component AC
+        # scans over real grids, successive-approximation depths 0..2;
+        # pixels equal the sequential 4:2:0 closed form, chroma at half
+        # resolution (llm/multimodal.py)
+        "multimodal_progressive420_pixels": _m(
+            llm_multimodal, "multimodal_progressive420_pixels", [
+                ("doc_id", "bigint"),
+                ("width", "int"),
+                ("height", "int"),
+                ("n_pixels", "bigint"),
+                ("r_sum", "bigint"),
+                ("g_sum", "bigint"),
+                ("b_sum", "bigint"),
+                ("rgb_checksum", "bigint"),
+            ]),
         # r7e: REAL truecolor-PNG pixel decode — three interleaved
         # channels per scanline through the bytewise unfilterer (bpp=3
         # stride: a stride bug mixes channels and breaks per-channel

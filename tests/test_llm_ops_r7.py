@@ -606,13 +606,14 @@ def test_jpeg_color_honest_subset():
     # the gray adapter refuses a 3-component scan rather than mis-decoding
     with pytest.raises(NotImplementedError, match="multi-component"):
         mm.jpeg_parse_gray(base)
-    # sampling factors beyond 2 stay a documented NotImplementedError:
-    # set comp 1's horizontal factor to 3 (SOF: ..., [id, hv, tq]*3)
+    # sampling factors up to 4 decode since r8; beyond 4 is outside
+    # T.81 B.2.2 — a corrupt header (ValueError), not a feature gate:
+    # set comp 1's horizontal factor to 5 (SOF: ..., [id, hv, tq]*3)
     sof_at = base.find(b"\xff\xc0")
     hv_at = sof_at + 4 + 6 + 1  # marker+len, then depth/h/w/ncomp, id
     assert base[hv_at] == 0x11
-    oversampled = base[:hv_at] + b"\x31" + base[hv_at + 1 :]
-    with pytest.raises(NotImplementedError, match="sampling factors"):
+    oversampled = base[:hv_at] + b"\x51" + base[hv_at + 1 :]
+    with pytest.raises(ValueError, match="1..4"):
         mm.jpeg_parse_any(oversampled)
     # component-count honesty unchanged: 2-component SOF is rejected
     ncomp_at = sof_at + 4 + 5
@@ -855,13 +856,14 @@ def test_jpeg_progressive_honest_subset():
     bad[i + 9] = 0x20  # SOS payload [len2][ns, cs, tt, Ss, Se, AhAl]
     with pytest.raises(ValueError, match="Ah = Al"):
         mm.jpeg_parse_any(bytes(bad))
-    # a SUBSAMPLED frame flipped to progressive stays rejected (the
-    # interleaved-DC and per-component AC grids differ there)
+    # a SUBSAMPLED baseline frame flipped to progressive (r8: the
+    # geometry itself is supported now) fails on its illegal
+    # interleaved full-band scan — same contract as the 4:4:4 flip
     luma, chroma = mm._jpeg_420_coefs(3, 1, 1)
     prog420 = mm.jpeg_encode_420_coefs(luma, chroma, 16, 16).replace(
         b"\xff\xc0", b"\xff\xc2"
     )
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    with pytest.raises(ValueError, match="Ss=Se=0"):
         mm.jpeg_parse_any(prog420)
     # a baseline 4:4:4 color file flipped to SOF2 fails on its illegal
     # interleaved full-band scan, not the frame type (color progressive
