@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 # --------------- progressive 4:2:0 / 4:2:2 decode (multimodal.py, r8)
@@ -155,6 +156,57 @@ def test_dri_inside_progressive_frames():
         )
     )
     assert (got420 == base420).all()
+
+
+def test_bucketed_join_is_shuffle_free_and_exact(spark, sf_dir, tmp_path):
+    """Bucketed co-located joins (functions/bucketing.py, r8): two fact
+    relations written bucketed on the join key sort-merge-join with NO
+    Exchange on either side — the write-once/join-many 100 TB pattern —
+    and the result is row-identical to the plain join."""
+    from dbt_jaffleshop_spark.functions.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from dbt_jaffleshop_spark.sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_totalprice"
+    )
+    items = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    write_bucketed(orders, "b_orders", "o_orderkey", 8,
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(items, "b_items", "o_orderkey", 8,
+                   path=str(tmp_path / "b_items"))
+    try:
+        # forbid the broadcast escape hatch: the no-Exchange claim must
+        # hold for the fact-to-fact (sort-merge) shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_items", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle
+        assert "Bucketed: true" in plan, plan
+
+        expect = orders.join(items, "o_orderkey").count()
+        assert joined.count() == expect > 0
+        # exact content, not just count (integer cents: float-sum order
+        # differs between the bucketed and shuffled plans)
+        cents = (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            + F.round(F.col("l_extendedprice") * 100).cast("long")
+        )
+        a = joined.agg(F.sum(cents)).first()[0]
+        b = orders.join(items, "o_orderkey").agg(F.sum(cents)).first()[0]
+        assert a == b
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
 
 
 def test_progressive420_query_matches_oracle(spark, oracle, sf_dir):
