@@ -16,7 +16,10 @@ uncompressed 16-bit PCM WAV audio (`parse_wav` + the Arrow-batched
 `audio_features` operator — container walk, numpy sample extraction,
 integer RMS); animated-GIF FRAMES decode FOR REAL too (r6:
 `gif_decode_frames` — full LZW dictionary replay with code-size growth
-and dictionary resets, non-interlaced global-palette frames); baseline
+and dictionary resets; r8: `gif_decode_rgb` adds the complete GIF89a
+ANIMATION state machine — sub-rect compositing, disposal
+none/background/previous, transparency, local palettes, interlace);
+baseline
 JPEG pixels decode FOR REAL as well (r7/r7b: `jpeg_decode_gray` +
 `jpeg_decode_color` — marker walk, canonical Huffman entropy decode
 with DC prediction and ZRL/EOB, interleaved MCUs with per-component
@@ -1094,8 +1097,9 @@ def _gif_codec():
             out.append(acc & 0xFF)
         return bytes(out)
 
-    def lzw_decode(data: bytes) -> bytes:
+    def lzw_decode(data: bytes, min_code: int = GIF_MIN_CODE) -> bytes:
         pos = acc = nbits = 0
+        clear_c, eoi_c = 1 << min_code, (1 << min_code) + 1
 
         def read(size: int) -> int:
             nonlocal pos, acc, nbits
@@ -1110,18 +1114,18 @@ def _gif_codec():
             nbits -= size
             return code
 
-        size = GIF_MIN_CODE + 1
-        table = [bytes([i]) for i in range(1 << GIF_MIN_CODE)] + [b"", b""]
+        size = min_code + 1
+        table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
         out = bytearray()
         prev = None
         while True:
             code = read(size)
-            if code == clear:
-                table = [bytes([i]) for i in range(1 << GIF_MIN_CODE)] + [b"", b""]
-                size = GIF_MIN_CODE + 1
+            if code == clear_c:
+                table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+                size = min_code + 1
                 prev = None
                 continue
-            if code == eoi:
+            if code == eoi_c:
                 break
             if prev is None:
                 entry = table[code]
@@ -1204,17 +1208,20 @@ def _gif_codec():
             pos += 9
             if fpacked & 0xC0:
                 raise NotImplementedError(
-                    "gif decode supports non-interlaced frames over the "
-                    "global palette (no local palettes)"
+                    "index-frame gif decode supports non-interlaced "
+                    "frames over the global palette; interlace/local "
+                    "palettes decode through gif_decode_rgb (r8)"
                 )
             if (left, top) != (0, 0) or (fw, fh) != (w, h):
                 # partial-rect frame updates need canvas compositing +
-                # disposal handling — silently returning the sub-rect
-                # would be wrong frame data, so refuse honestly
+                # disposal handling — the per-frame INDEX contract of
+                # this path cannot express them (the composited canvas
+                # mixes palettes); gif_decode_rgb implements them
                 raise NotImplementedError(
-                    "gif decode supports full-canvas frames only; got a "
-                    f"{fw}x{fh} sub-rect at ({left},{top}) on a {w}x{h} "
-                    "canvas (partial updates need compositing/disposal)"
+                    "index-frame gif decode supports full-canvas frames "
+                    f"only; got a {fw}x{fh} sub-rect at ({left},{top}) "
+                    f"on a {w}x{h} canvas — decode composited animations "
+                    "through gif_decode_rgb (r8)"
                 )
             min_code = payload[pos]
             pos += 1
@@ -1241,11 +1248,186 @@ def _gif_codec():
             )
         return frames, palette
 
-    return encode_frames, decode_frames
+    # ----- full GIF89a animation semantics (r8): compositing canvas,
+    # disposal methods, transparency, local palettes, interlace -----
+
+    _ILACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # Adam-style GIF passes
+
+    def _interlace_order(fh: int) -> list:
+        order = []
+        for start, step in _ILACE:
+            order.extend(range(start, fh, step))
+        return order
+
+    def encode_animation(
+        w: int, h: int, global_palette: bytes, bg_index: int, frames
+    ) -> bytes:
+        """Animated GIF89a with the FULL feature surface: per-frame
+        dicts {px: (fh, fw) uint8 indices, left, top, disposal (0-3),
+        transparent: int|None, palette: 768-byte local palette|None,
+        interlace: bool}. Interlaced frames store their rows in the
+        four-pass GIF order; the decoder reverses it."""
+        assert len(global_palette) == 768
+        out = bytearray(b"GIF89a")
+        out += _struct.pack("<HH", w, h)
+        out.append(0b1111_0111)  # GCT present, 8-bit, 256 entries
+        out += bytes([bg_index, 0])
+        out += global_palette
+        for fr in frames:
+            px = _np.asarray(fr["px"], dtype=_np.uint8)
+            fh, fw = px.shape
+            left, top = fr.get("left", 0), fr.get("top", 0)
+            disposal = fr.get("disposal", 0)
+            transparent = fr.get("transparent")
+            local = fr.get("palette")
+            interlace = bool(fr.get("interlace", False))
+            gce_packed = (disposal & 0x7) << 2
+            t_idx = 0
+            if transparent is not None:
+                gce_packed |= 1
+                t_idx = transparent
+            out += b"\x21\xf9\x04" + bytes([gce_packed, 0x0A, 0x00, t_idx, 0])
+            desc_packed = 0
+            if local is not None:
+                assert len(local) == 768
+                desc_packed |= 0x80 | 0x07
+            if interlace:
+                desc_packed |= 0x40
+            out += b"\x2c" + _struct.pack("<HHHH", left, top, fw, fh)
+            out += bytes([desc_packed])
+            if local is not None:
+                out += local
+            if interlace:
+                px = px[_interlace_order(fh)]
+            out.append(GIF_MIN_CODE)
+            out += _sub_blocks(lzw_encode(px.tobytes()))
+        out += b"\x3b"
+        return bytes(out)
+
+    def decode_rgb(payload: bytes):
+        """Decode a GIF with full animation semantics to the DISPLAYED
+        frames: list of (h, w, 3) uint8 canvases. Implements the
+        GIF89a state machine the simple index-frame path refuses:
+        sub-rect frames composited onto a persistent canvas,
+        transparency (indices that keep the underlying canvas pixel),
+        disposal none/keep (canvas persists), restore-to-background
+        (the frame's rect refills with the background color), and
+        restore-to-previous (canvas reverts to its pre-frame state);
+        local palettes override the global one per frame; interlaced
+        frames de-permute through the four-pass row order; LZW min
+        codes 2..8 supported for sub-256 palettes."""
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF (bad signature)")
+        if len(payload) < 13:
+            raise ValueError("GIF truncated inside the screen descriptor")
+        w, h = _struct.unpack("<HH", payload[6:10])
+        packed, bg_index = payload[10], payload[11]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = payload[pos : pos + n]
+            pos += n
+
+        def _pal_rgb(pal: bytes):
+            arr = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)
+            if arr.shape[0] < 256:  # pad: out-of-range indices are black
+                arr = _np.vstack(
+                    [arr, _np.zeros((256 - arr.shape[0], 3), _np.uint8)]
+                )
+            return arr
+
+        if gct is not None and bg_index < len(gct) // 3:
+            bg_rgb = _pal_rgb(gct)[bg_index]
+        else:
+            bg_rgb = _np.zeros(3, _np.uint8)
+        canvas = _np.tile(bg_rgb, (h, w, 1)).astype(_np.uint8)
+        frames = []
+        disposal, transparent = 0, None
+        while pos < len(payload):
+            b = payload[pos]
+            pos += 1
+            if b == 0x3B:
+                break
+            if b == 0x21:  # extension
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9:  # Graphic Control Extension
+                    ln = payload[pos]
+                    gce = payload[pos + 1 : pos + 1 + ln]
+                    disposal = (gce[0] >> 2) & 0x7
+                    transparent = gce[3] if (gce[0] & 1) else None
+                while pos < len(payload) and payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            if pos + 10 > len(payload):
+                raise ValueError("GIF truncated inside an image descriptor")
+            left, top, fw, fh = _struct.unpack("<HHHH", payload[pos : pos + 8])
+            fpacked = payload[pos + 8]
+            pos += 9
+            if left + fw > w or top + fh > h:
+                raise ValueError("GIF frame rect exceeds the canvas")
+            local = None
+            if fpacked & 0x80:
+                n = 3 * (2 << (fpacked & 0x07))
+                local = payload[pos : pos + n]
+                pos += n
+            interlace = bool(fpacked & 0x40)
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"GIF LZW min code {min_code} out of range")
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF truncated inside frame data")
+                ln = payload[pos]
+                if not ln:
+                    break
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = lzw_decode(bytes(data), min_code)
+            if len(raw) != fw * fh:
+                raise ValueError("GIF frame pixel payload has the wrong length")
+            idx = _np.frombuffer(raw, dtype=_np.uint8).reshape(fh, fw)
+            if interlace:
+                stored = _interlace_order(fh)
+                deperm = _np.empty(fh, _np.int64)
+                deperm[stored] = _np.arange(fh)
+                idx = idx[deperm]
+            pal = local if local is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame has neither local nor global palette")
+            rgb_lut = _pal_rgb(pal)
+            snapshot = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + fh, left : left + fw]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb_lut[idx[mask]]
+            else:
+                region[...] = rgb_lut[idx]
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore rect to background
+                canvas[top : top + fh, left : left + fw] = bg_rgb
+            elif disposal == 3:  # restore to previous
+                canvas = snapshot
+            disposal, transparent = 0, None  # GCE covers ONE image
+        return frames
+
+    return encode_frames, decode_frames, encode_animation, decode_rgb
 
 
 # module-level pair for driver-side use and the pytest vectors
-gif_encode_frames, gif_decode_frames = _gif_codec()
+(
+    gif_encode_frames,
+    gif_decode_frames,
+    gif_encode_animation,
+    gif_decode_rgb,
+) = _gif_codec()
 
 GIF_FRAMES_SCHEMA = StructType(
     [
@@ -1265,7 +1447,7 @@ def _make_gif_frames_batches():
     p(f,x,y) = (doc_id·7 + f·17 + y·31 + x·13) mod 256 over the
     identity grayscale palette), then run the REAL LZW decoder on the
     bytes and reduce each frame to position-weighted statistics."""
-    encode, decode = _gif_codec()
+    encode, decode, *_anim = _gif_codec()
 
     def gif_batches(
         batches: Iterator[pd.DataFrame],
@@ -1358,6 +1540,190 @@ SELECT doc_id,
        CAST(sum(p) AS BIGINT) AS px_sum,
        CAST(sum(p * weight) AS BIGINT) AS px_checksum
 FROM v GROUP BY doc_id, f
+"""
+
+
+# -------------------- GIF animation-semantics decode (r8)
+
+
+def _make_gif_anim_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL animated GIF
+    with full GIF89a semantics per video doc — sub-rect frames
+    composited onto the persistent canvas, shifted-gray local palettes
+    on odd frames, interlaced storage on alternating frames — decode
+    through the genuine state machine (gif_decode_rgb) and reduce each
+    DISPLAYED canvas to position-weighted statistics. Disposal
+    restore-to-background/previous and transparency are pytest-pinned
+    with handcrafted canvases (tests/test_llm_ops_r8.py); the digest
+    verifies the compositing core at corpus width."""
+    import numpy as _np
+
+    _e, _d, encode_anim, decode_rgb = _gif_codec()
+
+    def anim_spec(doc_id: int, nb: int):
+        """The deterministic animation script (NESTED so cloudpickle
+        ships it by value — see _make_extract_batches), re-expressed in
+        SQL by the oracle: frame 0 paints the full canvas; every later
+        frame is a sub-rect composited with disposal=keep, odd frames
+        under a shifted-gray LOCAL palette, alternating frames stored
+        interlaced (a pure storage permutation — pixels, and therefore
+        the oracle, are unchanged)."""
+        w, h = 10 + doc_id % 9, 10 + nb % 9
+        n = 3 + doc_id % 3
+        frames = []
+        for f in range(n):
+            if f == 0:
+                left, top, fw, fh, s = 0, 0, w, h, 0
+            else:
+                fw = 3 + (doc_id + f) % 4
+                fh = 3 + (doc_id + 2 * f) % 4
+                left = (doc_id + 3 * f) % (w - fw + 1)
+                top = (doc_id * 3 + 2 * f) % (h - fh + 1)
+                s = (doc_id + 11 * f) % 256 if f % 2 == 1 else 0
+            frames.append((left, top, fw, fh, s, (doc_id + f) % 2 == 0))
+        return w, h, frames
+
+    def anim_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        gray = bytes(
+            bytearray(v for i in range(256) for v in (i, i, i))
+        )
+
+        def shifted(s: int) -> bytes:
+            return bytes(
+                bytearray(
+                    v for i in range(256) for v in (((i + s) % 256),) * 3
+                )
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h, spec = anim_spec(doc_id, nb)
+                frames = []
+                for f, (left, top, fw, fh, s, ilace) in enumerate(spec):
+                    yy, xx = _np.mgrid[top : top + fh, left : left + fw]
+                    # indices in GLOBAL coordinates so the oracle is
+                    # one uniform formula
+                    px = (
+                        (doc_id * 7 + f * 17 + yy * 31 + xx * 13) % 256
+                    ).astype(_np.uint8)
+                    frames.append(
+                        {
+                            "px": px,
+                            "left": left,
+                            "top": top,
+                            "disposal": 1,
+                            "palette": shifted(s) if s else None,
+                            "interlace": ilace,
+                        }
+                    )
+                decoded = decode_rgb(encode_anim(w, h, gray, 0, frames))
+                yg, xg = _np.mgrid[0:h, 0:w]
+                weight = 1 + (xg * 127 + yg * 149) % 241
+                for f, canvas in enumerate(decoded):
+                    assert (canvas[..., 0] == canvas[..., 1]).all()
+                    gr = canvas[..., 0].astype(_np.int64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": f,
+                            "width": w,
+                            "height": h,
+                            "px_sum": int(gr.sum()),
+                            "px_checksum": int((gr * weight).sum()),
+                        }
+                    )
+            yield _pd.DataFrame(rows)
+
+    return anim_batches
+
+
+def multimodal_gif_anim(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered GIF ANIMATION-semantics query (multimodal_digest
+    member, r8): real animated GIFs exercising the state machine the
+    r6 full-canvas member cannot — per-frame SUB-RECT updates
+    composited onto the persistent canvas, LOCAL palettes (shifted
+    grayscale) overriding the global one on odd frames, and interlaced
+    row storage on alternating frames — decoded by the genuine GIF89a
+    decoder and reduced per displayed canvas. The oracle recomputes
+    every composited pixel in closed form: the displayed value at
+    (frame, x, y) comes from the LAST frame whose rect covers (x, y)
+    (an argmax DuckDB expresses as max-over-covering-frames), plus
+    that frame's palette shift. One mapInPandas stage, spread across
+    cores."""
+    docs = load_table(spark, "documents", sf_dir)
+    video_docs = docs.where(F.expr("doc_id % 3 = 1")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return _spread(video_docs).mapInPandas(
+        _make_gif_anim_batches(), schema=GIF_FRAMES_SCHEMA
+    )
+
+
+ORACLES["multimodal_gif_anim"] = """
+WITH vid AS (
+    SELECT doc_id,
+           CAST(10 + doc_id % 9 AS BIGINT) AS w,
+           CAST(10 + strlen(text) % 9 AS BIGINT) AS h,
+           CAST(3 + doc_id % 3 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 3 = 1
+),
+fs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, n_frames - 1)) AS f
+    FROM vid
+),
+rect AS (
+    SELECT doc_id, w, h, f,
+           CASE WHEN f = 0 THEN 0
+                ELSE (doc_id + 3*f) % (w - (3 + (doc_id + f) % 4) + 1)
+           END AS lft,
+           CASE WHEN f = 0 THEN 0
+                ELSE (doc_id*3 + 2*f) % (h - (3 + (doc_id + 2*f) % 4) + 1)
+           END AS tp,
+           CASE WHEN f = 0 THEN w ELSE 3 + (doc_id + f) % 4 END AS fw,
+           CASE WHEN f = 0 THEN h ELSE 3 + (doc_id + 2*f) % 4 END AS fh,
+           CASE WHEN f > 0 AND f % 2 = 1 THEN (doc_id + 11*f) % 256
+                ELSE 0 END AS s
+    FROM fs
+),
+xs AS (
+    SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM fs
+),
+px AS (
+    SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+src AS (
+    -- compositing with disposal=keep: the displayed pixel comes from
+    -- the LAST frame <= f whose rect covers (x, y); frame 0 always does
+    SELECT p.doc_id, p.w, p.h, p.f, p.x, p.y, max(r.f) AS sf
+    FROM px p
+    JOIN rect r ON r.doc_id = p.doc_id AND r.f <= p.f
+               AND p.x >= r.lft AND p.x < r.lft + r.fw
+               AND p.y >= r.tp AND p.y < r.tp + r.fh
+    GROUP BY p.doc_id, p.w, p.h, p.f, p.x, p.y
+),
+g AS (
+    SELECT s.doc_id, s.w, s.h, s.f,
+           (s.doc_id * 7 + s.sf * 17 + s.y * 31 + s.x * 13 + r.s) % 256 AS p,
+           1 + (s.x * 127 + s.y * 149) % 241 AS weight
+    FROM src s
+    JOIN rect r ON r.doc_id = s.doc_id AND r.f = s.sf
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(p * weight) AS BIGINT) AS px_checksum
+FROM g GROUP BY doc_id, f
 """
 
 

@@ -566,6 +566,19 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("b_sum", "bigint"),
                 ("rgb_checksum", "bigint"),
             ]),
+        # r8: REAL GIF89a ANIMATION semantics — sub-rect frames
+        # composited onto the persistent canvas, local palettes,
+        # interlaced storage; oracle = last-covering-frame argmax +
+        # palette shift per pixel (llm/multimodal.py). Disposal 2/3 and
+        # transparency pytest-pinned with handcrafted canvases.
+        "multimodal_gif_anim": _m(llm_multimodal, "multimodal_gif_anim", [
+            ("doc_id", "bigint"),
+            ("frame_idx", "int"),
+            ("width", "int"),
+            ("height", "int"),
+            ("px_sum", "bigint"),
+            ("px_checksum", "bigint"),
+        ]),
         # r7e: REAL truecolor-PNG pixel decode — three interleaved
         # channels per scanline through the bytewise unfilterer (bpp=3
         # stride: a stride bug mixes channels and breaks per-channel

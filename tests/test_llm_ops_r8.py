@@ -158,6 +158,179 @@ def test_dri_inside_progressive_frames():
     assert (got420 == base420).all()
 
 
+# ----------- executor-closure isolation (the cloudpickle contract)
+
+
+def test_executor_closures_are_self_contained():
+    """Every mapInPandas factory's closure must survive unpickling in a
+    process that CANNOT import dbt_jaffleshop_spark — the executor
+    contract the factories' docstrings promise (cloudpickle ships
+    nested functions by value). Caught live in r8: a module-level
+    helper referenced from inside a batches closure pickles as a
+    module REFERENCE and dies on the executor with
+    ModuleNotFoundError; this test runs each closure on a sample batch
+    in a clean subprocess so the trap cannot recur."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from pyspark.serializers import CloudPickleSerializer
+
+    from dbt_jaffleshop_spark.llm import multimodal as mm
+
+    factories = [
+        n for n in dir(mm)
+        if n.startswith("_make_") and n.endswith("_batches")
+    ]
+    assert len(factories) >= 14  # every registered multimodal member
+    ser = CloudPickleSerializer()
+    d = tempfile.mkdtemp()
+    for name in factories:
+        blob = ser.dumps(getattr(mm, name)())
+        open(os.path.join(d, name + ".pkl"), "wb").write(blob)
+    code = f"""
+import glob, pickle
+import pandas as pd
+for p in sorted(glob.glob("{d}/*.pkl")):
+    fn = pickle.loads(open(p, "rb").read())
+    batch = pd.DataFrame({{
+        "doc_id": [4, 7], "n_bytes": [100, 55],
+        # extra columns some closures expect; unused ones are ignored
+        "payload": [b"x", b"y"], "media_type": ["image", "audio"],
+        "text": ["a b c", "d e"],
+    }})
+    try:
+        list(fn(iter([batch])))
+    except ModuleNotFoundError as e:
+        raise SystemExit(f"{{p}}: NOT self-contained: {{e}}")
+    except Exception:
+        pass  # wrong sample columns are fine - only import isolation matters
+print("ok")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=tempfile.gettempdir(),
+        env={**os.environ, "PYTHONPATH": ""},
+    )
+    assert r.returncode == 0 and "ok" in r.stdout, r.stdout + r.stderr
+
+
+# ------------------- GIF89a animation semantics (multimodal.py, r8)
+
+
+def test_gif_animation_semantics():
+    """The full GIF89a state machine (previously honest gates): sub-rect
+    compositing, disposal restore-to-background and restore-to-previous,
+    transparency, local palettes, and interlaced storage — each pinned
+    against a handcrafted expected canvas, plus equivalence with the
+    simple full-canvas path."""
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        gif_decode_frames,
+        gif_decode_rgb,
+        gif_encode_animation,
+        gif_encode_frames,
+    )
+
+    gray = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    h, w = 7, 9
+    y, x = np.mgrid[0:h, 0:w]
+
+    # full-canvas frames decode identically through both paths
+    fr = [((f * 17 + y * 31 + x * 13) % 256).astype(np.uint8) for f in range(3)]
+    simple, _pal = gif_decode_frames(gif_encode_frames(fr))
+    full = gif_decode_rgb(
+        gif_encode_animation(w, h, gray, 0, [{"px": p, "disposal": 1} for p in fr])
+    )
+    for a, b in zip(simple, full):
+        assert (b[..., 0] == a).all() and (b[..., 2] == a).all()
+
+    base = np.full((5, 6), 10, np.uint8)
+    patch = np.full((2, 3), 99, np.uint8)
+
+    # sub-rect compositing with disposal=keep
+    out = gif_decode_rgb(gif_encode_animation(6, 5, gray, 0, [
+        {"px": base, "disposal": 1},
+        {"px": patch, "left": 2, "top": 1, "disposal": 1},
+    ]))
+    expect = np.full((5, 6), 10, np.uint8)
+    expect[1:3, 2:5] = 99
+    assert (out[1][..., 0] == expect).all()
+
+    # disposal=2: the frame's rect refills with the background color
+    out = gif_decode_rgb(gif_encode_animation(6, 5, gray, 7, [
+        {"px": base, "disposal": 1},
+        {"px": patch, "left": 2, "top": 1, "disposal": 2},
+        {"px": np.full((1, 1), 50, np.uint8), "disposal": 1},
+    ]))
+    exp3 = np.full((5, 6), 10, np.uint8)
+    exp3[1:3, 2:5] = 7
+    exp3[0, 0] = 50
+    assert (out[1][1:3, 2:5, 0] == 99).all()  # displayed before disposal
+    assert (out[2][..., 0] == exp3).all()
+
+    # disposal=3: canvas reverts to its pre-frame state
+    out = gif_decode_rgb(gif_encode_animation(6, 5, gray, 0, [
+        {"px": base, "disposal": 1},
+        {"px": patch, "left": 2, "top": 1, "disposal": 3},
+        {"px": np.full((1, 1), 50, np.uint8), "left": 5, "top": 4, "disposal": 1},
+    ]))
+    exp3 = np.full((5, 6), 10, np.uint8)
+    exp3[4, 5] = 50
+    assert (out[1][1:3, 2:5, 0] == 99).all()
+    assert (out[2][..., 0] == exp3).all()
+
+    # transparency: the transparent index keeps the underlying canvas
+    tr = np.array([[7, 20], [20, 7]], np.uint8)
+    out = gif_decode_rgb(gif_encode_animation(6, 5, gray, 0, [
+        {"px": base, "disposal": 1},
+        {"px": tr, "left": 1, "top": 1, "transparent": 7, "disposal": 1},
+    ]))
+    exp = np.full((5, 6), 10, np.uint8)
+    exp[1, 2] = 20
+    exp[2, 1] = 20
+    assert (out[1][..., 0] == exp).all()
+
+    # local palette overrides the global one for its frame only
+    shift = bytes(bytearray(v for i in range(256) for v in (((i + 5) % 256),) * 3))
+    out = gif_decode_rgb(gif_encode_animation(6, 5, gray, 0, [
+        {"px": base, "disposal": 1},
+        {"px": patch, "left": 0, "top": 0, "palette": shift, "disposal": 1},
+    ]))
+    assert (out[1][0:2, 0:3, 0] == (99 + 5) % 256).all()
+    assert out[1][3, 3, 0] == 10
+
+    # interlaced storage is a pure row permutation: pixels round-trip
+    big = ((np.add.outer(np.arange(16) * 31, np.arange(9) * 13)) % 256).astype(np.uint8)
+    out = gif_decode_rgb(gif_encode_animation(9, 16, gray, 0, [
+        {"px": big, "interlace": True, "disposal": 1},
+    ]))
+    assert (out[0][..., 0] == big).all()
+
+    # rect out of canvas bounds is a loud error, not silent clipping
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        gif_decode_rgb(gif_encode_animation(6, 5, gray, 0, [
+            {"px": patch, "left": 4, "top": 4, "disposal": 1},
+        ]))
+
+
+def test_gif_anim_query_matches_oracle(spark, oracle, sf_dir):
+    """The registered digest member: real animated GIFs (sub-rects,
+    local palettes, interlace) vs DuckDB's last-covering-frame argmax
+    closed form."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import multimodal as mm
+
+    assert_parity(
+        mm.multimodal_gif_anim(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_gif_anim"],
+    )
+
+
 def test_bucketed_join_is_shuffle_free_and_exact(spark, sf_dir, tmp_path):
     """Bucketed co-located joins (functions/bucketing.py, r8): two fact
     relations written bucketed on the join key sort-merge-join with NO
