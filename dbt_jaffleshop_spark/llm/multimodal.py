@@ -752,13 +752,16 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_codec():
-    """Build the REAL dependency-free PNG codec pair (encode, decode)
-    for 8-bit non-interlaced grayscale AND truecolor (color types 0
-    and 2; extended from gray-only in r7) — zlib (stdlib) handles the
-    DEFLATE layer, so PNG pixels need no external codec library at all;
-    this closes the pixel half of the compressed-codec seam for the one
-    format where that is possible dependency-free (JPEG/MP3/H.264 still
-    need real codec libraries).
+    """Build the REAL dependency-free PNG codec triple (encode, decode,
+    encode_palette) for grayscale and truecolor at 8 AND 16 bits,
+    PALETTE (color type 3) images, and ADAM7 interlacing (r8; r6/r7
+    covered 8-bit non-interlaced gray/truecolor) — zlib (stdlib)
+    handles the DEFLATE layer, so PNG pixels need no external codec
+    library at all; this closes the pixel half of the compressed-codec
+    seam for the one format where that is possible dependency-free
+    (JPEG/MP3/H.264 still need real codec libraries). Remaining honest
+    gates: alpha channels (color types 4/6) and sub-byte depths
+    (1/2/4).
 
     The pair is built inside a factory so mapInPandas closures capture
     NESTED functions (cloudpickle serializes those by value — executors
@@ -792,20 +795,20 @@ def _png_codec():
             return left
         return up if pb <= pc else ul
 
-    def encode(pixels) -> bytes:
-        """Grayscale (h, w) or truecolor (h, w, 3) uint8 pixels -> a
-        complete filtered+deflated PNG. PNG filters are BYTEWISE with
-        "left" meaning `bpp` bytes earlier (RFC 2083 §6.2), so both
-        color types run the same filter code over the flat scanline
-        bytes — only the stride differs."""
-        px = _np.asarray(pixels, dtype=_np.uint8)
-        color_type = 0 if px.ndim == 2 else 2
-        h, w = px.shape[:2]
-        bpp = 1 if color_type == 0 else 3
-        raw = px.reshape(h, w * bpp).astype(_np.int32)
-        nb = w * bpp
+    # Adam7: (x0, y0, dx, dy) per pass, spec order
+    PASSES = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def _filter_rows(raw, bpp: int) -> bytes:
+        """Filter (nrows, nb) int32 scanline BYTES with the y%5 cycle —
+        every spec filter appears. PNG filters are BYTEWISE with "left"
+        meaning `bpp` bytes earlier (RFC 2083 §6.2), so every color
+        type/depth runs the same code; only the stride differs."""
+        nrows, nb = raw.shape
         lines = []
-        for y in range(h):
+        for y in range(nrows):
             ft = y % 5
             row = raw[y]
             prior = raw[y - 1] if y else _np.zeros(nb, _np.int32)
@@ -826,59 +829,77 @@ def _png_codec():
                     dtype=_np.int32,
                 )
             lines.append(bytes([ft]) + (filt % 256).astype(_np.uint8).tobytes())
-        ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return b"".join(lines)
+
+    def _to_bytes(px, depth: int):
+        """(h, w[, ch]) samples -> (h, w*bpp) byte matrix (big-endian
+        for 16-bit) + bpp."""
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        if depth == 8:
+            b = px.astype(_np.uint8).reshape(h, w * ch)
+            return b.astype(_np.int32), ch
+        hi = (px.astype(_np.uint16) >> 8).astype(_np.uint8)
+        lo = (px.astype(_np.uint16) & 0xFF).astype(_np.uint8)
+        inter = _np.stack([hi, lo], axis=-1).reshape(h, w * ch * 2)
+        return inter.astype(_np.int32), ch * 2
+
+    def _scan_stream(px, depth: int, interlace: int) -> bytes:
+        """Full filtered scanline stream, sequential or Adam7 (each
+        pass filtered independently; empty passes emit nothing)."""
+        if not interlace:
+            raw, bpp = _to_bytes(px, depth)
+            return _filter_rows(raw, bpp)
+        out = []
+        for x0, y0, dx, dy in PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw, bpp = _to_bytes(sub, depth)
+            out.append(_filter_rows(raw, bpp))
+        return b"".join(out)
+
+    def encode(pixels, interlace: bool = False) -> bytes:
+        """Grayscale (h, w) or truecolor (h, w, 3) pixels — uint8 for
+        8-bit, uint16 for 16-bit — to a complete filtered+deflated PNG,
+        sequential or Adam7-interlaced."""
+        px = _np.asarray(pixels)
+        depth = 16 if px.dtype == _np.uint16 else 8
+        px = px.astype(_np.uint16 if depth == 16 else _np.uint8)
+        color_type = 0 if px.ndim == 2 else 2
+        h, w = px.shape[:2]
+        ihdr = _struct.pack(
+            ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+        )
         return (
             PNG_SIG
             + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", _zlib.compress(b"".join(lines)))
+            + _chunk(b"IDAT", _zlib.compress(_scan_stream(px, depth, interlace)))
             + _chunk(b"IEND", b"")
         )
 
-    def decode(payload: bytes):
-        if payload[:8] != PNG_SIG:
-            raise ValueError("not a PNG (bad signature)")
-        pos, idat, ihdr = 8, [], None
-        while pos + 8 <= len(payload):
-            (length,) = _struct.unpack(">I", payload[pos : pos + 4])
-            ctype = payload[pos + 4 : pos + 8]
-            if pos + 12 + length > len(payload):
-                # struct.error is not a ValueError — truncation must
-                # surface through the documented corrupt-input contract
-                raise ValueError(f"PNG truncated inside chunk {ctype!r}")
-            data = payload[pos + 8 : pos + 8 + length]
-            (crc,) = _struct.unpack(
-                ">I", payload[pos + 8 + length : pos + 12 + length]
-            )
-            if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-            if ctype == b"IHDR":
-                ihdr = _struct.unpack(">IIBBBBB", data)
-            elif ctype == b"IDAT":
-                idat.append(data)
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length
-        if ihdr is None or not idat:
-            raise ValueError("PNG missing IHDR/IDAT")
-        w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or color not in (0, 2) or (comp, filt, interlace) != (
-            0,
-            0,
-            0,
-        ):
-            raise NotImplementedError(
-                "png decode supports 8-bit non-interlaced grayscale or "
-                f"truecolor; got depth={depth} color={color} "
-                f"interlace={interlace}"
-            )
-        bpp = 1 if color == 0 else 3
-        nb = w * bpp
-        raw = _zlib.decompress(b"".join(idat))
-        if len(raw) != h * (nb + 1):
+    def encode_palette(indices, palette, interlace: bool = False) -> bytes:
+        """PALETTE image (color type 3): (h, w) uint8 indices + an
+        (n, 3) uint8 palette -> PNG with a PLTE chunk."""
+        idx = _np.asarray(indices, dtype=_np.uint8)
+        pal = _np.asarray(palette, dtype=_np.uint8).reshape(-1, 3)
+        h, w = idx.shape
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+        return (
+            PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", _zlib.compress(_scan_stream(idx, 8, interlace)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def _unfilter(raw: bytes, pos: int, nrows: int, nb: int, bpp: int):
+        """Reverse the scanline filters for one (sub-)image; returns
+        ((nrows, nb) uint8 bytes, new stream position)."""
+        if pos + nrows * (nb + 1) > len(raw):
             raise ValueError("PNG pixel payload has the wrong length")
-        out = _np.zeros((h, nb), dtype=_np.uint8)
-        pos = 0
-        for y in range(h):
+        out = _np.zeros((nrows, nb), dtype=_np.uint8)
+        for y in range(nrows):
             ft = raw[pos]
             line = _np.frombuffer(
                 raw[pos + 1 : pos + 1 + nb], dtype=_np.uint8
@@ -907,16 +928,92 @@ def _png_codec():
             else:
                 raise ValueError(f"PNG scanline filter {ft} is invalid")
             out[y] = rec.astype(_np.uint8)
-        return out if color == 0 else out.reshape(h, w, 3)
+        return out, pos
 
-    return encode, decode
+    def decode(payload: bytes):
+        if payload[:8] != PNG_SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos, idat, ihdr, plte = 8, [], None, None
+        while pos + 8 <= len(payload):
+            (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            if pos + 12 + length > len(payload):
+                # struct.error is not a ValueError — truncation must
+                # surface through the documented corrupt-input contract
+                raise ValueError(f"PNG truncated inside chunk {ctype!r}")
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = _struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+            if ctype == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = data
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if (
+            color not in (0, 2, 3)
+            or depth not in (8, 16)
+            or (color, depth) == (3, 16)
+            or (comp, filt) != (0, 0)
+            or interlace not in (0, 1)
+        ):
+            raise NotImplementedError(
+                "png decode supports gray/truecolor at depth 8 or 16 "
+                "and 8-bit palette, sequential or Adam7; got "
+                f"depth={depth} color={color} interlace={interlace}"
+            )
+        if color == 3 and plte is None:
+            raise ValueError("palette PNG is missing its PLTE chunk")
+        nch = 3 if color == 2 else 1
+        bpp = nch * (depth // 8)
+        raw = _zlib.decompress(b"".join(idat))
+        if interlace == 0:
+            flat, end = _unfilter(raw, 0, h, w * bpp, bpp)
+            if end != len(raw):
+                raise ValueError("PNG pixel payload has the wrong length")
+            px_bytes = flat.reshape(h, w, bpp)
+        else:  # Adam7: each pass is an independently-filtered sub-image
+            px_bytes = _np.zeros((h, w, bpp), dtype=_np.uint8)
+            spos = 0
+            for x0, y0, dx, dy in PASSES:
+                ph = len(range(y0, h, dy))
+                pw = len(range(x0, w, dx))
+                if ph == 0 or pw == 0:
+                    continue
+                sub, spos = _unfilter(raw, spos, ph, pw * bpp, bpp)
+                px_bytes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            if spos != len(raw):
+                raise ValueError("PNG pixel payload has the wrong length")
+        if depth == 16:
+            hi = px_bytes[..., 0::2].astype(_np.uint16)
+            lo = px_bytes[..., 1::2].astype(_np.uint16)
+            samples = (hi << 8) | lo  # (h, w, nch) uint16
+            return samples[..., 0] if nch == 1 else samples
+        if color == 3:
+            pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+            idx = px_bytes[..., 0]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("palette index out of range")
+            return pal[idx]  # (h, w, 3) uint8
+        return px_bytes[..., 0] if nch == 1 else px_bytes
+
+    return encode, decode, encode_palette
 
 
 # module-level pair for driver-side use and the pytest vectors.
 # r7 extended the codec to truecolor (color type 2), so the canonical
 # names drop the `_gray` suffix; the old names remain as aliases for
 # any external callers pinned to the r6 surface.
-png_encode, png_decode = _png_codec()
+png_encode, png_decode, png_encode_palette = _png_codec()
 png_encode_gray, png_decode_gray = png_encode, png_decode
 
 PIXELS_SCHEMA = StructType(
@@ -940,7 +1037,7 @@ def _make_pixels_batches():
     decoder on the bytes and reduce to pixel statistics. Encoder and
     decoder are independent code paths (filters applied forward vs
     reversed), so a bug in either breaks the oracle parity."""
-    encode, decode = _png_codec()
+    encode, decode, *_pal = _png_codec()
 
     def pixel_batches(
         batches: Iterator[pd.DataFrame],
@@ -1752,7 +1849,7 @@ def _make_thumbnail_batches():
     integer NN mapping) and reduce to position-weighted statistics.
     Upgrades the r3 resize operator's byte-length planning stand-in to
     an actual pixel transform over actually-decoded pixels."""
-    encode, decode = _png_codec()
+    encode, decode, *_pal = _png_codec()
 
     def thumb_batches(
         batches: Iterator[pd.DataFrame],
@@ -4320,7 +4417,7 @@ def _make_png_color_batches():
     deterministic pixels, all five scanline filters — and round-trip
     it through the genuine bytewise unfilterer (bpp=3 stride) before
     reducing to per-channel statistics."""
-    encode, decode = _png_codec()
+    encode, decode, *_pal = _png_codec()
 
     def png_color_batches(
         batches: Iterator[pd.DataFrame],
@@ -4415,6 +4512,139 @@ SELECT doc_id,
        CAST(sum(r * (1 + (x * 127 + y * 149) % 241)
               + g * (1 + (x * 131 + y * 137) % 239)
               + b * (1 + (x * 113 + y * 151) % 251)) AS BIGINT)
+           AS rgb_checksum
+FROM v GROUP BY doc_id
+"""
+
+
+# ----------- palette / Adam7 / 16-bit PNG pixel decode (r8)
+
+
+def _make_png_palette_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL PALETTE
+    (color type 3) PNG per image doc — a deterministic 256-entry PLTE
+    (pal[i] = (i, 7i mod 256, 13i mod 256)), all five scanline filters,
+    Adam7 interlacing on odd docs (an independently-filtered sub-image
+    per pass — a storage permutation, so the oracle is unchanged) — and
+    round-trip it through the genuine chunk walk + unfilterer + palette
+    lookup; additionally a 16-bit grayscale image per doc round-trips
+    through the two-byte-stride unfilterer, its checksum folded into
+    the same verified row (shifted so it cannot cancel against the
+    palette channels)."""
+    encode, decode, encode_palette = _png_codec()
+
+    def png_palette_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        pal = _np.stack(
+            [
+                _np.arange(256),
+                (_np.arange(256) * 7) % 256,
+                (_np.arange(256) * 13) % 256,
+            ],
+            axis=-1,
+        ).astype(_np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + (doc_id * 3) % 9, 8 + (nb * 5) % 9
+                y, x = _np.mgrid[0:h, 0:w]
+                idx = ((doc_id * 7 + y * 31 + x * 13) % 256).astype(
+                    _np.uint8
+                )
+                rec = decode(
+                    encode_palette(idx, pal, interlace=bool(doc_id % 2))
+                ).astype(_np.int64)
+                assert rec.shape == (h, w, 3)
+                # the 16-bit grayscale leg: full uint16 dynamic range
+                g16 = (
+                    (doc_id * 257 + y * 7919 + x * 104729) % 65536
+                ).astype(_np.uint16)
+                rec16 = decode(encode(g16, interlace=bool(doc_id % 2)))
+                assert rec16.dtype == _np.uint16
+                g = rec16.astype(_np.int64)
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                rr, gg, bb = rec[..., 0], rec[..., 1], rec[..., 2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(rr.sum()),
+                        "g_sum": int(gg.sum()),
+                        "b_sum": int(bb.sum()),
+                        "rgb_checksum": int(
+                            (rr * w1 + gg * w2 + bb * w3).sum()
+                            + (g * w1).sum() * 997
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return png_palette_batches
+
+
+def multimodal_png_palette(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered palette/Adam7/16-bit PNG decode query
+    (multimodal_digest member, r8): color type 3 images decode through
+    PLTE lookup (deterministic palette, so DuckDB recomputes every
+    channel as a closed form of the index), odd docs store their
+    scanlines ADAM7-interlaced (seven independently-filtered passes the
+    decoder scatters back — pixels unchanged, so the oracle is
+    interlace-blind exactly as the spec demands), and a per-doc 16-bit
+    grayscale image exercises the two-byte-stride unfilterer with its
+    checksum folded into the same row. One mapInPandas stage, spread
+    across cores."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 0")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return _spread(image_docs).mapInPandas(
+        _make_png_palette_batches(), schema=COLOR_PIXELS_SCHEMA
+    )
+
+
+ORACLES["multimodal_png_palette"] = """
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS w,
+           CAST(8 + (strlen(text) * 5) % 9 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 0
+),
+xs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img
+),
+px AS (
+    SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+v AS (
+    SELECT doc_id, w, h, x, y,
+           (doc_id * 7 + y * 31 + x * 13) % 256 AS i,
+           (doc_id * 257 + y * 7919 + x * 104729) % 65536 AS g16
+    FROM px
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(i) AS BIGINT) AS r_sum,
+       CAST(sum((i * 7) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((i * 13) % 256) AS BIGINT) AS b_sum,
+       CAST(sum(i * (1 + (x * 127 + y * 149) % 241)
+              + ((i * 7) % 256) * (1 + (x * 131 + y * 137) % 239)
+              + ((i * 13) % 256) * (1 + (x * 113 + y * 151) % 251)
+              + g16 * (1 + (x * 127 + y * 149) % 241) * 997) AS BIGINT)
            AS rgb_checksum
 FROM v GROUP BY doc_id
 """

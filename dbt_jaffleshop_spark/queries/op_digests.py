@@ -579,6 +579,20 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("px_sum", "bigint"),
             ("px_checksum", "bigint"),
         ]),
+        # r8: REAL palette/Adam7/16-bit PNG decode — PLTE lookup with a
+        # closed-form palette, seven independently-filtered interlace
+        # passes on odd docs, and a 16-bit grayscale leg through the
+        # two-byte-stride unfilterer (llm/multimodal.py)
+        "multimodal_png_palette": _m(llm_multimodal, "multimodal_png_palette", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("rgb_checksum", "bigint"),
+        ]),
         # r7e: REAL truecolor-PNG pixel decode — three interleaved
         # channels per scanline through the bytewise unfilterer (bpp=3
         # stride: a stride bug mixes channels and breaks per-channel

@@ -394,12 +394,18 @@ def test_png_decode_rejects_corruption_and_unsupported():
         )
         return PNG_SIG + chunk + idat
 
-    # still-unsupported shapes stay honest NotImplementedError gates:
-    # 16-bit depth and Adam7 interlace
-    with pytest.raises(NotImplementedError, match="depth=16"):
-        png_decode_gray(_png(16, 0, 0, 2))
-    with pytest.raises(NotImplementedError, match="interlace=1"):
-        png_decode_gray(_png(8, 0, 1, 1))
+    # still-unsupported shapes stay honest NotImplementedError gates
+    # (r8 made 16-bit, palette, and Adam7 real): alpha channels and
+    # sub-byte depths
+    with pytest.raises(NotImplementedError, match="color=6"):
+        png_decode_gray(_png(8, 6, 0, 4))  # RGBA
+    with pytest.raises(NotImplementedError, match="color=4"):
+        png_decode_gray(_png(8, 4, 0, 2))  # gray+alpha
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        png_decode_gray(_png(4, 0, 0, 1))
+    # 16-bit palette is not a legal PNG combination
+    with pytest.raises(NotImplementedError, match="depth=16 color=3"):
+        png_decode_gray(_png(16, 3, 0, 2))
 
 
 def test_multimodal_pixels_matches_oracle(spark, oracle, sf_dir):
@@ -593,7 +599,7 @@ def test_thumbnail_nn_mapping_exact():
         _png_codec,
     )
 
-    encode, decode = _png_codec()
+    encode, decode, *_pal = _png_codec()
     y, x = np.mgrid[0:8, 0:8]
     px = (y * 16 + x).astype(np.uint8)
     rec = decode(encode(px)).astype(np.int64)

@@ -1174,7 +1174,8 @@ def test_png_color_roundtrip_and_stride():
     assert out.shape == (11, 17, 3) and np.array_equal(out, rgb)
     gray = rng.integers(0, 256, size=(13, 21)).astype(np.uint8)
     assert np.array_equal(mm.png_decode_gray(mm.png_encode_gray(gray)), gray)
-    # a palette (color type 3) header is still refused honestly
+    # a palette (color type 3) header DECODES since r8 — but one with
+    # no PLTE chunk is corrupt and must fail loudly, not silently
     payload = bytearray(mm.png_encode_gray(gray))
     ihdr_at = payload.find(b"IHDR")
     payload[ihdr_at + 4 + 9] = 3  # color type byte inside IHDR data
@@ -1185,7 +1186,7 @@ def test_png_color_roundtrip_and_stride():
     payload[ihdr_at + 17 : ihdr_at + 21] = _struct.pack(
         ">I", _zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF
     )
-    with pytest.raises(NotImplementedError, match="grayscale or"):
+    with pytest.raises(ValueError, match="PLTE"):
         mm.png_decode_gray(bytes(payload))
 
 

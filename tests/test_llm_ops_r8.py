@@ -158,6 +158,64 @@ def test_dri_inside_progressive_frames():
     assert (got420 == base420).all()
 
 
+# ------------- palette / Adam7 / 16-bit PNG decode (multimodal.py, r8)
+
+
+def test_png_palette_adam7_and_16bit_roundtrip():
+    """The r8 PNG extensions: palette images decode through PLTE lookup,
+    Adam7 interlacing round-trips for every supported shape (seven
+    independently-filtered passes, including sizes where passes are
+    empty), and 16-bit gray/truecolor survive the two/six-byte-stride
+    unfilterer with full dynamic range."""
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        png_decode,
+        png_encode,
+        png_encode_palette,
+    )
+
+    def grid(h, w, s):
+        return ((s + np.add.outer(np.arange(h) * 31, np.arange(w) * 13)) % 256).astype(np.uint8)
+
+    pal = np.stack(
+        [np.arange(256), (np.arange(256) * 7) % 256, (np.arange(256) * 13) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+    for h, w in [(1, 8), (5, 5), (9, 16), (16, 8), (7, 7), (3, 2)]:
+        idx = grid(h, w, 5)
+        for ilace in (False, True):
+            out = png_decode(png_encode_palette(idx, pal, interlace=ilace))
+            assert out.shape == (h, w, 3) and (out == pal[idx]).all(), (h, w, ilace)
+            g = grid(h, w, 9)
+            assert (png_decode(png_encode(g, interlace=ilace)) == g).all()
+
+    g16 = ((np.add.outer(np.arange(9) * 7919, np.arange(11) * 104729)) % 65536).astype(np.uint16)
+    for ilace in (False, True):
+        out = png_decode(png_encode(g16, interlace=ilace))
+        assert out.dtype == np.uint16 and (out == g16).all()
+    rgb16 = np.stack([g16, (g16 * 3).astype(np.uint16), (g16 * 7).astype(np.uint16)], -1)
+    assert (png_decode(png_encode(rgb16)) == rgb16).all()
+    assert (png_decode(png_encode(rgb16, interlace=True)) == rgb16).all()
+
+    # an index past the palette is corrupt data, not silent black
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(png_encode_palette(np.full((2, 2), 200, np.uint8), pal[:16]))
+
+
+def test_png_palette_query_matches_oracle(spark, oracle, sf_dir):
+    """The registered digest member: palette + Adam7 + 16-bit decode
+    across the corpus slice vs DuckDB's closed forms."""
+    from tests.conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import multimodal as mm
+
+    assert_parity(
+        mm.multimodal_png_palette(spark, sf_dir),
+        oracle,
+        mm.ORACLES["multimodal_png_palette"],
+    )
+
+
 # ----------- executor-closure isolation (the cloudpickle contract)
 
 
