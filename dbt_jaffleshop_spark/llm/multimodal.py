@@ -513,11 +513,43 @@ def _wav_parser():
         if fmt is None or data is None:
             return None
         audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-        if audio_fmt != 1 or bits != 16 or channels < 1:
-            return None  # only uncompressed 16-bit PCM decodes here
-        samples = np.frombuffer(
-            data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
-        )
+        if channels < 1:
+            return None
+        # uncompressed shapes (r8 extends the r6 16-bit-only gate):
+        # PCM 8-bit (unsigned, centered at 128), 16-bit, 24-bit
+        # (3-byte little-endian two's complement), and IEEE float32
+        # (format tag 3); rms_q is always in 16-bit-equivalent units so
+        # the feature is comparable across sample widths. Compressed
+        # codecs (mp3/aac) stay out of scope — they need real codec
+        # libraries.
+        if audio_fmt == 1 and bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) - (len(data) % (2 * channels))], dtype="<i2"
+            ).astype("int64")
+        elif audio_fmt == 1 and bits == 8:
+            raw8 = np.frombuffer(
+                data[: len(data) - (len(data) % channels)], dtype=np.uint8
+            )
+            samples = (raw8.astype("int64") - 128) * 256  # center + scale
+        elif audio_fmt == 1 and bits == 24:
+            usable = len(data) - (len(data) % (3 * channels))
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype("int64")
+                | (b[:, 1].astype("int64") << 8)
+                | (b[:, 2].astype("int64") << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v >> 8  # to 16-bit-equivalent units
+        elif audio_fmt == 3 and bits == 32:
+            f32 = np.frombuffer(
+                data[: len(data) - (len(data) % (4 * channels))], dtype="<f4"
+            )
+            samples = np.round(
+                np.clip(f32.astype("float64"), -1.0, 1.0) * 32767
+            ).astype("int64")
+        else:
+            return None
         n_samples = samples.size // channels
         rms_q = (
             int(np.sqrt(np.mean(samples.astype("int64") ** 2)))
@@ -536,10 +568,12 @@ def _wav_parser():
 
 
 #: Dependency-free PCM WAV decode — REAL audio decoding, not a stub:
-#: RIFF/WAVE container walk (fmt + data chunks), 16-bit PCM sample
-#: extraction via numpy, and an integer RMS so the features are
-#: engine/partitioning-exact. Returns None for non-WAV payloads;
-#: compressed codecs (mp3/aac — format tag != 1) stay out of scope.
+#: RIFF/WAVE container walk (fmt + data chunks), sample extraction via
+#: numpy for PCM 8/16/24-bit AND IEEE float32 (r8; r6 was 16-bit-only),
+#: and an integer RMS in 16-bit-equivalent units so the feature is
+#: comparable across sample widths and engine/partitioning-exact.
+#: Returns None for non-WAV payloads; compressed codecs (mp3/aac) stay
+#: out of scope — they need real codec libraries.
 parse_wav = _wav_parser()
 
 

@@ -216,6 +216,62 @@ def test_png_palette_query_matches_oracle(spark, oracle, sf_dir):
     )
 
 
+# --------------- WAV sample widths (multimodal.py, r8)
+
+
+def test_wav_decodes_all_uncompressed_widths():
+    """PCM 8/24-bit and IEEE float32 decode alongside 16-bit (r8; the
+    r6 gate was 16-bit-only), all reporting rms_q in 16-bit-equivalent
+    units so the feature is comparable across widths: the same sine
+    wave must yield (approximately) the same rms_q whatever the
+    container width, and unsupported format tags still return None."""
+    import struct
+
+    from dbt_jaffleshop_spark.llm.multimodal import parse_wav
+
+    def wav(fmt_tag, bits, payload, channels=1, rate=8000):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_tag, channels,
+                                    rate, rate * channels * bits // 8,
+                                    channels * bits // 8, bits)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    n = 800
+    t = np.arange(n) / 8000.0
+    x = np.sin(2 * np.pi * 440 * t)  # full-scale sine, rms = 1/sqrt(2)
+    s16 = np.round(x * 32767).astype("<i2")
+    ref = parse_wav(wav(1, 16, s16.tobytes()))
+    assert ref is not None and ref["n_samples"] == n
+    assert abs(ref["rms_q"] - 32767 / np.sqrt(2)) < 200
+
+    s8 = (np.round(x * 127) + 128).astype(np.uint8)
+    r8b = parse_wav(wav(1, 8, s8.tobytes()))
+    assert r8b is not None and r8b["n_samples"] == n
+    # 8-bit quantization is coarse: within ~2% of the 16-bit reference
+    assert abs(r8b["rms_q"] - ref["rms_q"]) < 0.02 * ref["rms_q"]
+
+    v24 = np.round(x * ((1 << 23) - 1)).astype("int64") & 0xFFFFFF
+    b24 = bytes(
+        bytearray(
+            b for v in v24 for b in (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+        )
+    )
+    r24 = parse_wav(wav(1, 24, b24))
+    assert r24 is not None and r24["n_samples"] == n
+    assert abs(r24["rms_q"] - ref["rms_q"]) < 0.01 * ref["rms_q"]
+
+    f32 = x.astype("<f4")
+    rf = parse_wav(wav(3, 32, f32.tobytes()))
+    assert rf is not None and rf["n_samples"] == n
+    assert abs(rf["rms_q"] - ref["rms_q"]) <= 2
+
+    # compressed / unknown tags stay out honestly
+    assert parse_wav(wav(85, 0, b"\x00" * 64)) is None  # mp3-in-wav
+    assert parse_wav(wav(3, 64, b"\x00" * 64)) is None  # float64
+
+
 # ----------- executor-closure isolation (the cloudpickle contract)
 
 
