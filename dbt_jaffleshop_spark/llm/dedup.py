@@ -231,6 +231,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
         .distinct()
     )
 
+    return _verify_jaccard(cands, sh)
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs over
+    the shingle relation — shared by the all-pairs and star-reduced
+    candidate generators, so both strategies verify identically."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -254,6 +261,52 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     return j.where(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD)).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def minhash_star_pairs_over(docs: DataFrame) -> DataFrame:
+    """STAR-REDUCED MinHash+LSH near-dup pairs: linear candidate cost
+    per bucket (the 100 TB mega-bucket answer, implemented rather than
+    hand-waved — BASELINE.md round-8 notes).
+
+    `dedup_minhash_pairs` emits ALL pairs inside each (band, bucket)
+    group — quadratic in bucket membership, which is the true pair
+    count and exactly right when downstream wants every duplicate PAIR
+    (the r8 scale run measured 979× pairs for 10× docs, by semantics).
+    But when downstream is CLUSTERING (connected components →
+    keep-one-per-group, the usual dedup endgame), a bucket's clique and
+    its star have the same connected components — so this variant pairs
+    every bucket member with the bucket MINIMUM only: a bucket of m
+    docs emits m-1 candidates instead of m(m-1)/2. A corpus where one
+    document is duplicated a million times produces 1M−1 star edges
+    instead of ~5·10¹¹ — the difference between a dedup pass finishing
+    and not.
+
+    Each star edge still goes through the SAME exact-Jaccard
+    verification. Documented semantics delta: verification filters
+    EDGES, so a star edge (min, b) can fail where the dropped clique
+    edge (a, b) would have passed — post-verify connectivity is a
+    (high-recall) approximation of the all-pairs graph's; the pytest
+    pins cluster-for-cluster equality on the verified corpus and the
+    linear bound on a planted mega-bucket."""
+    sh = _shingle_table(docs)
+    sig = _minhash_signatures_from(sh)
+    band_exprs = []
+    for j in range(LSH_BANDS):
+        cols = ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_exprs.append(f"{j}, md5(concat_ws(',', {cols}))")
+    bands = sig.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {', '.join(band_exprs)}) as (band, bv)"),
+    )
+    # one groupBy + one co-partitioned join on the SAME (band, bv) keys
+    mins = bands.groupBy("band", "bv").agg(F.min("doc_id").alias("doc_a"))
+    cands = (
+        bands.join(mins, ["band", "bv"])
+        .where(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cands, sh)
 
 
 def dedup_clusters_propagation(

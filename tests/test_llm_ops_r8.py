@@ -216,6 +216,53 @@ def test_png_palette_query_matches_oracle(spark, oracle, sf_dir):
     )
 
 
+# ------------- star-reduced LSH candidates (llm/dedup.py, r8)
+
+
+def _components(pairs):
+    """Tiny union-find over collected (doc_a, doc_b) pairs."""
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {u: find(u) for u in parent}
+
+
+def test_minhash_star_pairs_same_clusters_linear_cost(spark, sf_dir):
+    """The star-reduced LSH candidate generator (bucket member → bucket
+    min, m-1 candidates per bucket instead of m(m-1)/2): on the
+    verified corpus its post-verify connected components equal the
+    all-pairs generator's cluster for cluster, and on a planted
+    mega-bucket (one doc duplicated N times) it emits exactly N-1
+    verified edges where all-pairs emits N(N-1)/2."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    allp = [(r.doc_a, r.doc_b) for r in dd.dedup_minhash_pairs(spark, sf_dir).collect()]
+    star = [(r.doc_a, r.doc_b) for r in dd.minhash_star_pairs_over(docs).collect()]
+    assert len(star) <= len(allp)
+    assert _components(star) == _components(allp)  # same clusters
+
+    # planted mega-bucket: N copies of one text (plus distinct chaff)
+    n = 40
+    rows = [(i, "the same exact duplicated document text " * 4) for i in range(n)]
+    rows += [(100 + i, f"completely unrelated chaff text number {i} " * 3)
+             for i in range(5)]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    star_n = dd.minhash_star_pairs_over(planted).count()
+    assert star_n == n - 1  # linear, not n*(n-1)/2 == 780
+
+
 # --------------- WAV sample widths (multimodal.py, r8)
 
 
