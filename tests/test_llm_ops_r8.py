@@ -263,6 +263,19 @@ def test_minhash_star_pairs_same_clusters_linear_cost(spark, sf_dir):
     assert star_n == n - 1  # linear, not n*(n-1)/2 == 780
 
 
+def test_embedding_lsh_star_pairs_same_clusters(spark, sf_dir):
+    """The embedding twin: star-reduced hyperplane-LSH buckets keep the
+    all-pairs generator's connected components on the verified corpus,
+    with no more edges than all-pairs."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    q = dd._quantized_embeddings(spark, sf_dir)
+    allp = [(r.id_a, r.id_b) for r in dd.dedup_embedding_lsh(spark, sf_dir).collect()]
+    star = [(r.id_a, r.id_b) for r in dd.embedding_lsh_star_pairs_over(q).collect()]
+    assert len(star) <= len(allp)
+    assert _components(star) == _components(allp)
+
+
 # --------------- WAV sample widths (multimodal.py, r8)
 
 
