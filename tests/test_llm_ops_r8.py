@@ -539,6 +539,26 @@ def test_bucketed_join_is_shuffle_free_and_exact(spark, sf_dir, tmp_path):
 
         expect = orders.join(items, "o_orderkey").count()
         assert joined.count() == expect > 0
+
+        # bucket PRUNING: a point lookup on the bucket key reads ONE
+        # bucket's files (Spark's autoBucketedScan drops bucketed
+        # reading when a query gains nothing from it — e.g. this plain
+        # filter — so pin the pruning with it disabled; joins/aggs keep
+        # bucketed scans under the default config regardless)
+        import re
+
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            point = spark.table("b_orders").where("o_orderkey = 42")
+            pplan = point._jdf.queryExecution().executedPlan().toString()
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", pplan)
+            assert m and m.groups() == ("1", "8"), pplan
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            )
         # exact content, not just count (integer cents: float-sum order
         # differs between the bucketed and shuffled plans)
         cents = (
