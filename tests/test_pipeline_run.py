@@ -58,16 +58,18 @@ def test_orders_mart_partition_pruning(spark, built_warehouse):
     assert bounded.count() == expect
 
 
-def test_read_mart_injects_partition_pruning(spark, built_warehouse):
+@pytest.mark.parametrize("mart", ["orders", "order_items"])
+def test_read_mart_injects_partition_pruning(spark, built_warehouse, mart):
     """read_mart turns an ordered_at date range into an injected
     order_month partition predicate (SURVEY §4.3-5 pruning-injection
-    stretch): same rows as the naive row filter, but the physical scan
-    prunes at the partition level."""
+    stretch) on BOTH month-partitioned marts (order_items since r8):
+    same rows as the naive row filter, but the physical scan prunes at
+    the partition level."""
     from dbt_jaffleshop_spark.plans.dag import read_mart
 
     wh, _ = built_warehouse
     start, end = "1995-03-15", "1995-05-10"
-    pruned = read_mart(spark, wh, "orders", date_between=(start, end))
+    pruned = read_mart(spark, wh, mart, date_between=(start, end))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "order_month" in pf[1].split("]", 1)[0], plan
@@ -75,7 +77,7 @@ def test_read_mart_injects_partition_pruning(spark, built_warehouse):
     from dbt_jaffleshop_spark.plans.acid import AcidTable
 
     naive = (
-        AcidTable(f"{wh}/orders").read(spark)
+        AcidTable(f"{wh}/{mart}").read(spark)
         .filter((F.col("ordered_at") >= start) & (F.col("ordered_at") <= end))
     )
     assert pruned.count() == naive.count()
