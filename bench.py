@@ -303,8 +303,13 @@ def main() -> None:
     # Auxiliary records first, in small whole-line chunks (r6: the
     # driver's tail capture cut BENCH_r05's one-line aux records
     # mid-JSON) — the driver parses the LAST JSON line, which must stay
-    # compact (see module docstring).
-    _emit_chunked("queries_min", {"queries_min": mins})
+    # compact (see module docstring). Emission ORDER matters (r9 fix,
+    # VERDICT r8 item 2): the driver's tail capture keeps only the LAST
+    # chunk of stdout, and BENCH_r08 lost every queries_min chunk because
+    # they were printed first and scrolled out. The load telemetry is the
+    # expendable aux — it goes FIRST; the queries_min floors that arm the
+    # next round's 2×-prior quiet-retry go LAST, immediately before the
+    # final compact line, so they always survive the capture.
     _emit_chunked(
         "load_avg_1m",
         {
@@ -324,6 +329,7 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
+    _emit_chunked("queries_min", {"queries_min": mins})
     print(
         json.dumps(
             {

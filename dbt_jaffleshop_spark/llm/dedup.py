@@ -195,34 +195,46 @@ def _minhash_signatures_from(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bv) — 8 bands × 2 rows, band value = md5 of the
+    band's minhash pair. Shared by the all-pairs and star candidate
+    generators so both bucket identically."""
+    band_exprs = []
+    for j in range(LSH_BANDS):
+        cols = ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        band_exprs.append(f"{j}, md5(concat_ws(',', {cols}))")
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({LSH_BANDS}, {', '.join(band_exprs)}) as (band, bv)"),
+    )
+
+
+def _cached_shingles(spark: SparkSession, sf_dir: str | None) -> DataFrame:
+    """The memoized shingle relation — it feeds the signature build AND
+    both sides of candidate verification (SURVEY §4.1 policy; at 100 TB
+    this is a persisted intermediate table keyed by shingle); memoized
+    per session so repeated invocations don't stack cached RDDs."""
+    from ..models.base import cached
+
+    return cached(
+        "minhash_shingles",
+        lambda s, sf: _shingle_table(load_table(s, "documents", sf)),
+        spark, sf_dir,
+    )
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.5.
 
     Pipeline: shingle → 16-perm signature → 8 bands × 2 rows → band-hash
     bucket join → candidates → exact Jaccard on candidates only. At scale
     the expensive all-pairs work is bounded by bucket collisions, not
-    corpus size²."""
-    # the shingle relation feeds the signature build AND both sides of the
-    # candidate verification join — cache it once (SURVEY §4.1 policy; at
-    # 100 TB this is a persisted intermediate table keyed by shingle);
-    # memoized per session so repeated invocations don't stack cached RDDs
-    from ..models.base import cached
-
-    sh = cached(
-        "minhash_shingles",
-        lambda s, sf: _shingle_table(load_table(s, "documents", sf)),
-        spark, sf_dir,
-    )
-    sig = _minhash_signatures_from(sh)
-
-    band_exprs = []
-    for j in range(LSH_BANDS):
-        cols = ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        band_exprs.append(f"{j}, md5(concat_ws(',', {cols}))")
-    bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({LSH_BANDS}, {', '.join(band_exprs)}) as (band, bv)"),
-    )
+    corpus size². This is the PAIR-consumer endpoint (every duplicate
+    pair is a real output row); clustering-bound dedup goes through
+    :func:`dedup_minhash_star_pairs` instead, whose per-bucket candidate
+    cost is linear rather than quadratic."""
+    sh = _cached_shingles(spark, sf_dir)
+    bands = _lsh_bands(_minhash_signatures_from(sh))
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bv"])
@@ -289,24 +301,39 @@ def minhash_star_pairs_over(docs: DataFrame) -> DataFrame:
     pins cluster-for-cluster equality on the verified corpus and the
     linear bound on a planted mega-bucket."""
     sh = _shingle_table(docs)
-    sig = _minhash_signatures_from(sh)
-    band_exprs = []
-    for j in range(LSH_BANDS):
-        cols = ", ".join(f"mh{j * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        band_exprs.append(f"{j}, md5(concat_ws(',', {cols}))")
-    bands = sig.select(
-        "doc_id",
-        F.expr(f"stack({LSH_BANDS}, {', '.join(band_exprs)}) as (band, bv)"),
-    )
-    # one groupBy + one co-partitioned join on the SAME (band, bv) keys
+    bands = _lsh_bands(_minhash_signatures_from(sh))
+    return _verify_jaccard(_star_candidates(bands), sh)
+
+
+def _star_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a=bucket min, doc_b=member) star edges from a (doc_id, band,
+    bv) band-bucket relation: one groupBy + one co-partitioned join on
+    the SAME (band, bv) keys — Catalyst reuses the exchange, so the
+    whole candidate build costs a single shuffle on the bucket key."""
     mins = bands.groupBy("band", "bv").agg(F.min("doc_id").alias("doc_a"))
-    cands = (
+    return (
         bands.join(mins, ["band", "bv"])
         .where(F.col("doc_id") > F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(cands, sh)
+
+
+def dedup_minhash_star_pairs(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """PRODUCTION star-reduced MinHash+LSH pairs (r9): the candidate
+    input of :func:`dedup_clusters`. Same shingle cache, signatures,
+    banding, and exact-Jaccard verification as
+    :func:`dedup_minhash_pairs`; only the per-bucket candidate shape
+    differs — m−1 star edges instead of m(m−1)/2 clique edges (see
+    :func:`minhash_star_pairs_over` for the semantics delta and the
+    mega-bucket arithmetic). The r8 A/B at the derived 10× scale
+    point: 3.28 s / 58k star edges vs 5.57 s / 250k all-pairs edges
+    (BASELINE.md round-8 notes)."""
+    sh = _cached_shingles(spark, sf_dir)
+    bands = _lsh_bands(_minhash_signatures_from(sh))
+    return _verify_jaccard(_star_candidates(bands), sh)
 
 
 def dedup_clusters_propagation(
@@ -413,8 +440,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     cross-check is pytest-pinned on the planted-duplicate corpus and on
     Hypothesis-generated random graphs; the DuckDB oracle is a genuinely
     independent third implementation (recursive CTE enumerating
-    reachability, min-aggregated per node)."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    reachability, min-aggregated per node).
+
+    INPUT since r9: the star-reduced candidate relation
+    (:func:`dedup_minhash_star_pairs`) — for a clustering consumer the
+    all-pairs relation is strictly wasted work (a bucket's clique and
+    its star have the same connected components), and the star build is
+    linear per bucket where all-pairs is quadratic (the production
+    mega-bucket answer). The propagation cross-check deliberately keeps
+    the ALL-PAIRS input, so the pytest equality pins both algorithm-
+    and input-independence; the DuckDB oracle runs the identical star
+    candidate generation (so driver parity stays exact)."""
+    pairs = dedup_minhash_star_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _star_components(pairs)
+
+
+def _star_components(pairs: DataFrame) -> DataFrame:
+    """Alternating large/small-star connected components over a
+    (doc_a, doc_b) pair relation → (doc_id, cluster_id = component min,
+    cluster_size). The algorithm core of :func:`dedup_clusters`, shared
+    with the embedding-clustering twin (:func:`emb_clusters_star`)."""
     # nodes can be isolated only if a pair self-loops, which the pair
     # relation excludes (doc_a < doc_b) — every node has ≥1 edge.
     edges = (
@@ -693,7 +738,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str | None = None) -> DataF
             )
         )
         cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+    return _verify_cosine(cands.distinct(), q)
+
+
+def _verify_cosine(cands: DataFrame, q: DataFrame) -> DataFrame:
+    """Exact integer-cosine verification of candidate (id_a, id_b) pairs
+    over a quantized-embedding frame — shared by every embedding
+    candidate generator (all-pairs LSH, star, hybrid), so all
+    strategies verify identically."""
     verify = (
         cands.join(
             q.select(
@@ -740,7 +792,18 @@ def embedding_lsh_star_pairs_over(q: DataFrame) -> DataFrame:
     for pair consumers, quadratic by semantics — while star edges grow
     linearly with bucket membership and keep the same connected
     components pre-verification (high-recall post-verification; see
-    minhash_star_pairs_over's docstring for the edge-filter delta)."""
+    minhash_star_pairs_over's docstring for the edge-filter delta).
+
+    r9 DISCOVERY (why the production clustering path is the HYBRID
+    below, not this pure star): hyperplane band buckets are COARSE — 4
+    sign bits = 16 buckets per band — so unlike a MinHash band bucket
+    (an md5 equality on signature rows, a strong similarity signal), a
+    bucket here routinely holds unrelated vectors. The bucket minimum
+    can then be similar to NEITHER member of a true near-dup pair: both
+    star edges fail cosine verification and the pair's component
+    disconnects (observed on the sf0.01 corpus — pair (169, 466) shares
+    a bucket whose min is unrelated). Kept as the library primitive for
+    fine-bucket regimes and the planted mega-bucket pytest."""
     cands = None
     for band in (0, 1):
         buckets = q.select(
@@ -754,38 +817,86 @@ def embedding_lsh_star_pairs_over(q: DataFrame) -> DataFrame:
             .select("id_a", F.col("vec_id").alias("id_b"))
         )
         cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    verify = (
-        cands.join(
-            q.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("e").alias("ea"),
-                F.col("nrm").alias("na"),
-            ),
-            "id_a",
+    return _verify_cosine(cands.distinct(), q)
+
+
+# Hybrid threshold: a (band, bucket) group with more members than this
+# switches from exact all-pairs candidates to star candidates. Sized so
+# every bucket of a healthily-distributed corpus slice stays on the
+# exact path (sf0.01: ~31 vectors/bucket; sf0.1: ~125) while a genuine
+# mega-bucket — which in a real corpus means heavy duplication, exactly
+# where star edges survive verification — degrades to linear cost
+# instead of m²/2.
+EMB_STAR_BUCKET_CAP = 256
+
+
+def _emb_hybrid_candidates(
+    q: DataFrame, cap: int = EMB_STAR_BUCKET_CAP
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for clustering-bound embedding
+    dedup: per (band, bucket), exact all-pairs when the bucket has ≤
+    ``cap`` members, star (member ↔ bucket min) above it. One
+    aggregation + one join per band, all on the bucket key — Catalyst
+    reuses the exchange across the size-stats and candidate joins."""
+    cands = None
+    for band in (0, 1):
+        buckets = q.select(
+            "vec_id",
+            F.expr(_band_bucket_expr("e", band, "spark")).alias("bk"),
         )
-        .join(
-            q.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("e").alias("eb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "id_b",
+        stats = buckets.groupBy("bk").agg(
+            F.min("vec_id").alias("mn"), F.count("*").alias("m")
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(
-                "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-            ).alias("dot"),
-            "na",
-            "nb",
+        small = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), "bk")
+            .join(stats.where(F.col("m") <= cap).select("bk"), "bk")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
         )
+        big = (
+            buckets.join(stats.where(F.col("m") > cap), "bk")
+            .where(F.col("vec_id") > F.col("mn"))
+            .select(F.col("mn").alias("id_a"), F.col("vec_id").alias("id_b"))
+        )
+        c = small.unionByName(big)
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
+def emb_clusters_star(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Embedding duplicate-cluster assignment (r9): connected components
+    over hyperplane-LSH cosine pairs from the HYBRID candidate
+    generator — the embedding twin of :func:`dedup_clusters`,
+    completing the clustering-bound dedup endgame for both corpora.
+
+    Candidate generation is :func:`_emb_hybrid_candidates`: exact
+    all-pairs inside band buckets of ≤ EMB_STAR_BUCKET_CAP members,
+    star (member ↔ bucket min) above — bounded at cap²/2 per normal
+    bucket and LINEAR on mega-buckets (a vector corpus where one
+    embedding recurs 10⁶× emits 10⁶−1 edges, not 5·10¹¹). Pure star
+    everywhere would be wrong here: hyperplane buckets are coarse (16
+    per band), so an unrelated bucket minimum can fail verification
+    against both members of a true near-dup pair and break its
+    component (see :func:`embedding_lsh_star_pairs_over`'s r9 note) —
+    whereas above-cap buckets arise from heavy duplication, exactly
+    where star edges pass. Verification is the shared exact
+    integer-cosine check; components are the same alternating
+    large/small-star algorithm (O(log² n) rounds). Output contract:
+    (vec_id, cluster_id = component-min vec_id, cluster_size).
+    Driver-verified as a ``sim_eval_digest`` member against an
+    independent DuckDB recursive-CTE reachability oracle running the
+    identical hybrid candidate SQL; component equality with the
+    all-pairs LSH relation is pytest-pinned at sf0.01."""
+    q = _quantized_embeddings(spark, sf_dir)
+    pairs = _verify_cosine(_emb_hybrid_candidates(q), q).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    return (
-        verify.withColumn("cos_sim", F.expr(_COS))
-        .where(F.col("cos_sim") >= F.lit(COSINE_DUP_THRESHOLD))
-        .select("id_a", "id_b", "cos_sim")
+    return _star_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
 
 
@@ -834,7 +945,12 @@ jac AS (
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(star: bool = False) -> str:
+    """MinHash+LSH pair oracle; ``star=True`` swaps the all-pairs
+    bucket clique for the star candidate generation (bucket member →
+    bucket min) — the exact DuckDB twin of _star_candidates, feeding
+    the dedup_clusters oracle so driver parity covers the production
+    star input."""
     mins = ",\n           ".join(
         f"min(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
         for i in range(NUM_PERM)
@@ -846,16 +962,27 @@ def _minhash_oracle() -> str:
         )
         band_rows.append(f"SELECT doc_id, {j} AS band, md5({cols}) AS bv FROM sig")
     bands_sql = " UNION ALL ".join(band_rows)
+    if star:
+        cands_sql = """bmins AS (
+    SELECT band, bv, min(doc_id) AS doc_a FROM bands GROUP BY band, bv
+),
+cands AS (
+    SELECT DISTINCT m.doc_a, b.doc_id AS doc_b
+    FROM bands b JOIN bmins m ON b.band = m.band AND b.bv = m.bv
+    WHERE b.doc_id > m.doc_a
+),"""
+    else:
+        cands_sql = """cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+),"""
     return f"""
 WITH {_SHINGLE_CTE},
 hashed AS (SELECT doc_id, sh_h % {MINHASH_P} AS hm FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({bands_sql}),
-cands AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-),
+{cands_sql}
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter
     FROM cands c
@@ -950,7 +1077,7 @@ FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     "dedup_minhash_pairs": _minhash_oracle(),
     "dedup_clusters": f"""
 WITH RECURSIVE pairs AS (
-    SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh
+    SELECT doc_a, doc_b FROM ({_minhash_oracle(star=True)}) mh
 ),
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1009,6 +1136,66 @@ p AS (
 SELECT id_a, id_b, {_COS_D} AS cos_sim
 FROM p
 WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
+""",
+    # r9: the embedding clustering twin — HYBRID candidates (all-pairs
+    # inside buckets ≤ EMB_STAR_BUCKET_CAP members, star above), exact
+    # integer-cosine verify, recursive-CTE reachability components: the
+    # independent DuckDB replay of emb_clusters_star (digest member in
+    # sim_eval_digest).
+    "emb_clusters_star": f"""
+WITH RECURSIVE {_QUANT_CTE.strip()},
+bk AS (
+    SELECT vec_id,
+           {_band_bucket_expr("e", 0, "duck")} AS b0,
+           {_band_bucket_expr("e", 1, "duck")} AS b1
+    FROM n
+),
+s0 AS (SELECT b0, min(vec_id) AS mn, count(*) AS m FROM bk GROUP BY b0),
+s1 AS (SELECT b1, min(vec_id) AS mn, count(*) AS m FROM bk GROUP BY b1),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bk a JOIN bk b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+    JOIN s0 s ON s.b0 = a.b0 WHERE s.m <= {EMB_STAR_BUCKET_CAP}
+    UNION
+    SELECT s.mn, b.vec_id
+    FROM bk b JOIN s0 s ON b.b0 = s.b0
+    WHERE s.m > {EMB_STAR_BUCKET_CAP} AND b.vec_id > s.mn
+    UNION
+    SELECT a.vec_id, b.vec_id
+    FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+    JOIN s1 s ON s.b1 = a.b1 WHERE s.m <= {EMB_STAR_BUCKET_CAP}
+    UNION
+    SELECT s.mn, b.vec_id
+    FROM bk b JOIN s1 s ON b.b1 = s.b1
+    WHERE s.m > {EMB_STAR_BUCKET_CAP} AND b.vec_id > s.mn
+),
+p AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(list_sum(list_transform(list_zip(x.e, y.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           x.nrm AS na, y.nrm AS nb
+    FROM cand
+    JOIN n x ON cand.id_a = x.vec_id
+    JOIN n y ON cand.id_b = y.vec_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM p WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, origin) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
 """,
 }
 

@@ -152,6 +152,9 @@ _GROUP_DIGESTED = {
     "events_range_join",
     "events_bloom_join",
     "text_zipf_topk",
+    # r9: the embedding clustering twin — driver-verified through
+    # sim_eval_digest (VERDICT r8 item 1)
+    "emb_clusters_star",
 }
 # (llm/prep.py's operators — corpus_segment_dedup, corpus_mix_sample,
 # emb_project, and the rest — never enter LLM_CATALOG at all: prep is

@@ -90,6 +90,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 from ..llm import corpus as llm_corpus
+from ..llm import dedup as llm_dedup
 from ..llm import events as llm_events
 from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
@@ -993,6 +994,16 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("rank", "bigint"),
             ("adc_sim", "double"),
         ], oracle=llm_similarity.IVFPQ_ORACLE),
+        # r9: the embedding clustering twin of dedup_clusters —
+        # connected components (alternating large/small-star) over the
+        # STAR-REDUCED hyperplane-LSH cosine pairs; driver-verifies the
+        # embedding star candidate path against an independent DuckDB
+        # recursive-CTE reachability oracle (VERDICT r8 item 1)
+        "emb_clusters_star": _m(llm_dedup, "emb_clusters_star", [
+            ("vec_id", "bigint"),
+            ("cluster_id", "bigint"),
+            ("cluster_size", "bigint"),
+        ]),
         # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
         # projected coordinates + distortion evaluation
         "emb_project": _m(llm_prep, "emb_project", [

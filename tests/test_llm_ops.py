@@ -102,7 +102,7 @@ def test_dedup_clusters_star_long_chain(spark, monkeypatch):
     pairs = chain + star + [(900, 901)]
     pair_df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     monkeypatch.setattr(
-        dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
+        dedup, "dedup_minhash_star_pairs", lambda _s, _sf=None: pair_df
     )
     rows = {r.doc_id: r for r in dedup.dedup_clusters(spark, None).collect()}
     assert all(rows[i].cluster_id == 100 for i in range(100, 164))
