@@ -29,7 +29,15 @@ and a fixed bucket count, which should be sized to the TARGET scale
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# saveAsTable would reject exotic names anyway, but the DROP below
+# interpolates into SQL — restrict to plain (optionally db-qualified)
+# identifiers up front so a weird name fails loudly, not as an
+# injection/parse surprise (advisor r8).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 
 
 def write_bucketed(
@@ -48,6 +56,11 @@ def write_bucketed(
     total order per bucket, letting the bucketed sort-merge join skip
     its sort when Catalyst can prove it."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if not _IDENT.fullmatch(table_name):
+        raise ValueError(
+            f"write_bucketed: table_name {table_name!r} is not a plain "
+            "[db.]identifier"
+        )
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = (

@@ -223,7 +223,35 @@ def _cached_shingles(spark: SparkSession, sf_dir: str | None) -> DataFrame:
     )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def _capped_buckets(bands: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Optionally drop (band, bv) buckets with more members than
+    ``bucket_cap`` from pair-producer candidate generation — the band-
+    bucket analogue of NGRAM_DF_CUTOFF's hot-shingle cap (VERDICT r8
+    item 5). A bucket of m docs contributes m(m−1)/2 candidate pairs to
+    a PAIR consumer; one production mega-bucket (a document duplicated
+    10⁶×) makes the self-join quadratic no matter how good the banding
+    is. The cap bounds the join at cap²/2 pairs per bucket. OFF by
+    default (None): the registered queries and their oracles emit every
+    true pair — turning the cap on is an explicit recall trade
+    (above-cap buckets report NO pairs; clustering consumers should use
+    the star path, which handles mega-buckets losslessly at linear
+    cost). One window over the downstream join's own (band, bv)
+    partitioning — the exchange is reused, not repeated."""
+    if bucket_cap is None:
+        return bands
+    w = Window.partitionBy("band", "bv")
+    return (
+        bands.withColumn("msize", F.count("*").over(w))
+        .where(F.col("msize") <= bucket_cap)
+        .drop("msize")
+    )
+
+
+def dedup_minhash_pairs(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥ 0.5.
 
     Pipeline: shingle → 16-perm signature → 8 bands × 2 rows → band-hash
@@ -232,9 +260,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str | None = None) -> DataF
     corpus size². This is the PAIR-consumer endpoint (every duplicate
     pair is a real output row); clustering-bound dedup goes through
     :func:`dedup_minhash_star_pairs` instead, whose per-bucket candidate
-    cost is linear rather than quadratic."""
+    cost is linear rather than quadratic. ``bucket_cap`` (default off)
+    drops over-sized band buckets entirely — see :func:`_capped_buckets`
+    for the trade."""
     sh = _cached_shingles(spark, sf_dir)
-    bands = _lsh_bands(_minhash_signatures_from(sh))
+    bands = _capped_buckets(
+        _lsh_bands(_minhash_signatures_from(sh)), bucket_cap
+    )
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bv"])
@@ -709,7 +741,11 @@ def _band_bucket_expr(e_col: str, band: int, dialect: str) -> str:
     return " + ".join(terms)
 
 
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Bucketed cosine near-dup pairs — the 100 TB path for
     dedup_embedding_cosine's semantics (same threshold, same output shape).
 
@@ -719,7 +755,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str | None = None) -> DataF
     candidate join carries only (vec_id, bucket) — narrow payload — and the
     exact integer-cosine verify runs on candidates alone. Recall < 1 by
     design (pairs disagreeing in both bands are missed); the DuckDB oracle
-    runs the identical fixed-plane algorithm, so parity is exact."""
+    runs the identical fixed-plane algorithm, so parity is exact.
+    ``bucket_cap`` (default off) drops a band's over-sized buckets from
+    candidate generation — same trade as dedup_minhash_pairs'
+    :func:`_capped_buckets`; clustering consumers should use
+    :func:`emb_clusters_star`, whose hybrid handles mega-buckets at
+    linear cost instead of dropping them."""
     q = _quantized_embeddings(spark, sf_dir)
     buckets = q.select(
         "vec_id",
@@ -728,9 +769,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str | None = None) -> DataF
     )
     cands = None
     for col in ("b0", "b1"):
+        side = buckets
+        if bucket_cap is not None:
+            w = Window.partitionBy(col)
+            side = (
+                buckets.withColumn("msize", F.count("*").over(w))
+                .where(F.col("msize") <= bucket_cap)
+                .drop("msize")
+            )
         c = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), F.col(f"a.{col}") == F.col(f"b.{col}"))
+            side.alias("a")
+            .join(side.alias("b"), F.col(f"a.{col}") == F.col(f"b.{col}"))
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
                 F.col("a.vec_id").alias("id_a"),

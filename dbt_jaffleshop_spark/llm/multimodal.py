@@ -1485,6 +1485,11 @@ def _gif_codec():
                 pos += 1
                 if label == 0xF9:  # Graphic Control Extension
                     ln = payload[pos]
+                    # the spec-mandated GCE body is 4 bytes; a declared
+                    # or actual shorter block is corrupt input, not an
+                    # IndexError (advisor r8)
+                    if ln < 4 or pos + 1 + ln > len(payload):
+                        raise ValueError("GIF truncated inside GCE")
                     gce = payload[pos + 1 : pos + 1 + ln]
                     disposal = (gce[0] >> 2) & 0x7
                     transparent = gce[3] if (gce[0] & 1) else None

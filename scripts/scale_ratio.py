@@ -99,7 +99,10 @@ FACT_TABLES = ("orders", "lineitem", "documents", "embeddings", "events")
 
 
 def build_derived(spark, src: str, dst: str, factor: int) -> None:
-    if os.path.exists(os.path.join(dst, _MARKER)):
+    # the marker encodes the factor (advisor r8): a cached factor-10
+    # derivation must not be silently reused for --factor 5
+    marker = os.path.join(dst, f"{_MARKER}_f{factor}")
+    if os.path.exists(marker):
         return
     os.makedirs(dst, exist_ok=True)
     for name in os.listdir(src):
@@ -122,7 +125,12 @@ def build_derived(spark, src: str, dst: str, factor: int) -> None:
             shifted = rep if shifted is None else shifted.unionByName(rep)
         # size write partitions for ~128 MB files at the target scale
         shifted.repartition(32).write.mode("overwrite").parquet(out)
-    open(os.path.join(dst, _MARKER), "w").write("ok\n")
+    # clear any other-factor markers so a stale one can't validate a
+    # dataset this run just overwrote
+    for name in os.listdir(dst):
+        if name.startswith(_MARKER) and name != os.path.basename(marker):
+            os.remove(os.path.join(dst, name))
+    open(marker, "w").write("ok\n")
 
 
 def _force(df) -> None:

@@ -162,3 +162,96 @@ def test_dedup_clusters_mega_bucket_linear_candidates(spark):
     clusters = {r.doc_id: r for r in dd._star_components(star).collect()}
     assert all(clusters[i].cluster_id == 0 for i in range(n))
     assert clusters[0].cluster_size == n
+
+
+def test_bucket_cap_drops_mega_bucket_keeps_small(spark, tmp_path):
+    """The opt-in bucket_cap on dedup_minhash_pairs (VERDICT r8 item 5):
+    a planted mega-bucket (N duplicates, N > cap) contributes ZERO
+    pairs while a small duplicate family below the cap keeps its pairs;
+    with the cap off (default) the mega-bucket emits all N(N-1)/2."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+    from dbt_jaffleshop_spark.models.base import release_cached
+
+    n = 12
+    rows = [(i, "the same exact duplicated document text " * 4) for i in range(n)]
+    rows += [(200, "a small duplicate family shared text body " * 4),
+             (201, "a small duplicate family shared text body " * 4)]
+    sf = str(tmp_path / "sfcap")
+    (tmp_path / "sfcap").mkdir()
+    docs = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'web' AS source",
+        "length(text) AS n_chars",
+    )
+    docs.coalesce(1).write.parquet(
+        str(tmp_path / "sfcap" / "documents.parquet")
+    )
+
+    release_cached(spark)
+    capped = [(r.doc_a, r.doc_b)
+              for r in dd.dedup_minhash_pairs(spark, sf, bucket_cap=8).collect()]
+    assert capped == [(200, 201)]  # mega-bucket dropped, small family kept
+
+    release_cached(spark)
+    full = dd.dedup_minhash_pairs(spark, sf).count()
+    assert full == n * (n - 1) // 2 + 1
+    release_cached(spark)
+
+
+def test_bucket_cap_embedding_lsh(spark):
+    """The opt-in bucket_cap on dedup_embedding_lsh: a cap below the
+    corpus bucket sizes suppresses every candidate (all sf0.01 buckets
+    are ~31 vectors); a cap above them is identical to the default."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    sf = "/root/testdata/sf0.01"
+    assert dd.dedup_embedding_lsh(spark, sf, bucket_cap=5).count() == 0
+    base = sorted(
+        (r.id_a, r.id_b) for r in dd.dedup_embedding_lsh(spark, sf).collect()
+    )
+    high = sorted(
+        (r.id_a, r.id_b)
+        for r in dd.dedup_embedding_lsh(spark, sf, bucket_cap=10**6).collect()
+    )
+    assert base == high and base  # cap off the critical path changes nothing
+
+
+def test_gif_truncated_gce_raises_value_error():
+    """Corrupt-input contract (advisor r8): a Graphic Control Extension
+    with a declared length < 4, or one that runs past the payload end,
+    must raise the decoder's ValueError — not IndexError."""
+    import numpy as np
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        gif_decode_rgb,
+        gif_encode_animation,
+    )
+
+    gray = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    frame = np.full((4, 5), 7, np.uint8)
+    good = gif_encode_animation(5, 4, gray, 0, [{"px": frame, "disposal": 1}])
+    at = good.find(b"\x21\xf9\x04")
+    assert at >= 0, "encoder must emit a GCE"
+
+    short_decl = bytearray(good)
+    short_decl[at + 2] = 2  # declared GCE body of 2 bytes
+    with pytest.raises(ValueError, match="GCE"):
+        gif_decode_rgb(bytes(short_decl))
+
+    cut = good[: at + 4]  # payload ends inside the GCE body
+    with pytest.raises(ValueError, match="GCE"):
+        gif_decode_rgb(cut)
+
+
+def test_write_bucketed_rejects_non_identifier(spark):
+    """write_bucketed interpolates table_name into a DROP statement —
+    anything but a plain [db.]identifier must be refused up front
+    (advisor r8)."""
+    import pytest
+
+    from dbt_jaffleshop_spark.functions.bucketing import write_bucketed
+
+    df = spark.range(3)
+    for bad in ("t; DROP TABLE x", "a-b", "`quoted`", "a.b.c", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            write_bucketed(df, bad, "id")
