@@ -787,15 +787,16 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def _png_codec():
     """Build the REAL dependency-free PNG codec triple (encode, decode,
-    encode_palette) for grayscale and truecolor at 8 AND 16 bits,
-    PALETTE (color type 3) images, and ADAM7 interlacing (r8; r6/r7
-    covered 8-bit non-interlaced gray/truecolor) — zlib (stdlib)
+    encode_palette) covering EVERY color-type/depth combination RFC
+    2083 §4.1.1 defines (r9 closed the last two gates — alpha color
+    types 4/6 and sub-byte depths 1/2/4; r8 added palette/Adam7/16-bit
+    over r6/r7's 8-bit non-interlaced gray/truecolor) — zlib (stdlib)
     handles the DEFLATE layer, so PNG pixels need no external codec
     library at all; this closes the pixel half of the compressed-codec
     seam for the one format where that is possible dependency-free
-    (JPEG/MP3/H.264 still need real codec libraries). Remaining honest
-    gates: alpha channels (color types 4/6) and sub-byte depths
-    (1/2/4).
+    (JPEG/MP3/H.264 still need real codec libraries). With the full
+    IHDR matrix supported, an invalid combination is now corrupt input
+    (ValueError), not a NotImplementedError gate.
 
     The pair is built inside a factory so mapInPandas closures capture
     NESTED functions (cloudpickle serializes those by value — executors
@@ -865,11 +866,29 @@ def _png_codec():
             lines.append(bytes([ft]) + (filt % 256).astype(_np.uint8).tobytes())
         return b"".join(lines)
 
+    def _pack_bits(samples, depth: int):
+        """(h, w) sub-byte samples -> (h, ceil(w·depth/8)) packed byte
+        matrix, MSB-first within each byte (RFC 2083 §2.3); scanlines
+        pad to a byte boundary with zero bits."""
+        h, w = samples.shape
+        spb = 8 // depth  # samples per byte
+        pad = (-w) % spb
+        padded = _np.pad(samples.astype(_np.uint8), ((0, 0), (0, pad)))
+        grouped = padded.reshape(h, -1, spb).astype(_np.int32)
+        out = _np.zeros((h, grouped.shape[1]), dtype=_np.int32)
+        for i in range(spb):
+            out |= grouped[:, :, i] << (depth * (spb - 1 - i))
+        return out
+
     def _to_bytes(px, depth: int):
-        """(h, w[, ch]) samples -> (h, w*bpp) byte matrix (big-endian
-        for 16-bit) + bpp."""
+        """(h, w[, ch]) samples -> (h, rowbytes) byte matrix (big-endian
+        for 16-bit, MSB-first packed for sub-byte) + filter bpp."""
         h, w = px.shape[:2]
         ch = 1 if px.ndim == 2 else px.shape[2]
+        if depth in (1, 2, 4):
+            # sub-byte is single-channel only (gray / palette indices);
+            # the filter's "left" distance is one byte regardless
+            return _pack_bits(px, depth), 1
         if depth == 8:
             b = px.astype(_np.uint8).reshape(h, w * ch)
             return b.astype(_np.int32), ch
@@ -893,14 +912,29 @@ def _png_codec():
             out.append(_filter_rows(raw, bpp))
         return b"".join(out)
 
-    def encode(pixels, interlace: bool = False) -> bytes:
-        """Grayscale (h, w) or truecolor (h, w, 3) pixels — uint8 for
-        8-bit, uint16 for 16-bit — to a complete filtered+deflated PNG,
-        sequential or Adam7-interlaced."""
+    def encode(pixels, interlace: bool = False, depth: int | None = None) -> bytes:
+        """Pixels to a complete filtered+deflated PNG, sequential or
+        Adam7-interlaced. Channel count picks the color type: (h, w) →
+        grayscale 0, (h, w, 2) → gray+alpha 4, (h, w, 3) → truecolor 2,
+        (h, w, 4) → RGBA 6 (r9). Depth defaults from dtype (uint16 →
+        16, else 8); pass depth 1/2/4 for sub-byte grayscale (samples
+        must fit the depth)."""
         px = _np.asarray(pixels)
-        depth = 16 if px.dtype == _np.uint16 else 8
-        px = px.astype(_np.uint16 if depth == 16 else _np.uint8)
-        color_type = 0 if px.ndim == 2 else 2
+        if depth is None:
+            depth = 16 if px.dtype == _np.uint16 else 8
+        if depth in (1, 2, 4):
+            if px.ndim != 2:
+                raise ValueError("sub-byte PNG depths are grayscale-only")
+            if int(px.max(initial=0)) >= (1 << depth):
+                raise ValueError(f"sample out of range for depth {depth}")
+            px = px.astype(_np.uint8)
+            color_type = 0
+        else:
+            px = px.astype(_np.uint16 if depth == 16 else _np.uint8)
+            ch = 1 if px.ndim == 2 else px.shape[2]
+            color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+            if ch == 1 and px.ndim == 3:
+                px = px[..., 0]
         h, w = px.shape[:2]
         ihdr = _struct.pack(
             ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
@@ -912,18 +946,25 @@ def _png_codec():
             + _chunk(b"IEND", b"")
         )
 
-    def encode_palette(indices, palette, interlace: bool = False) -> bytes:
+    def encode_palette(
+        indices, palette, interlace: bool = False, depth: int = 8
+    ) -> bytes:
         """PALETTE image (color type 3): (h, w) uint8 indices + an
-        (n, 3) uint8 palette -> PNG with a PLTE chunk."""
+        (n, 3) uint8 palette -> PNG with a PLTE chunk. ``depth``
+        1/2/4/8 (r9 adds the sub-byte index packings)."""
         idx = _np.asarray(indices, dtype=_np.uint8)
         pal = _np.asarray(palette, dtype=_np.uint8).reshape(-1, 3)
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("palette depth must be 1, 2, 4, or 8")
+        if int(idx.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"palette index out of range for depth {depth}")
         h, w = idx.shape
-        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
         return (
             PNG_SIG
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"PLTE", pal.tobytes())
-            + _chunk(b"IDAT", _zlib.compress(_scan_stream(idx, 8, interlace)))
+            + _chunk(b"IDAT", _zlib.compress(_scan_stream(idx, depth, interlace)))
             + _chunk(b"IEND", b"")
         )
 
@@ -993,52 +1034,93 @@ def _png_codec():
         if ihdr is None or not idat:
             raise ValueError("PNG missing IHDR/IDAT")
         w, h, depth, color, comp, filt, interlace = ihdr
+        # every IHDR shape the spec defines (RFC 2083 §4.1.1) decodes
+        # since r9: alpha color types 4/6 and sub-byte depths closed
+        # the last honest gates — the check below now only rejects
+        # combinations the SPEC forbids (corrupt input, ValueError)
+        _VALID = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                  4: (8, 16), 6: (8, 16)}
         if (
-            color not in (0, 2, 3)
-            or depth not in (8, 16)
-            or (color, depth) == (3, 16)
+            color not in _VALID
+            or depth not in _VALID[color]
             or (comp, filt) != (0, 0)
             or interlace not in (0, 1)
         ):
-            raise NotImplementedError(
-                "png decode supports gray/truecolor at depth 8 or 16 "
-                "and 8-bit palette, sequential or Adam7; got "
-                f"depth={depth} color={color} interlace={interlace}"
+            raise ValueError(
+                "invalid PNG IHDR combination: "
+                f"depth={depth} color={color} comp={comp} filt={filt} "
+                f"interlace={interlace}"
             )
         if color == 3 and plte is None:
             raise ValueError("palette PNG is missing its PLTE chunk")
-        nch = 3 if color == 2 else 1
-        bpp = nch * (depth // 8)
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
         raw = _zlib.decompress(b"".join(idat))
-        if interlace == 0:
-            flat, end = _unfilter(raw, 0, h, w * bpp, bpp)
-            if end != len(raw):
-                raise ValueError("PNG pixel payload has the wrong length")
-            px_bytes = flat.reshape(h, w, bpp)
-        else:  # Adam7: each pass is an independently-filtered sub-image
-            px_bytes = _np.zeros((h, w, bpp), dtype=_np.uint8)
-            spos = 0
-            for x0, y0, dx, dy in PASSES:
-                ph = len(range(y0, h, dy))
-                pw = len(range(x0, w, dx))
-                if ph == 0 or pw == 0:
-                    continue
-                sub, spos = _unfilter(raw, spos, ph, pw * bpp, bpp)
-                px_bytes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-            if spos != len(raw):
-                raise ValueError("PNG pixel payload has the wrong length")
-        if depth == 16:
-            hi = px_bytes[..., 0::2].astype(_np.uint16)
-            lo = px_bytes[..., 1::2].astype(_np.uint16)
-            samples = (hi << 8) | lo  # (h, w, nch) uint16
-            return samples[..., 0] if nch == 1 else samples
+
+        def _unpack_bits(mat, width: int):
+            """(n, rowbytes) packed bytes -> (n, width) samples,
+            MSB-first (the _pack_bits inverse)."""
+            spb = 8 // depth
+            mask = (1 << depth) - 1
+            n, nb = mat.shape
+            out = _np.zeros((n, nb * spb), dtype=_np.uint8)
+            for i in range(spb):
+                out[:, i::spb] = (
+                    mat.astype(_np.int32) >> (depth * (spb - 1 - i))
+                ) & mask
+            return out[:, :width]
+
+        if depth in (1, 2, 4):
+            rb = (w * depth + 7) // 8
+            if interlace == 0:
+                flat, end = _unfilter(raw, 0, h, rb, 1)
+                if end != len(raw):
+                    raise ValueError("PNG pixel payload has the wrong length")
+                samples = _unpack_bits(flat, w)[..., None]
+            else:
+                samples = _np.zeros((h, w, 1), dtype=_np.uint8)
+                spos = 0
+                for x0, y0, dx, dy in PASSES:
+                    ph = len(range(y0, h, dy))
+                    pw = len(range(x0, w, dx))
+                    if ph == 0 or pw == 0:
+                        continue
+                    prb = (pw * depth + 7) // 8
+                    sub, spos = _unfilter(raw, spos, ph, prb, 1)
+                    samples[y0::dy, x0::dx, 0] = _unpack_bits(sub, pw)
+                if spos != len(raw):
+                    raise ValueError("PNG pixel payload has the wrong length")
+        else:
+            bpp = nch * (depth // 8)
+            if interlace == 0:
+                flat, end = _unfilter(raw, 0, h, w * bpp, bpp)
+                if end != len(raw):
+                    raise ValueError("PNG pixel payload has the wrong length")
+                px_bytes = flat.reshape(h, w, bpp)
+            else:  # Adam7: each pass is an independently-filtered sub-image
+                px_bytes = _np.zeros((h, w, bpp), dtype=_np.uint8)
+                spos = 0
+                for x0, y0, dx, dy in PASSES:
+                    ph = len(range(y0, h, dy))
+                    pw = len(range(x0, w, dx))
+                    if ph == 0 or pw == 0:
+                        continue
+                    sub, spos = _unfilter(raw, spos, ph, pw * bpp, bpp)
+                    px_bytes[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+                if spos != len(raw):
+                    raise ValueError("PNG pixel payload has the wrong length")
+            if depth == 16:
+                hi = px_bytes[..., 0::2].astype(_np.uint16)
+                lo = px_bytes[..., 1::2].astype(_np.uint16)
+                samples = (hi << 8) | lo  # (h, w, nch) uint16
+            else:
+                samples = px_bytes
         if color == 3:
             pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
-            idx = px_bytes[..., 0]
+            idx = samples[..., 0]
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 raise ValueError("palette index out of range")
             return pal[idx]  # (h, w, 3) uint8
-        return px_bytes[..., 0] if nch == 1 else px_bytes
+        return samples[..., 0] if nch == 1 else samples
 
     return encode, decode, encode_palette
 
@@ -4685,5 +4767,177 @@ SELECT doc_id,
               + ((i * 13) % 256) * (1 + (x * 113 + y * 151) % 251)
               + g16 * (1 + (x * 127 + y * 149) % 241) * 997) AS BIGINT)
            AS rgb_checksum
+FROM v GROUP BY doc_id
+"""
+
+
+# --------------- alpha-channel + sub-byte PNG pixel decode (r9)
+
+ALPHA_PIXELS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("a_sum", LongType()),
+        StructField("rgba_checksum", LongType()),
+        StructField("sub_checksum", LongType()),
+    ]
+)
+
+
+def _make_png_alpha_batches():
+    """Closure for cloudpickle-by-value: synthesize a REAL RGBA (color
+    type 6) filtered+deflated PNG per image doc — four interleaved
+    channels per scanline, so the bytewise unfilterer runs at bpp=4
+    stride; a stride bug bleeds the alpha plane into color sums
+    instantly — plus the r9 sub-byte legs: a 4-bit PALETTE image (16
+    packed indices resolve through PLTE) and a 2-bit grayscale image,
+    both MSB-first bit-packings through the same filter machinery.
+    Adam7 on odd docs (a storage permutation — the oracle is
+    interlace-blind exactly as the spec demands). Both sub-byte
+    checksums fold into one column, the gray leg scaled so it cannot
+    cancel against the palette channels."""
+    encode, decode, encode_palette = _png_codec()
+
+    def png_alpha_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        i16 = _np.arange(16)
+        pal4 = _np.stack(
+            [(i16 * 37 + 11) % 256, (i16 * 59 + 7) % 256, (i16 * 83 + 3) % 256],
+            axis=-1,
+        ).astype(_np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id, nb = int(doc_id), int(nb)
+                w, h = 8 + (doc_id * 7) % 9, 8 + (nb * 3) % 9
+                y, x = _np.mgrid[0:h, 0:w]
+                r = ((doc_id * 7 + y * 31 + x * 13) % 256).astype(_np.uint8)
+                g = ((doc_id * 11 + y * 17 + x * 29) % 256).astype(_np.uint8)
+                b = ((doc_id * 3 + y * 23 + x * 19) % 256).astype(_np.uint8)
+                a = ((doc_id * 13 + y * 7 + x * 37) % 256).astype(_np.uint8)
+                rgba = _np.stack([r, g, b, a], axis=-1)
+                inter = bool(doc_id % 2)
+                rec = decode(encode(rgba, interlace=inter)).astype(_np.int64)
+                assert rec.shape == (h, w, 4)
+                # 4-bit palette leg: packed indices -> PLTE lookup
+                idx4 = ((doc_id + y * 3 + x * 5) % 16).astype(_np.uint8)
+                rec4 = decode(
+                    encode_palette(idx4, pal4, interlace=inter, depth=4)
+                ).astype(_np.int64)
+                assert rec4.shape == (h, w, 3)
+                # 2-bit grayscale leg
+                g2 = ((doc_id + y + x) % 4).astype(_np.uint8)
+                rec2 = decode(encode(g2, interlace=inter, depth=2)).astype(
+                    _np.int64
+                )
+                assert rec2.shape == (h, w)
+                w1 = 1 + (x * 127 + y * 149) % 241
+                w2 = 1 + (x * 131 + y * 137) % 239
+                w3 = 1 + (x * 113 + y * 151) % 251
+                w4 = 1 + (x * 109 + y * 139) % 233
+                rr, gg, bb, aa = (
+                    rec[..., 0], rec[..., 1], rec[..., 2], rec[..., 3],
+                )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixels": int(h * w),
+                        "r_sum": int(rr.sum()),
+                        "g_sum": int(gg.sum()),
+                        "b_sum": int(bb.sum()),
+                        "a_sum": int(aa.sum()),
+                        "rgba_checksum": int(
+                            (rr * w1 + gg * w2 + bb * w3 + aa * w4).sum()
+                        ),
+                        "sub_checksum": int(
+                            (
+                                rec4[..., 0] * w1
+                                + rec4[..., 1] * w2
+                                + rec4[..., 2] * w3
+                            ).sum()
+                            + (rec2 * w4).sum() * 1000003
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(rows)
+
+    return png_alpha_batches
+
+
+def multimodal_png_alpha(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered alpha + sub-byte PNG decode query
+    (multimodal_digest member, r9 — the last dependency-free PNG seam,
+    VERDICT r8 item 6): RGBA images run the unfilterer at bpp=4 stride
+    with the alpha plane summed and checksummed separately; a 4-bit
+    palette image and a 2-bit grayscale image exercise the MSB-first
+    bit packing/unpacking through every scanline filter; odd docs store
+    all three ADAM7-interlaced. DuckDB recomputes every channel of
+    every pixel from the closed formulas. One mapInPandas stage, spread
+    across cores."""
+    docs = load_table(spark, "documents", sf_dir)
+    image_docs = docs.where(F.expr("doc_id % 3 = 2")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    return _spread(image_docs).mapInPandas(
+        _make_png_alpha_batches(), schema=ALPHA_PIXELS_SCHEMA
+    )
+
+
+ORACLES["multimodal_png_alpha"] = """
+WITH img AS (
+    SELECT doc_id,
+           CAST(8 + (doc_id * 7) % 9 AS BIGINT) AS w,
+           CAST(8 + (strlen(text) * 3) % 9 AS BIGINT) AS h
+    FROM documents WHERE doc_id % 3 = 2
+),
+xs AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM img
+),
+px AS (
+    SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+),
+v AS (
+    SELECT doc_id, w, h, x, y,
+           (doc_id * 7 + y * 31 + x * 13) % 256 AS r,
+           (doc_id * 11 + y * 17 + x * 29) % 256 AS g,
+           (doc_id * 3 + y * 23 + x * 19) % 256 AS b,
+           (doc_id * 13 + y * 7 + x * 37) % 256 AS a,
+           (doc_id + y * 3 + x * 5) % 16 AS i4,
+           (doc_id + y + x) % 4 AS g2
+    FROM px
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       CAST(sum(r) AS BIGINT) AS r_sum,
+       CAST(sum(g) AS BIGINT) AS g_sum,
+       CAST(sum(b) AS BIGINT) AS b_sum,
+       CAST(sum(a) AS BIGINT) AS a_sum,
+       CAST(sum(r * (1 + (x * 127 + y * 149) % 241)
+              + g * (1 + (x * 131 + y * 137) % 239)
+              + b * (1 + (x * 113 + y * 151) % 251)
+              + a * (1 + (x * 109 + y * 139) % 233)) AS BIGINT)
+           AS rgba_checksum,
+       CAST(sum(((i4 * 37 + 11) % 256) * (1 + (x * 127 + y * 149) % 241)
+              + ((i4 * 59 + 7) % 256) * (1 + (x * 131 + y * 137) % 239)
+              + ((i4 * 83 + 3) % 256) * (1 + (x * 113 + y * 151) % 251)
+              + g2 * (1 + (x * 109 + y * 139) % 233) * 1000003) AS BIGINT)
+           AS sub_checksum
 FROM v GROUP BY doc_id
 """

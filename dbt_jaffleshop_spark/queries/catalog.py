@@ -137,6 +137,7 @@ _GROUP_DIGESTED = {
     "multimodal_progressive_color",
     "multimodal_progressive420_pixels",
     "multimodal_gif_anim",
+    "multimodal_png_alpha",
     "multimodal_png_palette",
     "multimodal_png_color",
     "multimodal_gif_frames",

@@ -34,7 +34,10 @@ recording budget while every operator remains value-verified:
   EOB-run coding; half the corpus on the successive-approximation
   ladder, r7e) / multimodal_progressive_color (r7e — the real
   progressive COLOR decode: interleaved DC scan + per-component AC
-  scans) (llm/multimodal.py).
+  scans) / multimodal_png_alpha (r9 — the RGBA/gray+alpha and sub-byte
+  depth decode: bpp=4 filter stride with a separately verified alpha
+  plane, 4-bit palette and 2-bit grayscale bit-packed legs)
+  (llm/multimodal.py).
 * ``events_digest`` (r4) — events_funnel / events_json_stats /
   events_stickiness / events_transition_topk (r5) /
   streaming_session_window (llm/events.py, streaming/sessionize.py) /
@@ -607,6 +610,22 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("g_sum", "bigint"),
             ("b_sum", "bigint"),
             ("rgb_checksum", "bigint"),
+        ]),
+        # r9: REAL alpha + sub-byte PNG decode — the last
+        # dependency-free PNG seam: RGBA at bpp=4 filter stride with
+        # the alpha plane verified separately, plus 4-bit palette and
+        # 2-bit grayscale bit-packed legs (llm/multimodal.py)
+        "multimodal_png_alpha": _m(llm_multimodal, "multimodal_png_alpha", [
+            ("doc_id", "bigint"),
+            ("width", "int"),
+            ("height", "int"),
+            ("n_pixels", "bigint"),
+            ("r_sum", "bigint"),
+            ("g_sum", "bigint"),
+            ("b_sum", "bigint"),
+            ("a_sum", "bigint"),
+            ("rgba_checksum", "bigint"),
+            ("sub_checksum", "bigint"),
         ]),
         # r6: the full decode→resize pipeline — real PNG decode feeding
         # an integer nearest-neighbor thumbnail; the oracle maps each

@@ -387,24 +387,23 @@ def test_png_decode_rejects_corruption_and_unsupported():
             struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         )
-        data = zlib.compress(b"\x00" * (4 * (4 * bpp + 1)))
+        data = zlib.compress(b"\x00" * int(4 * (4 * bpp + 1)))
         idat = (
             struct.pack(">I", len(data)) + b"IDAT" + data
             + struct.pack(">I", zlib.crc32(b"IDAT" + data) & 0xFFFFFFFF)
         )
         return PNG_SIG + chunk + idat
 
-    # still-unsupported shapes stay honest NotImplementedError gates
-    # (r8 made 16-bit, palette, and Adam7 real): alpha channels and
-    # sub-byte depths
-    with pytest.raises(NotImplementedError, match="color=6"):
-        png_decode_gray(_png(8, 6, 0, 4))  # RGBA
-    with pytest.raises(NotImplementedError, match="color=4"):
-        png_decode_gray(_png(8, 4, 0, 2))  # gray+alpha
-    with pytest.raises(NotImplementedError, match="depth=4"):
-        png_decode_gray(_png(4, 0, 0, 1))
-    # 16-bit palette is not a legal PNG combination
-    with pytest.raises(NotImplementedError, match="depth=16 color=3"):
+    # r9 closed the last gates: alpha color types and sub-byte depths
+    # now DECODE (these zero payloads are valid all-zero images) —
+    # see test_llm_ops_r9 for the roundtrips
+    assert png_decode_gray(_png(8, 6, 0, 4)).shape == (4, 4, 4)  # RGBA
+    assert png_decode_gray(_png(8, 4, 0, 2)).shape == (4, 4, 2)  # gray+a
+    # depth 4, w=4: rowbytes = 2 = "4 * 0.5"
+    assert png_decode_gray(_png(4, 0, 0, 0.5)).shape == (4, 4)
+    # 16-bit palette is not a legal PNG combination: with the full IHDR
+    # matrix supported, an illegal combo is corrupt input, not a gate
+    with pytest.raises(ValueError, match="invalid PNG IHDR"):
         png_decode_gray(_png(16, 3, 0, 2))
 
 

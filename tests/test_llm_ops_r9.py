@@ -255,3 +255,57 @@ def test_write_bucketed_rejects_non_identifier(spark):
     for bad in ("t; DROP TABLE x", "a-b", "`quoted`", "a.b.c", ""):
         with pytest.raises(ValueError, match="identifier"):
             write_bucketed(df, bad, "id")
+
+
+def test_png_alpha_and_subbyte_roundtrips():
+    """r9 PNG closure: gray+alpha (color 4), RGBA (color 6) at 8 and 16
+    bits, and sub-byte grayscale/palette depths (1/2/4) — every
+    combination roundtrips bit-for-bit through the independent
+    encoder/decoder pair, sequential AND Adam7-interlaced."""
+    import numpy as np
+
+    from dbt_jaffleshop_spark.llm.multimodal import (
+        png_decode,
+        png_encode,
+        png_encode_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((1, 1), (4, 4), (7, 9), (16, 5)):
+        for ch in (2, 4):  # gray+alpha, RGBA
+            for dtype, depth in ((np.uint8, 8), (np.uint16, 16)):
+                px = rng.integers(
+                    0, 1 << depth, (h, w, ch), dtype=np.uint32
+                ).astype(dtype)
+                for inter in (False, True):
+                    out = png_decode(png_encode(px, interlace=inter))
+                    assert out.shape == (h, w, ch), (ch, depth, inter)
+                    assert out.dtype == dtype
+                    assert (out == px).all(), (h, w, ch, depth, inter)
+        for depth in (1, 2, 4):
+            px = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+            for inter in (False, True):
+                out = png_decode(png_encode(px, interlace=inter, depth=depth))
+                assert out.shape == (h, w) and (out == px).all(), (depth, inter)
+            # sub-byte palette indices resolve through PLTE
+            pal = rng.integers(0, 256, (1 << depth, 3)).astype(np.uint8)
+            for inter in (False, True):
+                out = png_decode(
+                    png_encode_palette(px, pal, interlace=inter, depth=depth)
+                )
+                assert out.shape == (h, w, 3)
+                assert (out == pal[px]).all(), (depth, inter)
+
+
+def test_png_subbyte_rejects_out_of_range_and_bad_shapes():
+    """Sub-byte encode guards: samples must fit the depth, sub-byte is
+    grayscale-only, and an illegal IHDR combination is ValueError."""
+    import numpy as np
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.multimodal import png_encode
+
+    with pytest.raises(ValueError, match="out of range"):
+        png_encode(np.full((2, 2), 4, np.uint8), depth=2)
+    with pytest.raises(ValueError, match="grayscale-only"):
+        png_encode(np.zeros((2, 2, 3), np.uint8), depth=4)
