@@ -272,7 +272,16 @@ class MetricQuery:
     # ----------------------------------------------------- duckdb oracle
 
     def to_oracle_sql(self) -> str:
-        from ..queries.oracle_jaffle import _CTE_NAME, jaffle_sql
+        from ..queries.oracle_jaffle import jaffle_sql
+
+        return jaffle_sql(self.model.mart, extra_select=self._oracle_select())
+
+    def _oracle_select(self) -> str:
+        """The request's final SELECT, assuming the mart's CTE chain is
+        already in scope — the composable half of to_oracle_sql, shared
+        with MultiModelMetricQuery (which provides ONE chain covering
+        every requested mart)."""
+        from ..queries.oracle_jaffle import _CTE_NAME
 
         src = _CTE_NAME.get(self.model.mart, self.model.mart)
         dims = self._dims("duck")
@@ -327,17 +336,79 @@ class MetricQuery:
 
         out_names = [n for n, _ in dims] + list(self.metrics)
         if post:
-            simple_names = [
-                m for m in self.metrics if self.model.metrics[m].kind == "simple"
-            ]
             keep = [n for n, _ in dims] + self._needed_simple()
             outer_cols = ", ".join(keep_n for keep_n in keep) + (
                 ", " + ",\n       ".join(post) if post else ""
             )
-            final = (
+            return (
                 f"SELECT {', '.join(out_names)} FROM "
                 f"(SELECT {outer_cols} FROM (\n{inner}\n) g) h"
             )
-        else:
-            final = f"SELECT {', '.join(out_names)} FROM (\n{inner}\n) g"
-        return jaffle_sql(self.model.mart, extra_select=final)
+        return f"SELECT {', '.join(out_names)} FROM (\n{inner}\n) g"
+
+
+class MultiModelMetricQuery:
+    """Ad-hoc multi-metric request ACROSS semantic models (r9 —
+    MetricFlow's join-resolution core, VERDICT r8 item 7): metrics drawn
+    from several models in one request, as long as every sub-request
+    shares the same group_by output shape (e.g. metric_time__month, or
+    a dimension both models declare under the same name).
+
+    Resolution is MetricFlow's: each model aggregates ITS OWN metrics at
+    the requested grain independently (its own filters/windows/ratios —
+    the full MetricQuery machinery), then the per-model aggregate frames
+    FULL-OUTER-join on the shared group_by columns, so a period present
+    in one model but absent from the other still surfaces (with NULL for
+    the missing side) instead of silently dropping.
+
+    Scale: the join keys are the AGGREGATED dimensions — cardinality =
+    #periods × #dimension values, thousands of rows where the marts have
+    billions — so the join is broadcast-class by construction no matter
+    how large the underlying marts are; each mart is scanned exactly
+    once by its own aggregation."""
+
+    def __init__(self, requests: list[MetricQuery]):
+        if len(requests) < 2:
+            raise ValueError("MultiModelMetricQuery needs >= 2 requests")
+        self.dim_names = [n for n, _ in requests[0]._dims("spark")]
+        for r in requests[1:]:
+            # compare the RAW group_by, not the resolved output names:
+            # metric_time__month and metric_time__week both resolve to a
+            # `metric_time` column, but joining a month grain against a
+            # week grain would be a silent semantic error
+            if r.group_by != requests[0].group_by:
+                raise ValueError(
+                    "group_by shapes differ: "
+                    f"{requests[0].group_by} vs {r.group_by}"
+                )
+        flat = [m for r in requests for m in r.metrics]
+        if len(set(flat)) != len(flat):
+            raise ValueError(f"duplicate metric names across models: {flat}")
+        self.requests = requests
+        self.metric_names = flat
+
+    def to_df(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        out = None
+        for r in self.requests:
+            df = r.to_df(spark, sf_dir)
+            # list-of-names join: Spark coalesces the key columns, the
+            # exact semantics of SQL FULL JOIN ... USING in the oracle
+            out = df if out is None else out.join(df, self.dim_names, "outer")
+        return out.select(*self.dim_names, *self.metric_names)
+
+    def to_oracle_sql(self) -> str:
+        from ..queries.oracle_jaffle import jaffle_sql_multi
+
+        using = ", ".join(self.dim_names)
+        frm = f"(\n{self.requests[0]._oracle_select()}\n) q0"
+        for i, r in enumerate(self.requests[1:], start=1):
+            frm += (
+                f"\nFULL JOIN (\n{r._oracle_select()}\n) q{i}"
+                f" USING ({using})"
+            )
+        final = (
+            f"SELECT {using}, {', '.join(self.metric_names)} FROM {frm}"
+        )
+        return jaffle_sql_multi(
+            [r.model.mart for r in self.requests], final
+        )
