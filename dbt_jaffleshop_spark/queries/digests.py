@@ -124,6 +124,15 @@ MODEL_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("seasonal_revenue", "double"),
         ("seasonal_avg_order_value", "double"),
     ],
+    # r9: the cross-model semantic request (MetricFlow join-resolution
+    # core) — orders-model counts FULL-JOINed with order_items-model
+    # revenue + ratio at month grain (semantic/jaffle_models.py:
+    # mm_order_metrics_monthly)
+    "mm_order_metrics_monthly": [
+        ("metric_time", "date"), ("orders", "bigint"),
+        ("food_orders", "bigint"), ("revenue_cents", "bigint"),
+        ("food_revenue_pct", "double"),
+    ],
 }
 
 BUILDERS = {
@@ -140,6 +149,10 @@ BUILDERS = {
     "monthly_summary": marts_segmentation.monthly_summary,
     "cohort_retention": marts_segmentation.cohort_retention,
     "seasonal_trends": marts_segmentation.seasonal_trends,
+    "mm_order_metrics_monthly": lambda spark, sf_dir: __import__(
+        "dbt_jaffleshop_spark.semantic.jaffle_models",
+        fromlist=["mm_order_metrics_monthly"],
+    ).mm_order_metrics_monthly().to_df(spark, sf_dir),
 }
 
 DIGEST_GROUPS: dict[str, list[str]] = {
@@ -153,6 +166,7 @@ DIGEST_GROUPS: dict[str, list[str]] = {
     "jaffle_rollups_digest": [
         "weekly_summary", "monthly_summary",
         "cohort_retention", "seasonal_trends",
+        "mm_order_metrics_monthly",
     ],
 }
 
@@ -244,8 +258,31 @@ def _group_query(group: str):
 
 def _group_oracle(group: str) -> str:
     models = DIGEST_GROUPS[group]
-    selects = " UNION ALL ".join(_digest_select_duck(m, m) for m in models)
-    return jaffle_sql_multi(models, selects)
+    roots: list[str] = []
+    selects: list[str] = []
+    for m in models:
+        if m in _SUBQUERY_MEMBERS:
+            # member defined by a composed SELECT over mart CTEs (the
+            # cross-model semantic request) rather than a CTE of its own
+            marts, final = _SUBQUERY_MEMBERS[m]()
+            roots.extend(marts)
+            selects.append(digest_select_duck(m, MODEL_SCHEMAS[m], f"({final})"))
+        else:
+            roots.append(m)
+            selects.append(_digest_select_duck(m, m))
+    return jaffle_sql_multi(roots, " UNION ALL ".join(selects))
+
+
+def _mm_order_metrics_oracle() -> tuple[list[str], str]:
+    from ..semantic.jaffle_models import mm_order_metrics_monthly
+
+    q = mm_order_metrics_monthly()
+    return q.marts, q.oracle_final_select()
+
+
+# name -> () -> (closure-root mart names, final SELECT assuming those
+# marts' CTEs are in scope)
+_SUBQUERY_MEMBERS = {"mm_order_metrics_monthly": _mm_order_metrics_oracle}
 
 
 DIGEST_CATALOG = {

@@ -495,3 +495,22 @@ SAVED_QUERIES: dict[str, MetricQuery] = {
         group_by=["metric_time__quarter"],
     ),
 }
+
+
+def mm_order_metrics_monthly():
+    """The canonical CROSS-MODEL metric request (r9 — MetricFlow's
+    join-resolution core): order counts + filtered food-order counts
+    from the `orders` semantic model joined with item revenue + the
+    food-revenue ratio from the `order_items` model, both at the
+    metric_time month grain. Built fresh per call (MetricQuery frames
+    are session-bound); digest-verified through jaffle_rollups_digest
+    against the composed FULL-JOIN DuckDB oracle."""
+    from .model import MetricQuery, MultiModelMetricQuery
+
+    return MultiModelMetricQuery([
+        MetricQuery(ORDERS_MODEL, ["orders", "food_orders"],
+                    ["metric_time__month"]),
+        MetricQuery(ORDER_ITEMS_MODEL,
+                    ["revenue_cents", "food_revenue_pct"],
+                    ["metric_time__month"]),
+    ])

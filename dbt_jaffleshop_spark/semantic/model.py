@@ -396,9 +396,10 @@ class MultiModelMetricQuery:
             out = df if out is None else out.join(df, self.dim_names, "outer")
         return out.select(*self.dim_names, *self.metric_names)
 
-    def to_oracle_sql(self) -> str:
-        from ..queries.oracle_jaffle import jaffle_sql_multi
-
+    def oracle_final_select(self) -> str:
+        """The composed FULL-JOIN SELECT, assuming every requested
+        mart's CTE chain is already in scope — the composable half of
+        to_oracle_sql, embeddable as a digest-member subquery."""
         using = ", ".join(self.dim_names)
         frm = f"(\n{self.requests[0]._oracle_select()}\n) q0"
         for i, r in enumerate(self.requests[1:], start=1):
@@ -406,9 +407,13 @@ class MultiModelMetricQuery:
                 f"\nFULL JOIN (\n{r._oracle_select()}\n) q{i}"
                 f" USING ({using})"
             )
-        final = (
-            f"SELECT {using}, {', '.join(self.metric_names)} FROM {frm}"
-        )
-        return jaffle_sql_multi(
-            [r.model.mart for r in self.requests], final
-        )
+        return f"SELECT {using}, {', '.join(self.metric_names)} FROM {frm}"
+
+    @property
+    def marts(self) -> list[str]:
+        return [r.model.mart for r in self.requests]
+
+    def to_oracle_sql(self) -> str:
+        from ..queries.oracle_jaffle import jaffle_sql_multi
+
+        return jaffle_sql_multi(self.marts, self.oracle_final_select())
