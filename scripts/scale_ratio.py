@@ -175,6 +175,9 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--suite", choices=("jaffle", "llm", "all"), default="jaffle")
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated allowlist: run only these "
+                         "registered queries (skips pipeline_build)")
     args = ap.parse_args()
     dst = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sfscale10")
 
@@ -189,6 +192,11 @@ def main() -> None:
 
     queries = entrymod.queries()
     names: list[str] = []
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",")]
+        missing = [n for n in names if n not in queries]
+        assert not missing, f"not registered: {missing}"
+        args.suite = "explicit"  # skips the suite blocks + pipeline_build
     if args.suite in ("jaffle", "all"):
         names += [
             n for n in queries
