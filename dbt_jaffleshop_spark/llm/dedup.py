@@ -487,11 +487,80 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     return _star_components(pairs)
 
 
-def _star_components(pairs: DataFrame) -> DataFrame:
-    """Alternating large/small-star connected components over a
-    (doc_a, doc_b) pair relation → (doc_id, cluster_id = component min,
-    cluster_size). The algorithm core of :func:`dedup_clusters`, shared
-    with the embedding-clustering twin (:func:`emb_clusters_star`)."""
+# Below this many (deduplicated) edges, connected components run as a
+# SINGLE-TASK union-find instead of the distributed star iteration: the
+# star loop costs ~6 shuffle stages + a checkpoint + a count action PER
+# ROUND regardless of data size, which is pure scheduling overhead on a
+# graph that fits in one task (4M int64 pairs ≈ 64 MB — trivially within
+# an executor). At 100 TB-corpus edge counts the distributed path takes
+# over automatically; the cutoff only decides WHERE the same
+# (node, component-min, size) answer is computed, never what it is.
+SMALL_GRAPH_EDGE_CUTOFF = 4_000_000
+
+
+def _components_single_task(edges: DataFrame) -> DataFrame:
+    """Union-find connected components in ONE Arrow task over a small
+    (u, v) edge relation — output-identical to the star iteration:
+    (doc_id, cluster_id = component-min node, cluster_size)."""
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for b in batches:
+            for u, v in zip(b["u"], b["v"]):
+                u, v = int(u), int(v)
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+        # canonical labels: component MIN, matching the star fixed point
+        label: dict = {}
+        for n in parent:
+            r = find(n)
+            label[r] = min(label.get(r, n), n)
+        rows = [(n, label[find(n)]) for n in parent]
+        sizes: dict = {}
+        for _, lab in rows:
+            sizes[lab] = sizes.get(lab, 0) + 1
+        yield pd.DataFrame(
+            {
+                "doc_id": [n for n, _ in rows],
+                "cluster_id": [lab for _, lab in rows],
+                "cluster_size": [sizes[lab] for _, lab in rows],
+            }
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        uf, "doc_id long, cluster_id long, cluster_size long"
+    )
+
+
+def _star_components(
+    pairs: DataFrame, small_cutoff: int | None = None
+) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair relation →
+    (doc_id, cluster_id = component min, cluster_size). The algorithm
+    core of :func:`dedup_clusters`, shared with the embedding twin
+    (:func:`emb_clusters_star`).
+
+    HYBRID (r9): the edge relation is checkpointed and counted once; at
+    or below ``small_cutoff`` (default SMALL_GRAPH_EDGE_CUTOFF) the
+    components come from a single-task union-find, above it from the
+    alternating large/small-star iteration (O(log² n) rounds — the
+    100 TB path). Both paths emit the identical canonical labeling, so
+    consumers and oracles are path-independent; tests pin equality on
+    the same graphs with the cutoff forced to 0 and to ∞."""
+    cutoff = SMALL_GRAPH_EDGE_CUTOFF if small_cutoff is None else small_cutoff
     # nodes can be isolated only if a pair self-loops, which the pair
     # relation excludes (doc_a < doc_b) — every node has ≥1 edge.
     edges = (
@@ -500,6 +569,10 @@ def _star_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # the count doubles as the checkpoint's materializing action — the
+    # star loop previously paid it implicitly via the first delta count
+    if edges.count() <= cutoff:
+        return _components_single_task(edges)
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(

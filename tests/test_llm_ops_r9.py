@@ -309,3 +309,58 @@ def test_png_subbyte_rejects_out_of_range_and_bad_shapes():
         png_encode(np.full((2, 2), 4, np.uint8), depth=2)
     with pytest.raises(ValueError, match="grayscale-only"):
         png_encode(np.zeros((2, 2, 3), np.uint8), depth=4)
+
+
+def test_components_hybrid_paths_identical(spark):
+    """r9 CC hybrid: the single-task union-find fast path and the
+    distributed star iteration must emit IDENTICAL (doc_id, cluster_id,
+    cluster_size) labelings — cluster_id = component-min node — on the
+    same graphs. Cutoff forced to both extremes so each path runs
+    regardless of the default SMALL_GRAPH_EDGE_CUTOFF."""
+    import random
+
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    rng = random.Random(9)
+    graphs = [
+        # long chain + star + isolated pair (the r8 pinned shape)
+        [(i, i + 1) for i in range(100, 164)]
+        + [(500, 500 + k) for k in range(1, 9)]
+        + [(900, 901)],
+        # random sparse graph
+        sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)}),
+        # two dense blobs bridged by one edge
+        [(a, b) for a in range(0, 12) for b in range(a + 1, 12)]
+        + [(a, b) for a in range(20, 30) for b in range(a + 1, 30)]
+        + [(11, 20)],
+    ]
+    for pairs in graphs:
+        pair_df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        fast = sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dd._star_components(pair_df, small_cutoff=10**9).collect()
+        )
+        star = sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dd._star_components(pair_df, small_cutoff=0).collect()
+        )
+        assert fast == star
+        assert fast  # non-empty
+
+
+def test_components_default_cutoff_routes_small_graph_fast(spark):
+    """The default cutoff must send a bench-scale graph down the
+    single-task path: its physical plan contains the Arrow map operator
+    and NO star-iteration artifacts, and the star path is only engaged
+    above SMALL_GRAPH_EDGE_CUTOFF edges."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    pair_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50)], "doc_a long, doc_b long"
+    )
+    out = dd._star_components(pair_df)  # default cutoff
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert dd.SMALL_GRAPH_EDGE_CUTOFF >= 1_000_000  # stays a scale gate

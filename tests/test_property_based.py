@@ -155,8 +155,13 @@ def test_clusters_star_equals_propagation_any_graph(spark, edges):
     pair_df = spark.createDataFrame(
         sorted(set(pairs)), "doc_a long, doc_b long"
     )
+    # feed BOTH consumers the same graph: since r9, dedup_clusters
+    # consumes the star-reduced relation while the propagation
+    # cross-check deliberately keeps the all-pairs input
     with mock.patch.object(
         dedup, "dedup_minhash_pairs", lambda _s, _sf=None: pair_df
+    ), mock.patch.object(
+        dedup, "dedup_minhash_star_pairs", lambda _s, _sf=None: pair_df
     ):
         a = sorted(map(tuple, dedup.dedup_clusters_propagation(spark, None).collect()))
         b = sorted(map(tuple, dedup.dedup_clusters(spark, None).collect()))
