@@ -726,6 +726,682 @@ FROM a JOIN q ON a.doc_id = q.doc_id
 """
 
 
+# ----------------------------------------- real FLAC codec (r9)
+#
+# The audio half of the compressed-codec seam, done where it is
+# POSSIBLE dependency-free: FLAC (RFC 9639) compresses with fixed/LPC
+# linear prediction + Rice-coded residuals — pure integer arithmetic
+# and bit I/O, no psychoacoustic model, no DSP library — and it is
+# LOSSLESS, so a synth → encode → decode roundtrip is value-verifiable
+# bit-for-bit (the same property that made the PNG codec closeable,
+# and exactly what MP3/AAC lack: their decoders are only testable
+# against vectors a real encoder must produce). FLAC is also a format
+# a training-data pipeline actually meets — speech corpora commonly
+# ship as FLAC. Reference parity: the reference has no media pipeline
+# at all; this extends the beyond-reference multimodal surface
+# (SURVEY §7.5).
+
+
+def _flac_codec():
+    """Build the dependency-free FLAC (encode, decode) pair — dynamic
+    functions so mapInPandas closures ship by value (see
+    _make_extract_batches).
+
+    Encoder: STREAMINFO (incl. MD5 of the unencoded audio), frames at a
+    fixed blocksize, per-subframe choice of CONSTANT / best FIXED
+    predictor (order 0-4, Rice-coded residual, escape to VERBATIM when
+    prediction loses), independent or decorrelated stereo (left/side,
+    right/side, mid/side), CRC-8 frame headers + CRC-16 frame footers.
+    Decoder: the full subframe surface — CONSTANT, VERBATIM, FIXED 0-4,
+    LPC any order, wasted bits, both Rice methods (4- and 5-bit
+    parameters) with partition orders and escape codes, every blocksize
+    / sample-rate / bit-depth header code, all four channel
+    assignments — with CRC verification, so it reads files from real
+    encoders, not just its own."""
+    import struct as _struct
+
+    import numpy as _np
+
+    # ---- CRCs, tables derived from the polynomials at build time
+    def _mk_crc8():
+        tbl = []
+        for b in range(256):
+            c = b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+            tbl.append(c)
+        return tbl
+
+    def _mk_crc16():
+        tbl = []
+        for b in range(256):
+            c = b << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+            tbl.append(c)
+        return tbl
+
+    _CRC8 = _mk_crc8()
+    _CRC16 = _mk_crc16()
+
+    def crc8(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c = _CRC8[c ^ byte]
+        return c
+
+    def crc16(data: bytes) -> int:
+        c = 0
+        for byte in data:
+            c = _CRC16[((c >> 8) ^ byte) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        return c
+
+    # ---- bit I/O (MSB-first, as the format requires)
+    class _W:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def w(self, value: int, bits: int):
+            self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+            self.nbits += bits
+            while self.nbits >= 8:
+                self.nbits -= 8
+                self.buf.append((self.acc >> self.nbits) & 0xFF)
+            self.acc &= (1 << self.nbits) - 1
+
+        def ws(self, value: int, bits: int):  # signed two's complement
+            self.w(value & ((1 << bits) - 1), bits)
+
+        def unary(self, q: int):  # q zeros then a one
+            while q >= 32:
+                self.w(0, 32)
+                q -= 32
+            self.w(1, q + 1)
+
+        def align(self):
+            if self.nbits:
+                self.w(0, 8 - self.nbits)
+
+        def bytes(self) -> bytes:
+            assert self.nbits == 0
+            return bytes(self.buf)
+
+    class _R:
+        def __init__(self, data: bytes, pos_bits: int = 0):
+            self.d = data
+            self.p = pos_bits
+
+        def r(self, bits: int) -> int:
+            v = 0
+            p, d = self.p, self.d
+            end = p + bits
+            if end > len(d) * 8:
+                raise ValueError("FLAC bitstream truncated")
+            while bits:
+                byte = d[p >> 3]
+                avail = 8 - (p & 7)
+                take = avail if avail < bits else bits
+                v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+                p += take
+                bits -= take
+            self.p = p
+            return v
+
+        def rs(self, bits: int) -> int:
+            v = self.r(bits)
+            return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+        def unary(self) -> int:
+            q = 0
+            while self.r(1) == 0:
+                q += 1
+            return q
+
+        def align(self):
+            self.p = (self.p + 7) & ~7
+
+    def _utf8_num(w: _W, n: int):
+        """FLAC's UTF-8-style coded number (frame index)."""
+        if n < 0x80:
+            w.w(n, 8)
+            return
+        for nbytes, prefix in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                               (6, 0xFC), (7, 0xFE)):
+            if n < (1 << (nbytes * 5 + 1)) or nbytes == 7:
+                w.w(prefix | (n >> (6 * (nbytes - 1))), 8)
+                for i in range(nbytes - 2, -1, -1):
+                    w.w(0x80 | ((n >> (6 * i)) & 0x3F), 8)
+                return
+
+    def _utf8_num_read(r: _R) -> int:
+        b0 = r.r(8)
+        if b0 < 0x80:
+            return b0
+        nbytes = 0
+        for mask, val, nb in ((0xE0, 0xC0, 2), (0xF0, 0xE0, 3), (0xF8, 0xF0, 4),
+                              (0xFC, 0xF8, 5), (0xFE, 0xFC, 6), (0xFF, 0xFE, 7)):
+            if b0 & mask == val:
+                nbytes = nb
+                break
+        if not nbytes:
+            raise ValueError("FLAC bad coded number")
+        n = b0 & (0x7F >> nbytes)
+        for _ in range(nbytes - 1):
+            c = r.r(8)
+            if c & 0xC0 != 0x80:
+                raise ValueError("FLAC bad coded-number continuation")
+            n = (n << 6) | (c & 0x3F)
+        return n
+
+    # ---- fixed predictors (orders 0-4): residual r[i] = s[i] - pred
+    def _fixed_residual(s, order: int):
+        r = s.astype(_np.int64)
+        for _ in range(order):
+            r = _np.diff(r)
+        return r
+
+    def _fixed_restore(res, warm, order: int):
+        # invert `order` rounds of diff by cumulative summation
+        out = res.astype(_np.int64)
+        for k in range(order, 0, -1):
+            w = _np.asarray(warm, dtype=_np.int64)
+            for _ in range(k - 1):
+                w = _np.diff(w)
+            seed = w[-1] if len(w) else 0
+            out = seed + _np.cumsum(out)
+        return _np.concatenate([_np.asarray(warm, dtype=_np.int64), out])
+
+    def _rice_cost(u, k: int) -> int:
+        return int(u.size * (k + 1) + (u >> k).sum())
+
+    def _zigzag(res):
+        return _np.where(res >= 0, res.astype(_np.int64) << 1,
+                         ((-res.astype(_np.int64)) << 1) - 1)
+
+    def _write_residual(w: _W, res):
+        """Method 00 (4-bit Rice params), partition order 0, escape to
+        raw when even the best parameter loses (high-entropy input)."""
+        u = _zigzag(res)
+        best_k, best_c = 0, None
+        for k in range(15):
+            c = _rice_cost(u, k)
+            if best_c is None or c < best_c:
+                best_k, best_c = k, c
+        raw_bits = 1
+        if res.size:
+            m = int(_np.abs(res).max())
+            raw_bits = max(m.bit_length() + 1, 1)
+        w.w(0, 2)  # method 00
+        w.w(0, 4)  # partition order 0
+        if best_c > res.size * raw_bits + 5 and raw_bits <= 31:
+            w.w(0xF, 4)  # escape
+            w.w(raw_bits, 5)
+            for v in res:
+                w.ws(int(v), raw_bits)
+            return
+        w.w(best_k, 4)
+        for uv in u:
+            uv = int(uv)
+            w.unary(uv >> best_k)
+            if best_k:
+                w.w(uv & ((1 << best_k) - 1), best_k)
+
+    def _read_residual(r: _R, blocksize: int, order: int):
+        method = r.r(2)
+        if method > 1:
+            raise ValueError("FLAC reserved residual method")
+        pbits = 4 if method == 0 else 5
+        escape = (1 << pbits) - 1
+        porder = r.r(4)
+        nparts = 1 << porder
+        if blocksize % nparts:
+            raise ValueError("FLAC partition order does not divide blocksize")
+        out = []
+        for part in range(nparts):
+            count = blocksize // nparts - (order if part == 0 else 0)
+            if count < 0:
+                raise ValueError("FLAC predictor order exceeds partition")
+            param = r.r(pbits)
+            if param == escape:
+                bits = r.r(5)
+                vals = [r.rs(bits) if bits else 0 for _ in range(count)]
+            else:
+                vals = []
+                for _ in range(count):
+                    u = (r.unary() << param) | (r.r(param) if param else 0)
+                    vals.append((u >> 1) ^ -(u & 1))
+            out.extend(vals)
+        return _np.asarray(out, dtype=_np.int64)
+
+    def _write_subframe(w: _W, s, bps: int):
+        s = _np.asarray(s, dtype=_np.int64)
+        n = s.size
+        w.w(0, 1)  # zero pad
+        if n and (s == s[0]).all():
+            w.w(0, 6)  # CONSTANT
+            w.w(0, 1)  # no wasted bits
+            w.ws(int(s[0]), bps)
+            return
+        # best fixed order by absolute residual sum
+        best_o, best_sum = 0, None
+        for o in range(min(5, n)):
+            tot = int(_np.abs(_fixed_residual(s, o)).sum())
+            if best_sum is None or tot < best_sum:
+                best_o, best_sum = o, tot
+        res = _fixed_residual(s, best_o)
+        u = _zigzag(res)
+        est = min(_rice_cost(u, k) for k in range(15)) + best_o * bps
+        if est >= n * bps:  # prediction loses: VERBATIM
+            w.w(1, 6)
+            w.w(0, 1)
+            for v in s:
+                w.ws(int(v), bps)
+            return
+        w.w(0b001000 | best_o, 6)  # FIXED
+        w.w(0, 1)
+        for v in s[:best_o]:
+            w.ws(int(v), bps)
+        _write_residual(w, res)
+
+    def _read_subframe(r: _R, blocksize: int, bps: int):
+        if r.r(1):
+            raise ValueError("FLAC subframe padding bit set")
+        t = r.r(6)
+        wasted = 0
+        if r.r(1):
+            wasted = r.unary() + 1
+        eff = bps - wasted
+        if t == 0:  # CONSTANT
+            s = _np.full(blocksize, r.rs(eff), dtype=_np.int64)
+        elif t == 1:  # VERBATIM
+            s = _np.asarray([r.rs(eff) for _ in range(blocksize)], dtype=_np.int64)
+        elif 0b001000 <= t <= 0b001100:  # FIXED 0-4
+            order = t & 0x07
+            warm = [r.rs(eff) for _ in range(order)]
+            res = _read_residual(r, blocksize, order)
+            s = _fixed_restore(res, warm, order)
+        elif t >= 0b100000:  # LPC
+            order = (t & 0x1F) + 1
+            warm = [r.rs(eff) for _ in range(order)]
+            prec = r.r(4) + 1
+            if prec == 16:
+                raise ValueError("FLAC invalid LPC precision")
+            shift = r.rs(5)
+            if shift < 0:
+                raise ValueError("FLAC negative LPC shift")
+            coefs = [r.rs(prec) for _ in range(order)]
+            res = _read_residual(r, blocksize, order)
+            s = _np.empty(blocksize, dtype=_np.int64)
+            s[:order] = warm
+            for i in range(order, blocksize):
+                pred = 0
+                for j in range(order):
+                    pred += coefs[j] * int(s[i - 1 - j])
+                s[i] = int(res[i - order]) + (pred >> shift)
+        else:
+            raise ValueError("FLAC reserved subframe type")
+        return s << wasted
+
+    _BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+    _BPS_FROM = {v: k for k, v in _BPS_CODE.items()}
+
+    def encode(samples, sample_rate: int, bps: int = 16,
+               blocksize: int = 4096, stereo: str = "independent") -> bytes:
+        """(n, channels) int samples → complete FLAC stream. ``stereo``
+        picks the channel assignment for 2-channel input: independent /
+        left_side / right_side / mid_side (decorrelation is lossless
+        either way — the decoder undoes it exactly)."""
+        import hashlib
+
+        s = _np.asarray(samples, dtype=_np.int64)
+        if s.ndim == 1:
+            s = s[:, None]
+        n, ch = s.shape
+        if bps not in _BPS_CODE:
+            raise ValueError(f"unsupported bits-per-sample {bps}")
+        if ch != 2 and stereo != "independent":
+            raise ValueError("decorrelated stereo needs exactly 2 channels")
+        width = bps // 8
+        md5 = hashlib.md5()
+        # MD5 covers the unencoded interleaved little-endian signed stream
+        inter = s.reshape(-1)
+        raw = bytearray()
+        for v in inter:
+            raw += int(v).to_bytes(width, "little", signed=True)
+        md5.update(bytes(raw))
+
+        frames = bytearray()
+        nframes = (n + blocksize - 1) // blocksize or 1
+        assign = {"independent": ch - 1, "left_side": 8,
+                  "right_side": 9, "mid_side": 10}[stereo]
+        for fi in range(nframes):
+            blk = s[fi * blocksize:(fi + 1) * blocksize]
+            bs = blk.shape[0] if blk.shape[0] else 0
+            if bs == 0:
+                break
+            hw = _W()
+            hw.w(0b11111111111110, 14)
+            hw.w(0, 1)  # reserved
+            hw.w(0, 1)  # fixed-blocksize stream
+            hw.w(0b0111, 4)  # 16-bit blocksize-1 at header end
+            hw.w(0, 4)  # rate from STREAMINFO
+            hw.w(assign, 4)
+            hw.w(_BPS_CODE[bps], 3)
+            hw.w(0, 1)  # reserved
+            _utf8_num(hw, fi)
+            hw.w(bs - 1, 16)
+            hw.align()
+            header = hw.bytes()
+            body = _W()
+            if stereo == "independent":
+                subs = [(blk[:, c], bps) for c in range(ch)]
+            else:
+                left = blk[:, 0]
+                right = blk[:, 1]
+                side = left - right
+                if stereo == "left_side":
+                    subs = [(left, bps), (side, bps + 1)]
+                elif stereo == "right_side":
+                    subs = [(side, bps + 1), (right, bps)]
+                else:  # mid_side
+                    mid = (left + right) >> 1
+                    subs = [(mid, bps), (side, bps + 1)]
+            for vals, sbps in subs:
+                _write_subframe(body, vals, sbps)
+            body.align()
+            frame = header + bytes([crc8(header)]) + body.bytes()
+            frames += frame + _struct.pack(">H", crc16(frame))
+
+        si = _W()
+        si.w(blocksize, 16)  # min blocksize
+        si.w(blocksize, 16)  # max blocksize
+        si.w(0, 24)  # min framesize unknown
+        si.w(0, 24)  # max framesize unknown
+        si.w(sample_rate, 20)
+        si.w(ch - 1, 3)
+        si.w(bps - 1, 5)
+        si.w(n, 36)
+        info = si.bytes() + md5.digest()
+        return (b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big")
+                + info + bytes(frames))
+
+    _BLOCKSIZE_FIXED = {0b0001: 192}
+    for _c in range(0b0010, 0b0110):
+        _BLOCKSIZE_FIXED[_c] = 576 << (_c - 0b0010)
+    for _c in range(0b1000, 0b10000):
+        _BLOCKSIZE_FIXED[_c] = 256 << (_c - 0b1000)
+    _RATE_FIXED = {0b0001: 88200, 0b0010: 176400, 0b0011: 192000,
+                   0b0100: 8000, 0b0101: 16000, 0b0110: 22050,
+                   0b0111: 24000, 0b1000: 32000, 0b1001: 44100,
+                   0b1010: 48000, 0b1011: 96000}
+
+    def decode(payload: bytes, verify_md5: bool = False):
+        """FLAC stream → dict(sample_rate, n_channels, bps, samples
+        (n, ch) int64). Returns None when the payload is not FLAC;
+        raises ValueError on a corrupt stream (bad CRC, reserved
+        codes, truncation)."""
+        import hashlib
+
+        if len(payload) < 42 or payload[:4] != b"fLaC":
+            return None
+        pos = 4
+        info = None
+        while True:
+            if pos + 4 > len(payload):
+                raise ValueError("FLAC truncated in metadata")
+            hdr = payload[pos]
+            length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+            body = payload[pos + 4:pos + 4 + length]
+            if hdr & 0x7F == 0:
+                info = body
+            pos += 4 + length
+            if hdr & 0x80:
+                break
+        if info is None or len(info) < 34:
+            raise ValueError("FLAC missing STREAMINFO")
+        ir = _R(info)
+        ir.r(16)
+        ir.r(16)
+        ir.r(24)
+        ir.r(24)
+        rate = ir.r(20)
+        ch = ir.r(3) + 1
+        bps = ir.r(5) + 1
+        total = ir.r(36)
+        md5_expect = info[18:34]
+
+        chans = [[] for _ in range(ch)]
+        got = 0
+        while got < total and pos < len(payload):
+            frame_start = pos
+            r = _R(payload, pos * 8)
+            if r.r(14) != 0b11111111111110:
+                raise ValueError("FLAC lost frame sync")
+            r.r(1)
+            r.r(1)  # blocking strategy (number semantics only)
+            bs_code = r.r(4)
+            rate_code = r.r(4)
+            assign = r.r(4)
+            bps_code = r.r(3)
+            r.r(1)
+            _utf8_num_read(r)
+            if bs_code == 0b0110:
+                bs = r.r(8) + 1
+            elif bs_code == 0b0111:
+                bs = r.r(16) + 1
+            elif bs_code in _BLOCKSIZE_FIXED:
+                bs = _BLOCKSIZE_FIXED[bs_code]
+            else:
+                raise ValueError("FLAC reserved blocksize code")
+            if rate_code == 0b1100:
+                r.r(8)
+            elif rate_code in (0b1101, 0b1110):
+                r.r(16)
+            elif rate_code == 0b1111:
+                raise ValueError("FLAC invalid sample-rate code")
+            fbps = bps if bps_code == 0 else _BPS_FROM.get(bps_code)
+            if fbps is None:
+                raise ValueError("FLAC reserved sample-size code")
+            r.align()
+            hdr_len = r.p // 8 - frame_start
+            if crc8(payload[frame_start:frame_start + hdr_len]) != r.r(8):
+                raise ValueError("FLAC frame-header CRC mismatch")
+            if assign <= 7:
+                nsub = assign + 1
+                extra = [0] * nsub
+            elif assign in (8, 9, 10):
+                nsub = 2
+                extra = [0, 1] if assign in (8, 10) else [1, 0]
+            else:
+                raise ValueError("FLAC reserved channel assignment")
+            subs = [_read_subframe(r, bs, fbps + extra[i]) for i in range(nsub)]
+            r.align()
+            end = r.p // 8
+            if crc16(payload[frame_start:end]) != r.r(16):
+                raise ValueError("FLAC frame CRC-16 mismatch")
+            pos = end + 2
+            if assign <= 7:
+                out = subs
+            elif assign == 8:  # left/side
+                out = [subs[0], subs[0] - subs[1]]
+            elif assign == 9:  # right/side
+                out = [subs[1] + subs[0], subs[1]]
+            else:  # mid/side
+                mid2 = (subs[0] << 1) | (subs[1] & 1)
+                left = (mid2 + subs[1]) >> 1
+                out = [left, left - subs[1]]
+            keep = min(bs, total - got)
+            for c in range(len(out)):
+                chans[c].extend(out[c][:keep].tolist())
+            got += keep
+        if got != total:
+            raise ValueError("FLAC stream ended before total samples")
+        samples = _np.asarray(chans, dtype=_np.int64).T if ch else _np.empty((0, 0))
+        if verify_md5:
+            width = bps // 8
+            raw = bytearray()
+            for v in samples.reshape(-1):
+                raw += int(v).to_bytes(width, "little", signed=True)
+            if hashlib.md5(bytes(raw)).digest() != md5_expect:
+                raise ValueError("FLAC decoded audio MD5 mismatch")
+        return {
+            "sample_rate": rate,
+            "n_channels": ch,
+            "bps": bps,
+            "samples": samples,
+        }
+
+    return encode, decode
+
+
+def _flac_parser():
+    """FLAC → the WAV-parser feature contract (see _wav_parser): rms_q
+    in 16-bit-equivalent units so the feature is comparable across
+    codecs and bit depths."""
+    _enc, _dec = _flac_codec()
+
+    def parse(payload: bytes) -> dict | None:
+        import numpy as np
+
+        meta = _dec(payload)
+        if meta is None:
+            return None
+        s = meta["samples"].astype("int64")
+        shift = meta["bps"] - 16
+        s16 = (s >> shift) if shift >= 0 else (s << -shift)
+        n_samples = s.shape[0]
+        rate = meta["sample_rate"]
+        rms_q = int(np.sqrt(np.mean(s16.astype("int64") ** 2))) if s.size else 0
+        return {
+            "sample_rate": rate,
+            "n_channels": meta["n_channels"],
+            "n_samples": n_samples,
+            "duration_ms": (n_samples * 1000) // rate if rate else 0,
+            "rms_q": rms_q,
+        }
+
+    return parse
+
+
+#: Dependency-free FLAC decode to the shared audio-feature contract.
+parse_flac = _flac_parser()
+
+
+def _make_flac_synth_batches():
+    """Synthesize a deterministic 16-bit stream per document and encode
+    it as REAL FLAC — ``v[k] = (doc_id*37 + k*11) % 4001 - 2000``,
+    ``1 + doc_id % 2`` channels, ``120 + n_bytes % 200`` frames — with
+    the stereo decorrelation mode rotating by doc_id (independent /
+    left-side / mid-side), so the decoder's decorrelation paths are all
+    driver-verified. Losslessness makes the oracle exact: DuckDB
+    recomputes the features straight from the sample formula."""
+    _enc, _dec = _flac_codec()
+
+    def synth_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        modes = ["independent", "left_side", "mid_side"]
+        for pdf in batches:
+            payloads = []
+            for doc_id, nb in zip(pdf["doc_id"], pdf["n_bytes"]):
+                doc_id = int(doc_id)
+                channels = 1 + doc_id % 2
+                frames = 120 + int(nb) % 200
+                k = _np.arange(frames * channels, dtype="int64")
+                vals = ((doc_id * 37 + k * 11) % 4001 - 2000).reshape(
+                    frames, channels
+                )
+                mode = modes[doc_id % 3] if channels == 2 else "independent"
+                payloads.append(
+                    _enc(vals, AUDIO_RATE, bps=16, blocksize=256, stereo=mode)
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return synth_batches
+
+
+def _make_flac_feature_batches():
+    _parse = _flac_parser()
+
+    def feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _parse(bytes(payload))
+                if meta is not None:
+                    rows.append({"doc_id": doc_id, **meta})
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms_q",
+                ],
+            )
+
+    return feature_batches
+
+
+def multimodal_flac(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """The registered FLAC roundtrip query (multimodal_digest member):
+    synthesize deterministic 16-bit audio per 'audio' document, encode
+    it through the REAL FLAC encoder (fixed predictors + Rice residuals
+    + CRC-8/16 + rotating stereo decorrelation), then decode through
+    the REAL decoder back to features. Because FLAC is lossless, the
+    DuckDB oracle recomputes every output column directly from the
+    sample formula — any prediction, Rice, CRC, or decorrelation bug
+    changes rms_q/n_samples and fails the driver compare. Two chained
+    mapInPandas stages, zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    audio_docs = docs.where(F.expr("doc_id % 3 = 1")).select(
+        "doc_id",
+        F.length(F.expr("encode(text, 'UTF-8')")).cast("long").alias("n_bytes"),
+    )
+    flac = _spread(audio_docs).mapInPandas(
+        _make_flac_synth_batches(), schema="doc_id long, payload binary"
+    )
+    return flac.mapInPandas(_make_flac_feature_batches(), schema=AUDIO_SCHEMA)
+
+
+ORACLES["multimodal_flac"] = f"""
+WITH a AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(120 + strlen(text) % 200 AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+    SELECT a.doc_id,
+           unnest(generate_series(0, a.n_samples * a.n_channels - 1)) AS k
+    FROM a
+),
+q AS (
+    SELECT doc_id,
+           sum(((doc_id * 37 + k * 11) % 4001 - 2000)
+               * ((doc_id * 37 + k * 11) % 4001 - 2000)) AS sum_sq,
+           count(*) AS n
+    FROM s GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+       a.n_channels,
+       a.n_samples,
+       a.n_samples * 1000 // {AUDIO_RATE} AS duration_ms,
+       CAST(floor(sqrt(CAST(q.sum_sq AS DOUBLE) / q.n)) AS BIGINT) AS rms_q
+FROM a JOIN q ON a.doc_id = q.doc_id
+"""
+
+
 # ------------------------------------------ MP4 container metadata
 
 def parse_mp4_header(payload: bytes) -> dict | None:

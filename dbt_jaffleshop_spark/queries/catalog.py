@@ -138,6 +138,9 @@ _GROUP_DIGESTED = {
     "multimodal_progressive420_pixels",
     "multimodal_gif_anim",
     "multimodal_png_alpha",
+    # r9: the FLAC roundtrip member — driver-verified through
+    # multimodal_digest
+    "multimodal_flac",
     "multimodal_png_palette",
     "multimodal_png_color",
     "multimodal_gif_frames",

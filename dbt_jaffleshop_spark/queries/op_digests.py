@@ -451,6 +451,19 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("duration_ms", "bigint"),
             ("rms_q", "bigint"),
         ]),
+        # r9: REAL FLAC roundtrip — synthesized 16-bit audio encoded by
+        # the dependency-free FLAC encoder (fixed predictors + Rice
+        # residuals + CRC-8/16, stereo decorrelation rotating by doc_id)
+        # and decoded by the real decoder; losslessness makes the oracle
+        # exact from the sample formula (llm/multimodal.py::_flac_codec)
+        "multimodal_flac": _m(llm_multimodal, "multimodal_flac", [
+            ("doc_id", "bigint"),
+            ("sample_rate", "int"),
+            ("n_channels", "int"),
+            ("n_samples", "bigint"),
+            ("duration_ms", "bigint"),
+            ("rms_q", "bigint"),
+        ]),
         # r6: REAL PNG pixel decode (zlib inflate + all-five-filter
         # unfilterer, dependency-free) — synthesized filtered+deflated
         # PNGs round-trip the actual decoder; the oracle regenerates the
