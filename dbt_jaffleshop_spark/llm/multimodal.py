@@ -1063,7 +1063,11 @@ def _flac_codec():
             raise ValueError(f"unsupported bits-per-sample {bps}")
         if ch != 2 and stereo != "independent":
             raise ValueError("decorrelated stereo needs exactly 2 channels")
-        width = bps // 8
+        # RFC 9639 §9.1.1: MD5 input packs each sample into the SMALLEST
+        # whole number of bytes — ceil(bps/8), so 12-bit samples take 2
+        # bytes and 20-bit take 3 (bps//8 truncates both to widths that
+        # overflow int.to_bytes).
+        width = (bps + 7) // 8
         md5 = hashlib.md5()
         # MD5 covers the unencoded interleaved little-endian signed stream
         inter = s.reshape(-1)
@@ -1240,7 +1244,7 @@ def _flac_codec():
             raise ValueError("FLAC stream ended before total samples")
         samples = _np.asarray(chans, dtype=_np.int64).T if ch else _np.empty((0, 0))
         if verify_md5:
-            width = bps // 8
+            width = (bps + 7) // 8  # ceil — must mirror encode's packing
             raw = bytearray()
             for v in samples.reshape(-1):
                 raw += int(v).to_bytes(width, "little", signed=True)
