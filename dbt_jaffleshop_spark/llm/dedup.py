@@ -441,6 +441,83 @@ def dedup_clusters_propagation(
     )
 
 
+# Hybrid threshold for MinHash clustering candidates (r10, ADVICE r9):
+# a (band, bv) bucket with ≤ this many members emits exact all-pairs
+# candidates, a larger one emits star edges. Unlike the 16-value
+# hyperplane buckets (where the hybrid is a CORRECTNESS guard —
+# EMB_STAR_BUCKET_CAP), a MinHash band bucket is an md5 equality over
+# signature rows (a strong similarity signal), so pure star holds on
+# every observed corpus; the hybrid is belt-and-braces for the
+# theoretical failure mode (bucket-min dissimilar to both members of a
+# true pair fails both star-edge verifications and splits a component)
+# at cap²/2 bounded cost per healthy bucket.
+MINHASH_STAR_BUCKET_CAP = 256
+
+
+def _minhash_hybrid_candidates(
+    bands: DataFrame, cap: int = MINHASH_STAR_BUCKET_CAP
+) -> DataFrame:
+    """(doc_a, doc_b) candidates: exact all-pairs inside band buckets of
+    ≤ ``cap`` members, star (member ↔ bucket min) above — the MinHash
+    twin of :func:`_emb_hybrid_candidates`, same exchange-reuse shape
+    (stats aggregation and candidate joins all on the bucket key)."""
+    stats = bands.groupBy("band", "bv").agg(
+        F.min("doc_id").alias("mn"), F.count("*").alias("m")
+    )
+    small = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .join(stats.where(F.col("m") <= cap).select("band", "bv"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    big = (
+        bands.join(stats.where(F.col("m") > cap), ["band", "bv"])
+        .where(F.col("doc_id") > F.col("mn"))
+        .select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small.unionByName(big).distinct()
+
+
+def dedup_clusters_hybrid(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    cap: int = MINHASH_STAR_BUCKET_CAP,
+) -> DataFrame:
+    """Library variant of :func:`dedup_clusters` fed by the HYBRID
+    candidate generator (all-pairs ≤ ``cap``-member buckets, star
+    above) — closes the theoretical star failure mode the embedding
+    corpus actually exhibited (ADVICE r9). Pytest-pinned component-
+    identical to the production star path on the test corpora; kept a
+    library path (not the driver slot) because the star input is what
+    the incremental index (:mod:`.dedup_incremental`) composes with."""
+    sh = _cached_shingles(spark, sf_dir)
+    bands = _lsh_bands(_minhash_signatures_from(sh))
+    pairs = _verify_jaccard(_minhash_hybrid_candidates(bands, cap), sh)
+    return _star_components(pairs.select("doc_a", "doc_b"))
+
+
+def clusters_crosscheck(labels_a: DataFrame, labels_b: DataFrame) -> DataFrame:
+    """The periodic production cross-check (ADVICE r9's alternative):
+    full-outer-compare two (doc_id, cluster_id, ...) labelings and
+    return the disagreement rows — empty output == identical
+    partitions (labels are component-min in both paths, so partition
+    equality IS label equality). At scale this runs on a sampled or
+    scheduled cadence against the all-pairs generator to detect any
+    star-split component; both inputs are label tables (O(dup docs)),
+    so the compare is one shuffle on doc_id."""
+    a = labels_a.select("doc_id", F.col("cluster_id").alias("cluster_a"))
+    b = labels_b.select("doc_id", F.col("cluster_id").alias("cluster_b"))
+    return (
+        a.join(b, "doc_id", "outer")
+        .where(
+            F.col("cluster_a").isNull()
+            | F.col("cluster_b").isNull()
+            | (F.col("cluster_a") != F.col("cluster_b"))
+        )
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Duplicate-cluster assignment — connected components over the
     verified MinHash near-dup pairs, so every document in a transitive
@@ -488,55 +565,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
 
 
 # Below this many (deduplicated) edges, connected components run as a
-# SINGLE-TASK union-find instead of the distributed star iteration: the
-# star loop costs ~6 shuffle stages + a checkpoint + a count action PER
-# ROUND regardless of data size, which is pure scheduling overhead on a
-# graph that fits in one task (4M int64 pairs ≈ 64 MB — trivially within
-# an executor). At 100 TB-corpus edge counts the distributed path takes
-# over automatically; the cutoff only decides WHERE the same
+# SINGLE-TASK vectorized label relaxation instead of the distributed
+# star iteration: the star loop costs ~6 shuffle stages + a checkpoint
+# + a count action PER ROUND regardless of data size, which is pure
+# scheduling overhead on a graph that fits in one task. At the cutoff
+# the single task holds two 32 MB int64 edge arrays plus O(nodes) label
+# arrays and runs O(log n) numpy passes — sub-second C-side work, no
+# per-edge Python loop (r10 rewrite; the r9 dict-based union-find was
+# minutes of interpreter time near the cutoff — ADVICE r9). At
+# 100 TB-corpus edge counts the distributed path takes over
+# automatically; the cutoff only decides WHERE the same
 # (node, component-min, size) answer is computed, never what it is.
 SMALL_GRAPH_EDGE_CUTOFF = 4_000_000
 
 
 def _components_single_task(edges: DataFrame) -> DataFrame:
-    """Union-find connected components in ONE Arrow task over a small
-    (u, v) edge relation — output-identical to the star iteration:
-    (doc_id, cluster_id = component-min node, cluster_size)."""
+    """Connected components in ONE Arrow task over a small (u, v) edge
+    relation — output-identical to the star iteration: (doc_id,
+    cluster_id = component-min node, cluster_size).
+
+    Vectorized (r10, ADVICE r9): the r9 version ran a per-edge Python
+    union-find loop — near the 4M-edge cutoff that is minutes of
+    single-thread interpreter time and ~10× the advertised memory in
+    dict/int overhead. Now: numpy hash-to-min label relaxation
+    (``np.minimum.at`` over the edge arrays, both directions) with
+    pointer-jumping compression between rounds. Labels are indices into
+    the ascending-unique node array, so the monotone-decreasing fixed
+    point is exactly the component-min labeling (at a fixed point every
+    edge's endpoints hold equal labels, and the component minimum keeps
+    its own). O(E) per round, O(log n) rounds, all C-side — the 4M-edge
+    graph is two 32 MB arrays and a handful of vectorized passes."""
+    import numpy as np
     import pandas as pd
 
     def uf(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
+        us, vs = [], []
         for b in batches:
-            for u, v in zip(b["u"], b["v"]):
-                u, v = int(u), int(v)
-                parent.setdefault(u, u)
-                parent.setdefault(v, v)
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[ru] = rv
-        # canonical labels: component MIN, matching the star fixed point
-        label: dict = {}
-        for n in parent:
-            r = find(n)
-            label[r] = min(label.get(r, n), n)
-        rows = [(n, label[find(n)]) for n in parent]
-        sizes: dict = {}
-        for _, lab in rows:
-            sizes[lab] = sizes.get(lab, 0) + 1
+            us.append(b["u"].to_numpy(np.int64))
+            vs.append(b["v"].to_numpy(np.int64))
+        u = np.concatenate(us) if us else np.empty(0, np.int64)
+        v = np.concatenate(vs) if vs else np.empty(0, np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            old = lab.copy()
+            np.minimum.at(lab, ui, lab[vi])
+            np.minimum.at(lab, vi, lab[ui])
+            while True:  # pointer jumping: compress label chains
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            if np.array_equal(lab, old):
+                break
+        sizes = np.bincount(lab, minlength=len(nodes))
         yield pd.DataFrame(
             {
-                "doc_id": [n for n, _ in rows],
-                "cluster_id": [lab for _, lab in rows],
-                "cluster_size": [sizes[lab] for _, lab in rows],
+                "doc_id": nodes,
+                "cluster_id": nodes[lab],
+                "cluster_size": sizes[lab],
             }
         )
 
