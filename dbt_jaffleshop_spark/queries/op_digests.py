@@ -66,9 +66,12 @@ recording budget while every operator remains value-verified:
   plans/layout.py — Delta OPTIMIZE ZORDER + data skipping), and the
   incremental materialization fold (r7, plans/incremental.py —
   split-feed watermark catch-up through run_pipeline's own
-  materialize_table_snapshot commit path). (The table-profiling
-  members it carried in r5 moved to ``profile_digest`` so the group
-  names stay truthful.)
+  materialize_table_snapshot commit path), and the incremental
+  delta-vs-corpus dedup fold (r10, llm/dedup_incremental.py — a
+  persisted shingle/bucket-min/cluster index folded forward one
+  delta batch, verified against the full-recompute star-clustering
+  oracle). (The table-profiling members it carried in r5 moved to
+  ``profile_digest`` so the group names stay truthful.)
 * ``profile_digest`` (r6) — data-quality profiling and auditing: the
   single-pass per-column table profile + exact per-month quantiles
   (testing/profile.py, acid_digest members in r5) and the
@@ -94,6 +97,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..llm import corpus as llm_corpus
 from ..llm import dedup as llm_dedup
+from ..llm import dedup_incremental as _dedup_inc
 from ..llm import events as llm_events
 from ..llm import multimodal as llm_multimodal
 from ..llm import prep as llm_prep
@@ -857,6 +861,23 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
                 ("o_orderdate", "timestamp"),
             ],
             _layout.ORACLES["layout_zorder_scan"],
+        ),
+        # r10: incremental delta-vs-corpus dedup (VERDICT r9 item 1,
+        # llm/dedup_incremental.py) — index the bottom-70%-by-id
+        # document slice (shingles + LSH bucket mins + star clusters as
+        # AcidTables), fold the top-30% through incremental_update
+        # (delta-only signatures, delta→bucket-min star edges, affected-
+        # component re-solve), return the committed end state. The
+        # oracle is the FULL-RECOMPUTE star clustering over ALL
+        # documents — the driver certifies incremental ≡ full recompute
+        "dedup_incremental": (
+            _dedup_inc.dedup_incremental,
+            [
+                ("doc_id", "bigint"),
+                ("cluster_id", "bigint"),
+                ("cluster_size", "bigint"),
+            ],
+            _dedup_inc.ORACLES["dedup_incremental"],
         ),
     },
     # r6: profiling + auditing digest — the r5 acid_digest profiling

@@ -1,0 +1,248 @@
+"""Round-10 operator tests: FLAC non-byte-aligned bit depths (ADVICE r9
+medium — MD5 sample packing must use ceil(bps/8) bytes per RFC 9639
+§9.1.1), the vectorized single-task union-find, and the incremental
+delta-vs-corpus dedup path (VERDICT r9 item 1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _codec():
+    from dbt_jaffleshop_spark.llm.multimodal import _flac_codec
+
+    return _flac_codec()
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
+def test_flac_roundtrip_every_advertised_bit_depth(bps):
+    """Every depth in _BPS_CODE must encode AND md5-verify-decode — the
+    r9 ADVICE repro was encode(bps=12) raising OverflowError because the
+    MD5 packing width truncated 12→1 byte and 20→2 bytes."""
+    enc, dec = _codec()
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    k = np.arange(700, dtype=np.int64)
+    vals = (k * 9973 + 12345) % (hi - lo + 1) + lo
+    # pin the extremes so the widest two's-complement values roundtrip
+    vals[0], vals[1] = lo, hi
+    blob = enc(vals, 8000, bps=bps, blocksize=256)
+    meta = dec(blob)  # decode verifies the MD5 internally
+    assert meta["bps"] == bps
+    assert meta["n_channels"] == 1
+    np.testing.assert_array_equal(meta["samples"][:, 0], vals)
+
+
+def test_flac_stereo_roundtrip_20_bit():
+    """Decorrelated stereo at a 3-byte-packed depth: side channel runs at
+    bps+1 = 21 bits and the MD5 packing covers both channels."""
+    enc, dec = _codec()
+    k = np.arange(500, dtype=np.int64)
+    left = (k * 7919) % (1 << 19) - (1 << 18)
+    right = left - ((k * 31) % 257 - 128)
+    vals = np.stack([left, right], axis=1)
+    for mode in ("left_side", "right_side", "mid_side"):
+        meta = dec(enc(vals, 8000, bps=20, blocksize=192, stereo=mode))
+        np.testing.assert_array_equal(meta["samples"], vals)
+
+
+def test_vectorized_single_task_components_match_reference(spark):
+    """r10 ADVICE fix: the single-task CC path is now numpy label
+    relaxation, not a per-edge Python union-find. Pin it against an
+    in-test dict union-find on a 200k-edge random graph with chains,
+    blobs, and singleton pairs — and require it to finish fast (the r9
+    loop took minutes at this scale)."""
+    import random
+    import time
+
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    rng = random.Random(10)
+    n = 120_000
+    pairs = {(i, i + 1) for i in range(0, 30_000, 3)}  # chains
+    while len(pairs) < 200_000:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_label = {u: find(u) for u in parent}
+    want_sizes: dict[int, int] = {}
+    for lab in want_label.values():
+        want_sizes[lab] = want_sizes.get(lab, 0) + 1
+
+    pair_df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(pairs)], "doc_a long, doc_b long"
+    )
+    t0 = time.perf_counter()
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dd._star_components(pair_df, small_cutoff=10**9).collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert got == {
+        u: (lab, want_sizes[lab]) for u, lab in want_label.items()
+    }
+    assert elapsed < 60  # vectorized path: seconds, not minutes
+
+
+# ----------------------------- incremental delta-vs-corpus dedup (r10)
+
+
+def _cluster_rows(df):
+    return sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size) for r in df.collect()
+    )
+
+
+def test_incremental_two_delta_fold_equals_full_recompute(spark, sf_dir):
+    """The headline invariant (VERDICT r9 item 1): building the index on
+    a 60%-by-id corpus slice and folding TWO consecutive delta batches
+    through incremental_update must land on exactly the cluster table a
+    full star-semantics recompute over all documents produces — the
+    folds compose, nothing is lost, duplicated, or mislabeled."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import dedup_clusters
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx * 6 // 10, mx * 8 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_test_")
+    idx = di.build_dedup_index(
+        spark, docs.where(F.col("doc_id") <= t1), root
+    )
+    di.incremental_update(
+        spark,
+        docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)),
+        idx,
+    )
+    final = di.incremental_update(
+        spark, docs.where(F.col("doc_id") > t2), idx
+    )
+    assert _cluster_rows(final) == _cluster_rows(dedup_clusters(spark, sf_dir))
+    # the index advanced its high-water mark to the last delta's max id
+    assert idx.max_doc_id(spark) == mx
+
+
+def test_incremental_rejects_out_of_order_ids(spark, sf_dir):
+    """The id-ordering invariant is enforced loudly: a delta whose ids
+    overlap the corpus would silently invalidate the stored bucket mins
+    (an existing bucket's min could change), so it must ValueError."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_guard_")
+    idx = di.build_dedup_index(
+        spark, docs.where(F.col("doc_id") <= thr), root
+    )
+    with pytest.raises(ValueError, match="high-water mark"):
+        di.incremental_update(
+            spark, docs.where(F.col("doc_id") <= thr), idx
+        )
+    # an empty delta is a legal no-op returning the current clusters
+    empty = docs.where(F.lit(False))
+    before = _cluster_rows(idx.clusters.read(spark))
+    assert _cluster_rows(di.incremental_update(spark, empty, idx)) == before
+
+
+def test_registered_dedup_incremental_matches_full_recompute_oracle(
+    spark, oracle, sf_dir
+):
+    """The registered query (acid_digest member) against its DuckDB
+    oracle — which is the FULL recompute over all documents: driver-
+    grade certification that incremental ≡ full."""
+    from conftest import assert_parity
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+
+    assert_parity(
+        di.dedup_incremental(spark, sf_dir),
+        oracle,
+        di.ORACLES["dedup_incremental"],
+    )
+
+
+# ------------------- MinHash hybrid clustering + cross-check (ADVICE r9)
+
+
+def test_minhash_hybrid_clusters_match_star_and_allpairs(spark, sf_dir):
+    """The hybrid-candidate clustering, the production star path, and
+    the all-pairs-fed components must agree component-for-component on
+    the corpus; the crosscheck helper returns zero disagreement rows
+    for identical partitions and flags planted differences."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    star = dd.dedup_clusters(spark, sf_dir)
+    hybrid = dd.dedup_clusters_hybrid(spark, sf_dir)
+    allpairs = dd._star_components(
+        dd.dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.cluster_id, r.cluster_size) for r in df.collect()
+    )
+    assert rows(hybrid) == rows(star)
+    assert rows(hybrid) == rows(allpairs)
+
+    assert dd.clusters_crosscheck(star, hybrid).count() == 0
+    # planted disagreement: shift one doc's label → exactly 1 row out
+    drifted = hybrid.withColumn(
+        "cluster_id",
+        F.when(
+            F.col("doc_id") == F.lit(rows(hybrid)[0][0]),
+            F.col("cluster_id") + 1,
+        ).otherwise(F.col("cluster_id")),
+    )
+    assert dd.clusters_crosscheck(star, drifted).count() == 1
+
+
+def test_minhash_hybrid_cap_extremes_degenerate_correctly(spark, sf_dir):
+    """cap=0 must reduce the hybrid generator to pure star candidates;
+    cap=∞ to the all-pairs clique — pinning both boundary behaviors of
+    the bucket-size switch."""
+    from dbt_jaffleshop_spark.llm import dedup as dd
+
+    sh = dd._cached_shingles(spark, sf_dir)
+    bands = dd._lsh_bands(dd._minhash_signatures_from(sh))
+    pairs = lambda df: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b) for r in df.collect()
+    )
+    assert pairs(dd._minhash_hybrid_candidates(bands, cap=0)) == pairs(
+        dd._star_candidates(bands)
+    )
+    allp = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(dd.F.col("a.doc_id") < dd.F.col("b.doc_id"))
+        .select(
+            dd.F.col("a.doc_id").alias("doc_a"),
+            dd.F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    assert pairs(dd._minhash_hybrid_candidates(bands, cap=10**9)) == pairs(allp)
