@@ -133,6 +133,16 @@ MODEL_SCHEMAS: dict[str, list[tuple[str, str]]] = {
         ("food_orders", "bigint"), ("revenue_cents", "bigint"),
         ("food_revenue_pct", "double"),
     ],
+    # r10: the ENTITY-JOIN semantic request (MetricFlow's other
+    # resolution path, VERDICT r9 item 4) — order_items metrics grouped
+    # by locations' location_name through the order_id → location_id
+    # entity chain (semantic/jaffle_models.py: sq_items_by_location)
+    "sq_items_by_location": [
+        ("metric_time", "date"),
+        ("location__location_name", "string"),
+        ("revenue_cents", "bigint"),
+        ("food_revenue_pct", "double"),
+    ],
 }
 
 BUILDERS = {
@@ -153,6 +163,10 @@ BUILDERS = {
         "dbt_jaffleshop_spark.semantic.jaffle_models",
         fromlist=["mm_order_metrics_monthly"],
     ).mm_order_metrics_monthly().to_df(spark, sf_dir),
+    "sq_items_by_location": lambda spark, sf_dir: __import__(
+        "dbt_jaffleshop_spark.semantic.jaffle_models",
+        fromlist=["SAVED_QUERIES"],
+    ).SAVED_QUERIES["sq_items_by_location"].to_df(spark, sf_dir),
 }
 
 DIGEST_GROUPS: dict[str, list[str]] = {
@@ -166,7 +180,7 @@ DIGEST_GROUPS: dict[str, list[str]] = {
     "jaffle_rollups_digest": [
         "weekly_summary", "monthly_summary",
         "cohort_retention", "seasonal_trends",
-        "mm_order_metrics_monthly",
+        "mm_order_metrics_monthly", "sq_items_by_location",
     ],
 }
 
@@ -280,9 +294,19 @@ def _mm_order_metrics_oracle() -> tuple[list[str], str]:
     return q.marts, q.oracle_final_select()
 
 
+def _sq_items_by_location_oracle() -> tuple[list[str], str]:
+    from ..semantic.jaffle_models import SAVED_QUERIES
+
+    q = SAVED_QUERIES["sq_items_by_location"]
+    return [q.model.mart, *q.hop_marts()], q._oracle_select()
+
+
 # name -> () -> (closure-root mart names, final SELECT assuming those
 # marts' CTEs are in scope)
-_SUBQUERY_MEMBERS = {"mm_order_metrics_monthly": _mm_order_metrics_oracle}
+_SUBQUERY_MEMBERS = {
+    "mm_order_metrics_monthly": _mm_order_metrics_oracle,
+    "sq_items_by_location": _sq_items_by_location_oracle,
+}
 
 
 DIGEST_CATALOG = {

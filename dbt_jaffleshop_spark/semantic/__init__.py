@@ -9,12 +9,15 @@ from collections.abc import Callable
 from .jaffle_models import CUSTOMERS_MODEL, ORDER_ITEMS_MODEL, ORDERS_MODEL, SAVED_QUERIES
 from .model import Dimension, Measure, Metric, MetricQuery, SemanticModel
 
-# NOT driver-registered: queries that exist to back an `export_as:
-# table` at its reference-declared grain while a sibling grain already
-# holds the driver slot (registry capped at 50). The export path
-# (plans/exports.py) reads SAVED_QUERIES directly, and
-# test_saved_query_exports_materialized value-checks its content.
-_EXPORT_ONLY = {"sq_time_analytics_monthly"}
+# NOT driver-registered as individual slots (registry capped at 50):
+# * sq_time_analytics_monthly backs an `export_as: table` at its
+#   reference-declared grain while a sibling grain already holds the
+#   driver slot; the export path (plans/exports.py) reads SAVED_QUERIES
+#   directly, and test_saved_query_exports_materialized value-checks it.
+# * sq_items_by_location (r10 entity-join resolution) is driver-verified
+#   as a jaffle_rollups_digest member (queries/digests.py) — equal
+#   verification strength, zero slots.
+_EXPORT_ONLY = {"sq_time_analytics_monthly", "sq_items_by_location"}
 
 SEMANTIC_CATALOG: dict[str, tuple[Callable, str]] = {
     name: (q.to_df, q.to_oracle_sql())

@@ -111,6 +111,25 @@ class Metric:
 
 
 @dataclass(frozen=True)
+class EntityPath:
+    """Multi-hop entity link (r10 — MetricFlow's OTHER resolution path,
+    VERDICT r9 item 4): a request like order_items metrics grouped by
+    ``location__location_name`` reaches a dimension declared on ANOTHER
+    semantic model by walking entity (foreign-key) hops:
+    order_items.order_id → orders.location_id → locations.
+
+    ``hops`` is the chain as (join_key, target SemanticModel) pairs; the
+    join key must be a column of the CURRENT frame and the PRIMARY
+    entity (unique key) of the target's mart — MetricFlow's declared-
+    entity contract, which is what makes the left joins fan-out-free.
+    The group_by dimension after the ``<name>__`` prefix must be a
+    declared dimension of the LAST hop's model."""
+
+    name: str
+    hops: tuple  # ((key_col, SemanticModel), ...)
+
+
+@dataclass(frozen=True)
 class SemanticModel:
     """M1: a mart + its declared dimensions/measures/metrics."""
 
@@ -121,6 +140,7 @@ class SemanticModel:
     dimensions: dict[str, Dimension] = field(default_factory=dict)
     measures: dict[str, Measure] = field(default_factory=dict)
     metrics: dict[str, Metric] = field(default_factory=dict)
+    entity_paths: dict[str, EntityPath] = field(default_factory=dict)
 
 
 # date_trunc grains with identical semantics in Spark and DuckDB.
@@ -153,8 +173,33 @@ class MetricQuery:
 
     # ------------------------------------------------------- resolution
 
+    def _entity_dim(self, g: str) -> tuple[EntityPath, Dimension] | None:
+        """``<entity>__<dimension>`` group_bys resolve through a declared
+        EntityPath to a dimension of the path's terminal model; returns
+        None for local dimensions / metric_time."""
+        if g.startswith("metric_time__") or "__" not in g:
+            return None
+        prefix, dim_name = g.split("__", 1)
+        path = self.model.entity_paths.get(prefix)
+        if path is None:
+            raise KeyError(
+                f"group_by {g!r}: model {self.model.name} declares no "
+                f"entity path {prefix!r}"
+            )
+        terminal = path.hops[-1][1]
+        dim = terminal.dimensions.get(dim_name)
+        if dim is None:
+            raise KeyError(
+                f"group_by {g!r}: model {terminal.name} (terminal of "
+                f"entity path {prefix!r}) declares no dimension {dim_name!r}"
+            )
+        return path, dim
+
     def _dims(self, dialect: str) -> list[tuple[str, str]]:
-        """[(output_name, sql_expr)] — resolves metric_time__grain (M7)."""
+        """[(output_name, sql_expr)] — resolves metric_time__grain (M7)
+        and entity-pathed foreign dimensions (the joined projection
+        aliases those to the full group_by name, so the expr is just the
+        name in both dialects)."""
         out = []
         for g in self.group_by:
             if g.startswith("metric_time__"):
@@ -164,10 +209,25 @@ class MetricQuery:
                 t = self.model.agg_time_dimension
                 expr = f"cast(date_trunc('{grain}', {t}) as date)"
                 out.append(("metric_time", expr))
+            elif self._entity_dim(g) is not None:
+                out.append((g, g))
             else:
                 dim = self.model.dimensions[g]
                 out.append((dim.name, dim.sql()))
         return out
+
+    def _entity_joins(self) -> list[tuple[EntityPath, list[tuple[str, Dimension]]]]:
+        """The entity hops this request needs, grouped by path so two
+        dimensions of the same foreign model share one join chain:
+        [(path, [(output_name, Dimension), ...])]."""
+        by_prefix: dict[str, tuple[EntityPath, list[tuple[str, Dimension]]]] = {}
+        for g in self.group_by:
+            hit = self._entity_dim(g)
+            if hit is None:
+                continue
+            path, dim = hit
+            by_prefix.setdefault(path.name, (path, []))[1].append((g, dim))
+        return list(by_prefix.values())
 
     def _needed_simple(self) -> list[str]:
         """Simple/input metric names required by the request, in stable
@@ -202,6 +262,27 @@ class MetricQuery:
 
     def to_df(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         df = self.model.base(spark, sf_dir)
+        # Entity-pathed dimensions join BEFORE aggregation: each hop is a
+        # key-equi left join against the target mart PROJECTED down to
+        # (its key, the next hop's key | the requested dim exprs) — no
+        # payload columns ride along, so a dimension-model hop is a
+        # broadcast join at any fact size and a fact-model hop (e.g.
+        # order_items→orders) shuffles only two narrow key columns. The
+        # declared-primary-entity contract makes every hop fan-out-free.
+        for path, dims in self._entity_joins():
+            for i, (key, target) in enumerate(path.hops):
+                tgt = target.base(spark, sf_dir)
+                if i + 1 < len(path.hops):
+                    proj = tgt.select(key, path.hops[i + 1][0])
+                else:
+                    proj = tgt.select(
+                        key,
+                        *[
+                            F.expr(dim.sql()).alias(out)
+                            for out, dim in dims
+                        ],
+                    )
+                df = df.join(proj, key, "left")
         if self.where:
             df = df.where(F.expr(self.where))
 
@@ -272,9 +353,25 @@ class MetricQuery:
     # ----------------------------------------------------- duckdb oracle
 
     def to_oracle_sql(self) -> str:
-        from ..queries.oracle_jaffle import jaffle_sql
+        from ..queries.oracle_jaffle import jaffle_sql, jaffle_sql_multi
 
+        hop_marts = self.hop_marts()
+        if hop_marts:
+            seen: list[str] = []
+            for m in [self.model.mart, *hop_marts]:
+                if m not in seen:
+                    seen.append(m)
+            return jaffle_sql_multi(seen, self._oracle_select())
         return jaffle_sql(self.model.mart, extra_select=self._oracle_select())
+
+    def hop_marts(self) -> list[str]:
+        """Mart names of every entity-hop model this request joins —
+        their CTE chains must be in scope for _oracle_select."""
+        return [
+            target.mart
+            for path, _dims in self._entity_joins()
+            for _key, target in path.hops
+        ]
 
     def _oracle_select(self) -> str:
         """The request's final SELECT, assuming the mart's CTE chain is
@@ -284,6 +381,21 @@ class MetricQuery:
         from ..queries.oracle_jaffle import _CTE_NAME
 
         src = _CTE_NAME.get(self.model.mart, self.model.mart)
+        # entity hops: LEFT JOIN each hop's mart CTE projected to (key,
+        # next key | aliased dim exprs) — the exact twin of to_df's joins
+        for path, dims_of in self._entity_joins():
+            for i, (key, target) in enumerate(path.hops):
+                cte = _CTE_NAME.get(target.mart, target.mart)
+                if i + 1 < len(path.hops):
+                    cols = f"{key}, {path.hops[i + 1][0]}"
+                else:
+                    cols = f"{key}, " + ", ".join(
+                        f"{dim.sql()} AS {out}" for out, dim in dims_of
+                    )
+                src += (
+                    f" LEFT JOIN (SELECT {cols} FROM {cte}) "
+                    f"hop_{path.name}_{i} USING ({key})"
+                )
         dims = self._dims("duck")
         dim_sql = [f"{e} AS {n}" for n, e in dims]
         agg_sql = []
