@@ -303,13 +303,12 @@ def main() -> None:
     # Auxiliary records first, in small whole-line chunks (r6: the
     # driver's tail capture cut BENCH_r05's one-line aux records
     # mid-JSON) — the driver parses the LAST JSON line, which must stay
-    # compact (see module docstring). Emission ORDER matters (r9 fix,
-    # VERDICT r8 item 2): the driver's tail capture keeps only the LAST
-    # chunk of stdout, and BENCH_r08 lost every queries_min chunk because
-    # they were printed first and scrolled out. The load telemetry is the
-    # expendable aux — it goes FIRST; the queries_min floors that arm the
-    # next round's 2×-prior quiet-retry go LAST, immediately before the
-    # final compact line, so they always survive the capture.
+    # compact (see module docstring). Emission ORDER matters (r9/r10
+    # fixes): the driver's tail capture keeps only the last few KB of
+    # stdout, so the expendable load telemetry goes FIRST and the
+    # queries_min floors go on ONE compact line immediately before the
+    # final line (chunked floors still scrolled out in r9 — VERDICT r9
+    # item 1).
     _emit_chunked(
         "load_avg_1m",
         {
@@ -329,7 +328,25 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
-    _emit_chunked("queries_min", {"queries_min": mins})
+    # The min-floors arm the NEXT round's 2×-prior quiet-retry, so they
+    # must survive the driver's tail capture (which keeps only the last
+    # few KB of stdout, front-truncated). r9's whole-line chunks still
+    # lost 45 of 51 floors (VERDICT r9 item 1): four 15-entry chunks are
+    # ~4× the window. r10: ONE compact line — 2-decimal values, keys in
+    # DESCENDING median order so the expensive digest rows (the ones
+    # contention actually inflates) sit earliest and are what any partial
+    # salvage recovers — printed immediately before the final line, so
+    # the two lines that matter share the tail window.
+    floors_line = {
+        n: round(mins[n], 2)
+        for n in sorted(mins, key=lambda q: -timings.get(q, 0.0))
+    }
+    print(
+        json.dumps(
+            {"metric": "queries_min", "queries_min": floors_line},
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
