@@ -786,20 +786,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     )
 
 
-def _quantized_embeddings(
-    spark: SparkSession,
-    sf_dir: str | None,
-    extra_cols: tuple[str, ...] = (),
+def _quantize_frame(
+    emb: DataFrame, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
-    """vec_id [+ extra_cols], int64-quantized embedding, integer squared
-    norm. The ONE place the quantization formula lives on the Spark side
-    (the DuckDB twin is _QUANT_CTE) — every consumer must come through
-    here so a formula change cannot silently break cross-engine parity.
+    """Frame-level quantizer: (vec_id, embedding[, extra]) → (vec_id
+    [+ extra], e int64-quantized, nrm integer squared norm). The ONE
+    place the quantization formula lives on the Spark side (the DuckDB
+    twin is _QUANT_CTE) — every consumer must come through here (or the
+    table-loading wrapper below) so a formula change cannot silently
+    break cross-engine parity.
 
     float→double widening is exact; round(x*1e6)→int64 makes every dot
     product an order-free integer sum — the key to cross-engine (and
     cross-partitioning) determinism."""
-    emb = load_table(spark, "embeddings", sf_dir)
     return emb.select(
         "vec_id",
         *extra_cols,
@@ -807,6 +806,15 @@ def _quantized_embeddings(
             f"transform(embedding, x -> cast(round(cast(x as double) * {EMB_SCALE}) as bigint))"
         ).alias("e"),
     ).withColumn("nrm", F.expr("aggregate(e, 0L, (acc, x) -> acc + x * x)"))
+
+
+def _quantized_embeddings(
+    spark: SparkSession,
+    sf_dir: str | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Table-loading wrapper of :func:`_quantize_frame`."""
+    return _quantize_frame(load_table(spark, "embeddings", sf_dir), extra_cols)
 
 
 _COS = (
@@ -879,13 +887,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str | None = None) -> Da
 EMB_LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 3, 4, 5), (1, 2, 6, 7))
 
 
-def _band_bucket_expr(e_col: str, band: int, dialect: str) -> str:
-    """Bucket id from the sign bits of 4 hyperplane dot products (the
-    plane indices of EMB_LSH_BANDS[band]). Integer dots, so both engines
-    compute identical buckets."""
+def _bucket_expr_from_planes(e_col: str, planes: list, dialect: str) -> str:
+    """Bucket id from the sign bits of the given hyperplanes' integer
+    dot products — identical literals in both dialects, so both engines
+    compute identical buckets. Shared by the 4-bit production banding
+    (:func:`_band_bucket_expr`) and the 8-bit fine banding of the
+    incremental embedding index (llm/dedup_incremental.py)."""
     terms = []
-    for j, plane_idx in enumerate(EMB_LSH_BANDS[band]):
-        plane = SIM_LSH_PLANES[plane_idx]
+    for j, plane in enumerate(planes):
         if dialect == "spark":
             arr = ", ".join(f"{v}L" for v in plane)
             dot = (
@@ -900,6 +909,13 @@ def _band_bucket_expr(e_col: str, band: int, dialect: str) -> str:
             )
         terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
     return " + ".join(terms)
+
+
+def _band_bucket_expr(e_col: str, band: int, dialect: str) -> str:
+    """Bucket id from the sign bits of 4 hyperplane dot products (the
+    plane indices of EMB_LSH_BANDS[band])."""
+    planes = [SIM_LSH_PLANES[i] for i in EMB_LSH_BANDS[band]]
+    return _bucket_expr_from_planes(e_col, planes, dialect)
 
 
 def dedup_embedding_lsh(

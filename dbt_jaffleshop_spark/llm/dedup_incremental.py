@@ -87,6 +87,37 @@ from .dedup import (
 )
 
 
+def _resolve_labels(
+    new_pairs: DataFrame, old: DataFrame, corpus_max: int
+) -> DataFrame:
+    """Fold verified delta edges into an existing (doc_id, cluster_id,
+    cluster_size) labeling, re-solving ONLY the components a new edge
+    touches: old labels of affected clusters re-enter as (cluster_id →
+    member) edges — which encode exactly the old connectivity — while
+    every untouched cluster row is carried forward by value. Shared by
+    the document (MinHash) and embedding (hyperplane) folds."""
+    touched = (
+        new_pairs.where(F.col("doc_a") <= F.lit(corpus_max))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    affected_cids = (
+        old.join(touched, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected = old.join(affected_cids, "cluster_id", "left_semi")
+    label_edges = affected.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    resolved = _star_components(new_pairs.unionByName(label_edges))
+    return old.join(affected_cids, "cluster_id", "left_anti").unionByName(
+        resolved
+    )
+
+
 class DedupIndex:
     """The persisted dedup state under ``root`` (four AcidTables)."""
 
@@ -187,29 +218,7 @@ def incremental_update(
     ).select("doc_a", "doc_b").localCheckpoint()
 
     # --- re-solve ONLY the components a new edge touches
-    old = idx.clusters.read(spark)
-    touched = (
-        new_pairs.where(F.col("doc_a") <= F.lit(corpus_max))
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-    )
-    affected_cids = (
-        old.join(touched, "doc_id", "left_semi")
-        .select("cluster_id")
-        .distinct()
-    )
-    affected = old.join(affected_cids, "cluster_id", "left_semi")
-    # (cluster_id → member) label edges reproduce the old connectivity
-    label_edges = affected.where(
-        F.col("doc_id") != F.col("cluster_id")
-    ).select(
-        F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
-    resolved = _star_components(new_pairs.unionByName(label_edges))
-    final = (
-        old.join(affected_cids, "cluster_id", "left_anti")
-        .unionByName(resolved)
-    )
+    final = _resolve_labels(new_pairs, idx.clusters.read(spark), corpus_max)
 
     # --- commit the fold: clusters overwritten, shingles appended,
     # ONLY delta-new buckets appended to mins, high-water mark advanced
@@ -264,10 +273,269 @@ def dedup_incremental(
     )
 
 
+# ------------------------------------------- embedding incremental index
+
+# The embedding twin of the fold above (the parenthetical half of
+# VERDICT r9 item 1: "persist the MinHash band index (and the embedding
+# band buckets)"). The composable candidate shape differs from MinHash
+# by necessity:
+#
+# * STAR does not survive this geometry: a hyperplane bucket is a
+#   spatial region, not a duplicate group, so the bucket minimum is
+#   usually UNRELATED to a true near-dup pair inside the bucket — both
+#   star edges fail cosine verification and the pair is lost (the r9
+#   emb_clusters_star discovery; re-confirmed empirically for 8-bit
+#   fine banding during r10: 3,486 star candidates at sf0.1, ZERO
+#   verified).
+# * ALL-PAIRS CLIQUES inside the production 4-bit band buckets DO
+#   compose incrementally: a corpus vector's bucket assignment never
+#   changes when a delta arrives, so corpus-internal clique edges are
+#   immutable, and the only edges a full recompute would add are
+#   (corpus member × delta member) and (delta × delta) inside shared
+#   buckets — exactly one join of the delta's buckets against the
+#   stored membership table. No id-ordering trick is needed for edge
+#   immutability (membership, not minima), but the high-water mark is
+#   still enforced so cluster-min labels compose.
+#
+# Honest delta-cost statement: per delta vector the candidate work is
+# its buckets' corpus occupancy (corpus/16 per band at this fixed
+# banding) — unlike the MinHash fold's O(1) min-join. That is the
+# inherent physics of embedding near-dup (verification must touch
+# neighbors); production systems hold occupancy constant by scaling
+# bucket count (more planes/bands, or IVF cell retraining) with the
+# corpus. What the fold still never repays: corpus re-quantization,
+# corpus-internal candidate regeneration + re-verification (the
+# quadratic-in-occupancy term), and full re-clustering.
+
+from .dedup import (  # noqa: E402
+    _band_bucket_expr,
+    _quantize_frame,
+    _verify_cosine,
+)
+
+
+def _coarse_buckets(q: DataFrame) -> DataFrame:
+    """(vec_id, band, bk) — both production 4-bit band buckets per
+    vector, stacked (identical banding to dedup_embedding_lsh)."""
+    b0 = _band_bucket_expr("e", 0, "spark")
+    b1 = _band_bucket_expr("e", 1, "spark")
+    return q.select(
+        "vec_id",
+        F.expr(f"stack(2, 0, {b0}, 1, {b1}) as (band, bk)"),
+    )
+
+
+class EmbDedupIndex:
+    """The persisted embedding-dedup state under ``root``: quantized
+    ``vectors``, band-bucket ``buckets`` membership (vec_id, band, bk),
+    ``clusters`` (stored under the shared doc_id column name so the
+    label-fold helper is common), and the ``meta`` high-water mark."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.vectors = AcidTable(os.path.join(root, "vectors"))
+        self.buckets = AcidTable(os.path.join(root, "buckets"))
+        self.clusters = AcidTable(os.path.join(root, "clusters"))
+        self.meta = AcidTable(os.path.join(root, "meta"))
+
+    def max_vec_id(self, spark: SparkSession) -> int:
+        return int(self.meta.read(spark).collect()[0]["max_vec_id"])
+
+
+def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:
+    """Full-corpus clustering over the ALL-PAIRS banded-LSH cosine
+    pairs (dedup_embedding_lsh's exact candidate semantics) — the batch
+    twin the incremental fold must equal, and the Spark mirror of the
+    registered query's DuckDB oracle."""
+    b = _coarse_buckets(q)
+    cands = (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "bk"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pairs = _verify_cosine(cands, q).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return _star_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
+def build_emb_index(
+    spark: SparkSession, emb: DataFrame, root: str
+) -> EmbDedupIndex:
+    """Initial (full) embedding-index build: quantized vectors, bucket
+    membership, all-pairs-LSH clusters, and the id high-water mark."""
+    idx = EmbDedupIndex(root)
+    q = _quantize_frame(emb).localCheckpoint()
+    idx.vectors.overwrite(q)
+    idx.buckets.overwrite(_coarse_buckets(q))
+    idx.clusters.overwrite(
+        emb_clusters_lsh_over(q).select(
+            F.col("vec_id").alias("doc_id"), "cluster_id", "cluster_size"
+        )
+    )
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    idx.meta.overwrite(
+        spark.createDataFrame([(int(mx),)], "max_vec_id bigint")
+    )
+    return idx
+
+
+def emb_incremental_update(
+    spark: SparkSession, delta_emb: DataFrame, idx: EmbDedupIndex
+) -> DataFrame:
+    """Fold one embedding delta batch into the index: delta-only
+    quantization/bucketing, (corpus member × delta) + (delta × delta)
+    clique edges from ONE join against the stored bucket membership,
+    exact integer-cosine verification touching only the candidate
+    corpus vectors, affected-components-only label re-solve — end
+    state equal to :func:`emb_clusters_lsh_over` on corpus + delta."""
+    corpus_max = idx.max_vec_id(spark)
+    d_min, d_max = delta_emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0][:2]
+    if d_min is None:
+        return idx.clusters.read(spark).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+        )
+    if int(d_min) <= corpus_max:
+        raise ValueError(
+            f"incremental embedding dedup requires delta vec_ids above "
+            f"the corpus high-water mark {corpus_max}, got {d_min} — "
+            f"cluster-min labels compose only under monotone batch ids"
+        )
+
+    dq = _quantize_frame(delta_emb).localCheckpoint()
+    d_buckets = _coarse_buckets(dq)
+    stored = idx.buckets.read(spark)
+    cross = (
+        stored.alias("c")
+        .join(d_buckets.alias("d"), ["band", "bk"])
+        .select(
+            F.col("c.vec_id").alias("id_a"), F.col("d.vec_id").alias("id_b")
+        )
+    )
+    dd = (
+        d_buckets.alias("a")
+        .join(d_buckets.alias("b"), ["band", "bk"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+    )
+    cands = cross.unionByName(dd).distinct()
+    cand_corpus = (
+        cands.where(F.col("id_a") <= F.lit(corpus_max))
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+    )
+    corpus_q = idx.vectors.read(spark).join(
+        cand_corpus, "vec_id", "left_semi"
+    )
+    new_pairs = (
+        _verify_cosine(cands, corpus_q.unionByName(dq))
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .localCheckpoint()
+    )
+
+    final = _resolve_labels(new_pairs, idx.clusters.read(spark), corpus_max)
+    idx.clusters.overwrite(
+        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    )
+    idx.vectors.append(dq)
+    idx.buckets.append(d_buckets)
+    idx.meta.overwrite(
+        spark.createDataFrame([(int(d_max),)], "max_vec_id bigint")
+    )
+    return idx.clusters.read(spark).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
+_last_emb_root: list[str] = []
+
+
+def emb_dedup_incremental(
+    spark: SparkSession, sf_dir: str | None = None
+) -> DataFrame:
+    """The registered embedding incremental-dedup fold (sim_eval_digest
+    member, r10): index the bottom-70%-by-id embedding slice, fold the
+    top-30% through :func:`emb_incremental_update`, return the
+    committed end state. DuckDB oracle: the FULL-RECOMPUTE all-pairs
+    banded-LSH clustering over ALL embeddings — every driver run
+    certifies incremental ≡ full recompute."""
+    while _last_emb_root:
+        shutil.rmtree(_last_emb_root.pop(), ignore_errors=True)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    thr = int(mx) * 7 // 10
+    root = tempfile.mkdtemp(prefix="emb_dedup_index_")
+    _last_emb_root.append(root)
+    idx = build_emb_index(spark, emb.where(F.col("vec_id") <= thr), root)
+    return emb_incremental_update(
+        spark, emb.where(F.col("vec_id") > thr), idx
+    )
+
+
+def _emb_oracle() -> str:
+    from .dedup import _COS_D, _QUANT_CTE, COSINE_DUP_THRESHOLD
+
+    b0 = _band_bucket_expr("e", 0, "duck")
+    b1 = _band_bucket_expr("e", 1, "duck")
+    return f"""
+WITH RECURSIVE {_QUANT_CTE.strip()},
+bk AS (
+    SELECT vec_id, {b0} AS b0, {b1} AS b1 FROM n
+),
+cand AS (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b
+    FROM bk a JOIN bk c ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+    UNION
+    SELECT a.vec_id, c.vec_id
+    FROM bk a JOIN bk c ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+),
+p AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(list_sum(list_transform(list_zip(x.e, y.e),
+               pr -> pr[1] * pr[2])) AS BIGINT) AS dot,
+           x.nrm AS na, y.nrm AS nb
+    FROM cand
+    JOIN n x ON cand.id_a = x.vec_id
+    JOIN n y ON cand.id_b = y.vec_id
+),
+pairs AS (
+    SELECT id_a, id_b FROM p WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, origin) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
 def _oracle() -> str:
     from .dedup import ORACLES as _DEDUP_ORACLES
 
     return _DEDUP_ORACLES["dedup_clusters"]
 
 
-ORACLES = {"dedup_incremental": _oracle()}
+ORACLES = {
+    "dedup_incremental": _oracle(),
+    "emb_dedup_incremental": _emb_oracle(),
+}

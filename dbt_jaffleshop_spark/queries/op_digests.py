@@ -1057,6 +1057,21 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("cluster_id", "bigint"),
             ("cluster_size", "bigint"),
         ]),
+        # r10: the embedding half of incremental delta-vs-corpus dedup
+        # (llm/dedup_incremental.py) — quantized vectors + band-bucket
+        # membership persisted as AcidTables, the top-30%-by-id slice
+        # folded in via one join against the stored membership; oracle
+        # is the FULL-RECOMPUTE all-pairs banded-LSH clustering over
+        # all embeddings (incremental ≡ full certified per driver run)
+        "emb_dedup_incremental": (
+            _dedup_inc.emb_dedup_incremental,
+            [
+                ("vec_id", "bigint"),
+                ("cluster_id", "bigint"),
+                ("cluster_size", "bigint"),
+            ],
+            _dedup_inc.ORACLES["emb_dedup_incremental"],
+        ),
         # r4: JL random projection 64→16 (llm/prep.py) — integer-exact
         # projected coordinates + distortion evaluation
         "emb_project": _m(llm_prep, "emb_project", [

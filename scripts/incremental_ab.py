@@ -75,11 +75,102 @@ def _delta_frame(spark, sf_dir: str, corpus_max: int):
     return base
 
 
+def _emb_delta_frame(spark, sf_dir: str, corpus_max: int):
+    """Fixed embedding delta: every 10th sf0.1 vector, ids above the
+    corpus high-water mark; half perturbed near-duplicates of their
+    source vector, half sign-flipped (novel)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.where(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + F.lit(corpus_max + DELTA_STRIDE)).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 20 == 3,
+            F.expr("transform(embedding, x -> cast(x + 0.0015 as float))"),
+        )
+        .otherwise(F.expr("transform(embedding, x -> cast(-x as float))"))
+        .alias("embedding"),
+    )
+
+
+def run_emb_suite(spark, args) -> None:
+    """Embedding fold vs full all-pairs-LSH recompute at both corpus
+    scales — the same protocol as the document suite."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+
+    results: dict[str, dict] = {}
+    for label, corpus_dir in (("1x", args.sf_dir), ("10x", args.scale_dir)):
+        emb = spark.read.parquet(
+            os.path.join(corpus_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        corpus_max = int(emb.agg(F.max("vec_id")).collect()[0][0])
+        delta = _emb_delta_frame(spark, args.sf_dir, corpus_max).localCheckpoint()
+        n_corpus, n_delta = emb.count(), delta.count()
+
+        root = tempfile.mkdtemp(prefix=f"emb_ab_{label}_")
+        t0 = time.perf_counter()
+        di.build_emb_index(spark, emb, root)
+        t_build = time.perf_counter() - t0
+
+        inc_times, full_times = [], []
+        for _ in range(args.runs):
+            work = tempfile.mkdtemp(prefix=f"emb_ab_run_{label}_")
+            shutil.rmtree(work)
+            shutil.copytree(root, work)
+            idx = di.EmbDedupIndex(work)
+            t0 = time.perf_counter()
+            _force(di.emb_incremental_update(spark, delta, idx))
+            inc_times.append(time.perf_counter() - t0)
+            shutil.rmtree(work, ignore_errors=True)
+
+            t0 = time.perf_counter()
+            _force(
+                di.emb_clusters_lsh_over(
+                    _quantize_frame(emb.unionByName(delta))
+                )
+            )
+            full_times.append(time.perf_counter() - t0)
+
+        results[label] = {
+            "n_corpus": n_corpus,
+            "n_delta": n_delta,
+            "index_build_sec": round(t_build, 2),
+            "incremental_sec": round(statistics.median(inc_times), 2),
+            "full_recompute_sec": round(statistics.median(full_times), 2),
+            "all_incremental": [round(t, 2) for t in inc_times],
+            "all_full": [round(t, 2) for t in full_times],
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        print(json.dumps({"suite": "emb", "scale": label, **results[label]}))
+
+    r1, r10 = results["1x"], results["10x"]
+    print(
+        json.dumps(
+            {
+                "metric": "emb_incremental_dedup_ab",
+                "inc_growth_10x": round(
+                    r10["incremental_sec"] / max(r1["incremental_sec"], 1e-9), 2
+                ),
+                "full_growth_10x": round(
+                    r10["full_recompute_sec"]
+                    / max(r1["full_recompute_sec"], 1e-9),
+                    2,
+                ),
+                "inc_vs_full_at_10x": round(
+                    r10["full_recompute_sec"]
+                    / max(r10["incremental_sec"], 1e-9),
+                    2,
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--suite", choices=["docs", "emb", "both"], default="docs")
     ap.add_argument(
         "--scale-dir",
         default=os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sfscale10"),
@@ -87,6 +178,14 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = _session(args.cpus)
+    if args.suite in ("emb", "both"):
+        from scripts.scale_ratio import build_derived as _bd
+
+        _bd(spark, args.sf_dir, args.scale_dir, 10)
+        run_emb_suite(spark, args)
+        if args.suite == "emb":
+            spark.stop()
+            return
 
     from dbt_jaffleshop_spark.llm import dedup_incremental as di
     from dbt_jaffleshop_spark.llm.dedup import (

@@ -246,3 +246,47 @@ def test_minhash_hybrid_cap_extremes_degenerate_correctly(spark, sf_dir):
         .distinct()
     )
     assert pairs(dd._minhash_hybrid_candidates(bands, cap=10**9)) == pairs(allp)
+
+
+# ------------------------- embedding incremental dedup (r10, VERDICT #1b)
+
+
+def test_emb_incremental_two_delta_fold_equals_full_recompute(spark, sf_dir):
+    """Embedding twin of the headline invariant: index on the 60%-by-id
+    embedding slice, fold two consecutive delta batches, and land on
+    exactly the all-pairs banded-LSH cluster table a full recompute
+    over all embeddings produces."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import _quantized_embeddings
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    t1, t2 = mx * 6 // 10, mx * 8 // 10
+    root = tempfile.mkdtemp(prefix="emb_idx_test_")
+    idx = di.build_emb_index(spark, emb.where(F.col("vec_id") <= t1), root)
+    di.emb_incremental_update(
+        spark,
+        emb.where((F.col("vec_id") > t1) & (F.col("vec_id") <= t2)),
+        idx,
+    )
+    final = di.emb_incremental_update(
+        spark, emb.where(F.col("vec_id") > t2), idx
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.cluster_id, r.cluster_size) for r in df.collect()
+    )
+    full = di.emb_clusters_lsh_over(_quantized_embeddings(spark, sf_dir))
+    assert rows(final) == rows(full)
+    assert idx.max_vec_id(spark) == mx
+    # and the guard: replaying the corpus slice must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="high-water mark"):
+        di.emb_incremental_update(
+            spark, emb.where(F.col("vec_id") <= t1), idx
+        )
