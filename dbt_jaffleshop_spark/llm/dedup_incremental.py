@@ -135,6 +135,20 @@ class DedupIndex:
         # bounded collect: the meta table is one row by construction
         return int(self.meta.read(spark).collect()[0]["max_doc_id"])
 
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention for a daily fold: every batch commits a new
+        snapshot of all four tables (clusters/meta overwrites carry
+        nothing forward; shingles/bucket_mins appends carry files by
+        reference), so without expiry the index accumulates one
+        manifest set per day forever. Delegates to AcidTable.vacuum
+        per table; returns {table: files_removed}. keep_last ≥ 2
+        preserves yesterday's snapshot for concurrent readers AND
+        keeps one RESTORE point."""
+        return {
+            name: len(getattr(self, name).vacuum(keep_last=keep_last))
+            for name in ("shingles", "bucket_mins", "clusters", "meta")
+        }
+
 
 def build_dedup_index(
     spark: SparkSession, docs: DataFrame, root: str
@@ -340,6 +354,13 @@ class EmbDedupIndex:
 
     def max_vec_id(self, spark: SparkSession) -> int:
         return int(self.meta.read(spark).collect()[0]["max_vec_id"])
+
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention for the embedding index — see DedupIndex.vacuum."""
+        return {
+            name: len(getattr(self, name).vacuum(keep_last=keep_last))
+            for name in ("vectors", "buckets", "clusters", "meta")
+        }
 
 
 def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:

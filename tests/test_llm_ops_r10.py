@@ -290,3 +290,74 @@ def test_emb_incremental_two_delta_fold_equals_full_recompute(spark, sf_dir):
         di.emb_incremental_update(
             spark, emb.where(F.col("vec_id") <= t1), idx
         )
+
+
+def test_index_vacuum_retention_and_time_travel(spark, sf_dir):
+    """Daily-fold operations: after two folds the index holds three
+    snapshots per overwritten table; vacuum(keep_last=2) reclaims the
+    oldest version's files, the current read is unchanged, and the
+    kept previous version still time-travels (RESTORE point)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx * 6 // 10, mx * 8 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_vac_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= t1), root)
+    di.incremental_update(
+        spark, docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)), idx
+    )
+    di.incremental_update(spark, docs.where(F.col("doc_id") > t2), idx)
+
+    assert idx.clusters.current_version() == 3  # build + 2 folds
+    before = sorted(map(tuple, idx.clusters.read(spark).collect()))
+    prev = sorted(map(tuple, idx.clusters.read(spark, version=2).collect()))
+
+    removed = idx.vacuum(keep_last=2)
+    assert removed["clusters"] >= 1  # v1's files reclaimed
+    assert sorted(map(tuple, idx.clusters.read(spark).collect())) == before
+    # the kept previous snapshot still reads (the RESTORE point)
+    assert sorted(map(tuple, idx.clusters.read(spark, version=2).collect())) == prev
+    # shingle appends carry files by reference: appended files survive
+    assert idx.shingles.read(spark).count() == (
+        di._shingle_table(docs).count()
+    )
+
+
+def test_incremental_candidate_plans_stay_joins(spark, sf_dir):
+    """Scale guard: neither fold's candidate generation may degrade to
+    a nested-loop or cartesian plan — the delta joins must stay
+    key-equi (broadcast/sort-merge/shuffled-hash)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_plan_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
+    out = di.incremental_update(spark, docs.where(F.col("doc_id") > thr), idx)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    emx = emb.agg(F.max("vec_id")).collect()[0][0]
+    eroot = tempfile.mkdtemp(prefix="emb_idx_plan_")
+    eidx = di.build_emb_index(
+        spark, emb.where(F.col("vec_id") <= emx * 7 // 10), eroot
+    )
+    eout = di.emb_incremental_update(
+        spark, emb.where(F.col("vec_id") > emx * 7 // 10), eidx
+    )
+    eplan = eout._jdf.queryExecution().executedPlan().toString()
+    for p in (plan, eplan):
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
