@@ -307,6 +307,19 @@ ORDER_ITEMS_MODEL = dataclasses.replace(
     },
 )
 
+# Single-hop variant on the orders model (orders.yml's `location`
+# entity): orders metrics by a locations dimension directly through
+# location_id — pytest-pinned alongside the 2-hop chain above so both
+# path lengths stay covered.
+ORDERS_MODEL = dataclasses.replace(
+    ORDERS_MODEL,
+    entity_paths={
+        "location": EntityPath(
+            "location", hops=(("location_id", LOCATIONS_MODEL),)
+        ),
+    },
+)
+
 # ------------------------------------------------- customer_segmentation
 
 # customer_segmentation.yml:35-130 — includes the filtered

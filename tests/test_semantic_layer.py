@@ -202,3 +202,30 @@ def test_entity_join_unknown_path_and_dimension_fail_loudly():
             ORDER_ITEMS_MODEL, metrics=["revenue_cents"],
             group_by=["location__no_such_dim"],
         )._dims("spark")
+
+
+def test_entity_join_single_hop_on_orders_model(spark, oracle, sf_dir):
+    """1-hop entity path (orders.location_id → locations): both path
+    lengths of the resolver stay covered. Composed-oracle parity plus
+    a sanity identity: grouping by the joined location_name must
+    aggregate the same totals as grouping by the local location_id."""
+    from conftest import assert_parity
+    from dbt_jaffleshop_spark.semantic.jaffle_models import ORDERS_MODEL
+    from dbt_jaffleshop_spark.semantic.model import MetricQuery
+
+    q = MetricQuery(
+        ORDERS_MODEL,
+        metrics=["orders", "order_total_cents"],
+        group_by=["location__location_name"],
+    )
+    df = q.to_df(spark, sf_dir)
+    assert_parity(df, oracle, q.to_oracle_sql())
+
+    by_id = MetricQuery(
+        ORDERS_MODEL,
+        metrics=["orders", "order_total_cents"],
+        group_by=["location"],
+    ).to_df(spark, sf_dir)
+    assert sorted(
+        (r.orders, r.order_total_cents) for r in df.collect()
+    ) == sorted((r.orders, r.order_total_cents) for r in by_id.collect())
