@@ -165,12 +165,66 @@ def run_emb_suite(spark, args) -> None:
     )
 
 
+def run_days_suite(spark, args) -> None:
+    """Multi-day simulation: build the index once over sf0.1, then fold
+    the SAME-SIZE daily batch N times in sequence (each batch's ids
+    above the previous high-water mark), vacuuming after each fold —
+    the shape a production pipeline actually runs. Pass bar: per-fold
+    seconds stay ~flat as the corpus grows by one delta per day, and
+    vacuum holds the snapshot count bounded."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+
+    docs = spark.read.parquet(
+        os.path.join(args.sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="inc_days_")
+    t0 = time.perf_counter()
+    idx = di.build_dedup_index(spark, docs, root)
+    build = round(time.perf_counter() - t0, 2)
+    series = []
+    for day in range(args.days):
+        hi = idx.max_doc_id(spark)
+        delta = _delta_frame(spark, args.sf_dir, hi).localCheckpoint()
+        t0 = time.perf_counter()
+        out = di.incremental_update(spark, delta, idx)
+        _force(out)
+        fold_s = round(time.perf_counter() - t0, 2)
+        idx.vacuum(keep_last=2)
+        n_versions = idx.clusters.current_version()
+        series.append(
+            {
+                "day": day + 1,
+                "fold_sec": fold_s,
+                "clusters_rows": out.count(),
+                "version": n_versions,
+            }
+        )
+        print(json.dumps({"suite": "days", **series[-1]}))
+    shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "incremental_dedup_days",
+                "index_build_sec": build,
+                "fold_secs": [s["fold_sec"] for s in series],
+                "flat_ratio_last_vs_first": round(
+                    series[-1]["fold_sec"] / max(series[0]["fold_sec"], 1e-9),
+                    2,
+                ),
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--days", type=int, default=5)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--suite", choices=["docs", "emb", "both"], default="docs")
+    ap.add_argument(
+        "--suite", choices=["docs", "emb", "days", "both"], default="docs"
+    )
     ap.add_argument(
         "--scale-dir",
         default=os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sfscale10"),
@@ -178,6 +232,10 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = _session(args.cpus)
+    if args.suite == "days":
+        run_days_suite(spark, args)
+        spark.stop()
+        return
     if args.suite in ("emb", "both"):
         from scripts.scale_ratio import build_derived as _bd
 
