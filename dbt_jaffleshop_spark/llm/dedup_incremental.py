@@ -113,8 +113,10 @@ def _resolve_labels(
         F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     resolved = _star_components(new_pairs.unionByName(label_edges))
-    return old.join(affected_cids, "cluster_id", "left_anti").unionByName(
-        resolved
+    return (
+        old.join(affected_cids, "cluster_id", "left_anti")
+        .unionByName(resolved)
+        .select("doc_id", "cluster_id", "cluster_size")
     )
 
 

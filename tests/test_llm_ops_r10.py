@@ -361,3 +361,73 @@ def test_incremental_candidate_plans_stay_joins(spark, sf_dir):
     for p in (plan, eplan):
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+
+
+def test_resolve_labels_algebra_matches_full_components(spark):
+    """The label-fold core in isolation: for ANY old edge set E1 over
+    corpus nodes and new edge set E2 (each new edge's corpus endpoint
+    in doc_a, per the production orientation), folding E2 into
+    components(E1) must equal components(E1 ∪ E2). Includes the
+    adversarial shapes: a delta node MERGING two old clusters, a
+    previously-unclustered corpus node, a delta-only component, plus
+    seeded random graphs."""
+    import random
+
+    from dbt_jaffleshop_spark.llm import dedup as dd
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+
+    CORPUS_MAX = 60
+
+    def fold_vs_full(e1, e2):
+        e1df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in e1], "doc_a long, doc_b long"
+        )
+        e2df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in e2], "doc_a long, doc_b long"
+        )
+        old = dd._star_components(e1df)
+        got = sorted(
+            map(tuple, di._resolve_labels(e2df, old, CORPUS_MAX).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                dd._star_components(e1df.unionByName(e2df)).collect(),
+            )
+        )
+        assert got == want, (e1, e2)
+
+    # hand-built adversarial shapes
+    fold_vs_full(
+        [(1, 2), (3, 4)],            # two separate old clusters
+        [(1, 101), (3, 101)],        # one delta node merges them
+    )
+    fold_vs_full(
+        [(1, 2)],
+        [(50, 102), (110, 111)],     # unclustered corpus node + delta-only
+    )
+    fold_vs_full(
+        [(i, i + 1) for i in range(1, 20)],   # one old chain
+        [(5, 105), (105, 106), (40, 106)],    # delta chain annexing node 40
+    )
+
+    # seeded random graphs: corpus pairs + mixed delta edges
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        e1 = sorted(
+            {
+                tuple(sorted(rng.sample(range(1, CORPUS_MAX + 1), 2)))
+                for _ in range(40)
+            }
+        )
+        e2 = sorted(
+            {
+                (rng.randrange(1, CORPUS_MAX + 1), rng.randrange(101, 131))
+                for _ in range(15)
+            }
+            | {
+                tuple(sorted(rng.sample(range(101, 131), 2)))
+                for _ in range(10)
+            }
+        )
+        fold_vs_full(e1, e2)
