@@ -1138,13 +1138,20 @@ _SHINGLES_D = (
 )
 _HASH60_D = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(source: str = "documents") -> str:
+    """The shingle/sizes CTE pair over a configurable source relation —
+    ``source`` may be a table name or a parenthesized subquery (the
+    removal oracle filters documents here)."""
+    return f"""
 sh AS (
     SELECT DISTINCT doc_id, {_HASH60_D.format(s="shingle")} AS sh_h
-    FROM (SELECT doc_id, unnest({_SHINGLES_D}) AS shingle FROM documents)
+    FROM (SELECT doc_id, unnest({_SHINGLES_D}) AS shingle FROM {source} src)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 # Mirrors _bounded_shingle_index: shingles with df > NGRAM_DF_CUTOFF are
 # excluded from index, intersections, AND sizes (stopword semantics).
@@ -1171,12 +1178,13 @@ jac AS (
 """
 
 
-def _minhash_oracle(star: bool = False) -> str:
+def _minhash_oracle(star: bool = False, source: str = "documents") -> str:
     """MinHash+LSH pair oracle; ``star=True`` swaps the all-pairs
     bucket clique for the star candidate generation (bucket member →
     bucket min) — the exact DuckDB twin of _star_candidates, feeding
     the dedup_clusters oracle so driver parity covers the production
-    star input."""
+    star input. ``source`` overrides the document relation (the
+    incremental-removal oracle passes a filtered subquery)."""
     mins = ",\n           ".join(
         f"min(({MINHASH_A[i]} * hm + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
         for i in range(NUM_PERM)
@@ -1204,7 +1212,7 @@ cands AS (
       ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 ),"""
     return f"""
-WITH {_SHINGLE_CTE},
+WITH {_shingle_cte(source)},
 hashed AS (SELECT doc_id, sh_h % {MINHASH_P} AS hm FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 bands AS ({bands_sql}),

@@ -5,8 +5,10 @@ recomputing any corpus signatures, emitting updated cluster labels whose
 end state is pytest- and driver-pinned EQUAL to a full recompute over
 (corpus + delta).
 
-The persisted index (three :class:`..plans.acid.AcidTable` snapshot
-tables under one root — atomic commits, time travel, O(changed) cost):
+The persisted index (six :class:`..plans.acid.AcidTable` snapshot
+tables under one root — atomic commits, time travel, O(changed) cost;
+``bands`` + ``pairs`` exist for exact removal, see
+:class:`DedupIndex`):
 
 * ``shingles``    — (doc_id, sh_h): the corpus's distinct hashed-shingle
                     relation (llm/dedup.py ``_shingle_table`` output).
@@ -121,12 +123,26 @@ def _resolve_labels(
 
 
 class DedupIndex:
-    """The persisted dedup state under ``root`` (four AcidTables)."""
+    """The persisted dedup state under ``root`` (six AcidTables).
+
+    ``bands`` (doc_id, band, bv — full bucket MEMBERSHIP, 8 small rows
+    per doc) and ``pairs`` (doc_a, doc_b — the verified star pairs,
+    O(duplicate pairs)) exist for EXACT REMOVAL (:func:`remove_docs`):
+    deleting a document that was a bucket minimum requires re-electing
+    that bucket's min from its remaining members and re-verifying the
+    new star edges — impossible from mins alone — and a removal can
+    SPLIT a component, which label edges cannot express, so the re-solve
+    must run over the real stored pairs. Invariant maintained by build,
+    fold, and removal alike: ``pairs`` always equals the verified star
+    pairs a full recompute over the CURRENT corpus would produce, so
+    ``clusters`` = components(``pairs``) at every commit."""
 
     def __init__(self, root: str):
         self.root = root
         self.shingles = AcidTable(os.path.join(root, "shingles"))
+        self.bands = AcidTable(os.path.join(root, "bands"))
         self.bucket_mins = AcidTable(os.path.join(root, "bucket_mins"))
+        self.pairs = AcidTable(os.path.join(root, "pairs"))
         self.clusters = AcidTable(os.path.join(root, "clusters"))
         self.meta = AcidTable(os.path.join(root, "meta"))
 
@@ -139,16 +155,18 @@ class DedupIndex:
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
         """Retention for a daily fold: every batch commits a new
-        snapshot of all four tables (clusters/meta overwrites carry
-        nothing forward; shingles/bucket_mins appends carry files by
-        reference), so without expiry the index accumulates one
-        manifest set per day forever. Delegates to AcidTable.vacuum
-        per table; returns {table: files_removed}. keep_last ≥ 2
-        preserves yesterday's snapshot for concurrent readers AND
-        keeps one RESTORE point."""
+        snapshot of every table (overwrites carry nothing forward;
+        appends carry files by reference), so without expiry the index
+        accumulates one manifest set per day forever. Delegates to
+        AcidTable.vacuum per table; returns {table: files_removed}.
+        keep_last ≥ 2 preserves yesterday's snapshot for concurrent
+        readers AND keeps one RESTORE point."""
         return {
             name: len(getattr(self, name).vacuum(keep_last=keep_last))
-            for name in ("shingles", "bucket_mins", "clusters", "meta")
+            for name in (
+                "shingles", "bands", "bucket_mins", "pairs",
+                "clusters", "meta",
+            )
         }
 
 
@@ -161,17 +179,21 @@ def build_dedup_index(
     semantics clusters, and the id high-water mark."""
     idx = DedupIndex(root)
     sh = _shingle_table(docs).localCheckpoint()
-    bands = _lsh_bands(_minhash_signatures_from(sh))
+    bands = _lsh_bands(_minhash_signatures_from(sh)).localCheckpoint()
     idx.shingles.overwrite(sh)
+    idx.bands.overwrite(bands)
     idx.bucket_mins.overwrite(
         bands.groupBy("band", "bv").agg(F.min("doc_id").alias("mn"))
     )
     # star candidates → exact-Jaccard verify → components: identical
     # generation to llm/dedup.py dedup_minhash_star_pairs
-    pairs = _verify_jaccard(_star_candidates(bands), sh)
-    idx.clusters.overwrite(
-        _star_components(pairs.select("doc_a", "doc_b"))
+    pairs = (
+        _verify_jaccard(_star_candidates(bands), sh)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    idx.pairs.overwrite(pairs)
+    idx.clusters.overwrite(_star_components(pairs))
     mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     idx.meta.overwrite(
         spark.createDataFrame([(int(mx),)], "max_doc_id bigint")
@@ -236,18 +258,144 @@ def incremental_update(
     # --- re-solve ONLY the components a new edge touches
     final = _resolve_labels(new_pairs, idx.clusters.read(spark), corpus_max)
 
-    # --- commit the fold: clusters overwritten, shingles appended,
-    # ONLY delta-new buckets appended to mins, high-water mark advanced
+    # --- commit the fold: clusters overwritten; shingles, bands, and
+    # verified pairs appended (delta pairs always hold a delta id, so
+    # no duplicate with the stored set); ONLY delta-new buckets
+    # appended to mins; high-water mark advanced
     idx.clusters.overwrite(
         final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
     )
     idx.shingles.append(d_sh)
+    idx.bands.append(d_bands)
+    idx.pairs.append(new_pairs)
     idx.bucket_mins.append(
         d_mins.join(mins, ["band", "bv"], "left_anti")
         .select("band", "bv", F.col("dmn").alias("mn"))
     )
     idx.meta.overwrite(
         spark.createDataFrame([(int(d_max),)], "max_doc_id bigint")
+    )
+    return idx.clusters.read(spark).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def remove_docs(
+    spark: SparkSession, removed: DataFrame, idx: DedupIndex
+) -> DataFrame:
+    """EXACT document removal (right-to-be-forgotten deletion) — the
+    other operation a daily ingestion pipeline must run against its
+    dedup index. ``removed`` is a (doc_id) frame; after the commit the
+    index state is value-equal to a full star-semantics recompute over
+    the corpus WITHOUT those documents:
+
+    * every bucket whose stored minimum was removed RE-ELECTS its min
+      from the remaining members (stored ``bands`` membership) and the
+      new star edges (m′, x) are exact-Jaccard re-verified against the
+      remaining shingles — the part mins alone could never answer;
+    * stored pairs touching a removed doc are dropped; because a
+      removal can SPLIT a component, the affected components (those
+      holding a removed doc or a new-edge endpoint) are re-solved from
+      the REAL surviving pairs, never from label edges;
+    * unaffected cluster rows carry forward by value, and the ``pairs``
+      invariant (≡ full-recompute verified star pairs) is restored, so
+      later folds compose exactly with the removal.
+
+    Ids are never reused (the high-water mark is NOT lowered), keeping
+    the fold invariant intact. Locally the shingle/band/pair deletes
+    are table overwrites; at 100 TB these tables are partitioned (by
+    doc-id bucket / band) and the delete rewrites only affected
+    partitions — or rides merge-on-read delete files, the
+    Iceberg/Delta mechanism the snapshot layer models."""
+    rem = removed.select("doc_id").distinct().localCheckpoint()
+    if rem.count() == 0:
+        return idx.clusters.read(spark).select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
+
+    sh = idx.shingles.read(spark)
+    bands = idx.bands.read(spark)
+    mins = idx.bucket_mins.read(spark)
+    pairs = idx.pairs.read(spark)
+    clusters = idx.clusters.read(spark)
+
+    sh_kept = sh.join(rem, "doc_id", "left_anti").localCheckpoint()
+    bands_kept = bands.join(rem, "doc_id", "left_anti").localCheckpoint()
+
+    # --- re-elect mins where the stored minimum was removed
+    reelect_keys = mins.join(
+        rem.select(F.col("doc_id").alias("mn")), "mn", "left_semi"
+    ).select("band", "bv")
+    members = bands_kept.join(reelect_keys, ["band", "bv"])
+    new_mins = members.groupBy("band", "bv").agg(
+        F.min("doc_id").alias("mn")
+    )
+    mins_kept = mins.join(
+        rem.select(F.col("doc_id").alias("mn")), "mn", "left_anti"
+    )
+    # --- new star edges of re-elected buckets, re-verified exactly
+    cands = (
+        members.join(new_mins, ["band", "bv"])
+        .where(F.col("doc_id") > F.col("mn"))
+        .select(F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    member_ids = members.select("doc_id").distinct()
+    new_pairs = (
+        _verify_jaccard(cands, sh_kept.join(member_ids, "doc_id", "left_semi"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    # --- surviving pair set (the full-recompute invariant, restored)
+    kept_pairs = (
+        pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
+        .join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+    )
+    pairs_next = kept_pairs.unionByName(new_pairs).distinct().localCheckpoint()
+
+    # --- re-solve ONLY the affected components, from the REAL pairs
+    touched = (
+        clusters.join(rem, "doc_id", "left_semi")
+        .select("cluster_id")
+        .unionByName(
+            clusters.join(
+                new_pairs.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+                .distinct(),
+                "doc_id",
+                "left_semi",
+            ).select("cluster_id")
+        )
+        .distinct()
+    )
+    affected_members = clusters.join(touched, "cluster_id", "left_semi").select(
+        "doc_id"
+    )
+    sub = (
+        pairs_next.join(
+            affected_members.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_semi",
+        )
+        .unionByName(new_pairs)
+        .distinct()
+    )
+    resolved = _star_components(sub)
+    final = (
+        clusters.join(touched, "cluster_id", "left_anti")
+        .unionByName(resolved)
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+
+    # --- commit the removal across all index tables
+    idx.clusters.overwrite(final.localCheckpoint())
+    idx.shingles.overwrite(sh_kept)
+    idx.bands.overwrite(bands_kept)
+    idx.pairs.overwrite(pairs_next)
+    idx.bucket_mins.overwrite(
+        mins_kept.unionByName(new_mins).localCheckpoint()
     )
     return idx.clusters.read(spark).select(
         "doc_id", "cluster_id", "cluster_size"
@@ -267,16 +415,27 @@ def _split_threshold(docs: DataFrame) -> int:
     return int(mx) * 7 // 10
 
 
+# Deterministic removal set for the registered query: every 17th doc by
+# id (ids from BOTH the corpus and delta slices land in it, so the
+# removal leg exercises min re-election, pair dropping, and component
+# re-solve on both sides of the fold). Mirrored literally in the
+# oracle's source filter.
+REMOVE_MOD, REMOVE_RES = 17, 3
+
+
 def dedup_incremental(
     spark: SparkSession, sf_dir: str | None = None
 ) -> DataFrame:
-    """The registered incremental-dedup fold (acid_digest member, r10):
-    build the index from the bottom-70%-by-id slice of ``documents``,
-    fold the top-30% slice through :func:`incremental_update`, and
-    return the committed end-state cluster table. The DuckDB oracle is
-    the FULL-RECOMPUTE star clustering over ALL documents (llm/dedup.py
-    ``dedup_clusters`` oracle, verbatim) — every driver run certifies
-    incremental ≡ full recompute, row for row."""
+    """The registered incremental-dedup LIFECYCLE (acid_digest member,
+    r10): build the index from the bottom-70%-by-id slice of
+    ``documents``, fold the top-30% slice through
+    :func:`incremental_update`, then REMOVE every doc with
+    doc_id % 17 == 3 through :func:`remove_docs`, returning the
+    committed end-state cluster table. The DuckDB oracle is the
+    FULL-RECOMPUTE star clustering over ``documents`` WITHOUT the
+    removed ids — every driver run certifies that the whole
+    build→fold→remove lifecycle lands exactly where a from-scratch
+    pass over the surviving corpus would."""
     while _last_root:
         shutil.rmtree(_last_root.pop(), ignore_errors=True)
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
@@ -284,8 +443,11 @@ def dedup_incremental(
     root = tempfile.mkdtemp(prefix="dedup_index_")
     _last_root.append(root)
     idx = build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
-    return incremental_update(
-        spark, docs.where(F.col("doc_id") > thr), idx
+    incremental_update(spark, docs.where(F.col("doc_id") > thr), idx)
+    return remove_docs(
+        spark,
+        docs.where(F.col("doc_id") % REMOVE_MOD == REMOVE_RES).select("doc_id"),
+        idx,
     )
 
 
@@ -553,9 +715,35 @@ FROM labels
 
 
 def _oracle() -> str:
-    from .dedup import ORACLES as _DEDUP_ORACLES
+    from .dedup import _minhash_oracle
 
-    return _DEDUP_ORACLES["dedup_clusters"]
+    star_pairs = _minhash_oracle(
+        star=True,
+        source=(
+            f"(SELECT * FROM documents"
+            f" WHERE doc_id % {REMOVE_MOD} != {REMOVE_RES})"
+        ),
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({star_pairs}) mh
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, origin) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
 
 
 ORACLES = {

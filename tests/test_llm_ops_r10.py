@@ -431,3 +431,134 @@ def test_resolve_labels_algebra_matches_full_components(spark):
             }
         )
         fold_vs_full(e1, e2)
+
+
+# ------------------------------ exact removal from the index (r10)
+
+
+def _surviving_full(spark, docs):
+    from dbt_jaffleshop_spark.llm.dedup import (
+        _star_components,
+        minhash_star_pairs_over,
+    )
+
+    return sorted(
+        map(
+            tuple,
+            _star_components(
+                minhash_star_pairs_over(docs).select("doc_a", "doc_b")
+            ).collect(),
+        )
+    )
+
+
+def test_remove_docs_lifecycle_equals_full_recompute(spark, sf_dir):
+    """build → fold → remove(every 17th id) must land exactly where a
+    from-scratch star recompute over the surviving corpus lands, and
+    the stored pairs table must equal the full-recompute verified star
+    pairs (the removal invariant later folds rest on)."""
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import minhash_star_pairs_over
+    from dbt_jaffleshop_spark.sources import load_table
+
+    out = di.dedup_incremental(spark, sf_dir)
+    got = sorted(map(tuple, out.collect()))
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    surviving = docs.where(
+        F.col("doc_id") % di.REMOVE_MOD != di.REMOVE_RES
+    )
+    assert got == _surviving_full(spark, surviving)
+
+    idx = di.DedupIndex(di._last_root[0])
+    stored_pairs = sorted(
+        (r.doc_a, r.doc_b) for r in idx.pairs.read(spark).collect()
+    )
+    want_pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in minhash_star_pairs_over(surviving)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert stored_pairs == want_pairs
+
+
+def test_remove_docs_splits_chain_component(spark):
+    """Removing the bridge document of a transitive near-dup chain
+    A~B~C (A≁C) must SPLIT the component — the case label edges cannot
+    express and the real-pairs re-solve exists for. Built over a
+    synthetic frame fed straight to build_dedup_index."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    tail = "lam mu nu xi omicron pi rho sigma tau upsilon "
+    # A and B share most shingles; B and C share most; A vs C below 0.5
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3 + tail),
+            (2, base * 3 + "PIVOT " + tail),
+            (3, "PREFIX " + base * 3 + "PIVOT middle " + tail),
+        ],
+        "doc_id long, text string",
+    )
+    root = tempfile.mkdtemp(prefix="rm_split_")
+    idx = di.build_dedup_index(spark, docs, root)
+    before = {
+        r.doc_id: r.cluster_id for r in idx.clusters.read(spark).collect()
+    }
+    if len(before) < 3 or len(set(before.values())) != 1:
+        # corpus didn't form one 3-chain — make the test loud, not vacuous
+        raise AssertionError(f"expected one 3-doc chain, got {before}")
+    got = sorted(
+        map(
+            tuple,
+            di.remove_docs(
+                spark,
+                spark.createDataFrame([(2,)], "doc_id long"),
+                idx,
+            ).collect(),
+        )
+    )
+    # full recompute over {A, C}: are they still near-dups on their own?
+    want = _surviving_full(spark, docs.where(F.col("doc_id") != 2))
+    assert got == want
+
+
+def test_remove_docs_empty_and_cluster_min(spark, sf_dir):
+    """Empty removal is a no-op; removing a CLUSTER MIN re-labels its
+    component to the next-smallest member, matching full recompute."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="rm_min_")
+    idx = di.build_dedup_index(spark, docs, root)
+    before = sorted(map(tuple, idx.clusters.read(spark).collect()))
+    assert before, "corpus has clusters"
+    empty = spark.createDataFrame([], "doc_id long")
+    assert sorted(map(tuple, di.remove_docs(spark, empty, idx).collect())) == before
+
+    # remove the smallest cluster_id's min (a doc that labels a cluster)
+    min_doc = min(r[1] for r in before)
+    got = sorted(
+        map(
+            tuple,
+            di.remove_docs(
+                spark,
+                spark.createDataFrame([(int(min_doc),)], "doc_id long"),
+                idx,
+            ).collect(),
+        )
+    )
+    assert got == _surviving_full(
+        spark, docs.where(F.col("doc_id") != min_doc)
+    )
