@@ -1274,6 +1274,25 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def _quant_cte(source: str = "embeddings") -> str:
+    """The q/n quantization CTE pair over a configurable source
+    relation — a table name or parenthesized subquery (the embedding
+    removal oracle filters embeddings here)."""
+    return f"""
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS e
+    FROM {source} src
+),
+n AS (
+    SELECT vec_id, e,
+           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
+    FROM q
+)
+"""
+
+
 _QUANT_CTE = f"""
 q AS (
     SELECT vec_id,

@@ -506,6 +506,8 @@ def _coarse_buckets(q: DataFrame) -> DataFrame:
 class EmbDedupIndex:
     """The persisted embedding-dedup state under ``root``: quantized
     ``vectors``, band-bucket ``buckets`` membership (vec_id, band, bk),
+    verified clique ``pairs`` (for exact removal — a removal can split
+    a component, so the re-solve must run over real pairs),
     ``clusters`` (stored under the shared doc_id column name so the
     label-fold helper is common), and the ``meta`` high-water mark."""
 
@@ -513,6 +515,7 @@ class EmbDedupIndex:
         self.root = root
         self.vectors = AcidTable(os.path.join(root, "vectors"))
         self.buckets = AcidTable(os.path.join(root, "buckets"))
+        self.pairs = AcidTable(os.path.join(root, "pairs"))
         self.clusters = AcidTable(os.path.join(root, "clusters"))
         self.meta = AcidTable(os.path.join(root, "meta"))
 
@@ -523,15 +526,13 @@ class EmbDedupIndex:
         """Retention for the embedding index — see DedupIndex.vacuum."""
         return {
             name: len(getattr(self, name).vacuum(keep_last=keep_last))
-            for name in ("vectors", "buckets", "clusters", "meta")
+            for name in ("vectors", "buckets", "pairs", "clusters", "meta")
         }
 
 
-def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:
-    """Full-corpus clustering over the ALL-PAIRS banded-LSH cosine
-    pairs (dedup_embedding_lsh's exact candidate semantics) — the batch
-    twin the incremental fold must equal, and the Spark mirror of the
-    registered query's DuckDB oracle."""
+def _emb_clique_pairs(q: DataFrame) -> DataFrame:
+    """Verified all-pairs banded-LSH cosine pairs (doc_a, doc_b) over a
+    quantized frame — dedup_embedding_lsh's exact candidate semantics."""
     b = _coarse_buckets(q)
     cands = (
         b.alias("a")
@@ -542,10 +543,16 @@ def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    pairs = _verify_cosine(cands, q).select(
+    return _verify_cosine(cands, q).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    return _star_components(pairs).select(
+
+
+def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:
+    """Full-corpus clustering over the ALL-PAIRS banded-LSH cosine
+    pairs — the batch twin the incremental fold must equal, and the
+    Spark mirror of the registered query's DuckDB oracle."""
+    return _star_components(_emb_clique_pairs(q)).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
 
@@ -554,16 +561,15 @@ def build_emb_index(
     spark: SparkSession, emb: DataFrame, root: str
 ) -> EmbDedupIndex:
     """Initial (full) embedding-index build: quantized vectors, bucket
-    membership, all-pairs-LSH clusters, and the id high-water mark."""
+    membership, verified pairs, all-pairs-LSH clusters, and the id
+    high-water mark."""
     idx = EmbDedupIndex(root)
     q = _quantize_frame(emb).localCheckpoint()
     idx.vectors.overwrite(q)
     idx.buckets.overwrite(_coarse_buckets(q))
-    idx.clusters.overwrite(
-        emb_clusters_lsh_over(q).select(
-            F.col("vec_id").alias("doc_id"), "cluster_id", "cluster_size"
-        )
-    )
+    pairs = _emb_clique_pairs(q).localCheckpoint()
+    idx.pairs.overwrite(pairs)
+    idx.clusters.overwrite(_star_components(pairs))
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     idx.meta.overwrite(
         spark.createDataFrame([(int(mx),)], "max_vec_id bigint")
@@ -634,6 +640,7 @@ def emb_incremental_update(
     )
     idx.vectors.append(dq)
     idx.buckets.append(d_buckets)
+    idx.pairs.append(new_pairs)  # delta pairs: no overlap with stored
     idx.meta.overwrite(
         spark.createDataFrame([(int(d_max),)], "max_vec_id bigint")
     )
@@ -642,18 +649,80 @@ def emb_incremental_update(
     )
 
 
+def remove_vecs(
+    spark: SparkSession, removed: DataFrame, idx: EmbDedupIndex
+) -> DataFrame:
+    """Exact vector removal — the embedding twin of :func:`remove_docs`,
+    and structurally SIMPLER: clique candidates have no elected minimum,
+    so removing a vector never creates new edges (a full recompute over
+    the surviving corpus generates exactly the stored pairs minus those
+    touching the removed ids). Only the components holding a removed
+    vector re-solve, from the real surviving pairs (a removal can split
+    them); everything else carries forward by value."""
+    rem = removed.select(F.col("vec_id").alias("doc_id")).distinct().localCheckpoint()
+    if rem.count() == 0:
+        return idx.clusters.read(spark).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+        )
+    clusters = idx.clusters.read(spark)
+    pairs = idx.pairs.read(spark)
+    kept_pairs = (
+        pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
+        .join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    touched = (
+        clusters.join(rem, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected_members = clusters.join(touched, "cluster_id", "left_semi").select(
+        "doc_id"
+    )
+    sub = kept_pairs.join(
+        affected_members.select(F.col("doc_id").alias("doc_a")),
+        "doc_a",
+        "left_semi",
+    )
+    final = (
+        clusters.join(touched, "cluster_id", "left_anti")
+        .unionByName(_star_components(sub))
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+    idx.clusters.overwrite(final.localCheckpoint())
+    idx.pairs.overwrite(kept_pairs)
+    idx.vectors.overwrite(
+        idx.vectors.read(spark)
+        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+    )
+    idx.buckets.overwrite(
+        idx.buckets.read(spark)
+        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+    )
+    return idx.clusters.read(spark).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
+# Deterministic removal set for the registered embedding lifecycle —
+# mirrored literally in the oracle's source filter.
+EMB_REMOVE_MOD, EMB_REMOVE_RES = 13, 5
+
 _last_emb_root: list[str] = []
 
 
 def emb_dedup_incremental(
     spark: SparkSession, sf_dir: str | None = None
 ) -> DataFrame:
-    """The registered embedding incremental-dedup fold (sim_eval_digest
-    member, r10): index the bottom-70%-by-id embedding slice, fold the
-    top-30% through :func:`emb_incremental_update`, return the
-    committed end state. DuckDB oracle: the FULL-RECOMPUTE all-pairs
-    banded-LSH clustering over ALL embeddings — every driver run
-    certifies incremental ≡ full recompute."""
+    """The registered embedding incremental-dedup LIFECYCLE
+    (sim_eval_digest member, r10): index the bottom-70%-by-id embedding
+    slice, fold the top-30% through :func:`emb_incremental_update`,
+    then REMOVE every vec with vec_id % 13 == 5 through
+    :func:`remove_vecs`, returning the committed end state. DuckDB
+    oracle: the FULL-RECOMPUTE all-pairs banded-LSH clustering over
+    the surviving embeddings — every driver run certifies the whole
+    build→fold→remove lifecycle against a from-scratch pass."""
     while _last_emb_root:
         shutil.rmtree(_last_emb_root.pop(), ignore_errors=True)
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -662,18 +731,27 @@ def emb_dedup_incremental(
     root = tempfile.mkdtemp(prefix="emb_dedup_index_")
     _last_emb_root.append(root)
     idx = build_emb_index(spark, emb.where(F.col("vec_id") <= thr), root)
-    return emb_incremental_update(
-        spark, emb.where(F.col("vec_id") > thr), idx
+    emb_incremental_update(spark, emb.where(F.col("vec_id") > thr), idx)
+    return remove_vecs(
+        spark,
+        emb.where(
+            F.col("vec_id") % EMB_REMOVE_MOD == EMB_REMOVE_RES
+        ).select("vec_id"),
+        idx,
     )
 
 
 def _emb_oracle() -> str:
-    from .dedup import _COS_D, _QUANT_CTE, COSINE_DUP_THRESHOLD
+    from .dedup import _COS_D, _quant_cte, COSINE_DUP_THRESHOLD
 
+    quant = _quant_cte(
+        f"(SELECT * FROM embeddings"
+        f" WHERE vec_id % {EMB_REMOVE_MOD} != {EMB_REMOVE_RES})"
+    )
     b0 = _band_bucket_expr("e", 0, "duck")
     b1 = _band_bucket_expr("e", 1, "duck")
     return f"""
-WITH RECURSIVE {_QUANT_CTE.strip()},
+WITH RECURSIVE {quant.strip()},
 bk AS (
     SELECT vec_id, {b0} AS b0, {b1} AS b1 FROM n
 ),

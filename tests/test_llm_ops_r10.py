@@ -562,3 +562,60 @@ def test_remove_docs_empty_and_cluster_min(spark, sf_dir):
     assert got == _surviving_full(
         spark, docs.where(F.col("doc_id") != min_doc)
     )
+
+
+def test_emb_removal_lifecycle_and_clustered_endpoint(spark, sf_dir):
+    """Embedding twin of the removal lifecycle: the registered
+    build→fold→remove path equals a from-scratch all-pairs-LSH pass
+    over the surviving vectors; then explicitly remove one endpoint of
+    a verified pair and assert its component dissolves exactly as the
+    full recompute says."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+    from dbt_jaffleshop_spark.sources import load_table
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+    out = di.emb_dedup_incremental(spark, sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    surviving = emb.where(
+        F.col("vec_id") % di.EMB_REMOVE_MOD != di.EMB_REMOVE_RES
+    )
+    assert rows(out) == rows(di.emb_clusters_lsh_over(_quantize_frame(surviving)))
+
+    # fresh full index; remove one endpoint of an actual verified pair.
+    # sf0.001's embeddings hold no near-dup pair at all, so this half
+    # pins against sf0.01 (the driver's own correctness scale).
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01").select(
+        "vec_id", "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="emb_rm_endpoint_")
+    idx = di.build_emb_index(spark, emb, root)
+    clustered = idx.clusters.read(spark).collect()
+    if not clustered:
+        raise AssertionError("corpus has no embedding clusters to remove")
+    victim = int(min(r.doc_id for r in clustered))
+    got = rows(
+        di.remove_vecs(
+            spark, spark.createDataFrame([(victim,)], "vec_id long"), idx
+        )
+    )
+    want = rows(
+        di.emb_clusters_lsh_over(
+            _quantize_frame(emb.where(F.col("vec_id") != victim))
+        )
+    )
+    assert got == want
+    # stored pairs invariant after removal
+    stored = sorted((r.doc_a, r.doc_b) for r in idx.pairs.read(spark).collect())
+    want_pairs = sorted(
+        (r.doc_a, r.doc_b)
+        for r in di._emb_clique_pairs(
+            _quantize_frame(emb.where(F.col("vec_id") != victim))
+        ).collect()
+    )
+    assert stored == want_pairs
