@@ -332,11 +332,13 @@ def main() -> None:
     # must survive the driver's tail capture (which keeps only the last
     # few KB of stdout, front-truncated). r9's whole-line chunks still
     # lost 45 of 51 floors (VERDICT r9 item 1): four 15-entry chunks are
-    # ~4× the window. r10: ONE compact line — 2-decimal values, keys in
-    # DESCENDING median order so the expensive digest rows (the ones
-    # contention actually inflates) sit earliest and are what any partial
-    # salvage recovers — printed immediately before the final line, so
-    # the two lines that matter share the tail window.
+    # ~4× the window. r10: ONE compact line (~1.3 KB at 2-decimal
+    # precision) printed immediately before the final line, so the two
+    # lines that matter share the tail window — the real protection is
+    # SIZE. Keys go in descending-median order for human/judge
+    # readability of the expensive rows; note a front-truncated line is
+    # unparseable either way (_prior_round_floors only absorbs complete
+    # JSON lines), so ordering is presentation, not recovery.
     floors_line = {
         n: round(mins[n], 2)
         for n in sorted(mins, key=lambda q: -timings.get(q, 0.0))

@@ -464,10 +464,17 @@ def _minhash_hybrid_candidates(
     stats = bands.groupBy("band", "bv").agg(
         F.min("doc_id").alias("mn"), F.count("*").alias("m")
     )
+    # Semi-join DOWN TO the small buckets BEFORE the self-join: Spark
+    # preserves user join order, so self-joining the full relation first
+    # would stream m(m-1)/2 rows out of the very mega-bucket the cap
+    # exists to bound, then discard them (r10 review finding).
+    small_bands = bands.join(
+        stats.where(F.col("m") <= cap).select("band", "bv"), ["band", "bv"],
+        "left_semi",
+    )
     small = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bv"])
-        .join(stats.where(F.col("m") <= cap).select("band", "bv"), ["band", "bv"])
+        small_bands.alias("a")
+        .join(small_bands.alias("b"), ["band", "bv"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
@@ -890,9 +897,12 @@ EMB_LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 3, 4, 5), (1, 2, 6, 7))
 def _bucket_expr_from_planes(e_col: str, planes: list, dialect: str) -> str:
     """Bucket id from the sign bits of the given hyperplanes' integer
     dot products — identical literals in both dialects, so both engines
-    compute identical buckets. Shared by the 4-bit production banding
-    (:func:`_band_bucket_expr`) and the 8-bit fine banding of the
-    incremental embedding index (llm/dedup_incremental.py)."""
+    compute identical buckets. The plane-list generalization of
+    :func:`_band_bucket_expr` (its only current caller); kept separate
+    so alternative bandings can be expressed without touching the
+    production 4-bit constants. (An 8-bit fine banding was evaluated
+    for the incremental embedding index and abandoned — star candidates
+    verified zero pairs on this geometry; see llm/dedup_incremental.py.)"""
     terms = []
     for j, plane in enumerate(planes):
         if dialect == "spark":
@@ -1073,10 +1083,15 @@ def _emb_hybrid_candidates(
         stats = buckets.groupBy("bk").agg(
             F.min("vec_id").alias("mn"), F.count("*").alias("m")
         )
+        # semi-join to the small buckets BEFORE the self-join — the
+        # left-deep full self-join would stream a mega-bucket's m²/2
+        # rows before the size filter discards them (r10 review)
+        small_buckets = buckets.join(
+            stats.where(F.col("m") <= cap).select("bk"), "bk", "left_semi"
+        )
         small = (
-            buckets.alias("a")
-            .join(buckets.alias("b"), "bk")
-            .join(stats.where(F.col("m") <= cap).select("bk"), "bk")
+            small_buckets.alias("a")
+            .join(small_buckets.alias("b"), "bk")
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
                 F.col("a.vec_id").alias("id_a"),
@@ -1293,19 +1308,9 @@ n AS (
 """
 
 
-_QUANT_CTE = f"""
-q AS (
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT)) AS e
-    FROM embeddings
-),
-n AS (
-    SELECT vec_id, e,
-           CAST(list_sum(list_transform(e, x -> x * x)) AS BIGINT) AS nrm
-    FROM q
-)
-"""
+# Derived, never duplicated: the quantization formula must stay
+# single-sourced on the oracle side too (r10 review finding).
+_QUANT_CTE = _quant_cte()
 
 _COS_D = "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 

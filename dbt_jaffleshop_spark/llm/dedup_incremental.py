@@ -70,6 +70,7 @@ delta cost tracks |delta|, not |corpus|.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -404,7 +405,22 @@ def remove_docs(
 
 # --------------------------------------------------- registered query
 
+# Cleanup protocol for the registered lifecycle queries: the returned
+# DataFrame lazily READS the committed cluster table, so the index dir
+# cannot be deleted inside the call — the driver collects after we
+# return. Each invocation therefore deletes the PREVIOUS run's dir
+# (driver queries run sequentially), and an atexit hook reclaims the
+# final run's dir so no corpus-sized temp tree outlives the process.
 _last_root: list[str] = []
+
+
+def _cleanup_roots() -> None:
+    for roots in (_last_root, _last_emb_root):
+        while roots:
+            shutil.rmtree(roots.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_roots)
 
 
 def _split_threshold(docs: DataFrame) -> int:
