@@ -78,7 +78,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.acid import AcidTable
+from ..plans.acid import AcidTable, ConcurrentWriteError
 from ..sources import load_table
 from .dedup import (
     _lsh_bands,
@@ -88,6 +88,25 @@ from .dedup import (
     _star_components,
     _verify_jaccard,
 )
+
+
+def _guard_since_read(table: AcidTable, base_version: int):
+    """Validate hook for the fold/removal read-transform-write on the
+    clusters table — the same lost-update shape AcidTable.merge_rows
+    guards: the new labels were computed FROM the snapshot read at the
+    start of the operation, so a commit that landed since would be
+    silently replaced by the overwrite. Aborts with
+    ConcurrentWriteError (caller re-runs the whole fold) instead."""
+
+    def _unchanged(cur_manifest: dict) -> None:
+        if cur_manifest["version"] != base_version:
+            raise ConcurrentWriteError(
+                f"{table.path}: fold read snapshot v{base_version} but "
+                f"v{cur_manifest['version']} is now current — a concurrent "
+                "fold/removal's labels would be lost; re-run this operation"
+            )
+
+    return _unchanged
 
 
 def _resolve_labels(
@@ -256,15 +275,21 @@ def incremental_update(
         cands, corpus_sh.unionByName(d_sh)
     ).select("doc_a", "doc_b").localCheckpoint()
 
-    # --- re-solve ONLY the components a new edge touches
-    final = _resolve_labels(new_pairs, idx.clusters.read(spark), corpus_max)
+    # --- re-solve ONLY the components a new edge touches; pin the read
+    # to the validated snapshot and abort the overwrite on a concurrent
+    # commit (the merge_rows lost-update guard, same shape)
+    base_v = idx.clusters.current_version()
+    final = _resolve_labels(
+        new_pairs, idx.clusters.read(spark, version=base_v), corpus_max
+    )
 
     # --- commit the fold: clusters overwritten; shingles, bands, and
     # verified pairs appended (delta pairs always hold a delta id, so
     # no duplicate with the stored set); ONLY delta-new buckets
     # appended to mins; high-water mark advanced
     idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint(),
+        validate=_guard_since_read(idx.clusters, base_v),
     )
     idx.shingles.append(d_sh)
     idx.bands.append(d_bands)
@@ -318,7 +343,8 @@ def remove_docs(
     bands = idx.bands.read(spark)
     mins = idx.bucket_mins.read(spark)
     pairs = idx.pairs.read(spark)
-    clusters = idx.clusters.read(spark)
+    base_v = idx.clusters.current_version()
+    clusters = idx.clusters.read(spark, version=base_v)
 
     sh_kept = sh.join(rem, "doc_id", "left_anti").localCheckpoint()
     bands_kept = bands.join(rem, "doc_id", "left_anti").localCheckpoint()
@@ -391,7 +417,10 @@ def remove_docs(
     )
 
     # --- commit the removal across all index tables
-    idx.clusters.overwrite(final.localCheckpoint())
+    idx.clusters.overwrite(
+        final.localCheckpoint(),
+        validate=_guard_since_read(idx.clusters, base_v),
+    )
     idx.shingles.overwrite(sh_kept)
     idx.bands.overwrite(bands_kept)
     idx.pairs.overwrite(pairs_next)
@@ -650,9 +679,13 @@ def emb_incremental_update(
         .localCheckpoint()
     )
 
-    final = _resolve_labels(new_pairs, idx.clusters.read(spark), corpus_max)
+    base_v = idx.clusters.current_version()
+    final = _resolve_labels(
+        new_pairs, idx.clusters.read(spark, version=base_v), corpus_max
+    )
     idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint(),
+        validate=_guard_since_read(idx.clusters, base_v),
     )
     idx.vectors.append(dq)
     idx.buckets.append(d_buckets)
@@ -680,7 +713,8 @@ def remove_vecs(
         return idx.clusters.read(spark).select(
             F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
         )
-    clusters = idx.clusters.read(spark)
+    base_v = idx.clusters.current_version()
+    clusters = idx.clusters.read(spark, version=base_v)
     pairs = idx.pairs.read(spark)
     kept_pairs = (
         pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
@@ -706,7 +740,10 @@ def remove_vecs(
         .unionByName(_star_components(sub))
         .select("doc_id", "cluster_id", "cluster_size")
     )
-    idx.clusters.overwrite(final.localCheckpoint())
+    idx.clusters.overwrite(
+        final.localCheckpoint(),
+        validate=_guard_since_read(idx.clusters, base_v),
+    )
     idx.pairs.overwrite(kept_pairs)
     idx.vectors.overwrite(
         idx.vectors.read(spark)

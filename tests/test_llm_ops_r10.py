@@ -619,3 +619,46 @@ def test_emb_removal_lifecycle_and_clustered_endpoint(spark, sf_dir):
         ).collect()
     )
     assert stored == want_pairs
+
+
+def test_fold_aborts_on_concurrent_cluster_commit(spark, sf_dir):
+    """Lost-update guard: a commit landing on the clusters table
+    between a fold's read and its overwrite must abort the fold with
+    ConcurrentWriteError (never silently replace the racer's labels) —
+    the merge_rows guard shape applied to the index."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.plans.acid import ConcurrentWriteError
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_race_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
+
+    # interpose: the first clusters read inside the fold triggers a
+    # racing commit before the fold's overwrite runs
+    real_read = idx.clusters.read
+    fired = []
+
+    def racing_read(s, version=None):
+        out = real_read(s, version=version)
+        if not fired:
+            fired.append(True)
+            real_overwrite(out.limit(1).localCheckpoint())  # the racer
+        return out
+
+    real_overwrite = idx.clusters.overwrite
+    idx.clusters.read = racing_read
+    try:
+        with pytest.raises(ConcurrentWriteError, match="now current"):
+            di.incremental_update(
+                spark, docs.where(F.col("doc_id") > thr), idx
+            )
+    finally:
+        idx.clusters.read = real_read
