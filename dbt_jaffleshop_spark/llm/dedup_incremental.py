@@ -29,8 +29,19 @@ tables under one root — atomic commits, time travel, O(changed) cost;
                     ``dedup_clusters`` contract). Overwritten per batch;
                     unaffected components are carried forward by VALUE
                     (their labels provably cannot change — below).
-* ``meta``        — one row (max_doc_id): the id-ordering high-water
-                    mark.
+* ``meta``        — one row: the id-ordering high-water mark AND the
+                    committed version of every data table. Meta is the
+                    index's ATOMIC CROSS-TABLE COMMIT POINTER: every
+                    operation reads all tables at the meta-pinned
+                    versions (a consistent snapshot), commits its data
+                    tables (``append_from`` the pinned base, or full
+                    overwrite), and swaps meta LAST with an
+                    unchanged-since-read validation. A crash
+                    mid-transaction leaves meta unmoved — the partial
+                    versions are invisible garbage for vacuum and the
+                    re-run is idempotent; a concurrent fold loses at the
+                    meta swap with ConcurrentWriteError instead of
+                    tearing the index.
 
 **The id-ordering invariant.** Every delta doc_id must exceed the
 corpus's max_doc_id (enforced, loud ValueError). This is how ingestion
@@ -91,12 +102,12 @@ from .dedup import (
 
 
 def _guard_since_read(table: AcidTable, base_version: int):
-    """Validate hook for the fold/removal read-transform-write on the
-    clusters table — the same lost-update shape AcidTable.merge_rows
-    guards: the new labels were computed FROM the snapshot read at the
-    start of the operation, so a commit that landed since would be
-    silently replaced by the overwrite. Aborts with
-    ConcurrentWriteError (caller re-runs the whole fold) instead."""
+    """Validate hook for the transaction's meta pointer swap — the same
+    lost-update shape AcidTable.merge_rows guards: the whole fold/
+    removal was computed FROM the snapshot meta pinned at the start, so
+    a meta commit that landed since means a concurrent transaction won;
+    overwriting would silently replace its state. Aborts with
+    ConcurrentWriteError (caller re-runs the whole operation)."""
 
     def _unchanged(cur_manifest: dict) -> None:
         if cur_manifest["version"] != base_version:
@@ -157,6 +168,12 @@ class DedupIndex:
     pairs a full recompute over the CURRENT corpus would produce, so
     ``clusters`` = components(``pairs``) at every commit."""
 
+    _TABLES = ("shingles", "bands", "bucket_mins", "pairs", "clusters")
+    _META_DDL = (
+        "max_doc_id bigint, shingles_v int, bands_v int, "
+        "bucket_mins_v int, pairs_v int, clusters_v int"
+    )
+
     def __init__(self, root: str):
         self.root = root
         self.shingles = AcidTable(os.path.join(root, "shingles"))
@@ -169,9 +186,51 @@ class DedupIndex:
     def exists(self) -> bool:
         return self.meta.exists()
 
+    # ------------------------------------------- cross-table snapshot
+    # ``meta`` is the ATOMIC COMMIT POINTER of the whole index: one row
+    # holding the id high-water mark AND the committed version of every
+    # data table. A fold/removal reads all tables AT the pinned
+    # versions (a consistent cross-table snapshot), commits each data
+    # table (overwrite, or append_from the pinned base so a crashed or
+    # losing attempt's rows are never merged in), and swaps meta LAST
+    # with an unchanged-since-read validation — the serialization
+    # point. A crash mid-sequence leaves meta unmoved, so the partial
+    # versions are invisible (vacuumable garbage) and the re-run is
+    # idempotent; a concurrent fold loses at the meta swap with
+    # ConcurrentWriteError instead of tearing the index.
+
+    def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
+        """(meta_version, pinned row dict) — the consistent view every
+        operation reads through. Bounded collect: meta is one row."""
+        v = self.meta.current_version()
+        return v, self.meta.read(spark, version=v).collect()[0].asDict()
+
+    def _commit_meta(
+        self,
+        spark: SparkSession,
+        max_id: int,
+        versions: dict,
+        expected_meta_v: int | None,
+    ) -> None:
+        row = (int(max_id), *[int(versions[t]) for t in self._TABLES])
+        validate = (
+            None
+            if expected_meta_v is None
+            else _guard_since_read(self.meta, expected_meta_v)
+        )
+        self.meta.overwrite(
+            spark.createDataFrame([row], self._META_DDL), validate=validate
+        )
+
     def max_doc_id(self, spark: SparkSession) -> int:
-        # bounded collect: the meta table is one row by construction
-        return int(self.meta.read(spark).collect()[0]["max_doc_id"])
+        return int(self.snapshot(spark)[1]["max_doc_id"])
+
+    def clusters_df(self, spark: SparkSession) -> DataFrame:
+        """The committed cluster table at the meta-pinned version."""
+        _v, snap = self.snapshot(spark)
+        return self.clusters.read(spark, version=snap["clusters_v"]).select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
         """Retention for a daily fold: every batch commits a new
@@ -198,11 +257,18 @@ def build_dedup_index(
     Commits shingles, per-bucket mins (singletons included), star-
     semantics clusters, and the id high-water mark."""
     idx = DedupIndex(root)
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        raise ValueError(
+            "build_dedup_index: empty corpus frame — an index needs at "
+            "least one document (check the corpus/delta split)"
+        )
     sh = _shingle_table(docs).localCheckpoint()
     bands = _lsh_bands(_minhash_signatures_from(sh)).localCheckpoint()
-    idx.shingles.overwrite(sh)
-    idx.bands.overwrite(bands)
-    idx.bucket_mins.overwrite(
+    v: dict[str, int] = {}
+    v["shingles"] = idx.shingles.overwrite(sh)
+    v["bands"] = idx.bands.overwrite(bands)
+    v["bucket_mins"] = idx.bucket_mins.overwrite(
         bands.groupBy("band", "bv").agg(F.min("doc_id").alias("mn"))
     )
     # star candidates → exact-Jaccard verify → components: identical
@@ -212,12 +278,9 @@ def build_dedup_index(
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    idx.pairs.overwrite(pairs)
-    idx.clusters.overwrite(_star_components(pairs))
-    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    idx.meta.overwrite(
-        spark.createDataFrame([(int(mx),)], "max_doc_id bigint")
-    )
+    v["pairs"] = idx.pairs.overwrite(pairs)
+    v["clusters"] = idx.clusters.overwrite(_star_components(pairs))
+    idx._commit_meta(spark, int(mx), v, expected_meta_v=None)
     return idx
 
 
@@ -228,14 +291,13 @@ def incremental_update(
     updated full cluster table — value-equal to a full star-semantics
     recompute over (corpus + delta). See the module docstring for why
     each step is exact, not approximate."""
-    corpus_max = idx.max_doc_id(spark)
+    meta_v, snap = idx.snapshot(spark)
+    corpus_max = int(snap["max_doc_id"])
     d_min, d_max = delta_docs.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0][:2]
     if d_min is None:  # empty delta: a legal no-op
-        return idx.clusters.read(spark).select(
-            "doc_id", "cluster_id", "cluster_size"
-        )
+        return idx.clusters_df(spark)
     if int(d_min) <= corpus_max:
         raise ValueError(
             f"incremental dedup requires delta doc_ids above the corpus "
@@ -244,12 +306,14 @@ def incremental_update(
             f"internal star edges) immutable"
         )
 
-    # --- delta signatures: the ONLY shingling/minhashing this batch pays
+    # --- delta signatures: the ONLY shingling/minhashing this batch
+    # pays (both checkpointed — bands feed three actions: candidates,
+    # the bands append, and the new-bucket mins append)
     d_sh = _shingle_table(delta_docs).localCheckpoint()
-    d_bands = _lsh_bands(_minhash_signatures_from(d_sh))
+    d_bands = _lsh_bands(_minhash_signatures_from(d_sh)).localCheckpoint()
 
     # --- new star edges: delta member → effective bucket min
-    mins = idx.bucket_mins.read(spark)
+    mins = idx.bucket_mins.read(spark, version=snap["bucket_mins_v"])
     d_mins = d_bands.groupBy("band", "bv").agg(F.min("doc_id").alias("dmn"))
     eff = (
         d_bands.join(mins, ["band", "bv"], "left")
@@ -268,40 +332,41 @@ def incremental_update(
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    corpus_sh = idx.shingles.read(spark).join(
+    corpus_sh = idx.shingles.read(spark, version=snap["shingles_v"]).join(
         cand_corpus, "doc_id", "left_semi"
     )
     new_pairs = _verify_jaccard(
         cands, corpus_sh.unionByName(d_sh)
     ).select("doc_a", "doc_b").localCheckpoint()
 
-    # --- re-solve ONLY the components a new edge touches; pin the read
-    # to the validated snapshot and abort the overwrite on a concurrent
-    # commit (the merge_rows lost-update guard, same shape)
-    base_v = idx.clusters.current_version()
+    # --- re-solve ONLY the components a new edge touches, reading the
+    # pinned snapshot
     final = _resolve_labels(
-        new_pairs, idx.clusters.read(spark, version=base_v), corpus_max
+        new_pairs,
+        idx.clusters.read(spark, version=snap["clusters_v"]),
+        corpus_max,
     )
 
-    # --- commit the fold: clusters overwritten; shingles, bands, and
-    # verified pairs appended (delta pairs always hold a delta id, so
-    # no duplicate with the stored set); ONLY delta-new buckets
-    # appended to mins; high-water mark advanced
-    idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint(),
-        validate=_guard_since_read(idx.clusters, base_v),
+    # --- commit the transaction: every data table is computed FROM the
+    # pinned snapshot (append_from, never append — a crashed attempt's
+    # or concurrent fold's rows must not merge in), then meta swaps
+    # LAST with unchanged-since-read validation: the serialization
+    # point. Crash anywhere before the meta swap → meta unmoved →
+    # partial versions invisible, re-run idempotent.
+    v: dict[str, int] = {}
+    v["clusters"] = idx.clusters.overwrite(
+        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
     )
-    idx.shingles.append(d_sh)
-    idx.bands.append(d_bands)
-    idx.pairs.append(new_pairs)
-    idx.bucket_mins.append(
+    v["shingles"] = idx.shingles.append_from(d_sh, snap["shingles_v"])
+    v["bands"] = idx.bands.append_from(d_bands, snap["bands_v"])
+    v["pairs"] = idx.pairs.append_from(new_pairs, snap["pairs_v"])
+    v["bucket_mins"] = idx.bucket_mins.append_from(
         d_mins.join(mins, ["band", "bv"], "left_anti")
-        .select("band", "bv", F.col("dmn").alias("mn"))
+        .select("band", "bv", F.col("dmn").alias("mn")),
+        snap["bucket_mins_v"],
     )
-    idx.meta.overwrite(
-        spark.createDataFrame([(int(d_max),)], "max_doc_id bigint")
-    )
-    return idx.clusters.read(spark).select(
+    idx._commit_meta(spark, int(d_max), v, expected_meta_v=meta_v)
+    return idx.clusters.read(spark, version=v["clusters"]).select(
         "doc_id", "cluster_id", "cluster_size"
     )
 
@@ -335,19 +400,22 @@ def remove_docs(
     Iceberg/Delta mechanism the snapshot layer models."""
     rem = removed.select("doc_id").distinct().localCheckpoint()
     if rem.count() == 0:
-        return idx.clusters.read(spark).select(
-            "doc_id", "cluster_id", "cluster_size"
-        )
+        return idx.clusters_df(spark)
 
-    sh = idx.shingles.read(spark)
-    bands = idx.bands.read(spark)
-    mins = idx.bucket_mins.read(spark)
-    pairs = idx.pairs.read(spark)
-    base_v = idx.clusters.current_version()
-    clusters = idx.clusters.read(spark, version=base_v)
+    meta_v, snap = idx.snapshot(spark)
+    sh = idx.shingles.read(spark, version=snap["shingles_v"])
+    bands = idx.bands.read(spark, version=snap["bands_v"])
+    mins = idx.bucket_mins.read(spark, version=snap["bucket_mins_v"])
+    pairs = idx.pairs.read(spark, version=snap["pairs_v"])
+    clusters = idx.clusters.read(spark, version=snap["clusters_v"])
 
-    sh_kept = sh.join(rem, "doc_id", "left_anti").localCheckpoint()
-    bands_kept = bands.join(rem, "doc_id", "left_anti").localCheckpoint()
+    # lazy anti-joins, NOT checkpointed: the pinned reads resolve a
+    # fixed file list, so both uses (verification, the write-back) see
+    # identical rows — materializing the full surviving corpus into
+    # executor storage would make a one-doc delete cost O(corpus)
+    # twice (r10 review finding)
+    sh_kept = sh.join(rem, "doc_id", "left_anti")
+    bands_kept = bands.join(rem, "doc_id", "left_anti")
 
     # --- re-elect mins where the stored minimum was removed
     reelect_keys = mins.join(
@@ -416,18 +484,22 @@ def remove_docs(
         .select("doc_id", "cluster_id", "cluster_size")
     )
 
-    # --- commit the removal across all index tables
-    idx.clusters.overwrite(
-        final.localCheckpoint(),
-        validate=_guard_since_read(idx.clusters, base_v),
+    # --- commit the transaction: full overwrites computed from the
+    # pinned snapshot, meta swapped LAST (serialization point — see
+    # incremental_update). The high-water mark does NOT lower: ids are
+    # never reused, keeping the fold invariant intact.
+    v: dict[str, int] = {}
+    v["clusters"] = idx.clusters.overwrite(final.localCheckpoint())
+    v["shingles"] = idx.shingles.overwrite(sh_kept)
+    v["bands"] = idx.bands.overwrite(bands_kept)
+    v["pairs"] = idx.pairs.overwrite(pairs_next)
+    v["bucket_mins"] = idx.bucket_mins.overwrite(
+        mins_kept.unionByName(new_mins)
     )
-    idx.shingles.overwrite(sh_kept)
-    idx.bands.overwrite(bands_kept)
-    idx.pairs.overwrite(pairs_next)
-    idx.bucket_mins.overwrite(
-        mins_kept.unionByName(new_mins).localCheckpoint()
+    idx._commit_meta(
+        spark, int(snap["max_doc_id"]), v, expected_meta_v=meta_v
     )
-    return idx.clusters.read(spark).select(
+    return idx.clusters.read(spark, version=v["clusters"]).select(
         "doc_id", "cluster_id", "cluster_size"
     )
 
@@ -452,11 +524,11 @@ def _cleanup_roots() -> None:
 atexit.register(_cleanup_roots)
 
 
-def _split_threshold(docs: DataFrame) -> int:
-    """Deterministic corpus/delta split point: 70% of the max doc_id —
+def _split_threshold(docs: DataFrame, id_col: str = "doc_id") -> int:
+    """Deterministic corpus/delta split point: 70% of the max id —
     the delta is the top-id 30%, satisfying the id-ordering invariant
-    by construction."""
-    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    by construction. Shared by both registered lifecycles."""
+    mx = docs.agg(F.max(id_col).alias("m")).collect()[0]["m"]
     return int(mx) * 7 // 10
 
 
@@ -556,6 +628,12 @@ class EmbDedupIndex:
     ``clusters`` (stored under the shared doc_id column name so the
     label-fold helper is common), and the ``meta`` high-water mark."""
 
+    _TABLES = ("vectors", "buckets", "pairs", "clusters")
+    _META_DDL = (
+        "max_vec_id bigint, vectors_v int, buckets_v int, "
+        "pairs_v int, clusters_v int"
+    )
+
     def __init__(self, root: str):
         self.root = root
         self.vectors = AcidTable(os.path.join(root, "vectors"))
@@ -564,8 +642,42 @@ class EmbDedupIndex:
         self.clusters = AcidTable(os.path.join(root, "clusters"))
         self.meta = AcidTable(os.path.join(root, "meta"))
 
+    # meta is the atomic cross-table commit pointer — same transaction
+    # protocol as DedupIndex (see that class's comment): pinned-snapshot
+    # reads, append_from/overwrite data commits, meta swapped LAST with
+    # unchanged-since-read validation.
+
+    def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
+        v = self.meta.current_version()
+        return v, self.meta.read(spark, version=v).collect()[0].asDict()
+
+    def _commit_meta(
+        self,
+        spark: SparkSession,
+        max_id: int,
+        versions: dict,
+        expected_meta_v: int | None,
+    ) -> None:
+        row = (int(max_id), *[int(versions[t]) for t in self._TABLES])
+        validate = (
+            None
+            if expected_meta_v is None
+            else _guard_since_read(self.meta, expected_meta_v)
+        )
+        self.meta.overwrite(
+            spark.createDataFrame([row], self._META_DDL), validate=validate
+        )
+
     def max_vec_id(self, spark: SparkSession) -> int:
-        return int(self.meta.read(spark).collect()[0]["max_vec_id"])
+        return int(self.snapshot(spark)[1]["max_vec_id"])
+
+    def clusters_df(self, spark: SparkSession) -> DataFrame:
+        """The committed cluster table at the meta-pinned version, in
+        the embedding output contract."""
+        _v, snap = self.snapshot(spark)
+        return self.clusters.read(spark, version=snap["clusters_v"]).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+        )
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
         """Retention for the embedding index — see DedupIndex.vacuum."""
@@ -609,16 +721,20 @@ def build_emb_index(
     membership, verified pairs, all-pairs-LSH clusters, and the id
     high-water mark."""
     idx = EmbDedupIndex(root)
-    q = _quantize_frame(emb).localCheckpoint()
-    idx.vectors.overwrite(q)
-    idx.buckets.overwrite(_coarse_buckets(q))
-    pairs = _emb_clique_pairs(q).localCheckpoint()
-    idx.pairs.overwrite(pairs)
-    idx.clusters.overwrite(_star_components(pairs))
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
-    idx.meta.overwrite(
-        spark.createDataFrame([(int(mx),)], "max_vec_id bigint")
-    )
+    if mx is None:
+        raise ValueError(
+            "build_emb_index: empty embedding frame — an index needs at "
+            "least one vector (check the corpus/delta split)"
+        )
+    q = _quantize_frame(emb).localCheckpoint()
+    v: dict[str, int] = {}
+    v["vectors"] = idx.vectors.overwrite(q)
+    v["buckets"] = idx.buckets.overwrite(_coarse_buckets(q))
+    pairs = _emb_clique_pairs(q).localCheckpoint()
+    v["pairs"] = idx.pairs.overwrite(pairs)
+    v["clusters"] = idx.clusters.overwrite(_star_components(pairs))
+    idx._commit_meta(spark, int(mx), v, expected_meta_v=None)
     return idx
 
 
@@ -631,14 +747,13 @@ def emb_incremental_update(
     exact integer-cosine verification touching only the candidate
     corpus vectors, affected-components-only label re-solve — end
     state equal to :func:`emb_clusters_lsh_over` on corpus + delta."""
-    corpus_max = idx.max_vec_id(spark)
+    meta_v, snap = idx.snapshot(spark)
+    corpus_max = int(snap["max_vec_id"])
     d_min, d_max = delta_emb.agg(
         F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
     ).collect()[0][:2]
     if d_min is None:
-        return idx.clusters.read(spark).select(
-            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
-        )
+        return idx.clusters_df(spark)
     if int(d_min) <= corpus_max:
         raise ValueError(
             f"incremental embedding dedup requires delta vec_ids above "
@@ -647,8 +762,8 @@ def emb_incremental_update(
         )
 
     dq = _quantize_frame(delta_emb).localCheckpoint()
-    d_buckets = _coarse_buckets(dq)
-    stored = idx.buckets.read(spark)
+    d_buckets = _coarse_buckets(dq).localCheckpoint()
+    stored = idx.buckets.read(spark, version=snap["buckets_v"])
     cross = (
         stored.alias("c")
         .join(d_buckets.alias("d"), ["band", "bk"])
@@ -670,7 +785,7 @@ def emb_incremental_update(
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
     )
-    corpus_q = idx.vectors.read(spark).join(
+    corpus_q = idx.vectors.read(spark, version=snap["vectors_v"]).join(
         cand_corpus, "vec_id", "left_semi"
     )
     new_pairs = (
@@ -679,21 +794,22 @@ def emb_incremental_update(
         .localCheckpoint()
     )
 
-    base_v = idx.clusters.current_version()
     final = _resolve_labels(
-        new_pairs, idx.clusters.read(spark, version=base_v), corpus_max
+        new_pairs,
+        idx.clusters.read(spark, version=snap["clusters_v"]),
+        corpus_max,
     )
-    idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint(),
-        validate=_guard_since_read(idx.clusters, base_v),
+    # transaction commit: pinned-base appends, meta swapped last — see
+    # incremental_update
+    v: dict[str, int] = {}
+    v["clusters"] = idx.clusters.overwrite(
+        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
     )
-    idx.vectors.append(dq)
-    idx.buckets.append(d_buckets)
-    idx.pairs.append(new_pairs)  # delta pairs: no overlap with stored
-    idx.meta.overwrite(
-        spark.createDataFrame([(int(d_max),)], "max_vec_id bigint")
-    )
-    return idx.clusters.read(spark).select(
+    v["vectors"] = idx.vectors.append_from(dq, snap["vectors_v"])
+    v["buckets"] = idx.buckets.append_from(d_buckets, snap["buckets_v"])
+    v["pairs"] = idx.pairs.append_from(new_pairs, snap["pairs_v"])
+    idx._commit_meta(spark, int(d_max), v, expected_meta_v=meta_v)
+    return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
 
@@ -710,12 +826,10 @@ def remove_vecs(
     them); everything else carries forward by value."""
     rem = removed.select(F.col("vec_id").alias("doc_id")).distinct().localCheckpoint()
     if rem.count() == 0:
-        return idx.clusters.read(spark).select(
-            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
-        )
-    base_v = idx.clusters.current_version()
-    clusters = idx.clusters.read(spark, version=base_v)
-    pairs = idx.pairs.read(spark)
+        return idx.clusters_df(spark)
+    meta_v, snap = idx.snapshot(spark)
+    clusters = idx.clusters.read(spark, version=snap["clusters_v"])
+    pairs = idx.pairs.read(spark, version=snap["pairs_v"])
     kept_pairs = (
         pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
         .join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
@@ -740,20 +854,23 @@ def remove_vecs(
         .unionByName(_star_components(sub))
         .select("doc_id", "cluster_id", "cluster_size")
     )
-    idx.clusters.overwrite(
-        final.localCheckpoint(),
-        validate=_guard_since_read(idx.clusters, base_v),
-    )
-    idx.pairs.overwrite(kept_pairs)
-    idx.vectors.overwrite(
-        idx.vectors.read(spark)
+    # transaction commit: pinned-snapshot overwrites, meta swapped last
+    # (high-water mark unchanged — ids are never reused)
+    v: dict[str, int] = {}
+    v["clusters"] = idx.clusters.overwrite(final.localCheckpoint())
+    v["pairs"] = idx.pairs.overwrite(kept_pairs)
+    v["vectors"] = idx.vectors.overwrite(
+        idx.vectors.read(spark, version=snap["vectors_v"])
         .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
     )
-    idx.buckets.overwrite(
-        idx.buckets.read(spark)
+    v["buckets"] = idx.buckets.overwrite(
+        idx.buckets.read(spark, version=snap["buckets_v"])
         .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
     )
-    return idx.clusters.read(spark).select(
+    idx._commit_meta(
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v
+    )
+    return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
 
@@ -779,8 +896,7 @@ def emb_dedup_incremental(
     while _last_emb_root:
         shutil.rmtree(_last_emb_root.pop(), ignore_errors=True)
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
-    thr = int(mx) * 7 // 10
+    thr = _split_threshold(emb, "vec_id")
     root = tempfile.mkdtemp(prefix="emb_dedup_index_")
     _last_emb_root.append(root)
     idx = build_emb_index(spark, emb.where(F.col("vec_id") <= thr), root)

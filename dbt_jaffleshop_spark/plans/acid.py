@@ -399,6 +399,51 @@ class AcidTable:
             stage, files, partition_by, meta, recompute, max_retries
         )
 
+    def append_from(
+        self,
+        df: DataFrame,
+        base_version: int,
+        meta: dict | None = None,
+    ) -> int:
+        """Append relative to a PINNED snapshot: the committed manifest
+        references exactly ``manifest(base_version).files`` plus this
+        write's staged files — commits that landed SINCE the base
+        contribute nothing (their files stay referenced only by their
+        own manifests).
+
+        The multi-table-transaction building block (used by the dedup
+        index, llm/dedup_incremental.py): when several tables change
+        together and an external pointer (the index's meta table) is the
+        transaction's serialization point, each table's change must be
+        computed FROM the pointer's pinned snapshot and must NOT merge a
+        concurrent writer's or a crashed attempt's rows the way
+        ``append`` deliberately does — the pointer swap's own validation
+        decides which transaction wins, and the loser's (or the crashed
+        attempt's) versions become unreferenced garbage for vacuum.
+        Crash-rerun idempotence follows: re-running the same logical
+        append against the same ``base_version`` yields base + exactly
+        this attempt's rows, however many earlier attempts died
+        mid-sequence."""
+        base = self.manifest(base_version)
+        partition_by = list(base["partition_by"])
+        stored = base.get("meta", {}).get("schema")
+        mine = self._schema_map(df)
+        if stored and stored != mine:
+            raise ValueError(
+                f"{self.path}: append_from schema {mine} does not match "
+                f"base snapshot v{base_version}'s schema {stored}"
+            )
+        meta = {**(meta or {}), "schema": mine, "append_from": base_version}
+        stage, files = self._stage(df, partition_by)
+
+        def recompute() -> tuple[list[str], int]:
+            cur = self.manifest()["version"] if self.exists() else 0
+            return sorted(base["files"] + files), cur
+
+        return self._commit_with_retry(
+            stage, files, partition_by, meta, recompute
+        )
+
     def overwrite_partitions(
         self, df: DataFrame, part_col: str, values: list,
         meta: dict | None = None,

@@ -621,11 +621,12 @@ def test_emb_removal_lifecycle_and_clustered_endpoint(spark, sf_dir):
     assert stored == want_pairs
 
 
-def test_fold_aborts_on_concurrent_cluster_commit(spark, sf_dir):
-    """Lost-update guard: a commit landing on the clusters table
-    between a fold's read and its overwrite must abort the fold with
-    ConcurrentWriteError (never silently replace the racer's labels) —
-    the merge_rows guard shape applied to the index."""
+def test_fold_aborts_on_concurrent_meta_commit(spark, sf_dir):
+    """Lost-update guard at the transaction's serialization point: a
+    meta commit landing between a fold's snapshot read and its own meta
+    swap must abort the fold with ConcurrentWriteError — the losing
+    fold's data-table versions stay unreferenced by meta (the winner's
+    consistent state survives)."""
     import tempfile
 
     import pytest
@@ -640,20 +641,21 @@ def test_fold_aborts_on_concurrent_cluster_commit(spark, sf_dir):
     thr = mx * 7 // 10
     root = tempfile.mkdtemp(prefix="dedup_idx_race_")
     idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
+    winner_meta = sorted(map(tuple, idx.meta.read(spark).collect()))
 
-    # interpose: the first clusters read inside the fold triggers a
-    # racing commit before the fold's overwrite runs
+    # interpose: the fold's pinned clusters read triggers a racing meta
+    # commit (same row, new version) before the fold's own meta swap
     real_read = idx.clusters.read
+    real_meta_overwrite = idx.meta.overwrite
     fired = []
 
     def racing_read(s, version=None):
         out = real_read(s, version=version)
         if not fired:
             fired.append(True)
-            real_overwrite(out.limit(1).localCheckpoint())  # the racer
+            real_meta_overwrite(idx.meta.read(s).localCheckpoint())
         return out
 
-    real_overwrite = idx.clusters.overwrite
     idx.clusters.read = racing_read
     try:
         with pytest.raises(ConcurrentWriteError, match="now current"):
@@ -662,3 +664,56 @@ def test_fold_aborts_on_concurrent_cluster_commit(spark, sf_dir):
             )
     finally:
         idx.clusters.read = real_read
+    # the index still points at a consistent (the racer's) state
+    assert sorted(map(tuple, idx.meta.read(spark).collect())) == winner_meta
+
+
+def test_fold_crash_rerun_is_idempotent(spark, sf_dir):
+    """Crash atomicity: a fold dying mid-commit-sequence (after some
+    data tables committed, before the meta swap) must leave the index
+    readable at its pre-fold state, and the RE-RUN must land exactly on
+    the full-recompute answer — no doubled shingle rows, no torn
+    cross-table state (the r10 review's corruption scenario)."""
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import dedup_clusters
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_crash_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
+    pre_fold = sorted(map(tuple, idx.clusters_df(spark).collect()))
+    delta = docs.where(F.col("doc_id") > thr)
+
+    # crash AFTER clusters+shingles+bands committed, BEFORE pairs/meta
+    real_append_from = idx.pairs.append_from
+
+    def crashing_append_from(df, base_version, meta=None):
+        raise RuntimeError("simulated executor loss mid-transaction")
+
+    idx.pairs.append_from = crashing_append_from
+    with pytest.raises(RuntimeError, match="simulated"):
+        di.incremental_update(spark, delta, idx)
+    idx.pairs.append_from = real_append_from
+
+    # meta never moved: the index still reads its pre-fold state
+    assert sorted(map(tuple, idx.clusters_df(spark).collect())) == pre_fold
+    # the re-run (the documented remedy) lands on full recompute exactly
+    final = di.incremental_update(spark, delta, idx)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, dedup_clusters(spark, sf_dir).collect())
+    )
+    # and the shingle table holds each delta row ONCE (the old append
+    # path double-counted after a crash, quadrupling Jaccard intersections)
+    _v, snap = idx.snapshot(spark)
+    sh = idx.shingles.read(spark, version=snap["shingles_v"])
+    assert (
+        sh.groupBy("doc_id", "sh_h").count().where(F.col("count") > 1).count()
+        == 0
+    )
