@@ -1193,6 +1193,31 @@ jac AS (
 """
 
 
+def components_sql_tail(id_a: str, id_b: str, id_out: str) -> str:
+    """The ONE DuckDB connected-components definition (recursive-CTE
+    reachability, cluster_id = min reachable origin, window-count
+    size), emitted as the tail of a WITH chain that already defines a
+    ``pairs`` CTE with columns (``id_a``, ``id_b``). Shared by every
+    clustering oracle — the labeling convention must not drift
+    copy-by-copy (r10 review finding, same policy as _quant_cte /
+    _shingle_cte)."""
+    return f"""edges AS (
+    SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+    UNION ALL
+    SELECT {id_b} AS src, {id_a} AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, origin) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS {id_out}, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels"""
+
+
 def _minhash_oracle(star: bool = False, source: str = "documents") -> str:
     """MinHash+LSH pair oracle; ``star=True`` swaps the all-pairs
     bucket clique for the star candidate generation (bucket member →
@@ -1337,21 +1362,7 @@ FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 WITH RECURSIVE pairs AS (
     SELECT doc_a, doc_b FROM ({_minhash_oracle(star=True)}) mh
 ),
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, origin) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
-),
-labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM labels
+{components_sql_tail("doc_a", "doc_b", "doc_id")}
 """,
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": f"""
@@ -1439,21 +1450,7 @@ p AS (
 pairs AS (
     SELECT id_a, id_b FROM p WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
 ),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION ALL
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, origin) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
-),
-labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS vec_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM labels
+{components_sql_tail("id_a", "id_b", "vec_id")}
 """,
 }
 

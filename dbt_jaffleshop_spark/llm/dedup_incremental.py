@@ -911,7 +911,12 @@ def emb_dedup_incremental(
 
 
 def _emb_oracle() -> str:
-    from .dedup import _COS_D, _quant_cte, COSINE_DUP_THRESHOLD
+    from .dedup import (
+        _COS_D,
+        _quant_cte,
+        components_sql_tail,
+        COSINE_DUP_THRESHOLD,
+    )
 
     quant = _quant_cte(
         f"(SELECT * FROM embeddings"
@@ -943,26 +948,12 @@ p AS (
 pairs AS (
     SELECT id_a, id_b FROM p WHERE {_COS_D} >= {COSINE_DUP_THRESHOLD}
 ),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION ALL
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, origin) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
-),
-labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS vec_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM labels
+{components_sql_tail("id_a", "id_b", "vec_id")}
 """
 
 
 def _oracle() -> str:
-    from .dedup import _minhash_oracle
+    from .dedup import _minhash_oracle, components_sql_tail
 
     star_pairs = _minhash_oracle(
         star=True,
@@ -975,21 +966,7 @@ def _oracle() -> str:
 WITH RECURSIVE pairs AS (
     SELECT doc_a, doc_b FROM ({star_pairs}) mh
 ),
-edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM pairs
-    UNION ALL
-    SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, origin) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node
-),
-labels AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY node)
-SELECT node AS doc_id, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM labels
+{components_sql_tail("doc_a", "doc_b", "doc_id")}
 """
 
 
