@@ -120,6 +120,27 @@ def _guard_since_read(table: AcidTable, base_version: int):
     return _unchanged
 
 
+def _read_meta_row(meta: AcidTable, version: int) -> dict:
+    """The pinned one-row meta snapshot, read DRIVER-SIDE via pyarrow
+    straight from the manifest's file list — a meta lookup is on every
+    operation's critical path, and spinning a Spark job (scan + collect)
+    for one row costs ~0.3-0.5 s each time. Bounded by construction:
+    every meta writer commits exactly one row."""
+    import pyarrow.parquet as pq
+
+    m = meta.manifest(version)
+    rows: list[dict] = []
+    for f in m["files"]:
+        t = pq.read_table(os.path.join(meta.data_dir, f))
+        rows.extend(t.to_pylist())
+    if len(rows) != 1:
+        raise ValueError(
+            f"{meta.path}: meta snapshot v{version} holds {len(rows)} rows, "
+            "expected exactly 1 — manifest corruption"
+        )
+    return rows[0]
+
+
 def _resolve_labels(
     new_pairs: DataFrame, old: DataFrame, corpus_max: int
 ) -> DataFrame:
@@ -203,7 +224,7 @@ class DedupIndex:
         """(meta_version, pinned row dict) — the consistent view every
         operation reads through. Bounded collect: meta is one row."""
         v = self.meta.current_version()
-        return v, self.meta.read(spark, version=v).collect()[0].asDict()
+        return v, _read_meta_row(self.meta, v)
 
     def _commit_meta(
         self,
@@ -649,7 +670,7 @@ class EmbDedupIndex:
 
     def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
         v = self.meta.current_version()
-        return v, self.meta.read(spark, version=v).collect()[0].asDict()
+        return v, _read_meta_row(self.meta, v)
 
     def _commit_meta(
         self,
