@@ -673,3 +673,71 @@ def test_restore_keeps_stream_replay_guard(spark, tmp_path):
     meta = table.manifest()["meta"]
     assert meta["stream_batch_id"] == 1  # NOT v1's 0
     assert meta["restored_from"] == 1
+
+
+def test_append_from_excludes_concurrent_and_crashed_rows(spark, tmp_path):
+    """append_from pins its base: rows committed AFTER the base version
+    (a concurrent writer, or a crashed attempt's partial append) are
+    NOT merged into the result — unlike append, whose retry-merge
+    deliberately includes them. The excluded version stays readable via
+    time travel, and vacuum reclaims it once expired."""
+    path = str(tmp_path / "tbl_af")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 10))  # v1 = the pinned base
+    table.append(_df(spark, 100, 105))  # v2: a concurrent/crashed writer
+
+    v3 = table.append_from(_df(spark, 200, 203), base_version=1)
+    assert v3 == 3
+    ids = sorted(r.id for r in table.read(spark).collect())
+    assert ids == list(range(0, 10)) + [200, 201, 202]  # no 100..104
+    # the skipped version is still consistent via time travel
+    assert sorted(r.id for r in table.read(spark, version=2).collect()) == (
+        list(range(0, 10)) + list(range(100, 105))
+    )
+    # manifest records the provenance
+    assert table.manifest(3)["meta"]["append_from"] == 1
+
+
+def test_append_from_schema_drift_raises(spark, tmp_path):
+    """The base snapshot's recorded schema guards append_from, same as
+    append's drift check."""
+    path = str(tmp_path / "tbl_af_schema")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="does not match"):
+        table.append_from(
+            spark.range(0, 3).selectExpr("id", "id as other_col"),
+            base_version=1,
+        )
+
+
+def test_append_from_survives_slot_conflict(spark, tmp_path):
+    """A concurrent commit claiming append_from's slot mid-commit makes
+    it retry onto the next slot — files still base + staged only."""
+    path = str(tmp_path / "tbl_af_race")
+    table = AcidTable(path)
+    table.overwrite(_df(spark, 0, 4))  # v1
+
+    other = AcidTable(path)
+    orig_commit = table._commit
+    raced = {"done": False}
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not raced["done"]:
+            raced["done"] = True
+            other.append(_df(spark, 50, 52))  # steals the slot
+        return orig_commit(
+            files, partition_by, meta=meta, expected_parent=expected_parent
+        )
+
+    table._commit = racing_commit
+    try:
+        v = table.append_from(_df(spark, 200, 202), base_version=1)
+    finally:
+        table._commit = orig_commit
+    # the racer's rows are NOT merged (pinned base), but its version
+    # exists; append_from landed on the next free slot
+    assert v == 3
+    assert sorted(r.id for r in table.read(spark, version=v).collect()) == (
+        list(range(0, 4)) + [200, 201]
+    )
