@@ -272,15 +272,33 @@ class MetricQuery:
         for path, dims in self._entity_joins():
             for i, (key, target) in enumerate(path.hops):
                 tgt = target.base(spark, sf_dir)
+                # Every hop ADDS columns to the running frame (the next
+                # hop's key, or the aliased output dims). If the base
+                # mart already defines a same-named column, the next
+                # join (Spark) — and the oracle's chained USING —
+                # becomes AMBIGUOUS_REFERENCE; nothing in the declared
+                # jaffle paths trips this, but a future EntityPath
+                # declaration could, so fail loudly at resolution time
+                # instead (r10 advisor finding).
                 if i + 1 < len(path.hops):
-                    proj = tgt.select(key, path.hops[i + 1][0])
+                    added = [path.hops[i + 1][0]]
+                    proj = tgt.select(key, *added)
                 else:
+                    added = [out for out, _ in dims]
                     proj = tgt.select(
                         key,
                         *[
                             F.expr(dim.sql()).alias(out)
                             for out, dim in dims
                         ],
+                    )
+                clash = [c for c in added if c in df.columns]
+                if clash:
+                    raise ValueError(
+                        f"entity path {path.name!r}: hop {i} over "
+                        f"{key!r} would add column(s) {clash} that the "
+                        f"frame already defines — rename the base "
+                        f"column or alias the hop key/dimension"
                     )
                 df = df.join(proj, key, "left")
         if self.where:
