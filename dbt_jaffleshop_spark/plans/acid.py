@@ -434,6 +434,18 @@ class AcidTable:
                 f"base snapshot v{base_version}'s schema {stored}"
             )
         meta = {**(meta or {}), "schema": mine, "append_from": base_version}
+        # carry forward the base snapshot's per-file column stats for the
+        # files this commit keeps — append() does the same for its parent;
+        # dropping them here would silently disable file skipping for all
+        # base files of a z-ordered table folded through append_from (r10
+        # advisor finding). Merged once, outside recompute: the base is
+        # PINNED, so its live-stats set never changes across retries.
+        base_stats = base.get("meta", {}).get("stats", {})
+        if base_stats:
+            live = {
+                f: s for f, s in base_stats.items() if f in set(base["files"])
+            }
+            meta = {**meta, "stats": {**live, **meta.get("stats", {})}}
         stage, files = self._stage(df, partition_by)
 
         def recompute() -> tuple[list[str], int]:
@@ -448,6 +460,7 @@ class AcidTable:
         self, df: DataFrame, part_col: str, values: list,
         meta: dict | None = None,
         validate=None,
+        base_version: int | None = None,
     ) -> int:
         """Dynamic-partition overwrite, atomically: stage files for the
         affected partitions, carry forward every other partition's files
@@ -458,10 +471,14 @@ class AcidTable:
         like append: a concurrent append to ANOTHER partition survives
         this commit; a concurrent layout/schema change aborts it.
 
+        ``base_version`` pins the carried-forward file set to that
+        snapshot (see :meth:`replace_partitions_and_append`).
+
         (The append_df=None degenerate case of
         :meth:`replace_partitions_and_append` — one shared commit path.)"""
         return self.replace_partitions_and_append(
-            df, part_col, values, append_df=None, meta=meta, validate=validate
+            df, part_col, values, append_df=None, meta=meta,
+            validate=validate, base_version=base_version,
         )
 
     def replace_partitions_and_append(
@@ -472,6 +489,7 @@ class AcidTable:
         append_df: DataFrame | None,
         meta: dict | None = None,
         validate=None,
+        base_version: int | None = None,
     ) -> int:
         """Atomically replace the ``values`` partitions with ``replace_df``
         AND append ``append_df``'s rows into the other partitions — ONE
@@ -494,15 +512,31 @@ class AcidTable:
         hook for caller-level idempotence guards that must hold under
         races, not just at call time (raise ValueError to abort; the
         staged files are discarded). Without it, a check-then-act guard
-        at the call site re-validates nothing after a lost race."""
+        at the call site re-validates nothing after a lost race.
+
+        ``base_version`` pins the carried-forward files (and the schema
+        check) to that snapshot instead of the live pointer — the
+        partition-scoped sibling of :meth:`append_from`, for multi-table
+        transactions whose serialization point is an EXTERNAL meta
+        pointer (llm/dedup_incremental.py): a crashed earlier attempt's
+        commit sits ABOVE the pinned version on this table, and carrying
+        the live manifest's files would silently build on that garbage.
+        With a pin, untouched partitions come from exactly the pinned
+        snapshot; commits since contribute nothing."""
         from pyspark.sql import functions as F
 
-        prev = self.manifest()
+        prev = self.manifest(base_version)
         partition_by = prev["partition_by"]
         affected_dirs = {f"{part_col}={v}" for v in values}
-        self._check_append_schema(replace_df)
-        if append_df is not None:
-            self._check_append_schema(append_df)
+        stored_base = prev.get("meta", {}).get("schema")
+        for frame in (replace_df, append_df):
+            if frame is None:
+                continue
+            if stored_base and stored_base != self._schema_map(frame):
+                raise ValueError(
+                    f"{self.path}: write schema {self._schema_map(frame)} "
+                    f"does not match table schema {stored_base}"
+                )
         meta = {**(meta or {}), "schema": self._schema_map(replace_df)}
         my_schema = meta["schema"]
 
@@ -519,12 +553,15 @@ class AcidTable:
             cur = self.manifest()
             if validate is not None:
                 validate(cur)
-            if cur["partition_by"] != partition_by:
+            # pinned mode: untouched partitions carry from the PINNED
+            # snapshot; the live manifest only supplies the parent slot.
+            src = cur if base_version is None else prev
+            if src["partition_by"] != partition_by:
                 raise ValueError(
                     f"{self.path}: concurrent writer changed partition_by "
-                    f"to {cur['partition_by']}; staged {partition_by}"
+                    f"to {src['partition_by']}; staged {partition_by}"
                 )
-            stored = cur.get("meta", {}).get("schema")
+            stored = src.get("meta", {}).get("schema")
             if stored and stored != my_schema:
                 raise ValueError(
                     f"{self.path}: write schema {my_schema} does not "
@@ -532,10 +569,20 @@ class AcidTable:
                 )
             kept = [
                 f
-                for f in cur["files"]
+                for f in src["files"]
                 if not any(part in f.split(os.sep) for part in affected_dirs)
             ]
-            return sorted(kept + new_files), cur["version"]
+            # stats carry-forward for kept files (same contract as
+            # append/append_from): replacing two partitions must not
+            # disable file skipping for every other partition's files.
+            attempt_meta = meta
+            src_stats = src.get("meta", {}).get("stats", {})
+            if src_stats:
+                live = {f: s for f, s in src_stats.items() if f in set(kept)}
+                attempt_meta = {
+                    **meta, "stats": {**live, **meta.get("stats", {})}
+                }
+            return sorted(kept + new_files), cur["version"], attempt_meta
 
         try:
             return self._commit_with_retry(
@@ -859,12 +906,29 @@ class AcidTable:
     # ------------------------------------------------------------- vacuum
 
     def vacuum(
-        self, keep_last: int = 2, orphan_grace_s: float = 600.0
+        self,
+        keep_last: int = 2,
+        orphan_grace_s: float = 600.0,
+        protect_versions: set[int] | frozenset[int] | None = None,
     ) -> list[str]:
         """Delete data files referenced ONLY by expired snapshots (all but
         the newest ``keep_last``), then drop their manifests. keep_last≥2
         leaves the previous snapshot intact for readers that resolved it
         just before the latest commit.
+
+        ``protect_versions`` forces specific committed versions (their
+        manifests AND files) into the keep set regardless of keep_last.
+        This is the hook for EXTERNAL commit pointers: a multi-table
+        transaction protocol (llm/dedup_incremental.py's meta row, the
+        warehouse publish pointer) can reference a version that is no
+        longer among the newest ``keep_last`` — crashed attempts and
+        losing concurrent writers deliberately leave newer-but-
+        unreferenced commits on the table, and a count-based keep window
+        alone would let two such garbage commits push the pointer-pinned
+        LIVE version out and delete its files (r10 advisor finding).
+        Callers that maintain a pointer must pass its pinned version
+        here; versions above the committed pointer are ignored (they
+        are aborted manifests, handled by the orphan grace).
 
         ORPHANS — artifacts referenced by no committed manifest: an
         above-pointer manifest (a writer died between claiming the slot
@@ -893,6 +957,8 @@ class AcidTable:
         all_versions = self._all_versions()
         versions = [v for v in all_versions if v <= committed]
         keep = set(versions[-keep_last:])
+        if protect_versions:
+            keep.update(v for v in versions if v in protect_versions)
         live: set[str] = set()
         known: set[str] = set()  # referenced by ANY committed manifest
         for v in versions:
