@@ -8,7 +8,11 @@ end state is pytest- and driver-pinned EQUAL to a full recompute over
 The persisted index (six :class:`..plans.acid.AcidTable` snapshot
 tables under one root — atomic commits, time travel, O(changed) cost;
 ``bands`` + ``pairs`` exist for exact removal, see
-:class:`DedupIndex`):
+:class:`DedupIndex`). Every data table is HASH-PARTITIONED (r11: doc
+tables by ``p_bucket = id % N_DOC_BUCKETS``, ``bucket_mins`` by
+``band``) so removals and folds commit through partition-scoped,
+pinned-base writes — files written per operation is O(affected
+partitions + delta), never O(corpus):
 
 * ``shingles``    — (doc_id, sh_h): the corpus's distinct hashed-shingle
                     relation (llm/dedup.py ``_shingle_table`` output).
@@ -101,6 +105,40 @@ from .dedup import (
 )
 
 
+# Partition layout of the index data tables (VERDICT r10 item 1): every
+# doc-keyed table is hash-partitioned into N_DOC_BUCKETS Hive directories
+# (p_bucket = id % N) and ``bucket_mins`` partitions by ``band``, so
+# removal and fold commits rewrite ONLY the affected partitions'
+# files — files-written is O(affected partitions), never O(corpus)
+# (AcidTable.overwrite_partitions / replace_partitions_and_append with a
+# pinned base). The partition column is DERIVED, never trusted from a
+# read-back: p_bucket = id % N is recomputed wherever needed, so logical
+# contents stay a pure function of (doc_id, payload). 16 buckets at test
+# scale; a production deployment scales this with corpus size (64-1024)
+# the same way it sizes any hash-bucketed layout.
+N_DOC_BUCKETS = 16
+_PB = "p_bucket"
+
+
+def _with_bucket(df: DataFrame, id_col: str) -> DataFrame:
+    """Append the derived partition column (id % N_DOC_BUCKETS)."""
+    return df.withColumn(
+        _PB, (F.col(id_col) % N_DOC_BUCKETS).cast("int")
+    )
+
+
+def _bucket_values(df: DataFrame, id_col: str) -> list[int]:
+    """The DISTINCT affected partition values of a frame — a driver
+    collect bounded by N_DOC_BUCKETS, never by rows."""
+    return [
+        r[0]
+        for r in _with_bucket(df.select(id_col), id_col)
+        .select(_PB)
+        .distinct()
+        .collect()
+    ]
+
+
 def _guard_since_read(table: AcidTable, base_version: int):
     """Validate hook for the transaction's meta pointer swap — the same
     lost-update shape AcidTable.merge_rows guards: the whole fold/
@@ -141,15 +179,41 @@ def _read_meta_row(meta: AcidTable, version: int) -> dict:
     return rows[0]
 
 
+def _vacuum_index(idx, tables: tuple[str, ...], keep_last: int) -> dict[str, int]:
+    """Shared vacuum for both index flavors: read the meta row FIRST
+    (the committed pointer), then vacuum every data table with its
+    meta-pinned version protected. Meta itself needs no pin — its
+    current version IS the pointer and keep_last always retains it."""
+    out: dict[str, int] = {}
+    pins: dict[str, set[int]] = {}
+    if idx.meta.exists():
+        mv = idx.meta.current_version()
+        snap = _read_meta_row(idx.meta, mv)
+        pins = {t: {int(snap[f"{t}_v"])} for t in tables}
+    for name in (*tables, "meta"):
+        out[name] = len(
+            getattr(idx, name).vacuum(
+                keep_last=keep_last, protect_versions=pins.get(name)
+            )
+        )
+    return out
+
+
 def _resolve_labels(
     new_pairs: DataFrame, old: DataFrame, corpus_max: int
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fold verified delta edges into an existing (doc_id, cluster_id,
     cluster_size) labeling, re-solving ONLY the components a new edge
     touches: old labels of affected clusters re-enter as (cluster_id →
     member) edges — which encode exactly the old connectivity — while
     every untouched cluster row is carried forward by value. Shared by
-    the document (MinHash) and embedding (hyperplane) folds."""
+    the document (MinHash) and embedding (hyperplane) folds.
+
+    Returns ``(final, resolved, affected_cids)``: the full updated
+    labeling, the re-solved rows alone, and the re-solved cluster ids —
+    the latter two drive the partition-scoped cluster-table commit
+    (:func:`_commit_clusters_update`)."""
+    old = old.select("doc_id", "cluster_id", "cluster_size")
     touched = (
         new_pairs.where(F.col("doc_a") <= F.lit(corpus_max))
         .select(F.col("doc_a").alias("doc_id"))
@@ -166,11 +230,45 @@ def _resolve_labels(
     ).select(
         F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    resolved = _star_components(new_pairs.unionByName(label_edges))
-    return (
+    # checkpointed: resolved feeds BOTH the replace leg (via final) and
+    # the append leg of the partition-scoped commit — one evaluation
+    resolved = _star_components(new_pairs.unionByName(label_edges)).localCheckpoint()
+    final = (
         old.join(affected_cids, "cluster_id", "left_anti")
         .unionByName(resolved)
         .select("doc_id", "cluster_id", "cluster_size")
+    )
+    return final, resolved, affected_cids
+
+
+def _commit_clusters_update(
+    table: AcidTable,
+    old: DataFrame,
+    final: DataFrame,
+    resolved: DataFrame,
+    affected_cids: DataFrame,
+    base_version: int,
+) -> int:
+    """Commit a cluster-table update (fold or removal) touching only
+    the partitions whose rows changed: partitions holding a re-solved
+    cluster's OLD rows are replaced (their re-labeled/shrunk content
+    comes from ``final``), while rows for docs with NO previous cluster
+    row — delta docs, and corpus docs gaining their FIRST verified pair
+    (singletons have no stored row, so their partitions are not in the
+    replace set) — are APPENDED into the other partitions. One manifest
+    (replace_partitions_and_append), pinned to the meta-referenced base
+    so a crashed attempt's commit is never built on. Files written:
+    O(affected partitions + new rows), not O(corpus)."""
+    old = old.select("doc_id", "cluster_id", "cluster_size")
+    old_affected = old.join(affected_cids, "cluster_id", "left_semi")
+    vals = _bucket_values(old_affected, "doc_id")
+    fresh = resolved.join(old.select("doc_id"), "doc_id", "left_anti")
+    return table.replace_partitions_and_append(
+        _with_bucket(final, "doc_id"),
+        _PB,
+        vals,
+        append_df=_with_bucket(fresh, "doc_id"),
+        base_version=base_version,
     )
 
 
@@ -260,14 +358,18 @@ class DedupIndex:
         accumulates one manifest set per day forever. Delegates to
         AcidTable.vacuum per table; returns {table: files_removed}.
         keep_last ≥ 2 preserves yesterday's snapshot for concurrent
-        readers AND keeps one RESTORE point."""
-        return {
-            name: len(getattr(self, name).vacuum(keep_last=keep_last))
-            for name in (
-                "shingles", "bands", "bucket_mins", "pairs",
-                "clusters", "meta",
-            )
-        }
+        readers AND keeps one RESTORE point.
+
+        The meta-PINNED version of every data table is forced into the
+        keep set regardless of keep_last (AcidTable.vacuum
+        ``protect_versions``): the transaction protocol deliberately
+        leaves data-table commits never referenced by meta (crashed
+        attempts, folds that lost the meta swap), and two such garbage
+        commits between vacuums would otherwise push the live version
+        out of a count-based keep window and delete its files — index
+        corruption with no error until the next read (r10 advisor
+        finding)."""
+        return _vacuum_index(self, self._TABLES, keep_last)
 
 
 def build_dedup_index(
@@ -287,10 +389,18 @@ def build_dedup_index(
     sh = _shingle_table(docs).localCheckpoint()
     bands = _lsh_bands(_minhash_signatures_from(sh)).localCheckpoint()
     v: dict[str, int] = {}
-    v["shingles"] = idx.shingles.overwrite(sh)
-    v["bands"] = idx.bands.overwrite(bands)
+    # every data table lands hash-partitioned (module comment at
+    # N_DOC_BUCKETS) so later removals/folds commit O(affected
+    # partitions); bucket_mins partitions by its natural key `band`.
+    v["shingles"] = idx.shingles.overwrite(
+        _with_bucket(sh, "doc_id"), partition_by=[_PB]
+    )
+    v["bands"] = idx.bands.overwrite(
+        _with_bucket(bands, "doc_id"), partition_by=[_PB]
+    )
     v["bucket_mins"] = idx.bucket_mins.overwrite(
-        bands.groupBy("band", "bv").agg(F.min("doc_id").alias("mn"))
+        bands.groupBy("band", "bv").agg(F.min("doc_id").alias("mn")),
+        partition_by=["band"],
     )
     # star candidates → exact-Jaccard verify → components: identical
     # generation to llm/dedup.py dedup_minhash_star_pairs
@@ -299,8 +409,12 @@ def build_dedup_index(
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    v["pairs"] = idx.pairs.overwrite(pairs)
-    v["clusters"] = idx.clusters.overwrite(_star_components(pairs))
+    v["pairs"] = idx.pairs.overwrite(
+        _with_bucket(pairs, "doc_a"), partition_by=[_PB]
+    )
+    v["clusters"] = idx.clusters.overwrite(
+        _with_bucket(_star_components(pairs), "doc_id"), partition_by=[_PB]
+    )
     idx._commit_meta(spark, int(mx), v, expected_meta_v=None)
     return idx
 
@@ -353,8 +467,10 @@ def incremental_update(
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    corpus_sh = idx.shingles.read(spark, version=snap["shingles_v"]).join(
-        cand_corpus, "doc_id", "left_semi"
+    corpus_sh = (
+        idx.shingles.read(spark, version=snap["shingles_v"])
+        .select("doc_id", "sh_h")
+        .join(cand_corpus, "doc_id", "left_semi")
     )
     new_pairs = _verify_jaccard(
         cands, corpus_sh.unionByName(d_sh)
@@ -362,27 +478,36 @@ def incremental_update(
 
     # --- re-solve ONLY the components a new edge touches, reading the
     # pinned snapshot
-    final = _resolve_labels(
-        new_pairs,
-        idx.clusters.read(spark, version=snap["clusters_v"]),
-        corpus_max,
+    old = idx.clusters.read(spark, version=snap["clusters_v"])
+    final, resolved, affected_cids = _resolve_labels(
+        new_pairs, old, corpus_max
     )
 
     # --- commit the transaction: every data table is computed FROM the
-    # pinned snapshot (append_from, never append — a crashed attempt's
-    # or concurrent fold's rows must not merge in), then meta swaps
-    # LAST with unchanged-since-read validation: the serialization
-    # point. Crash anywhere before the meta swap → meta unmoved →
-    # partial versions invisible, re-run idempotent.
+    # pinned snapshot (append_from / pinned replace, never append — a
+    # crashed attempt's or concurrent fold's rows must not merge in),
+    # then meta swaps LAST with unchanged-since-read validation: the
+    # serialization point. Crash anywhere before the meta swap → meta
+    # unmoved → partial versions invisible, re-run idempotent. Every
+    # commit is partition-scoped: appends land only the delta's files;
+    # the cluster update rewrites affected partitions and appends the
+    # delta's rows — O(affected + delta) files written.
     v: dict[str, int] = {}
-    v["clusters"] = idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    v["clusters"] = _commit_clusters_update(
+        idx.clusters, old, final, resolved, affected_cids,
+        snap["clusters_v"],
     )
-    v["shingles"] = idx.shingles.append_from(d_sh, snap["shingles_v"])
-    v["bands"] = idx.bands.append_from(d_bands, snap["bands_v"])
-    v["pairs"] = idx.pairs.append_from(new_pairs, snap["pairs_v"])
+    v["shingles"] = idx.shingles.append_from(
+        _with_bucket(d_sh, "doc_id"), snap["shingles_v"]
+    )
+    v["bands"] = idx.bands.append_from(
+        _with_bucket(d_bands, "doc_id"), snap["bands_v"]
+    )
+    v["pairs"] = idx.pairs.append_from(
+        _with_bucket(new_pairs, "doc_a"), snap["pairs_v"]
+    )
     v["bucket_mins"] = idx.bucket_mins.append_from(
-        d_mins.join(mins, ["band", "bv"], "left_anti")
+        d_mins.join(mins.select("band", "bv"), ["band", "bv"], "left_anti")
         .select("band", "bv", F.col("dmn").alias("mn")),
         snap["bucket_mins_v"],
     )
@@ -414,21 +539,30 @@ def remove_docs(
       later folds compose exactly with the removal.
 
     Ids are never reused (the high-water mark is NOT lowered), keeping
-    the fold invariant intact. Locally the shingle/band/pair deletes
-    are table overwrites; at 100 TB these tables are partitioned (by
-    doc-id bucket / band) and the delete rewrites only affected
-    partitions — or rides merge-on-read delete files, the
-    Iceberg/Delta mechanism the snapshot layer models."""
+    the fold invariant intact. Every commit is PARTITION-SCOPED
+    (r11, VERDICT r10 item 1): the doc-keyed tables rewrite only the
+    ``p_bucket`` partitions holding a changed row and ``bucket_mins``
+    only the bands with a re-elected minimum — files written is
+    O(affected partitions), never O(corpus) — pinned to the
+    meta-referenced base snapshots (AcidTable.overwrite_partitions
+    ``base_version``), the same mechanism as Iceberg/Delta
+    partition-overwrite deletes."""
     rem = removed.select("doc_id").distinct().localCheckpoint()
     if rem.count() == 0:
         return idx.clusters_df(spark)
 
     meta_v, snap = idx.snapshot(spark)
+    # reads KEEP the hive partition column (p_bucket): the write-back's
+    # partition filter then reaches the scan as a PartitionFilter, so
+    # staging an affected partition never reads the unaffected ones
     sh = idx.shingles.read(spark, version=snap["shingles_v"])
     bands = idx.bands.read(spark, version=snap["bands_v"])
     mins = idx.bucket_mins.read(spark, version=snap["bucket_mins_v"])
     pairs = idx.pairs.read(spark, version=snap["pairs_v"])
-    clusters = idx.clusters.read(spark, version=snap["clusters_v"])
+    clusters = idx.clusters.read(spark, version=snap["clusters_v"]).select(
+        "doc_id", "cluster_id", "cluster_size", _PB
+    )
+    clus3 = clusters.select("doc_id", "cluster_id", "cluster_size")
 
     # lazy anti-joins, NOT checkpointed: the pinned reads resolve a
     # fixed file list, so both uses (verification, the write-back) see
@@ -464,19 +598,22 @@ def remove_docs(
     )
 
     # --- surviving pair set (the full-recompute invariant, restored)
-    kept_pairs = (
-        pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
-        .join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
-        .select("doc_a", "doc_b")
+    kept_pairs = pairs.join(
+        rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+    ).join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+    pairs_next = (
+        kept_pairs.select("doc_a", "doc_b")
+        .unionByName(new_pairs)
+        .distinct()
+        .localCheckpoint()
     )
-    pairs_next = kept_pairs.unionByName(new_pairs).distinct().localCheckpoint()
 
     # --- re-solve ONLY the affected components, from the REAL pairs
     touched = (
-        clusters.join(rem, "doc_id", "left_semi")
+        clus3.join(rem, "doc_id", "left_semi")
         .select("cluster_id")
         .unionByName(
-            clusters.join(
+            clus3.join(
                 new_pairs.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
                 .distinct(),
@@ -486,7 +623,7 @@ def remove_docs(
         )
         .distinct()
     )
-    affected_members = clusters.join(touched, "cluster_id", "left_semi").select(
+    affected_members = clus3.join(touched, "cluster_id", "left_semi").select(
         "doc_id"
     )
     sub = (
@@ -498,24 +635,58 @@ def remove_docs(
         .unionByName(new_pairs)
         .distinct()
     )
-    resolved = _star_components(sub)
+    resolved = _star_components(sub).localCheckpoint()
     final = (
-        clusters.join(touched, "cluster_id", "left_anti")
+        clus3.join(touched, "cluster_id", "left_anti")
         .unionByName(resolved)
         .select("doc_id", "cluster_id", "cluster_size")
     )
 
-    # --- commit the transaction: full overwrites computed from the
-    # pinned snapshot, meta swapped LAST (serialization point — see
-    # incremental_update). The high-water mark does NOT lower: ids are
-    # never reused, keeping the fold invariant intact.
+    # --- affected-partition sets, each a driver list bounded by the
+    # partition-value domain (N_DOC_BUCKETS / LSH band count), collected
+    # from the pinned reads
+    doc_vals = _bucket_values(rem, "doc_id")
+    pair_vals = sorted(
+        r[0]
+        for r in pairs.join(
+            rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .select(_PB)
+        .unionByName(
+            pairs.join(
+                rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+            ).select(_PB)
+        )
+        .unionByName(_with_bucket(new_pairs, "doc_a").select(_PB))
+        .distinct()
+        .collect()
+    )
+    band_vals = sorted(
+        r[0] for r in reelect_keys.select("band").distinct().collect()
+    )
+
+    # --- commit the transaction: partition-scoped overwrites computed
+    # from the pinned snapshots, meta swapped LAST (serialization
+    # point — see incremental_update). The high-water mark does NOT
+    # lower: ids are never reused, keeping the fold invariant intact.
     v: dict[str, int] = {}
-    v["clusters"] = idx.clusters.overwrite(final.localCheckpoint())
-    v["shingles"] = idx.shingles.overwrite(sh_kept)
-    v["bands"] = idx.bands.overwrite(bands_kept)
-    v["pairs"] = idx.pairs.overwrite(pairs_next)
-    v["bucket_mins"] = idx.bucket_mins.overwrite(
-        mins_kept.unionByName(new_mins)
+    v["clusters"] = _commit_clusters_update(
+        idx.clusters, clus3, final, resolved, touched,
+        snap["clusters_v"],
+    )
+    v["shingles"] = idx.shingles.overwrite_partitions(
+        sh_kept, _PB, doc_vals, base_version=snap["shingles_v"]
+    )
+    v["bands"] = idx.bands.overwrite_partitions(
+        bands_kept, _PB, doc_vals, base_version=snap["bands_v"]
+    )
+    v["pairs"] = idx.pairs.overwrite_partitions(
+        _with_bucket(pairs_next.select("doc_a", "doc_b"), "doc_a"),
+        _PB, pair_vals, base_version=snap["pairs_v"],
+    )
+    v["bucket_mins"] = idx.bucket_mins.overwrite_partitions(
+        mins_kept.unionByName(new_mins),
+        "band", band_vals, base_version=snap["bucket_mins_v"],
     )
     idx._commit_meta(
         spark, int(snap["max_doc_id"]), v, expected_meta_v=meta_v
@@ -625,19 +796,55 @@ def dedup_incremental(
 
 from .dedup import (  # noqa: E402
     _band_bucket_expr,
+    _bucket_expr_from_planes,
     _quantize_frame,
     _verify_cosine,
 )
+def _extra_planes(band: int, k: int) -> list[list[int]]:
+    """``k`` deterministic ±1 refinement hyperplanes for ``band`` —
+    the planes :func:`rebucket_emb_index` appends beyond the fixed
+    SIM_LSH_PLANES set when scaling bucket count with corpus growth.
+    md5-derived (offline-generatable, like SIM_LSH_PLANES itself), so
+    every engine computes identical buckets for a given setting."""
+    import hashlib
+
+    from .common import SIM_LSH_PLANES
+
+    dim = len(SIM_LSH_PLANES[0])
+    planes: list[list[int]] = []
+    for j in range(k):
+        bits: list[int] = []
+        block = 0
+        while len(bits) < dim:
+            d = hashlib.md5(
+                f"rebucket-plane:{band}:{j}:{block}".encode()
+            ).digest()
+            bits.extend(1 if byte & 1 else -1 for byte in d)
+            block += 1
+        planes.append(bits[:dim])
+    return planes
 
 
-def _coarse_buckets(q: DataFrame) -> DataFrame:
-    """(vec_id, band, bk) — both production 4-bit band buckets per
-    vector, stacked (identical banding to dedup_embedding_lsh)."""
-    b0 = _band_bucket_expr("e", 0, "spark")
-    b1 = _band_bucket_expr("e", 1, "spark")
+def _coarse_buckets(q: DataFrame, extra_bits: int = 0) -> DataFrame:
+    """(vec_id, band, bk) — both band buckets per vector, stacked.
+    ``extra_bits=0`` is the production 4-bit banding (identical to
+    dedup_embedding_lsh); ``extra_bits=k`` REFINES each band with k
+    additional deterministic sign bits (:func:`_extra_planes`) in the
+    HIGHER bit positions, so equal fine buckets imply equal coarse
+    buckets — the property rebucketing's no-reverify shortcut rests
+    on."""
+    from .common import SIM_LSH_PLANES
+    from .dedup import EMB_LSH_BANDS
+
+    exprs = []
+    for band in (0, 1):
+        planes = [SIM_LSH_PLANES[i] for i in EMB_LSH_BANDS[band]]
+        if extra_bits:
+            planes = planes + _extra_planes(band, extra_bits)
+        exprs.append(_bucket_expr_from_planes("e", planes, "spark"))
     return q.select(
         "vec_id",
-        F.expr(f"stack(2, 0, {b0}, 1, {b1}) as (band, bk)"),
+        F.expr(f"stack(2, 0, {exprs[0]}, 1, {exprs[1]}) as (band, bk)"),
     )
 
 
@@ -650,9 +857,13 @@ class EmbDedupIndex:
     label-fold helper is common), and the ``meta`` high-water mark."""
 
     _TABLES = ("vectors", "buckets", "pairs", "clusters")
+    # extra_bits: the current banding refinement (0 = the production
+    # 4-bit banding) — part of the committed pointer so every fold and
+    # removal buckets the way the stored membership was built, and a
+    # rebucket is one more atomic meta swap.
     _META_DDL = (
         "max_vec_id bigint, vectors_v int, buckets_v int, "
-        "pairs_v int, clusters_v int"
+        "pairs_v int, clusters_v int, extra_bits int"
     )
 
     def __init__(self, root: str):
@@ -678,8 +889,13 @@ class EmbDedupIndex:
         max_id: int,
         versions: dict,
         expected_meta_v: int | None,
+        extra_bits: int = 0,
     ) -> None:
-        row = (int(max_id), *[int(versions[t]) for t in self._TABLES])
+        row = (
+            int(max_id),
+            *[int(versions[t]) for t in self._TABLES],
+            int(extra_bits),
+        )
         validate = (
             None
             if expected_meta_v is None
@@ -701,17 +917,17 @@ class EmbDedupIndex:
         )
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
-        """Retention for the embedding index — see DedupIndex.vacuum."""
-        return {
-            name: len(getattr(self, name).vacuum(keep_last=keep_last))
-            for name in ("vectors", "buckets", "pairs", "clusters", "meta")
-        }
+        """Retention for the embedding index — see DedupIndex.vacuum
+        (including the meta-pin protection rationale)."""
+        return _vacuum_index(self, self._TABLES, keep_last)
 
 
-def _emb_clique_pairs(q: DataFrame) -> DataFrame:
+def _emb_clique_pairs(q: DataFrame, extra_bits: int = 0) -> DataFrame:
     """Verified all-pairs banded-LSH cosine pairs (doc_a, doc_b) over a
-    quantized frame — dedup_embedding_lsh's exact candidate semantics."""
-    b = _coarse_buckets(q)
+    quantized frame — dedup_embedding_lsh's exact candidate semantics
+    (at extra_bits=0; finer bandings trade recall for candidate
+    volume, see rebucket_emb_index)."""
+    b = _coarse_buckets(q, extra_bits)
     cands = (
         b.alias("a")
         .join(b.alias("b"), ["band", "bk"])
@@ -726,21 +942,22 @@ def _emb_clique_pairs(q: DataFrame) -> DataFrame:
     )
 
 
-def emb_clusters_lsh_over(q: DataFrame) -> DataFrame:
+def emb_clusters_lsh_over(q: DataFrame, extra_bits: int = 0) -> DataFrame:
     """Full-corpus clustering over the ALL-PAIRS banded-LSH cosine
     pairs — the batch twin the incremental fold must equal, and the
     Spark mirror of the registered query's DuckDB oracle."""
-    return _star_components(_emb_clique_pairs(q)).select(
+    return _star_components(_emb_clique_pairs(q, extra_bits)).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
 
 
 def build_emb_index(
-    spark: SparkSession, emb: DataFrame, root: str
+    spark: SparkSession, emb: DataFrame, root: str, extra_bits: int = 0
 ) -> EmbDedupIndex:
     """Initial (full) embedding-index build: quantized vectors, bucket
     membership, verified pairs, all-pairs-LSH clusters, and the id
-    high-water mark."""
+    high-water mark. ``extra_bits`` selects the banding refinement
+    (0 = production 4-bit banding; see rebucket_emb_index)."""
     idx = EmbDedupIndex(root)
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     if mx is None:
@@ -750,12 +967,25 @@ def build_emb_index(
         )
     q = _quantize_frame(emb).localCheckpoint()
     v: dict[str, int] = {}
-    v["vectors"] = idx.vectors.overwrite(q)
-    v["buckets"] = idx.buckets.overwrite(_coarse_buckets(q))
-    pairs = _emb_clique_pairs(q).localCheckpoint()
-    v["pairs"] = idx.pairs.overwrite(pairs)
-    v["clusters"] = idx.clusters.overwrite(_star_components(pairs))
-    idx._commit_meta(spark, int(mx), v, expected_meta_v=None)
+    # hash-partitioned like the document index (module comment at
+    # N_DOC_BUCKETS): removals and folds commit O(affected partitions)
+    v["vectors"] = idx.vectors.overwrite(
+        _with_bucket(q, "vec_id"), partition_by=[_PB]
+    )
+    v["buckets"] = idx.buckets.overwrite(
+        _with_bucket(_coarse_buckets(q, extra_bits), "vec_id"),
+        partition_by=[_PB],
+    )
+    pairs = _emb_clique_pairs(q, extra_bits).localCheckpoint()
+    v["pairs"] = idx.pairs.overwrite(
+        _with_bucket(pairs, "doc_a"), partition_by=[_PB]
+    )
+    v["clusters"] = idx.clusters.overwrite(
+        _with_bucket(_star_components(pairs), "doc_id"), partition_by=[_PB]
+    )
+    idx._commit_meta(
+        spark, int(mx), v, expected_meta_v=None, extra_bits=extra_bits
+    )
     return idx
 
 
@@ -782,9 +1012,12 @@ def emb_incremental_update(
             f"cluster-min labels compose only under monotone batch ids"
         )
 
+    extra_bits = int(snap.get("extra_bits", 0) or 0)
     dq = _quantize_frame(delta_emb).localCheckpoint()
-    d_buckets = _coarse_buckets(dq).localCheckpoint()
-    stored = idx.buckets.read(spark, version=snap["buckets_v"])
+    d_buckets = _coarse_buckets(dq, extra_bits).localCheckpoint()
+    stored = idx.buckets.read(spark, version=snap["buckets_v"]).select(
+        "vec_id", "band", "bk"
+    )
     cross = (
         stored.alias("c")
         .join(d_buckets.alias("d"), ["band", "bk"])
@@ -806,8 +1039,10 @@ def emb_incremental_update(
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
     )
-    corpus_q = idx.vectors.read(spark, version=snap["vectors_v"]).join(
-        cand_corpus, "vec_id", "left_semi"
+    corpus_q = (
+        idx.vectors.read(spark, version=snap["vectors_v"])
+        .select("vec_id", "e", "nrm")
+        .join(cand_corpus, "vec_id", "left_semi")
     )
     new_pairs = (
         _verify_cosine(cands, corpus_q.unionByName(dq))
@@ -815,21 +1050,29 @@ def emb_incremental_update(
         .localCheckpoint()
     )
 
-    final = _resolve_labels(
-        new_pairs,
-        idx.clusters.read(spark, version=snap["clusters_v"]),
-        corpus_max,
+    old = idx.clusters.read(spark, version=snap["clusters_v"])
+    final, resolved, affected_cids = _resolve_labels(
+        new_pairs, old, corpus_max
     )
-    # transaction commit: pinned-base appends, meta swapped last — see
-    # incremental_update
+    # transaction commit: pinned-base appends + partition-scoped
+    # cluster update, meta swapped last — see incremental_update
     v: dict[str, int] = {}
-    v["clusters"] = idx.clusters.overwrite(
-        final.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    v["clusters"] = _commit_clusters_update(
+        idx.clusters, old, final, resolved, affected_cids,
+        snap["clusters_v"],
     )
-    v["vectors"] = idx.vectors.append_from(dq, snap["vectors_v"])
-    v["buckets"] = idx.buckets.append_from(d_buckets, snap["buckets_v"])
-    v["pairs"] = idx.pairs.append_from(new_pairs, snap["pairs_v"])
-    idx._commit_meta(spark, int(d_max), v, expected_meta_v=meta_v)
+    v["vectors"] = idx.vectors.append_from(
+        _with_bucket(dq, "vec_id"), snap["vectors_v"]
+    )
+    v["buckets"] = idx.buckets.append_from(
+        _with_bucket(d_buckets, "vec_id"), snap["buckets_v"]
+    )
+    v["pairs"] = idx.pairs.append_from(
+        _with_bucket(new_pairs, "doc_a"), snap["pairs_v"]
+    )
+    idx._commit_meta(
+        spark, int(d_max), v, expected_meta_v=meta_v, extra_bits=extra_bits
+    )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
     )
@@ -849,47 +1092,196 @@ def remove_vecs(
     if rem.count() == 0:
         return idx.clusters_df(spark)
     meta_v, snap = idx.snapshot(spark)
-    clusters = idx.clusters.read(spark, version=snap["clusters_v"])
-    pairs = idx.pairs.read(spark, version=snap["pairs_v"])
-    kept_pairs = (
-        pairs.join(rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti")
-        .join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    clusters = idx.clusters.read(spark, version=snap["clusters_v"]).select(
+        "doc_id", "cluster_id", "cluster_size", _PB
     )
+    clus3 = clusters.select("doc_id", "cluster_id", "cluster_size")
+    pairs = idx.pairs.read(spark, version=snap["pairs_v"])
+    kept_pairs = pairs.join(
+        rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+    ).join(rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti")
+    kept2 = kept_pairs.select("doc_a", "doc_b").localCheckpoint()
     touched = (
-        clusters.join(rem, "doc_id", "left_semi")
+        clus3.join(rem, "doc_id", "left_semi")
         .select("cluster_id")
         .distinct()
     )
-    affected_members = clusters.join(touched, "cluster_id", "left_semi").select(
+    affected_members = clus3.join(touched, "cluster_id", "left_semi").select(
         "doc_id"
     )
-    sub = kept_pairs.join(
+    sub = kept2.join(
         affected_members.select(F.col("doc_id").alias("doc_a")),
         "doc_a",
         "left_semi",
     )
+    resolved = _star_components(sub).localCheckpoint()
     final = (
-        clusters.join(touched, "cluster_id", "left_anti")
-        .unionByName(_star_components(sub))
+        clus3.join(touched, "cluster_id", "left_anti")
+        .unionByName(resolved)
         .select("doc_id", "cluster_id", "cluster_size")
     )
-    # transaction commit: pinned-snapshot overwrites, meta swapped last
-    # (high-water mark unchanged — ids are never reused)
-    v: dict[str, int] = {}
-    v["clusters"] = idx.clusters.overwrite(final.localCheckpoint())
-    v["pairs"] = idx.pairs.overwrite(kept_pairs)
-    v["vectors"] = idx.vectors.overwrite(
-        idx.vectors.read(spark, version=snap["vectors_v"])
-        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+    # affected-partition sets — see remove_docs (clique candidates have
+    # no elected minimum, so removal never ADDS pairs: the pair
+    # partitions touched are exactly those holding a dropped row)
+    doc_vals = _bucket_values(rem, "doc_id")
+    pair_vals = sorted(
+        r[0]
+        for r in pairs.join(
+            rem.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        .select(_PB)
+        .unionByName(
+            pairs.join(
+                rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+            ).select(_PB)
+        )
+        .distinct()
+        .collect()
     )
-    v["buckets"] = idx.buckets.overwrite(
+    # transaction commit: pinned-base partition-scoped overwrites, meta
+    # swapped last (high-water mark unchanged — ids are never reused)
+    v: dict[str, int] = {}
+    v["clusters"] = _commit_clusters_update(
+        idx.clusters, clus3, final, resolved, touched,
+        snap["clusters_v"],
+    )
+    v["pairs"] = idx.pairs.overwrite_partitions(
+        _with_bucket(kept2, "doc_a"), _PB, pair_vals,
+        base_version=snap["pairs_v"],
+    )
+    v["vectors"] = idx.vectors.overwrite_partitions(
+        idx.vectors.read(spark, version=snap["vectors_v"])
+        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"),
+        _PB, doc_vals, base_version=snap["vectors_v"],
+    )
+    v["buckets"] = idx.buckets.overwrite_partitions(
         idx.buckets.read(spark, version=snap["buckets_v"])
-        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti")
+        .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"),
+        _PB, doc_vals, base_version=snap["buckets_v"],
     )
     idx._commit_meta(
-        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
+        extra_bits=int(snap.get("extra_bits", 0) or 0),
+    )
+    return idx.clusters.read(spark, version=v["clusters"]).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
+def rebucket_emb_index(
+    spark: SparkSession, idx: EmbDedupIndex, extra_bits: int
+) -> DataFrame:
+    """Scale the index's bucket count with corpus growth (r11, VERDICT
+    r10 item 2) — the occupancy knob production systems turn so a
+    fold's per-delta candidate work (bucket occupancy ≈ corpus / 16·2^k
+    per band) stays constant as the corpus grows: each band gains
+    ``extra_bits`` deterministic refinement planes
+    (:func:`_extra_planes`), multiplying bucket count by 2^extra_bits.
+
+    REFINEMENT-ONLY, which buys exactness without re-verification:
+
+    * equal fine buckets imply equal coarse buckets (the new sign bits
+      occupy higher positions), so candidates at the finer banding are
+      a SUBSET of the coarser ones;
+    * cosine verification is a pure per-pair predicate, so the
+      full-recompute verified pairs at the finer banding equal the
+      STORED pairs still sharing a bucket — one join against the new
+      membership, zero cosine re-computation;
+    * components can only SPLIT, so only clusters that LOST a pair
+      re-solve (from real pairs — splits can't come from label edges).
+
+    Cost: ONE pass over the stored quantized vectors (the membership
+    rebuild — inherent: every vector's bucket changes) + the pair
+    filter join; the quadratic-in-occupancy candidate regeneration a
+    from-scratch rebuild would pay is skipped entirely. Commits through
+    the same meta transaction (pinned reads, buckets overwrite, pairs/
+    clusters partition-scoped, meta swapped last with the new
+    ``extra_bits``). After the swap, folds bucket deltas at the new
+    banding automatically. The end state is pytest-pinned equal to
+    ``build_emb_index(..., extra_bits)`` from scratch."""
+    meta_v, snap = idx.snapshot(spark)
+    cur_bits = int(snap.get("extra_bits", 0) or 0)
+    if extra_bits < cur_bits:
+        raise ValueError(
+            f"rebucket_emb_index: extra_bits={extra_bits} would COARSEN "
+            f"the banding (current {cur_bits}); only refinement keeps the "
+            "stored pairs a superset of the new banding's verified pairs — "
+            "rebuild the index from scratch to coarsen"
+        )
+    if extra_bits == cur_bits:
+        return idx.clusters_df(spark)
+
+    q = idx.vectors.read(spark, version=snap["vectors_v"]).select(
+        "vec_id", "e", "nrm"
+    )
+    new_buckets = _coarse_buckets(q, extra_bits).localCheckpoint()
+    pairs = idx.pairs.read(spark, version=snap["pairs_v"])
+    pairs2 = pairs.select("doc_a", "doc_b")
+    ba = new_buckets.select(
+        F.col("vec_id").alias("doc_a"), "band", F.col("bk").alias("bk_a")
+    )
+    bb = new_buckets.select(
+        F.col("vec_id").alias("doc_b"), "band", F.col("bk").alias("bk_b")
+    )
+    kept = (
+        pairs2.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .where(F.col("bk_a") == F.col("bk_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    dropped = pairs2.join(kept, ["doc_a", "doc_b"], "left_anti")
+    dropped_ids = (
+        dropped.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(dropped.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+    clusters = idx.clusters.read(spark, version=snap["clusters_v"])
+    clus3 = clusters.select("doc_id", "cluster_id", "cluster_size")
+    touched = (
+        clus3.join(dropped_ids, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected_members = clus3.join(touched, "cluster_id", "left_semi").select(
+        "doc_id"
+    )
+    sub = kept.join(
+        affected_members.select(F.col("doc_id").alias("doc_a")),
+        "doc_a",
+        "left_semi",
+    )
+    resolved = _star_components(sub).localCheckpoint()
+    final = (
+        clus3.join(touched, "cluster_id", "left_anti")
+        .unionByName(resolved)
+        .select("doc_id", "cluster_id", "cluster_size")
+    )
+
+    # split-only invariant: a doc clustered before may become a
+    # singleton (size 1) after the split — _star_components drops
+    # isolated nodes, matching build-from-scratch, so nothing extra to
+    # filter. Pair partitions touched = those holding a dropped row.
+    pair_vals = _bucket_values(dropped, "doc_a")
+
+    v: dict[str, int] = {}
+    v["vectors"] = int(snap["vectors_v"])  # untouched by a rebucket
+    v["buckets"] = idx.buckets.overwrite(
+        _with_bucket(new_buckets, "vec_id"), partition_by=[_PB]
+    )
+    v["pairs"] = idx.pairs.overwrite_partitions(
+        _with_bucket(kept, "doc_a"), _PB, pair_vals,
+        base_version=snap["pairs_v"],
+    )
+    v["clusters"] = _commit_clusters_update(
+        idx.clusters, clus3, final, resolved, touched,
+        snap["clusters_v"],
+    )
+    idx._commit_meta(
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
+        extra_bits=extra_bits,
     )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"

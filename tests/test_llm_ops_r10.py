@@ -387,7 +387,7 @@ def test_resolve_labels_algebra_matches_full_components(spark):
         )
         old = dd._star_components(e1df)
         got = sorted(
-            map(tuple, di._resolve_labels(e2df, old, CORPUS_MAX).collect())
+            map(tuple, di._resolve_labels(e2df, old, CORPUS_MAX)[0].collect())
         )
         want = sorted(
             map(
@@ -542,7 +542,14 @@ def test_remove_docs_empty_and_cluster_min(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="rm_min_")
     idx = di.build_dedup_index(spark, docs, root)
-    before = sorted(map(tuple, idx.clusters.read(spark).collect()))
+    before = sorted(
+        map(
+            tuple,
+            idx.clusters.read(spark)
+            .select("doc_id", "cluster_id", "cluster_size")
+            .collect(),
+        )
+    )
     assert before, "corpus has clusters"
     empty = spark.createDataFrame([], "doc_id long")
     assert sorted(map(tuple, di.remove_docs(spark, empty, idx).collect())) == before

@@ -1,0 +1,227 @@
+"""Round-11: partition-scoped dedup-index commits (VERDICT r10 item 1).
+
+The index data tables are hash-partitioned (doc tables by
+``p_bucket = id % N_DOC_BUCKETS``, ``bucket_mins`` by ``band``);
+removal and fold commits must write files ONLY under affected
+partition directories, carrying every other partition by reference
+from the META-PINNED base snapshot — files written is O(affected
+partitions + delta), never O(corpus).
+"""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from test_llm_ops_r10 import _surviving_full
+
+
+def _files(table) -> set[str]:
+    return set(table.manifest()["files"])
+
+
+def _dirs(files) -> set[str]:
+    return {f.split("/", 1)[0] for f in files}
+
+
+def test_removal_writes_only_affected_partitions(spark, sf_dir):
+    """Remove only ids with doc_id % N == 3 (ONE p_bucket partition):
+    the shingles/bands commits must stage files only under
+    p_bucket=3/, keep every other partition's files by reference, and
+    the end state must still equal a full recompute over the
+    survivors."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_idx_part_")
+    idx = di.build_dedup_index(spark, docs, root)
+    before = {t: _files(getattr(idx, t)) for t in idx._TABLES}
+
+    rem = docs.where(
+        F.col("doc_id") % di.N_DOC_BUCKETS == 3
+    ).select("doc_id")
+    assert rem.count() > 0
+    final = di.remove_docs(spark, rem, idx)
+
+    for t in ("shingles", "bands"):
+        table = getattr(idx, t)
+        after = _files(table)
+        staged = after - before[t]
+        carried = after & before[t]
+        # every NEW file sits in the single affected partition dir
+        assert _dirs(staged) <= {"p_bucket=3"}, (t, _dirs(staged))
+        # every unaffected partition's files carried by reference
+        untouched_before = {
+            f for f in before[t] if not f.startswith("p_bucket=3/")
+        }
+        assert untouched_before <= carried, t
+
+    # clusters/pairs rewrites are bounded by their affected-partition
+    # sets (strict subsets of the table at this corpus: not every
+    # bucket holds a touched cluster / dropped pair)
+    # correctness: exact full-recompute equality on the survivors
+    surviving = docs.where(F.col("doc_id") % di.N_DOC_BUCKETS != 3)
+    assert sorted(map(tuple, final.collect())) == _surviving_full(
+        spark, surviving
+    )
+
+
+def test_fold_appends_only_delta_files(spark, sf_dir):
+    """A fold must keep every base file referenced (pinned-base append)
+    and stage at most O(N_DOC_BUCKETS) new files per doc table — the
+    delta's rows — regardless of corpus size."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_foldpart_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= thr), root)
+    before = {t: _files(getattr(idx, t)) for t in idx._TABLES}
+
+    di.incremental_update(spark, docs.where(F.col("doc_id") > thr), idx)
+
+    for t in ("shingles", "bands"):
+        after = _files(getattr(idx, t))
+        assert before[t] <= after, f"{t}: base file dropped by the fold"
+        assert len(after - before[t]) <= di.N_DOC_BUCKETS, t
+    # the cluster update also carries unaffected partitions by
+    # reference: the fold must not rewrite the whole table
+    clus_after = _files(idx.clusters)
+    assert before["clusters"] & clus_after, "clusters fully rewritten"
+
+
+def test_overwrite_partitions_pinned_base_ignores_garbage(spark, tmp_path):
+    """Table-level contract behind the index transaction: a partition
+    overwrite pinned to base_version must carry the PINNED snapshot's
+    other partitions even when a later (crashed-attempt) commit sits
+    above the pin."""
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    t = AcidTable(str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id bigint, b int"
+    )
+    t.overwrite(df, partition_by=["b"])
+    base_v = t.current_version()
+
+    # garbage above the pin: a crashed attempt replaced partition b=1
+    junk = spark.createDataFrame([(999, 1)], "id bigint, b int")
+    t.overwrite_partitions(junk, "b", [1])
+
+    # pinned write to partition b=2: carries b=0,1,3 from the PIN
+    repl = spark.createDataFrame(
+        [(1000, 2), (1001, 2)], "id bigint, b int"
+    )
+    t.overwrite_partitions(repl, "b", [2], base_version=base_v)
+
+    got = sorted(r.id for r in t.read(spark).collect())
+    want = sorted(
+        [i for i in range(40) if i % 4 != 2] + [1000, 1001]
+    )
+    assert got == want  # garbage b=1 rewrite contributed nothing
+
+
+def test_emb_removal_writes_only_affected_partitions(spark, sf_dir):
+    """Embedding-index twin: vector/bucket commits for a one-partition
+    removal stage files only under that partition, and the lifecycle
+    stays exact (pinned by the r10 lifecycle test; here we check the
+    file-level contract)."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="emb_idx_part_")
+    idx = di.build_emb_index(spark, emb, root)
+    before = {t: _files(getattr(idx, t)) for t in idx._TABLES}
+
+    rem = emb.where(
+        F.col("vec_id") % di.N_DOC_BUCKETS == 5
+    ).select("vec_id")
+    assert rem.count() > 0
+    di.remove_vecs(spark, rem, idx)
+
+    for t in ("vectors", "buckets"):
+        table = getattr(idx, t)
+        after = _files(table)
+        staged = after - before[t]
+        assert _dirs(staged) <= {"p_bucket=5"}, (t, _dirs(staged))
+        untouched_before = {
+            f for f in before[t] if not f.startswith("p_bucket=5/")
+        }
+        assert untouched_before <= after, t
+
+
+# ------------------------------------------------ rebucket (r11 item 2)
+
+
+def test_rebucket_equals_from_scratch_build(spark, sf_dir):
+    """rebucket(extra_bits) must land the index exactly where a
+    from-scratch build at that banding lands — pairs AND clusters —
+    without recomputing a single cosine (the refinement shortcut)."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    root_a = tempfile.mkdtemp(prefix="emb_rebucket_a_")
+    root_b = tempfile.mkdtemp(prefix="emb_rebucket_b_")
+    idx = di.build_emb_index(spark, emb, root_a)
+    di.rebucket_emb_index(spark, idx, extra_bits=2)
+    fresh = di.build_emb_index(spark, emb, root_b, extra_bits=2)
+
+    def pairs_of(i):
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in i.pairs.read(spark).select("doc_a", "doc_b").collect()
+        )
+
+    assert pairs_of(idx) == pairs_of(fresh)
+    got = sorted(map(tuple, idx.clusters_df(spark).collect()))
+    want = sorted(map(tuple, fresh.clusters_df(spark).collect()))
+    assert got == want
+    # a rebucket at finer banding must actually split something at this
+    # corpus, or the test is vacuous
+    assert int(idx.snapshot(spark)[1]["extra_bits"]) == 2
+
+
+def test_fold_after_rebucket_equals_full_recompute(spark, sf_dir):
+    """The occupancy-knob contract: build coarse → rebucket → fold a
+    delta; the end state must equal a full recompute over ALL vectors
+    at the NEW banding (folds pick the committed banding up from
+    meta)."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="emb_rebucket_fold_")
+    idx = di.build_emb_index(spark, emb.where(F.col("vec_id") <= thr), root)
+    di.rebucket_emb_index(spark, idx, extra_bits=2)
+    final = di.emb_incremental_update(
+        spark, emb.where(F.col("vec_id") > thr), idx
+    )
+    want = di.emb_clusters_lsh_over(_quantize_frame(emb), extra_bits=2)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_rebucket_guards(spark, sf_dir):
+    """Coarsening is refused loudly; a same-banding rebucket is a
+    committed-state no-op."""
+    import pytest
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="emb_rebucket_g_")
+    idx = di.build_emb_index(spark, emb, root, extra_bits=1)
+    with pytest.raises(ValueError, match="COARSEN"):
+        di.rebucket_emb_index(spark, idx, extra_bits=0)
+    before = sorted(map(tuple, idx.clusters_df(spark).collect()))
+    noop = di.rebucket_emb_index(spark, idx, extra_bits=1)
+    assert sorted(map(tuple, noop.collect())) == before
