@@ -206,17 +206,28 @@ def read_mart(
     warehouse_dir: str,
     name: str,
     date_between: tuple[str, str] | None = None,
+    published: bool = False,
 ) -> DataFrame:
     """Read a materialized mart; a (start, end) date range on the mart's
     event-time column is applied as BOTH a row filter and an injected
     month-partition predicate, so the scan prunes whole partitions
     (PartitionFilters) instead of reading every file and filtering rows.
     At 100 TB this is the difference between touching ~n months and the
-    full table."""
+    full table.
+
+    ``published=True`` resolves the mart through the warehouse's
+    write-audit-publish pointer (plans/wap.py) instead of the table's
+    live ``_CURRENT``: readers see the last PUBLISHED state — a
+    mid-flight or failed-audit pipeline run's staged snapshots are
+    invisible, across every mart consistently."""
     from .acid import AcidTable
 
     table = AcidTable(os.path.join(warehouse_dir, name))
-    if table.exists():  # snapshot table (marts written by run_pipeline)
+    if published:
+        from .wap import PublishPointer
+
+        df = PublishPointer(warehouse_dir).read_table(spark, name)
+    elif table.exists():  # snapshot table (marts written by run_pipeline)
         df = table.read(spark)
     else:  # plain parquet directory (external/legacy layout)
         df = spark.read.parquet(os.path.join(warehouse_dir, name))
@@ -315,9 +326,19 @@ def run_pipeline(
     threads: int = 8,
     incremental: bool = False,
     state_aware: bool = False,
+    publish=None,
 ) -> dict[str, dict]:
     """`dbt build`: materialize every model in DAG order, run its tests,
     skip descendants of failures. Returns per-model status.
+
+    ``publish`` (a plans/wap.py PublishPointer, normally passed via
+    ``run_pipeline_wap``) marks this as the write+audit phase of a
+    write-audit-publish run: materialization is unchanged (new
+    immutable snapshot versions behind each table's own pointer), but
+    per-model vacuum PROTECTS each table's currently-published version
+    so repeated failed-audit runs can never reclaim the live published
+    snapshot's files. The pointer swap itself happens in
+    run_pipeline_wap, only on an all-green result.
 
     Independent models materialize CONCURRENTLY (the dbt `threads`
     analogue): a wave scheduler submits every dependency-satisfied model
@@ -434,7 +455,18 @@ def run_pipeline(
             # Bound on-disk growth: keep the committed snapshot plus its
             # predecessor (readers that resolved the pointer just before
             # this commit still see an intact snapshot), drop older files.
-            table.vacuum(keep_last=2)
+            # Under WAP, additionally protect the PUBLISHED version —
+            # failed-audit runs stack unpublished versions above it and
+            # a count-based window alone would eventually reclaim the
+            # version branch-aware readers are still serving.
+            pub_v = (
+                publish.published_version(name) if publish is not None
+                else None
+            )
+            table.vacuum(
+                keep_last=2,
+                protect_versions={pub_v} if pub_v is not None else None,
+            )
             df = table.read(spark).drop(*spec.partition_expr.keys())
         df.createOrReplaceTempView(name)
         with lock:
