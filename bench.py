@@ -292,6 +292,37 @@ def main() -> None:
         _with_quiet_retry(name, _query_once, per_run)
         release_cached(spark)
 
+    # Per-member pricing for heavyweight digest rows (r10 verdict item
+    # 7): a digest's single median hides which member regressed —
+    # acid_digest alone was 37% of the r10 headline. Every digest group
+    # whose recorded median exceeds the threshold gets each member
+    # forced ONCE (same noop protocol; a single run — this is pricing
+    # attribution, not a headline statistic) and the per-member seconds
+    # land in their own aux line ahead of the floors.
+    member_breakdown_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MEMBER_BREAKDOWN_S") or 8.0
+    )
+    digest_members: dict[str, dict[str, float]] = {}
+    try:
+        from dbt_jaffleshop_spark.queries.op_digests import (
+            _GROUP_SPECS,
+            digest_df,
+        )
+
+        for group, members in _GROUP_SPECS.items():
+            if timings.get(group, 0.0) <= member_breakdown_s:
+                continue
+            per: dict[str, float] = {}
+            for mname, (fn, schema, _sql) in members.items():
+                release_cached(spark)
+                t0 = time.perf_counter()
+                _force(digest_df(fn(spark, sf_dir), mname, schema))
+                per[mname] = round(time.perf_counter() - t0, 2)
+            digest_members[group] = per
+            release_cached(spark)
+    except Exception as e:  # pricing must never kill the bench record
+        print(f"digest member breakdown skipped: {e}", file=sys.stderr)
+
     total = round(
         timings["pipeline_build"] + sum(timings[n] for n in names), 2
     )
@@ -328,27 +359,42 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
+    for group in sorted(digest_members):
+        print(
+            json.dumps(
+                {
+                    "metric": "digest_members",
+                    "digest": group,
+                    "seconds": digest_members[group],
+                },
+                separators=(",", ":"),
+            )
+        )
     # The min-floors arm the NEXT round's 2×-prior quiet-retry, so they
     # must survive the driver's tail capture (which keeps only the last
-    # few KB of stdout, front-truncated). r9's whole-line chunks still
-    # lost 45 of 51 floors (VERDICT r9 item 1): four 15-entry chunks are
-    # ~4× the window. r10: ONE compact line (~1.3 KB at 2-decimal
-    # precision) printed immediately before the final line, so the two
-    # lines that matter share the tail window — the real protection is
-    # SIZE. Keys go in descending-median order for human/judge
-    # readability of the expensive rows; note a front-truncated line is
-    # unparseable either way (_prior_round_floors only absorbs complete
-    # JSON lines), so ordering is presentation, not recovery.
-    floors_line = {
-        n: round(mins[n], 2)
-        for n in sorted(mins, key=lambda q: -timings.get(q, 0.0))
-    }
-    print(
-        json.dumps(
-            {"metric": "queries_min", "queries_min": floors_line},
-            separators=(",", ":"),
+    # few KB of stdout, FRONT-truncated). r10's single ~1.3 KB line
+    # still lost its front (~40/51 floors parseable — VERDICT r10 item
+    # 6); r11: TWO ~700-byte half-lines, each independently parseable,
+    # with the EXPENSIVE rows (digests, pipeline_build) in the LAST
+    # chunk — nearest the final line, so even if the window clips the
+    # first chunk's front, the floors that can actually move the
+    # headline survive intact. Ascending-median in chunk 1, so the
+    # clipped front loses only the cheapest sub-second rows.
+    by_cost = sorted(mins, key=lambda q: timings.get(q, 0.0))
+    half = len(by_cost) - len(by_cost) // 2  # cheap half first, larger
+    for i, part in enumerate((by_cost[:half], by_cost[half:])):
+        if not part:
+            continue
+        print(
+            json.dumps(
+                {
+                    "metric": "queries_min",
+                    "part": f"{i + 1}/2",
+                    "queries_min": {n: round(mins[n], 2) for n in part},
+                },
+                separators=(",", ":"),
+            )
         )
-    )
     print(
         json.dumps(
             {
