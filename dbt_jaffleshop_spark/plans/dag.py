@@ -555,6 +555,20 @@ def run_pipeline(
                     return
                 edf = query.to_df(spark, sf_dir)
                 table.overwrite(edf, meta={"fingerprint": efp})
+                # same retention policy as the marts (each run otherwise
+                # accumulates one export snapshot forever), same publish
+                # pin under WAP
+                epub_v = (
+                    publish.published_version(spec.name)
+                    if publish is not None
+                    else None
+                )
+                table.vacuum(
+                    keep_last=2,
+                    protect_versions=(
+                        {epub_v} if epub_v is not None else None
+                    ),
+                )
                 with lock:
                     results[f"export:{spec.name}"] = {
                         "status": "ok",

@@ -96,3 +96,42 @@ def test_wap_unpublished_read_fails_loudly(spark, sf_dir, tmp_path):
         read_mart(spark, wh, "orders", published=True)
     # unpublished read path is unaffected
     assert read_mart(spark, wh, "orders").count() > 0
+
+
+def test_wap_composes_with_state_aware(spark, sf_dir, tmp_path):
+    """A WAP run with state_aware: the no-change second run reuses
+    every table model and export (writes nothing) and still publishes
+    green — the published versions simply don't move."""
+    wh = str(tmp_path / "wh")
+    _, ok = run_pipeline_wap(
+        spark, sf_dir, warehouse_dir=wh, state_aware=True
+    )
+    assert ok
+    v1 = dict(PublishPointer(wh).tables())
+    results, ok2 = run_pipeline_wap(
+        spark, sf_dir, warehouse_dir=wh, state_aware=True
+    )
+    assert ok2
+    reused = [k for k, v in results.items() if v.get("status") == "reused"]
+    n_tables = sum(
+        1 for s in dag.MODELS.values() if s.materialization == "table"
+    )
+    n_exports = sum(1 for k in results if k.startswith("export:"))
+    assert len(reused) == n_tables + n_exports
+    assert PublishPointer(wh).tables() == v1  # nothing moved
+
+
+def test_export_versions_are_vacuumed(spark, sf_dir, tmp_path):
+    """Exports follow the marts' retention policy: repeated builds must
+    not accumulate one snapshot set per run forever."""
+    wh = str(tmp_path / "wh")
+    for _ in range(3):
+        dag.run_pipeline(spark, sf_dir, warehouse_dir=wh)
+    name = next(
+        k.removeprefix("export:")
+        for k in dag.run_pipeline(spark, sf_dir, warehouse_dir=wh)
+        if k.startswith("export:")
+    )
+    t = AcidTable(os.path.join(wh, name))
+    live = t._all_versions()
+    assert len(live) <= 2, live  # keep_last=2 enforced for exports
