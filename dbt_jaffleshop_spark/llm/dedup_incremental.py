@@ -372,6 +372,42 @@ class DedupIndex:
         return _vacuum_index(self, self._TABLES, keep_last)
 
 
+def compact_index(spark: SparkSession, idx) -> dict[str, int]:
+    """Compact every data table of a dedup index (either flavor) to
+    ~one file per partition — the maintenance job N daily folds
+    eventually need: each fold's pinned-base append lands delta-sized
+    files, so a partition holds one file per fold until compaction.
+
+    Runs THROUGH the meta transaction: per-table ``AcidTable.compact``
+    would swap each table's own ``_CURRENT`` while meta still pins the
+    pre-compact versions — the compacted snapshots would be exactly
+    the unreferenced garbage the vacuum pin exists to ignore. Instead
+    each table's PINNED snapshot is re-staged (the staging write
+    repartitions by the partition column → one file per partition) as
+    a new version, and meta swaps LAST with unchanged-since-read
+    validation — logical state identical, crash-safe, loses to any
+    concurrent fold instead of tearing it. Run vacuum afterwards to
+    reclaim the superseded small files."""
+    meta_v, snap = idx.snapshot(spark)
+    v: dict[str, int] = {}
+    for t in idx._TABLES:
+        table = getattr(idx, t)
+        pinned = int(snap[f"{t}_v"])
+        m = table.manifest(pinned)
+        v[t] = table.overwrite(
+            table.read(spark, version=pinned),
+            partition_by=list(m["partition_by"]),
+        )
+    kwargs = {}
+    if "extra_bits" in snap:  # embedding flavor carries its banding
+        kwargs["extra_bits"] = int(snap["extra_bits"] or 0)
+    key = "max_doc_id" if "max_doc_id" in snap else "max_vec_id"
+    idx._commit_meta(
+        spark, int(snap[key]), v, expected_meta_v=meta_v, **kwargs
+    )
+    return v
+
+
 def build_dedup_index(
     spark: SparkSession, docs: DataFrame, root: str
 ) -> DedupIndex:

@@ -225,3 +225,111 @@ def test_rebucket_guards(spark, sf_dir):
     before = sorted(map(tuple, idx.clusters_df(spark).collect()))
     noop = di.rebucket_emb_index(spark, idx, extra_bits=1)
     assert sorted(map(tuple, noop.collect())) == before
+
+
+# ------------------------------------------- compaction (maintenance)
+
+
+def test_compact_index_bounds_files_and_preserves_state(spark, sf_dir):
+    """After two folds each partition holds up to three files (build +
+    2 deltas); compact_index re-stages every table to ~one file per
+    partition THROUGH the meta transaction (meta repinned, state
+    byte-identical), a later fold still composes exactly, and vacuum
+    then reclaims the superseded small files without touching the
+    pinned snapshot."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import dedup_clusters
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx * 6 // 10, mx * 8 // 10
+    root = tempfile.mkdtemp(prefix="dedup_idx_compact_")
+    idx = di.build_dedup_index(spark, docs.where(F.col("doc_id") <= t1), root)
+    di.incremental_update(
+        spark, docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)), idx
+    )
+    before = sorted(map(tuple, idx.clusters_df(spark).collect()))
+    sh_files_before = len(_files(idx.shingles))
+    assert sh_files_before > di.N_DOC_BUCKETS  # build + fold stacked
+
+    di.compact_index(spark, idx)
+    # state identical, file count bounded by the partition count
+    assert sorted(map(tuple, idx.clusters_df(spark).collect())) == before
+    assert len(_files(idx.shingles)) <= di.N_DOC_BUCKETS
+    assert len(_files(idx.bucket_mins)) <= 8  # one per band
+
+    # a fold after compaction still lands on the full recompute
+    final = di.incremental_update(spark, docs.where(F.col("doc_id") > t2), idx)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, dedup_clusters(spark, sf_dir).collect())
+    )
+    # vacuum reclaims superseded files; the index still reads
+    idx.vacuum(keep_last=2)
+    assert sorted(map(tuple, idx.clusters_df(spark).collect())) == sorted(
+        map(tuple, final.collect())
+    )
+
+
+def test_emb_compact_index_preserves_banding(spark, sf_dir):
+    """Embedding flavor: compaction carries the committed extra_bits
+    through the meta swap, so a fold after rebucket + compact still
+    buckets at the refined banding."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+    from dbt_jaffleshop_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="emb_idx_compact_")
+    idx = di.build_emb_index(spark, emb.where(F.col("vec_id") <= thr), root)
+    di.rebucket_emb_index(spark, idx, extra_bits=2)
+    di.compact_index(spark, idx)
+    assert int(idx.snapshot(spark)[1]["extra_bits"]) == 2
+    final = di.emb_incremental_update(
+        spark, emb.where(F.col("vec_id") > thr), idx
+    )
+    want = di.emb_clusters_lsh_over(_quantize_frame(emb), extra_bits=2)
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_commit_clusters_update_appends_fresh_corpus_rows(spark, tmp_path):
+    """The algebra pin for the bug the partition-scoped commit exposed:
+    resolved rows for docs with NO previous cluster row (corpus
+    SINGLETONS gaining their first verified pair — not just delta
+    docs) must be appended even when their partition is outside the
+    replace set. Synthetic: old clusters hold only {20, 36} (same
+    cluster, bucket 4); the update re-solves that cluster AND adds a
+    fresh pair {7, 23} whose buckets (7) hold no old rows."""
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+    t = AcidTable(str(tmp_path / "clusters"))
+    old = spark.createDataFrame(
+        [(20, 20, 2), (36, 20, 2)],
+        "doc_id bigint, cluster_id bigint, cluster_size bigint",
+    )
+    base_v = t.overwrite(di._with_bucket(old, "doc_id"), partition_by=[di._PB])
+
+    # re-solve: cluster 20 re-labeled (lost a member elsewhere — any
+    # change), plus the fresh component {7, 23}
+    resolved = spark.createDataFrame(
+        [(20, 20, 2), (36, 20, 2), (7, 7, 2), (23, 7, 2)],
+        "doc_id bigint, cluster_id bigint, cluster_size bigint",
+    )
+    affected = spark.createDataFrame([(20,)], "cluster_id bigint")
+    final = resolved  # carried ∪ resolved where carried is empty here
+    di._commit_clusters_update(t, old, final, resolved, affected, base_v)
+
+    got = sorted(
+        map(
+            tuple,
+            t.read(spark)
+            .select("doc_id", "cluster_id", "cluster_size")
+            .collect(),
+        )
+    )
+    assert got == [(7, 7, 2), (20, 20, 2), (23, 7, 2), (36, 20, 2)]
