@@ -333,3 +333,112 @@ def test_commit_clusters_update_appends_fresh_corpus_rows(spark, tmp_path):
         )
     )
     assert got == [(7, 7, 2), (20, 20, 2), (23, 7, 2), (36, 20, 2)]
+
+
+# --------------------------------- streaming fold (continuous dedup)
+
+
+def test_streaming_fold_equals_batch_recompute(spark, sf_dir, tmp_path):
+    """Continuous dedup end-to-end: document batches arriving as files
+    fold micro-batch-by-micro-batch into the index (first batch
+    builds, later ones fold), and the end state equals a full batch
+    star recompute over everything. A SECOND stream run on the same
+    checkpoint with no new files changes nothing (replays skip via the
+    high-water mark); a new file folds exactly once."""
+    import os
+    import time
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+    from dbt_jaffleshop_spark.sources import load_table
+    from dbt_jaffleshop_spark.streaming.index_fold import (
+        streaming_documents_fold,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1, t2 = mx * 5 // 10, mx * 8 // 10
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def land(df, name):
+        # one file per batch, staggered mtimes so the file source
+        # delivers them in id order (how a real feed lands)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / name))
+            if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(str(tmp_path / name), part),
+            os.path.join(src, name + ".parquet"),
+        )
+        time.sleep(1.1)  # file-source ordering is mtime-based
+
+    land(docs.where(F.col("doc_id") <= t1), "b0")
+    land(docs.where((F.col("doc_id") > t1) & (F.col("doc_id") <= t2)), "b1")
+
+    root = str(tmp_path / "idx")
+    idx = streaming_documents_fold(
+        spark, src, root, max_files_per_trigger=1
+    )
+    want_2 = _surviving_full(spark, docs.where(F.col("doc_id") <= t2))
+    assert sorted(map(tuple, idx.clusters_df(spark).collect())) == want_2
+    meta_v = idx.meta.current_version()
+
+    # replay run: same checkpoint, no new files → nothing moves
+    streaming_documents_fold(spark, src, root, max_files_per_trigger=1)
+    assert idx.meta.current_version() == meta_v
+
+    # a third batch arrives → exactly one more fold
+    land(docs.where(F.col("doc_id") > t2), "b2")
+    streaming_documents_fold(spark, src, root, max_files_per_trigger=1)
+    assert idx.meta.current_version() == meta_v + 1
+    assert sorted(
+        map(tuple, idx.clusters_df(spark).collect())
+    ) == _surviving_full(spark, docs)
+
+
+def test_streaming_fold_refuses_straddling_batch(spark, sf_dir, tmp_path):
+    """A batch whose ids straddle the high-water mark is out-of-order
+    delivery, not a replay — refused loudly."""
+    import os
+    import time
+
+    import pytest
+
+    from dbt_jaffleshop_spark.sources import load_table
+    from dbt_jaffleshop_spark.streaming.index_fold import (
+        streaming_documents_fold,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    docs.where(F.col("doc_id") <= mx // 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "w0"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "w0")) if f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(str(tmp_path / "w0"), part),
+        os.path.join(src, "b0.parquet"),
+    )
+    root = str(tmp_path / "idx")
+    streaming_documents_fold(spark, src, root)
+    time.sleep(1.1)
+    # straddling file: overlaps the committed range AND extends past it
+    docs.where(F.col("doc_id") >= mx // 4).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "w1"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "w1")) if f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(str(tmp_path / "w1"), part),
+        os.path.join(src, "b1.parquet"),
+    )
+    with pytest.raises(Exception, match="straddles"):
+        streaming_documents_fold(spark, src, root)
