@@ -1,0 +1,288 @@
+"""Persisted IVF ANN index — the similarity-search twin of the
+incremental dedup index (r11, beyond-reference): trained coarse
+centroids + cell-partitioned vector assignments behind the same atomic
+cross-table meta pointer (llm/dedup_incremental.py's transaction
+protocol), so a growing embedding corpus gets:
+
+* **build** — k-means-train the coarse quantizer (``train_iters``
+  Lloyd rounds from the deterministic seed centroids; the EXACT
+  integer arithmetic of llm/similarity.py's emb_kmeans_iter chain) and
+  store every vector's assignment, HASH-PARTITIONED BY CELL;
+* **append** — assign a delta batch against the STORED centroids and
+  append_from the pinned base: O(|delta|), no corpus reassignment, and
+  exact — an appended index answers every probe identically to a
+  from-scratch assignment at the same centroids (pytest-pinned);
+* **search** — probe ``n_probes`` cells per query; the candidate scan
+  filters on the PARTITION column, so Spark's PartitionFilters prune
+  the read to probed cells' files only — at 100 TB a 2-probe search
+  reads ~2/N_CELLS of the index, the physical point of IVF;
+* **retrain** — continue Lloyd from the CURRENT centroids over the
+  CURRENT corpus and reassign (one pass) — the drift/occupancy knob,
+  mirroring the dedup index's ``rebucket``: production retrains as the
+  corpus grows or drifts so cell occupancy stays balanced. Pinned
+  ≡ from-scratch training at the same cumulative iteration count.
+
+Exactness anchor: a zero-iteration index (seed centroids) answers the
+driver-verified ``sim_ivf_topk`` / ``sim_ivf_probe2_topk`` queries
+bit-for-bit (pytest pins both), so the index introduces NO drift over
+the oracle-checked search path — persistence and maintenance are pure
+layout.
+
+Crash/concurrency semantics are inherited wholesale: every operation
+reads the meta-pinned snapshot, commits data tables pinned-base, and
+swaps meta last with unchanged-since-read validation; vacuum
+pin-protects the meta-referenced versions; ``compact_index`` works on
+this flavor too (the ``train_iters`` rider carries through).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.acid import AcidTable
+from .dedup import _quantize_frame
+from .dedup_incremental import (
+    _guard_since_read,
+    _read_meta_row,
+    _vacuum_index,
+)
+from .similarity import (
+    _COS,
+    _assign_to,
+    _m_step,
+    N_CELLS,
+    centroids_from_means,
+)
+
+
+class AnnIndex:
+    """Persisted IVF state under ``root``: ``centroids`` (cell, ce, cn —
+    ≤ N_CELLS rows, the broadcast side of every assignment),
+    ``vectors`` (vec_id, e, nrm, cell — partitioned by cell, the probe
+    scan's pruning key), and the ``meta`` commit pointer."""
+
+    _TABLES = ("centroids", "vectors")
+    _META_DDL = (
+        "max_vec_id bigint, centroids_v int, vectors_v int, "
+        "train_iters int"
+    )
+
+    def __init__(self, root: str):
+        self.root = root
+        self.centroids = AcidTable(os.path.join(root, "centroids"))
+        self.vectors = AcidTable(os.path.join(root, "vectors"))
+        self.meta = AcidTable(os.path.join(root, "meta"))
+
+    def exists(self) -> bool:
+        return self.meta.exists()
+
+    def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
+        v = self.meta.current_version()
+        return v, _read_meta_row(self.meta, v)
+
+    def _commit_meta(
+        self,
+        spark: SparkSession,
+        max_id: int,
+        versions: dict,
+        expected_meta_v: int | None,
+        train_iters: int = 0,
+    ) -> None:
+        row = (
+            int(max_id),
+            *[int(versions[t]) for t in self._TABLES],
+            int(train_iters),
+        )
+        validate = (
+            None
+            if expected_meta_v is None
+            else _guard_since_read(self.meta, expected_meta_v)
+        )
+        self.meta.overwrite(
+            spark.createDataFrame([row], self._META_DDL), validate=validate
+        )
+
+    def max_vec_id(self, spark: SparkSession) -> int:
+        return int(self.snapshot(spark)[1]["max_vec_id"])
+
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Meta-pinned retention — see DedupIndex.vacuum."""
+        return _vacuum_index(self, self._TABLES, keep_last)
+
+
+def _seed_centroids(q: DataFrame) -> DataFrame:
+    """The deterministic training seeds: the corpus vectors with
+    vec_id < N_CELLS (identical to llm/similarity.py's fixed coarse
+    quantizer, so a zero-iteration index ≡ sim_ivf_topk's cells)."""
+    return q.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+
+
+def _lloyd(q: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """``iters`` Lloyd rounds from ``cents`` over quantized frame
+    ``q`` — each round the shared broadcast E-step + integer M-step +
+    centroid pivot (all integer-exact, so training is deterministic
+    under any partitioning). A cell that loses all members drops out,
+    like emb_kmeans_iter2."""
+    for _ in range(iters):
+        cents = centroids_from_means(_m_step(_assign_to(q, cents)))
+        # ≤ N_CELLS × (64+2) values: checkpointing each round keeps the
+        # lineage flat instead of iters-deep (the iterative-algorithm
+        # rule every Lloyd loop on Spark follows)
+        cents = cents.localCheckpoint()
+    return cents
+
+
+def build_ann_index(
+    spark: SparkSession, emb: DataFrame, root: str, train_iters: int = 2
+) -> AnnIndex:
+    """Initial build: train the coarse quantizer (``train_iters``
+    Lloyd rounds from the seeds), assign every vector, commit."""
+    idx = AnnIndex(root)
+    mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        raise ValueError(
+            "build_ann_index: empty embedding frame — an index needs at "
+            "least one vector"
+        )
+    q = _quantize_frame(emb).localCheckpoint()
+    cents = _lloyd(q, _seed_centroids(q), train_iters)
+    assigned = _assign_to(q, cents).select("vec_id", "e", "nrm", "cell")
+    v: dict[str, int] = {}
+    v["centroids"] = idx.centroids.overwrite(cents)
+    v["vectors"] = idx.vectors.overwrite(assigned, partition_by=["cell"])
+    idx._commit_meta(
+        spark, int(mx), v, expected_meta_v=None, train_iters=train_iters
+    )
+    return idx
+
+
+def append_vectors(
+    spark: SparkSession, delta_emb: DataFrame, idx: AnnIndex
+) -> int:
+    """Fold a delta batch: assign against the STORED centroids (no
+    retraining — exactly how production IVF ingests between retrains)
+    and append_from the pinned base. O(|delta|) compute and I/O; the
+    id high-water mark is enforced like the dedup folds so streaming
+    replays stay detectable."""
+    meta_v, snap = idx.snapshot(spark)
+    corpus_max = int(snap["max_vec_id"])
+    d_min, d_max = delta_emb.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0][:2]
+    if d_min is None:
+        return idx.vectors.current_version()
+    if int(d_min) <= corpus_max:
+        raise ValueError(
+            f"append_vectors requires delta vec_ids above the corpus "
+            f"high-water mark {corpus_max}, got {d_min}"
+        )
+    cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
+        "cell", "ce", "cn"
+    )
+    dq = _quantize_frame(delta_emb)
+    assigned = _assign_to(dq, cents).select("vec_id", "e", "nrm", "cell")
+    v: dict[str, int] = {}
+    v["centroids"] = int(snap["centroids_v"])  # unchanged by an append
+    v["vectors"] = idx.vectors.append_from(assigned, snap["vectors_v"])
+    idx._commit_meta(
+        spark, int(d_max), v, expected_meta_v=meta_v,
+        train_iters=int(snap["train_iters"]),
+    )
+    return v["vectors"]
+
+
+def ann_search(
+    spark: SparkSession,
+    idx: AnnIndex,
+    query_emb: DataFrame,
+    k: int = 3,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Top-k cosine neighbors from the index for a (vec_id, embedding)
+    query frame (queries need not be indexed; an indexed query never
+    returns itself). Each query probes its ``n_probes`` nearest cells;
+    the candidate scan filters on the PARTITION column with a
+    driver-bounded cell list (≤ N_CELLS values), so PartitionFilters
+    prune the read to the probed cells' files — the physical IVF win.
+    Scoring is the same exact integer cosine as every verified search
+    operator."""
+    _v, snap = idx.snapshot(spark)
+    cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
+        "cell", "ce", "cn"
+    )
+    qq = _quantize_frame(query_emb)
+    probes = _assign_to(qq, cents, n_probes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    ).localCheckpoint()
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    cand = idx.vectors.read(spark, version=snap["vectors_v"]).where(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        probes.join(cand.alias("c"), "cell")
+        .where(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qe, c.e, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("qn").alias("na"),
+            F.col("c.nrm").alias("nb"),
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def retrain_ann_index(
+    spark: SparkSession, idx: AnnIndex, train_iters: int = 1
+) -> DataFrame:
+    """The drift/occupancy knob (mirrors the dedup index's rebucket):
+    continue Lloyd from the CURRENT centroids over the CURRENT corpus
+    for ``train_iters`` more rounds, reassign every vector (one pass —
+    inherent: every assignment may change), and swap meta last. The
+    result is pinned ≡ a from-scratch build at the same cumulative
+    iteration count, so periodic retrains introduce no drift beyond
+    the training they perform. Returns the new centroid frame."""
+    if train_iters < 1:
+        raise ValueError("retrain_ann_index: train_iters must be >= 1")
+    meta_v, snap = idx.snapshot(spark)
+    q = (
+        idx.vectors.read(spark, version=snap["vectors_v"])
+        .select("vec_id", "e", "nrm")
+        .localCheckpoint()
+    )
+    cents0 = idx.centroids.read(
+        spark, version=snap["centroids_v"]
+    ).select("cell", "ce", "cn")
+    cents = _lloyd(q, cents0, train_iters)
+    assigned = _assign_to(q, cents).select("vec_id", "e", "nrm", "cell")
+    total = int(snap["train_iters"]) + train_iters
+    v: dict[str, int] = {}
+    v["centroids"] = idx.centroids.overwrite(cents)
+    v["vectors"] = idx.vectors.overwrite(assigned, partition_by=["cell"])
+    idx._commit_meta(
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
+        train_iters=total,
+    )
+    return idx.centroids.read(spark, version=v["centroids"])

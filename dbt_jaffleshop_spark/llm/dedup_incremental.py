@@ -399,8 +399,12 @@ def compact_index(spark: SparkSession, idx) -> dict[str, int]:
             partition_by=list(m["partition_by"]),
         )
     kwargs = {}
-    if "extra_bits" in snap:  # embedding flavor carries its banding
-        kwargs["extra_bits"] = int(snap["extra_bits"] or 0)
+    # flavor-specific meta riders (embedding banding; ANN train count)
+    # are carried through the swap unchanged — compaction rewrites
+    # LAYOUT, never logical state
+    for extra in ("extra_bits", "train_iters"):
+        if extra in snap:
+            kwargs[extra] = int(snap[extra] or 0)
     key = "max_doc_id" if "max_doc_id" in snap else "max_vec_id"
     idx._commit_meta(
         spark, int(snap[key]), v, expected_meta_v=meta_v, **kwargs

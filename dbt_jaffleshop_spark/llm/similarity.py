@@ -298,6 +298,28 @@ def _m_step(assigned: DataFrame) -> DataFrame:
     )
 
 
+def centroids_from_means(means: DataFrame) -> DataFrame:
+    """Pivot an M-step's per-(cell, dim) means back into a ≤N_CELLS-row
+    (cell, ce, cn) centroid table — array re-assembled in dim order,
+    integer squared norm recomputed. The glue that makes Lloyd's loop
+    compose (iteration k+1 assigns against THIS); shared by
+    emb_kmeans_iter2 and the persisted ANN index's training loop
+    (llm/ann_index.py)."""
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_coord"))
+            ).alias("pairs")
+        )
+        .select(
+            "cell",
+            F.expr("transform(pairs, p -> p.mean_coord)").alias("ce"),
+        )
+        .withColumn("cn", F.expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)"))
+    )
+
+
 def emb_kmeans_iter2(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """The SECOND Lloyd iteration (r6) — proves the loop composes:
     iteration 1's per-(cell, dim) means pivot back into a ≤16-row
@@ -314,19 +336,7 @@ def emb_kmeans_iter2(spark: SparkSession, sf_dir: str | None = None) -> DataFram
     which is the point: k-means at 100 TB is THIS, k times."""
     base = _quantized_embeddings(spark, sf_dir)
     means1 = emb_kmeans_iter(spark, sf_dir)
-    cents2 = (
-        means1.groupBy("cell")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("dim", "mean_coord"))
-            ).alias("pairs")
-        )
-        .select(
-            "cell",
-            F.expr("transform(pairs, p -> p.mean_coord)").alias("ce"),
-        )
-        .withColumn("cn", F.expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)"))
-    )
+    cents2 = centroids_from_means(means1)
     means2 = _m_step(_assign_to(base, cents2))
     return (
         means2.join(

@@ -38,6 +38,60 @@ from ..llm.dedup_incremental import (
 )
 
 
+def streaming_vectors_append(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    train_iters: int = 1,
+    max_files_per_trigger: int | None = None,
+):
+    """The ANN-index twin of :func:`streaming_documents_fold`:
+    embedding batches arriving as files append into the persisted IVF
+    index (llm/ann_index.py) — first non-empty batch builds (training
+    the coarse quantizer), later ones assign against the stored
+    centroids and append O(|batch|). Exactly-once via the same
+    id-high-water-mark marker; periodic ``retrain_ann_index`` runs
+    between streams are invisible to this sink (the mark is
+    training-independent)."""
+    from ..llm.ann_index import AnnIndex, append_vectors, build_ann_index
+
+    idx = AnnIndex(index_root)
+    reader = spark.readStream.schema("vec_id bigint, embedding array<float>")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def append_batch(batch_df, batch_id: int) -> None:
+        batch = batch_df.select("vec_id", "embedding")
+        if batch.isEmpty():
+            return
+        if not idx.exists():
+            build_ann_index(spark, batch, index_root, train_iters=train_iters)
+            return
+        hwm = idx.max_vec_id(spark)
+        lo, hi = batch.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).collect()[0][:2]
+        if int(hi) <= hwm:
+            return  # replay — already appended
+        if int(lo) <= hwm:
+            raise ValueError(
+                f"streaming_vectors_append: batch {batch_id} straddles the "
+                f"index high-water mark {hwm} (ids {lo}..{hi}) — the feed "
+                "must deliver monotone vec_ids per batch"
+            )
+        append_vectors(spark, batch, idx)
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", index_root + "/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx
+
+
 def streaming_documents_fold(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,230 @@
+"""Persisted IVF ANN index (r11, llm/ann_index.py): build / append /
+search / retrain behind the meta transaction, with the zero-iteration
+index pinned bit-for-bit to the driver-verified sim_ivf_* search
+operators — persistence and maintenance must be pure layout."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_jaffleshop_spark.llm import ann_index as ai
+from dbt_jaffleshop_spark.llm.similarity import (
+    IVF_NPROBE,
+    IVF_TOP_K,
+    QUERY_STRIDE,
+    sim_ivf_probe2_topk,
+    sim_ivf_topk,
+)
+from dbt_jaffleshop_spark.sources import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") % QUERY_STRIDE == 0)
+
+
+def test_zero_iter_index_matches_verified_search_ops(spark, sf_dir):
+    """Anchor: an untrained index (seed centroids) must answer the
+    oracle-checked sim_ivf_topk AND sim_ivf_probe2_topk queries
+    identically — ranks, neighbors, and exact cosines."""
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_zero_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=0)
+
+    got1 = ai.ann_search(
+        spark, idx, _queries(emb), k=IVF_TOP_K, n_probes=1
+    )
+    assert _rows(got1) == _rows(sim_ivf_topk(spark, sf_dir))
+
+    got2 = ai.ann_search(
+        spark, idx, _queries(emb), k=IVF_TOP_K, n_probes=IVF_NPROBE
+    )
+    assert _rows(got2) == _rows(sim_ivf_probe2_topk(spark, sf_dir))
+
+
+def test_append_is_exact_assignment_against_stored_centroids(spark, sf_dir):
+    """An appended delta must land exactly where a full assignment of
+    the whole corpus against the SAME stored centroids lands — appends
+    are O(delta) and drift-free between retrains. The id high-water
+    mark is enforced like the dedup folds."""
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+    from dbt_jaffleshop_spark.llm.similarity import _assign_to
+
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="ann_idx_append_")
+    idx = ai.build_ann_index(
+        spark, emb.where(F.col("vec_id") <= thr), root, train_iters=1
+    )
+    ai.append_vectors(spark, emb.where(F.col("vec_id") > thr), idx)
+    assert idx.max_vec_id(spark) == mx
+
+    _v, snap = idx.snapshot(spark)
+    cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
+        "cell", "ce", "cn"
+    )
+    want = _assign_to(_quantize_frame(emb), cents).select(
+        "vec_id", "cell"
+    )
+    got = idx.vectors.read(spark, version=snap["vectors_v"]).select(
+        "vec_id", "cell"
+    )
+    assert _rows(got) == _rows(want)
+
+    with pytest.raises(ValueError, match="high-water mark"):
+        ai.append_vectors(
+            spark, emb.where(F.col("vec_id") <= thr), idx
+        )
+
+
+def test_retrain_equals_from_scratch_at_cumulative_iters(spark, sf_dir):
+    """build(T=0) + retrain(2) ≡ build(T=2): centroids, assignments,
+    and search answers all equal — periodic retraining introduces no
+    drift beyond the training itself. The meta rider records the
+    cumulative count."""
+    emb = _emb(spark, sf_dir)
+    root_a = tempfile.mkdtemp(prefix="ann_idx_ra_")
+    root_b = tempfile.mkdtemp(prefix="ann_idx_rb_")
+    fresh = ai.build_ann_index(spark, emb, root_a, train_iters=2)
+    idx = ai.build_ann_index(spark, emb, root_b, train_iters=0)
+    ai.retrain_ann_index(spark, idx, train_iters=2)
+
+    assert int(idx.snapshot(spark)[1]["train_iters"]) == 2
+    cents = lambda i: _rows(  # noqa: E731
+        i.centroids.read(spark).select("cell", "ce", "cn")
+    )
+    assert cents(idx) == cents(fresh)
+    assert _rows(
+        idx.vectors.read(spark).select("vec_id", "cell")
+    ) == _rows(fresh.vectors.read(spark).select("vec_id", "cell"))
+    q = _queries(emb)
+    assert _rows(ai.ann_search(spark, idx, q, k=3, n_probes=2)) == _rows(
+        ai.ann_search(spark, fresh, q, k=3, n_probes=2)
+    )
+
+
+def test_search_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The physical IVF contract: the candidate scan carries a
+    PartitionFilters entry on the cell column, so an n_probes search
+    reads only the probed cells' files."""
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_prune_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=1)
+    one_query = emb.where(
+        F.col("vec_id") == emb.agg(F.max("vec_id")).collect()[0][0]
+    )
+    out = ai.ann_search(spark, idx, one_query, k=3, n_probes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = plan.split("PartitionFilters", 1)
+    assert len(scan) == 2 and "cell" in scan[1].split("]", 1)[0], plan
+    assert out.count() <= 3
+
+
+def test_ann_index_vacuum_pin_and_compaction(spark, sf_dir):
+    """The maintenance surface is shared with the dedup indexes:
+    vacuum pin-protects the meta-referenced versions against stacked
+    garbage commits, and compact_index carries the train_iters rider
+    through the meta swap with state unchanged."""
+    from dbt_jaffleshop_spark.llm.dedup_incremental import compact_index
+
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="ann_idx_vac_")
+    idx = ai.build_ann_index(
+        spark, emb.where(F.col("vec_id") <= thr), root, train_iters=1
+    )
+    ai.append_vectors(spark, emb.where(F.col("vec_id") > thr), idx)
+    before = _rows(idx.vectors.read(spark).select("vec_id", "cell"))
+
+    junk = spark.createDataFrame(
+        [(10**9, [1], 1, 0)], "vec_id bigint, e array<bigint>, nrm bigint, cell int"
+    )
+    idx.vectors.overwrite(junk)
+    idx.vectors.overwrite(junk)
+    idx.vacuum(keep_last=2)
+    _v, snap = idx.snapshot(spark)
+    assert (
+        _rows(
+            idx.vectors.read(spark, version=snap["vectors_v"]).select(
+                "vec_id", "cell"
+            )
+        )
+        == before
+    )
+
+    compact_index(spark, idx)
+    _v, snap2 = idx.snapshot(spark)
+    assert int(snap2["train_iters"]) == 1
+    assert (
+        _rows(idx.vectors.read(spark).select("vec_id", "cell")) == before
+    )
+
+
+def test_streaming_append_builds_then_appends_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Embedding batches arriving as files: first batch trains+builds,
+    the second appends against the stored centroids; a replay run on
+    the same checkpoint changes nothing, and the end state equals a
+    build+append done directly."""
+    import os
+    import time
+
+    from dbt_jaffleshop_spark.streaming.index_fold import (
+        streaming_vectors_append,
+    )
+
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+
+    def land(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            f
+            for f in os.listdir(str(tmp_path / name))
+            if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(str(tmp_path / name), part),
+            os.path.join(src, name + ".parquet"),
+        )
+        time.sleep(1.1)
+
+    land(emb.where(F.col("vec_id") <= thr), "b0")
+    land(emb.where(F.col("vec_id") > thr), "b1")
+    root = str(tmp_path / "idx")
+    idx = streaming_vectors_append(
+        spark, src, root, train_iters=1, max_files_per_trigger=1
+    )
+    assert idx.max_vec_id(spark) == mx
+    meta_v = idx.meta.current_version()
+
+    # direct twin: same build slice + same delta
+    root2 = str(tmp_path / "idx2")
+    direct = ai.build_ann_index(
+        spark, emb.where(F.col("vec_id") <= thr), root2, train_iters=1
+    )
+    ai.append_vectors(spark, emb.where(F.col("vec_id") > thr), direct)
+    assert _rows(idx.vectors.read(spark).select("vec_id", "cell")) == _rows(
+        direct.vectors.read(spark).select("vec_id", "cell")
+    )
+
+    # replay: nothing moves
+    streaming_vectors_append(spark, src, root, max_files_per_trigger=1)
+    assert idx.meta.current_version() == meta_v
