@@ -54,7 +54,11 @@ from .similarity import (
     _COS,
     _assign_to,
     _m_step,
+    _pq_codebook,
+    _pq_encode,
     N_CELLS,
+    PQ_DSUB,
+    PQ_M,
     centroids_from_means,
 )
 
@@ -65,16 +69,24 @@ class AnnIndex:
     ``vectors`` (vec_id, e, nrm, cell — partitioned by cell, the probe
     scan's pruning key), and the ``meta`` commit pointer."""
 
-    _TABLES = ("centroids", "vectors")
+    _TABLES = ("centroids", "vectors", "codes", "codebook")
     _META_DDL = (
         "max_vec_id bigint, centroids_v int, vectors_v int, "
-        "train_iters int"
+        "codes_v int, codebook_v int, train_iters int"
     )
 
     def __init__(self, root: str):
         self.root = root
         self.centroids = AcidTable(os.path.join(root, "centroids"))
         self.vectors = AcidTable(os.path.join(root, "vectors"))
+        # PQ layer: codes (vec_id, cell, codes, recon_nrm — M 4-bit
+        # codewords per vector, partitioned by cell like vectors) and
+        # the ≤PQ_K-row codebook, frozen at build (PQ codebooks retrain
+        # far more rarely than coarse centroids; a codebook change is a
+        # re-encode, i.e. a rebuild). ADC search reads codes, NEVER the
+        # stored vectors — the 100 TB ANN memory story, persisted.
+        self.codes = AcidTable(os.path.join(root, "codes"))
+        self.codebook = AcidTable(os.path.join(root, "codebook"))
         self.meta = AcidTable(os.path.join(root, "meta"))
 
     def exists(self) -> bool:
@@ -154,10 +166,20 @@ def build_ann_index(
         )
     q = _quantize_frame(emb).localCheckpoint()
     cents = _lloyd(q, _seed_centroids(q), train_iters)
-    assigned = _assign_to(q, cents).select("vec_id", "e", "nrm", "cell")
+    assigned = _assign_to(q, cents).select(
+        "vec_id", "e", "nrm", "cell"
+    ).localCheckpoint()
+    # PQ layer: the deterministic seed codebook (frozen at build) and
+    # every vector's M-codeword encoding — identical quantization to
+    # the oracle-verified sim_ivfpq_topk via the shared _pq_encode
+    cb = _pq_codebook(q).localCheckpoint()
     v: dict[str, int] = {}
     v["centroids"] = idx.centroids.overwrite(cents)
     v["vectors"] = idx.vectors.overwrite(assigned, partition_by=["cell"])
+    v["codebook"] = idx.codebook.overwrite(cb)
+    v["codes"] = idx.codes.overwrite(
+        _pq_encode(assigned, cb), partition_by=["cell"]
+    )
     idx._commit_meta(
         spark, int(mx), v, expected_meta_v=None, train_iters=train_iters
     )
@@ -187,11 +209,20 @@ def append_vectors(
     cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
         "cell", "ce", "cn"
     )
+    cb = idx.codebook.read(spark, version=snap["codebook_v"]).select(
+        "j", "cbe", "subn"
+    )
     dq = _quantize_frame(delta_emb)
-    assigned = _assign_to(dq, cents).select("vec_id", "e", "nrm", "cell")
+    assigned = _assign_to(dq, cents).select(
+        "vec_id", "e", "nrm", "cell"
+    ).localCheckpoint()
     v: dict[str, int] = {}
     v["centroids"] = int(snap["centroids_v"])  # unchanged by an append
+    v["codebook"] = int(snap["codebook_v"])    # frozen at build
     v["vectors"] = idx.vectors.append_from(assigned, snap["vectors_v"])
+    v["codes"] = idx.codes.append_from(
+        _pq_encode(assigned, cb), snap["codes_v"]
+    )
     idx._commit_meta(
         spark, int(d_max), v, expected_meta_v=meta_v,
         train_iters=int(snap["train_iters"]),
@@ -276,13 +307,104 @@ def retrain_ann_index(
         spark, version=snap["centroids_v"]
     ).select("cell", "ce", "cn")
     cents = _lloyd(q, cents0, train_iters)
-    assigned = _assign_to(q, cents).select("vec_id", "e", "nrm", "cell")
+    assigned = _assign_to(q, cents).select(
+        "vec_id", "e", "nrm", "cell"
+    ).localCheckpoint()
+    # codes payload (codewords, reconstructed norm) is codebook-only —
+    # a retrain just RE-HOMES each code row to its vector's new cell
+    codes_next = (
+        idx.codes.read(spark, version=snap["codes_v"])
+        .select("vec_id", "codes", "recon_nrm")
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .select("vec_id", "cell", "codes", "recon_nrm")
+    )
     total = int(snap["train_iters"]) + train_iters
     v: dict[str, int] = {}
     v["centroids"] = idx.centroids.overwrite(cents)
     v["vectors"] = idx.vectors.overwrite(assigned, partition_by=["cell"])
+    v["codebook"] = int(snap["codebook_v"])
+    v["codes"] = idx.codes.overwrite(codes_next, partition_by=["cell"])
     idx._commit_meta(
         spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
         train_iters=total,
     )
     return idx.centroids.read(spark, version=v["centroids"])
+
+
+def ann_search_adc(
+    spark: SparkSession,
+    idx: AnnIndex,
+    query_emb: DataFrame,
+    k: int = 3,
+    n_probes: int = 1,
+) -> DataFrame:
+    """IVFADC search from the PERSISTED codes — the hot path that never
+    touches stored vectors: each query precomputes an M×K LUT of
+    integer subvector dot products against the broadcast codebook, and
+    scoring a candidate is M array lookups + adds against its stored
+    codes. Candidates come from the probed cells' partitions only
+    (same PartitionFilters pruning as :func:`ann_search`). Identical
+    arithmetic to the oracle-verified ``sim_ivfpq_topk`` via the shared
+    codebook/encoder — a zero-iteration index answers it bit-for-bit
+    (pytest-pinned)."""
+    _v, snap = idx.snapshot(spark)
+    cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
+        "cell", "ce", "cn"
+    )
+    cb = idx.codebook.read(spark, version=snap["codebook_v"]).select(
+        "j", "cbe", "subn"
+    )
+    qq = _quantize_frame(query_emb).localCheckpoint()
+
+    subdot = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
+        f"zip_with(slice(qe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        f" slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " (x, y) -> x * y), 0L, (acc, x) -> acc + x))"
+    )
+    luts = (
+        qq.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .withColumn("sd", F.expr(subdot))
+        .groupBy("query_id")
+        .agg(
+            F.first("qn").alias("na"),
+            F.expr("array_sort(collect_list(struct(j, sd)))").alias("lut"),
+        )
+    )
+    probes = _assign_to(qq, cents, n_probes).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    ).localCheckpoint()
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    cand = idx.codes.read(spark, version=snap["codes_v"]).where(
+        F.col("cell").isin(cells)
+    )
+    adot = (
+        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (acc, m) -> "
+        "acc + lut[cast(codes[m] as int)].sd[m])"
+    )
+    scored = (
+        probes.join(luts, "query_id")
+        .join(cand.alias("c"), "cell")
+        .where(F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(adot).alias("dot"),
+            "na",
+            F.col("recon_nrm").alias("nb"),
+        )
+        .withColumn("adc_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
+    )

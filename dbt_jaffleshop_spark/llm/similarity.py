@@ -380,6 +380,48 @@ def _pq_codebook(q: DataFrame) -> DataFrame:
     ).withColumn("subn", F.expr(subn))
 
 
+def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """PQ-encode a (vec_id, e, cell, …) frame against a (j, cbe, subn)
+    codebook → (vec_id, cell, codes, recon_nrm): each of the M
+    subvectors assigned to its nearest codeword by exact integer
+    squared L2 (broadcast codebook; ONE shuffle on vec_id), the chosen
+    codewords' subnorms summed into the reconstructed norm. Shared by
+    sim_ivfpq_topk and the persisted ANN index's codes table
+    (llm/ann_index.py) — both quantize identically by construction."""
+    subd = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
+        f"zip_with(slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        f" slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
+    )
+    sel = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate(pairs,"
+        " named_struct('d', 9223372036854775807L, 'c', -1L, 'n', 0L),"
+        " (acc, p) -> IF(p.subd[m] < acc.d,"
+        " named_struct('d', p.subd[m], 'c', p.j, 'n', p.subn[m]), acc)))"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cb))
+        .withColumn("subd", F.expr(subd))
+        .groupBy("vec_id")
+        .agg(
+            F.first("cell").alias("cell"),
+            F.expr("array_sort(collect_list(struct(j, subd, subn)))").alias(
+                "pairs"
+            ),
+        )
+        .withColumn("sel", F.expr(sel))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr("transform(sel, s -> s.c)").alias("codes"),
+            F.expr(
+                "greatest(aggregate(sel, 0L, (acc, s) -> acc + s.n), 1L)"
+            ).alias("recon_nrm"),
+        )
+    )
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """FAISS-style IVFADC (r7): IVF cell restriction + product-quantized
     codes + per-query asymmetric-distance lookup tables.
@@ -410,39 +452,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     q = _quantized_embeddings(spark, sf_dir)
     assigned = _assign_cells(q)
     cb = _pq_codebook(q)
-
-    subd = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("
-        f"zip_with(slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
-        f" slice(cbe, m * {PQ_DSUB} + 1, {PQ_DSUB}),"
-        " (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x))"
-    )
-    sel = (
-        f"transform(sequence(0, {PQ_M - 1}), m -> aggregate(pairs,"
-        " named_struct('d', 9223372036854775807L, 'c', -1L, 'n', 0L),"
-        " (acc, p) -> IF(p.subd[m] < acc.d,"
-        " named_struct('d', p.subd[m], 'c', p.j, 'n', p.subn[m]), acc)))"
-    )
-    enc = (
-        assigned.crossJoin(F.broadcast(cb))
-        .withColumn("subd", F.expr(subd))
-        .groupBy("vec_id")
-        .agg(
-            F.first("cell").alias("cell"),
-            F.expr("array_sort(collect_list(struct(j, subd, subn)))").alias(
-                "pairs"
-            ),
-        )
-        .withColumn("sel", F.expr(sel))
-        .select(
-            "vec_id",
-            "cell",
-            F.expr("transform(sel, s -> s.c)").alias("codes"),
-            F.expr(
-                "greatest(aggregate(sel, 0L, (acc, s) -> acc + s.n), 1L)"
-            ).alias("recon_nrm"),
-        )
-    )
+    enc = _pq_encode(assigned, cb)
 
     subdot = (
         f"transform(sequence(0, {PQ_M - 1}), m -> aggregate("

@@ -228,3 +228,60 @@ def test_streaming_append_builds_then_appends_exactly_once(
     # replay: nothing moves
     streaming_vectors_append(spark, src, root, max_files_per_trigger=1)
     assert idx.meta.current_version() == meta_v
+
+
+def test_adc_search_matches_sim_ivfpq_and_survives_lifecycle(
+    spark, sf_dir
+):
+    """The persisted PQ layer: a zero-iteration index's ADC search
+    answers the oracle-verified sim_ivfpq_topk bit-for-bit; after an
+    append the codes table equals a full re-encode against the frozen
+    codebook; after a retrain the code payloads are unchanged and only
+    re-homed to the new cells."""
+    from dbt_jaffleshop_spark.llm.similarity import sim_ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_adc_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=0)
+    got = ai.ann_search_adc(
+        spark, idx, _queries(emb), k=IVF_TOP_K, n_probes=1
+    )
+    assert _rows(got) == _rows(sim_ivfpq_topk(spark, sf_dir))
+
+    # lifecycle: build 70% → append 30% → codes ≡ full re-encode
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root2 = tempfile.mkdtemp(prefix="ann_idx_adc2_")
+    idx2 = ai.build_ann_index(
+        spark, emb.where(F.col("vec_id") <= thr), root2, train_iters=1
+    )
+    ai.append_vectors(spark, emb.where(F.col("vec_id") > thr), idx2)
+    _v, snap = idx2.snapshot(spark)
+    payload_before = _rows(
+        idx2.codes.read(spark, version=snap["codes_v"]).select(
+            "vec_id", "codes", "recon_nrm"
+        )
+    )
+    # retrain re-homes code rows; payloads identical
+    ai.retrain_ann_index(spark, idx2, train_iters=1)
+    _v, snap2 = idx2.snapshot(spark)
+    payload_after = _rows(
+        idx2.codes.read(spark, version=snap2["codes_v"]).select(
+            "vec_id", "codes", "recon_nrm"
+        )
+    )
+    assert payload_after == payload_before
+    # code rows sit in the vectors' (possibly new) cells
+    vc = _rows(idx2.vectors.read(spark).select("vec_id", "cell"))
+    cc = _rows(idx2.codes.read(spark).select("vec_id", "cell"))
+    assert vc == cc
+    # and the ADC plan prunes on the codes partition column
+    one_query = emb.where(F.col("vec_id") == mx)
+    import re
+
+    out = ai.ann_search_adc(spark, idx2, one_query, k=3, n_probes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the codebook scan legitimately carries an EMPTY PartitionFilters
+    # (unpartitioned table); the CODES scan must carry one on cell
+    segs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
+    assert any("cell" in seg for seg in segs), plan
