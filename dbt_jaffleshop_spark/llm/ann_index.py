@@ -20,7 +20,14 @@ protocol), so a growing embedding corpus gets:
   CURRENT corpus and reassign (one pass) — the drift/occupancy knob,
   mirroring the dedup index's ``rebucket``: production retrains as the
   corpus grows or drifts so cell occupancy stays balanced. Pinned
-  ≡ from-scratch training at the same cumulative iteration count.
+  ≡ from-scratch training at the same cumulative iteration count;
+* **remove** — exact deletion (the right-to-be-forgotten leg, mirroring
+  the dedup indexes' ``remove_docs``/``remove_vecs``): every stored row
+  is independent (no elected minima, no pairwise state), so removal is
+  a pure filter of ``vectors``/``codes``, committed partition-scoped —
+  I/O is O(affected cells), never O(corpus). The id high-water mark is
+  NOT lowered (ids are never reused), so streaming replay detection
+  survives removals.
 
 Exactness anchor: a zero-iteration index (seed centroids) answers the
 driver-verified ``sim_ivf_topk`` / ``sim_ivf_probe2_topk`` queries
@@ -329,6 +336,83 @@ def retrain_ann_index(
         train_iters=total,
     )
     return idx.centroids.read(spark, version=v["centroids"])
+
+
+def remove_vectors(
+    spark: SparkSession, removed: DataFrame, idx: AnnIndex
+) -> int:
+    """Exact vector removal from the persisted index — the ANN twin of
+    the dedup indexes' removal legs, and the SIMPLEST of the three:
+    an IVF index keeps no pairwise or elected state, so deleting a
+    vector is a pure filter of its ``vectors`` and ``codes`` rows.
+    Post-removal the index is bit-identical to an assignment of the
+    surviving corpus at the stored centroids, and every search is
+    exactly a search over the surviving corpus (both search paths read
+    only the stored tables, whose content this pin fixes).
+
+    Scale shape: the only partitions rewritten are the cells that held
+    a removed vector — ``overwrite_partitions`` carries every other
+    cell's files by reference from the meta-pinned base, so at 100 TB a
+    right-to-be-forgotten batch costs O(affected cells) I/O, never a
+    corpus rewrite (the lesson the r10 verdict taught remove_docs).
+    Centroids and codebook are untouched: removal does not retrain
+    (drift from mass leaving a cell is the retrain knob's job), and the
+    ``max_vec_id`` high-water mark is NOT lowered even when the newest
+    vector is removed — ids are never reused, which keeps streaming
+    replay detection (streaming/index_fold.py) and append ordering
+    sound across removals.
+
+    Takes a (vec_id) frame; ids not present in the index are ignored
+    (removal is idempotent — a replayed batch finds nothing to drop).
+    Returns the committed ``vectors`` version."""
+    rem = removed.select("vec_id").distinct().localCheckpoint()
+    meta_v, snap = idx.snapshot(spark)
+    vecs = idx.vectors.read(spark, version=snap["vectors_v"])
+    # driver-bounded: ≤ N_CELLS distinct values by construction
+    cells = sorted(
+        r[0]
+        for r in vecs.join(rem, "vec_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not cells:
+        return int(snap["vectors_v"])
+
+    def _align_cell(df: DataFrame, table: AcidTable, ver: int) -> DataFrame:
+        # partition-directory inference types `cell` as int on read-back;
+        # the stored schema recorded it pre-write (bigint) — cast back so
+        # the write-schema guard sees the committed type
+        stored = table.manifest(ver).get("meta", {}).get("schema") or {}
+        t = stored.get("cell")
+        return df.withColumn("cell", F.col("cell").cast(t)) if t else df
+
+    kept_vecs = _align_cell(
+        vecs.where(F.col("cell").isin(cells)).join(rem, "vec_id", "left_anti"),
+        idx.vectors,
+        snap["vectors_v"],
+    )
+    kept_codes = _align_cell(
+        idx.codes.read(spark, version=snap["codes_v"])
+        .where(F.col("cell").isin(cells))
+        .join(rem, "vec_id", "left_anti"),
+        idx.codes,
+        snap["codes_v"],
+    )
+    v: dict[str, int] = {}
+    v["centroids"] = int(snap["centroids_v"])  # removal never retrains
+    v["codebook"] = int(snap["codebook_v"])
+    v["vectors"] = idx.vectors.overwrite_partitions(
+        kept_vecs, "cell", cells, base_version=snap["vectors_v"]
+    )
+    v["codes"] = idx.codes.overwrite_partitions(
+        kept_codes, "cell", cells, base_version=snap["codes_v"]
+    )
+    idx._commit_meta(
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
+        train_iters=int(snap["train_iters"]),
+    )
+    return v["vectors"]
 
 
 def ann_search_adc(

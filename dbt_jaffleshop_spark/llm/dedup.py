@@ -143,6 +143,99 @@ def _bounded_shingle_index(sh: DataFrame) -> DataFrame:
     )
 
 
+# Token-window width for substring-level dedup. Lee et al. 2021
+# ("Deduplicating Training Data Makes Language Models Better") use
+# 50-token windows over web corpora; the synthetic documents run ~50
+# tokens TOTAL, so 8 keeps the operator exercised (≈9% of sf0.01 gram
+# occurrences are duplicated) at the same semantics.
+SUBSTR_K = 8
+# The gram-window expression both engines share: hash of the K-token
+# window starting at 1-based position i, derived from md5 so Spark and
+# DuckDB agree bit-for-bit (see common.HASH60_*).
+_SUBSTR_GRAMS = (
+    f"transform(sequence(1, size(ts) - {SUBSTR_K} + 1), i -> struct("
+    "i AS pos, "
+    + HASH60_SPARK_SQL.format(
+        s=f"concat_ws(' ', slice(ts, i, {SUBSTR_K}))"
+    )
+    + " AS g_h))"
+)
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021's ExactSubstr,
+    re-expressed for Spark): any K-token window whose text occurs ≥2
+    times ANYWHERE in the corpus (across or within documents) is
+    removed from every occurrence except one canonical keeper — the
+    lexicographically smallest (doc_id, pos). Document-level dedup
+    (dedup_exact / MinHash) misses this entirely: boilerplate headers,
+    license blocks, and quoted passages duplicate inside otherwise
+    unique documents, and substring removal is what actually shrinks a
+    training corpus's memorization surface.
+
+    Deterministic spec shared with the oracle: whitespace tokens;
+    windows of SUBSTR_K at stride 1 (docs shorter than K are untouched);
+    occurrences grouped by the 60-bit md5 gram hash; removed token
+    index sets are the union of non-keeper windows; output is per-doc
+    (n_tokens, n_removed_tokens, md5 of the surviving text) so the
+    driver value-hashes the RESULT corpus, not just counts.
+
+    Scale shape: one exchange on the 8-byte gram hash (partial-agg
+    count + min-keeper), one keyed join back to occurrences (skew on a
+    boilerplate gram is inherent demand — every occurrence must be
+    located to be removed), one groupBy doc_id over DUPLICATED
+    occurrences only, and reconstruction is a per-row JVM higher-order
+    expression — no explode of surviving tokens, no Python, no window
+    function. The paper's suffix array is a single-machine index; the
+    gram-hash inverted index is the shuffle-native equivalent at fixed
+    window width, and is how production Spark pipelines run it."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts")).repartition(
+        "doc_id"
+    )
+    grams = (
+        toks.where(F.expr(f"size(ts) >= {SUBSTR_K}"))
+        .select("doc_id", F.explode(F.expr(_SUBSTR_GRAMS)).alias("o"))
+        .select("doc_id", F.col("o.pos").alias("pos"), F.col("o.g_h").alias("g_h"))
+    )
+    dup = grams.groupBy("g_h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keep"),
+    ).where(F.col("cnt") >= 2)
+    dup_occ = (
+        grams.join(dup, "g_h")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    removed = dup_occ.groupBy("doc_id").agg(
+        F.expr(
+            "array_distinct(flatten(transform(collect_list(pos),"
+            f" p -> sequence(p, p + {SUBSTR_K - 1}))))"
+        ).alias("rm")
+    )
+    return (
+        toks.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ts",
+            F.expr("coalesce(rm, cast(array() as array<int>))").alias("rm"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(ts)").cast("bigint").alias("n_tokens"),
+            F.expr("size(rm)").cast("bigint").alias("n_removed_tokens"),
+            F.expr(
+                "md5(concat_ws(' ', transform(filter("
+                "transform(ts, (t, i) -> struct(i + 1 AS ix, t AS tk)),"
+                " s -> NOT array_contains(rm, s.ix)), s -> s.tk)))"
+            ).alias("kept_md5"),
+        )
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 via inverted-index
     join: only pairs sharing ≥1 retained (df ≤ NGRAM_DF_CUTOFF) shingle
@@ -1339,6 +1432,54 @@ _QUANT_CTE = _quant_cte()
 
 _COS_D = "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
 
+
+# Substring-level dedup oracle — same deterministic spec as
+# dedup_substring (K-token windows, 60-bit md5 gram hash, keeper =
+# min (doc_id, pos), removed index sets unioned per doc, surviving text
+# md5'd). A module CONSTANT rather than an ORACLES entry: the operator
+# is driver-verified as a text_digest MEMBER (queries/op_digests.py),
+# and every ORACLES entry would auto-register a standalone slot in the
+# capped 50-query catalog.
+DEDUP_SUBSTRING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           {_HASH60_D.format(s=f"array_to_string(ts[i:i+{SUBSTR_K - 1}], ' ')")} AS g_h
+    FROM toks, unnest(range(1, len(ts) - {SUBSTR_K} + 2)) AS u(i)
+    WHERE len(ts) >= {SUBSTR_K}
+),
+marked AS (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY g_h) AS cnt,
+           row_number() OVER (PARTITION BY g_h ORDER BY doc_id, pos) AS rn
+    FROM grams
+),
+rm AS (
+    SELECT doc_id, list(DISTINCT j) AS rmix
+    FROM marked, unnest(range(pos, pos + {SUBSTR_K})) AS v(j)
+    WHERE cnt >= 2 AND rn > 1
+    GROUP BY doc_id
+),
+exploded AS (
+    SELECT doc_id, ts[j] AS tok, j AS idx
+    FROM toks, unnest(range(1, len(ts) + 1)) AS u(j)
+),
+kept AS (
+    SELECT e.doc_id, string_agg(e.tok, ' ' ORDER BY e.idx) AS kept_text
+    FROM exploded e LEFT JOIN rm ON e.doc_id = rm.doc_id
+    WHERE rm.rmix IS NULL OR NOT list_contains(rm.rmix, e.idx)
+    GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(len(rm.rmix), 0) AS BIGINT) AS n_removed_tokens,
+       md5(coalesce(k.kept_text, '')) AS kept_md5
+FROM toks t
+LEFT JOIN rm ON t.doc_id = rm.doc_id
+LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
 
 ORACLES: dict[str, str] = {
     "dedup_exact": f"""

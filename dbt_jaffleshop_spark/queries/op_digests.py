@@ -307,6 +307,15 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
             ("n_chars", "bigint"),
             ("bpe_per_char", "double"),
         ]),
+        # r11b: substring-level exact dedup (Lee et al. 2021 ExactSubstr
+        # re-expressed as a gram-hash inverted index; llm/dedup.py) —
+        # kept_md5 value-verifies the SURVIVING text of every document
+        "dedup_substring": _m(llm_dedup, "dedup_substring", [
+            ("doc_id", "bigint"),
+            ("n_tokens", "bigint"),
+            ("n_removed_tokens", "bigint"),
+            ("kept_md5", "string"),
+        ], oracle=llm_dedup.DEDUP_SUBSTRING_ORACLE),
     },
     "prep_digest": {
         "corpus_decontaminate": _m(llm_prep, "corpus_decontaminate", [

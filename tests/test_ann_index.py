@@ -285,3 +285,143 @@ def test_adc_search_matches_sim_ivfpq_and_survives_lifecycle(
     # (unpartitioned table); the CODES scan must carry one on cell
     segs = re.findall(r"PartitionFilters: \[([^\]]*)", plan)
     assert any("cell" in seg for seg in segs), plan
+
+
+def test_remove_vectors_is_exact_filter_and_partition_scoped(
+    spark, sf_dir
+):
+    """Removal ≡ filter: post-removal vectors/codes equal the pre
+    content minus the removed ids (both search paths read only these
+    tables, so this pin fixes every future search), centroids/codebook
+    and the id high-water mark are untouched, untouched cells' files
+    carry by REFERENCE (removal I/O is O(affected cells)), and a
+    replayed removal is a no-op."""
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_rm_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=1)
+    _v0, snap0 = idx.snapshot(spark)
+    pre_vecs = idx.vectors.read(spark)
+    pre_codes = idx.codes.read(spark)
+    pre_v = _rows(pre_vecs)
+    pre_c = _rows(pre_codes)
+    pre_manifest = idx.vectors.manifest(snap0["vectors_v"])
+
+    rem = emb.where(F.col("vec_id") % 17 == 0).select("vec_id")
+    rem_ids = {r[0] for r in rem.collect()}
+    hit_cells = {
+        r[0]
+        for r in pre_vecs.join(rem, "vec_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    ai.remove_vectors(spark, rem, idx)
+
+    _v1, snap1 = idx.snapshot(spark)
+    assert int(snap1["centroids_v"]) == int(snap0["centroids_v"])
+    assert int(snap1["codebook_v"]) == int(snap0["codebook_v"])
+    assert int(snap1["max_vec_id"]) == int(snap0["max_vec_id"])
+    assert int(snap1["train_iters"]) == 1
+    got_v = _rows(idx.vectors.read(spark, version=snap1["vectors_v"]))
+    got_c = _rows(idx.codes.read(spark, version=snap1["codes_v"]))
+    assert got_v == [r for r in pre_v if r[0] not in rem_ids]
+    assert got_c == [r for r in pre_c if r[0] not in rem_ids]
+
+    # partition-scoped I/O: every untouched cell's files are the SAME
+    # file names as the pinned base — only hit cells staged new files
+    post_manifest = idx.vectors.manifest(snap1["vectors_v"])
+    by_cell = lambda m: {  # noqa: E731
+        f.split("/", 1)[0]: sorted(
+            x for x in m["files"] if x.split("/", 1)[0] == f.split("/", 1)[0]
+        )
+        for f in m["files"]
+    }
+    pre_parts, post_parts = by_cell(pre_manifest), by_cell(post_manifest)
+    for part, files in post_parts.items():
+        cell_val = int(part.split("=", 1)[1])
+        if cell_val in hit_cells:
+            assert files != pre_parts.get(part), part
+        else:
+            assert files == pre_parts[part], part
+
+    # searches never surface a removed id
+    q = _queries(emb)
+    for search in (ai.ann_search, ai.ann_search_adc):
+        out = search(spark, idx, q, k=3, n_probes=2)
+        assert not set(
+            r[0] for r in out.select("neighbor_id").distinct().collect()
+        ) & rem_ids
+
+    # replayed removal: nothing stored matches -> no commit
+    v_before = idx.meta.current_version()
+    ai.remove_vectors(spark, rem, idx)
+    assert idx.meta.current_version() == v_before
+
+
+def test_remove_vectors_keeps_high_water_mark_and_append_order(
+    spark, sf_dir
+):
+    """Removing the NEWEST vector must not lower the id high-water
+    mark: ids are never reused, so a replayed streaming batch at the
+    old max is still refused and only genuinely-new ids append."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="ann_idx_rm_hwm_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=0)
+    ai.remove_vectors(
+        spark, emb.where(F.col("vec_id") == mx).select("vec_id"), idx
+    )
+    assert idx.max_vec_id(spark) == mx
+    with pytest.raises(ValueError, match="high-water mark"):
+        ai.append_vectors(spark, emb.where(F.col("vec_id") == mx), idx)
+    fresh = emb.where(F.col("vec_id") == mx).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1)
+    )
+    ai.append_vectors(spark, fresh, idx)
+    assert idx.max_vec_id(spark) == mx + 1
+
+
+def test_remove_vectors_crash_before_meta_is_invisible_then_replays(
+    spark, sf_dir
+):
+    """Crash atomicity, inherited from the meta protocol: a removal
+    that commits ``vectors`` but dies before ``codes``/meta leaves
+    readers on the old state (meta unmoved), and the re-run completes
+    from the PINNED base — the garbage commit above the pin
+    contributes nothing, and the end state equals one clean removal."""
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_rm_crash_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=1)
+    pre_v = _rows(idx.vectors.read(spark))
+    pre_c = _rows(idx.codes.read(spark))
+    rem = emb.where(F.col("vec_id") % 13 == 0).select("vec_id")
+    rem_ids = {r[0] for r in rem.collect()}
+
+    real = idx.codes.overwrite_partitions
+
+    def crashing(*a, **kw):
+        raise RuntimeError("simulated crash before codes commit")
+
+    idx.codes.overwrite_partitions = crashing
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ai.remove_vectors(spark, rem, idx)
+    idx.codes.overwrite_partitions = real
+
+    # reader view mid-crash: meta unmoved, full pre content visible
+    reader = ai.AnnIndex(root)
+    _v, snap = reader.snapshot(spark)
+    assert _rows(reader.vectors.read(spark, version=snap["vectors_v"])) == pre_v
+    assert _rows(reader.codes.read(spark, version=snap["codes_v"])) == pre_c
+
+    ai.remove_vectors(spark, rem, idx)
+    _v, snap2 = idx.snapshot(spark)
+    assert _rows(
+        idx.vectors.read(spark, version=snap2["vectors_v"])
+    ) == [r for r in pre_v if r[0] not in rem_ids]
+    assert _rows(
+        idx.codes.read(spark, version=snap2["codes_v"])
+    ) == [r for r in pre_c if r[0] not in rem_ids]

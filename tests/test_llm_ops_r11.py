@@ -442,3 +442,51 @@ def test_streaming_fold_refuses_straddling_batch(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="straddles"):
         streaming_documents_fold(spark, src, root)
+
+
+def test_dedup_substring_matches_bruteforce(spark, sf_dir):
+    """Substring-level dedup (r11b, Lee et al. ExactSubstr spec) against
+    an independent pure-Python recompute over the raw gram STRINGS —
+    pins the whole spec (windowing, corpus-wide counting, min-(doc,pos)
+    keeper, span union, surviving-text md5) with no shared hash code."""
+    import hashlib
+    from collections import defaultdict
+
+    from dbt_jaffleshop_spark.llm.dedup import SUBSTR_K, dedup_substring
+    from dbt_jaffleshop_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    occ = defaultdict(list)
+    for doc_id in sorted(docs):
+        ts = docs[doc_id].split(" ")
+        for i in range(len(ts) - SUBSTR_K + 1):
+            occ[" ".join(ts[i : i + SUBSTR_K])].append((doc_id, i + 1))
+    removed = defaultdict(set)
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        for doc_id, pos in places[1:]:  # places are in (doc_id, pos) order
+            removed[doc_id].update(range(pos, pos + SUBSTR_K))
+    want = {}
+    for doc_id, text in docs.items():
+        ts = text.split(" ")
+        rm = removed.get(doc_id, set())
+        kept = " ".join(t for j, t in enumerate(ts, 1) if j not in rm)
+        want[doc_id] = (
+            len(ts),
+            len(rm),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["kept_md5"])
+        for r in dedup_substring(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the operator actually removes something on the planted corpus
+    assert sum(v[1] for v in got.values()) > 0
