@@ -214,15 +214,52 @@ class AcidTable:
         later read would silently resolve to ONE of the schemas (Spark
         takes the schema from a sample file unless mergeSchema is on),
         dropping or nulling columns with no error. Fail the append
-        instead. (Schema EVOLUTION would be a manifest-level feature à la
-        Delta mergeSchema; the engine's models have fixed contracts, so
-        drift here is always a bug.)"""
+        instead. Schema EVOLUTION is a separate manifest-level feature
+        (``append(..., merge_schema=True)`` / :meth:`_evolve_schema`) —
+        the engine's models have fixed contracts, so UNDECLARED drift is
+        always a bug."""
         stored = self.manifest().get("meta", {}).get("schema")
         if stored and stored != self._schema_map(df):
             raise ValueError(
                 f"{self.path}: append schema {self._schema_map(df)} "
                 f"does not match table schema {stored}"
             )
+
+    def _evolve_schema(self, df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+        """Additive schema evolution (Delta's mergeSchema, manifest-level):
+        the write may ADD columns (appended after the stored order) and
+        may OMIT stored columns (filled with typed nulls so every file
+        carries the full evolved schema); a TYPE change on a shared
+        column is refused — silent widening/narrowing corrupts readers,
+        and a type migration is a rewrite, not an append. Returns the
+        aligned frame and the evolved schema map. Old files are NOT
+        rewritten: :meth:`read` projects evolved snapshots through the
+        manifest schema, so pre-evolution files surface typed nulls for
+        the added columns — at 100 TB an added column costs one manifest
+        commit, never a corpus rewrite."""
+        stored = self.manifest().get("meta", {}).get("schema") or {}
+        mine = self._schema_map(df)
+        clash = {
+            c: (stored[c], mine[c])
+            for c in stored
+            if c in mine and stored[c] != mine[c]
+        }
+        if clash:
+            raise ValueError(
+                f"{self.path}: merge_schema cannot change column types "
+                f"{clash} — evolution is additive-only; a type change "
+                "needs an explicit overwrite"
+            )
+        from pyspark.sql import functions as F
+
+        evolved = {**stored, **{c: t for c, t in mine.items() if c not in stored}}
+        aligned = df.select(
+            *[
+                F.col(c) if c in mine else F.lit(None).cast(t).alias(c)
+                for c, t in evolved.items()
+            ]
+        )
+        return aligned, evolved
 
     def _discard_staged(self, files: list[str]) -> None:
         """Remove staged-but-never-committed data files. They are
@@ -336,6 +373,7 @@ class AcidTable:
         partition_by: list[str] | None = None,
         meta: dict | None = None,
         max_retries: int = 5,
+        merge_schema: bool = False,
     ) -> int:
         """Append ``df`` as a new snapshot: stage its files, commit the
         previous snapshot's files + the new ones in one manifest. The
@@ -346,7 +384,15 @@ class AcidTable:
         merged against; if another writer lands first, the staged files
         (already unique-named in ``data/``) are RE-merged against the new
         current manifest and the commit retried — both appends survive,
-        no lost update (Iceberg's append-retry semantics)."""
+        no lost update (Iceberg's append-retry semantics).
+
+        ``merge_schema=True`` opts into ADDITIVE schema evolution (see
+        :meth:`_evolve_schema`): new columns join the manifest schema,
+        omitted stored columns are null-filled, type changes are refused,
+        and the committed manifest is flagged ``evolved`` so
+        :meth:`read` projects EVERY file — including pre-evolution ones —
+        through the manifest schema. Old files are never rewritten."""
+        evolved_flag = False
         if self.exists():
             existing = self.manifest()["partition_by"]
             if partition_by is not None and list(partition_by) != existing:
@@ -355,10 +401,16 @@ class AcidTable:
                     f"conflicts with the table's layout {existing}"
                 )
             partition_by = existing
-            self._check_append_schema(df)
+            if merge_schema:
+                df, _evolved = self._evolve_schema(df)
+                evolved_flag = True
+            else:
+                self._check_append_schema(df)
         else:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        if evolved_flag:
+            meta["evolved"] = True
         my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
 
@@ -375,10 +427,17 @@ class AcidTable:
                 )
             stored = prev.get("meta", {}).get("schema")
             if stored and stored != my_schema:
-                raise ValueError(
-                    f"{self.path}: append schema {my_schema} does "
-                    f"not match table schema {stored}"
+                # merge_schema: a racer appending the PRE-evolution schema
+                # is compatible — my manifest supersedes with the evolved
+                # superset. Anything but a same-typed subset still fails.
+                compatible = merge_schema and all(
+                    my_schema.get(c) == t for c, t in stored.items()
                 )
+                if not compatible:
+                    raise ValueError(
+                        f"{self.path}: append schema {my_schema} does "
+                        f"not match table schema {stored}"
+                    )
             # carry forward per-file column stats (layout.py) for files
             # this append keeps: an append must not disable file skipping
             # for the still-live z-ordered files (Delta keeps stats per
@@ -393,6 +452,11 @@ class AcidTable:
                 attempt_meta = {
                     **meta, "stats": {**live, **meta.get("stats", {})}
                 }
+            # the evolved marker is sticky: once any snapshot evolved, every
+            # descendant keeps projecting reads through the manifest schema
+            # (pre-evolution files still lack the added columns)
+            if prev.get("meta", {}).get("evolved") and not attempt_meta.get("evolved"):
+                attempt_meta = {**attempt_meta, "evolved": True}
             return sorted(prev["files"] + files), prev["version"], attempt_meta
 
         return self._commit_with_retry(
@@ -446,6 +510,10 @@ class AcidTable:
                 f: s for f, s in base_stats.items() if f in set(base["files"])
             }
             meta = {**meta, "stats": {**live, **meta.get("stats", {})}}
+        # sticky evolved marker (see append): the pinned base's files may
+        # predate a schema evolution, so reads must keep projecting
+        if base.get("meta", {}).get("evolved"):
+            meta = {**meta, "evolved": True}
         stage, files = self._stage(df, partition_by)
 
         def recompute() -> tuple[list[str], int]:
@@ -538,6 +606,10 @@ class AcidTable:
                     f"does not match table schema {stored_base}"
                 )
         meta = {**(meta or {}), "schema": self._schema_map(replace_df)}
+        # sticky evolved marker (see append): kept partitions may hold
+        # pre-evolution files that still need manifest-schema projection
+        if prev.get("meta", {}).get("evolved"):
+            meta = {**meta, "evolved": True}
         my_schema = meta["schema"]
 
         sub = replace_df.where(F.col(part_col).isin(list(values)))
@@ -692,7 +764,15 @@ class AcidTable:
         placeholder schema that downstream unionByName/select would
         trip over confusingly or, worse, mask."""
         m = self.manifest(version)
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        return self._read_files(spark, m, m["files"])
+
+    def _read_files(
+        self, spark: SparkSession, m: dict, files: list[str]
+    ) -> DataFrame:
+        """Scan ``files`` under ``m``'s schema rules — the shared read
+        path for full snapshots (:meth:`read`) and file subsets
+        (:meth:`changes` reads only a commit's added/removed files)."""
+        paths = [os.path.join(self.data_dir, f) for f in files]
         if not paths:
             stored = m.get("meta", {}).get("schema") or {}
             if not stored:
@@ -704,6 +784,17 @@ class AcidTable:
             ddl = ", ".join(f"`{c}` {t}" for c, t in stored.items())
             return spark.createDataFrame([], ddl)
         reader = spark.read
+        if m.get("meta", {}).get("evolved"):
+            # evolved snapshot: files written before a merge_schema append
+            # lack the added columns, and Spark's default (sample one
+            # file's footer) would resolve the scan to WHICHEVER schema it
+            # sampled. Project every file through the manifest schema
+            # instead — missing columns surface as typed nulls, which is
+            # the read-side half of additive evolution (Delta reads
+            # through the table schema the same way).
+            stored = m.get("meta", {}).get("schema") or {}
+            ddl = ", ".join(f"`{c}` {t}" for c, t in stored.items())
+            reader = reader.schema(ddl)
         if m["partition_by"]:
             reader = reader.option("basePath", self.data_dir)
         return reader.parquet(*paths)
@@ -747,6 +838,104 @@ class AcidTable:
     def read_as_of(self, spark: SparkSession, ts_iso: str) -> DataFrame:
         """Read the snapshot that was current at ``ts_iso``."""
         return self.read(spark, version=self.version_as_of(ts_iso))
+
+    def changes(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change-data feed between two snapshots (Delta CDF semantics at
+        FILE granularity): every commit in ``(v_from, v_to]`` contributes
+        the rows of its ADDED files as ``insert`` events and the rows of
+        its REMOVED files as ``delete`` events, tagged with
+        ``_change_type`` / ``_commit_version``. Layout-only commits
+        (compaction, z-order — ``meta.data_change == False``) rewrite
+        files without changing logical content and are skipped; a restore
+        IS a data change (the rollback's file diff is exactly its row
+        diff). This is what incremental downstream consumers read at
+        100 TB: I/O is O(files touched by the commits in range), never a
+        snapshot scan — an append-only day costs exactly that day's
+        files.
+
+        File granularity means a full-rewrite commit (``overwrite``,
+        ``merge_rows``) reports every row as delete+insert even when
+        unchanged — the honest upper bound without per-row change
+        tracking, same as Delta CDF's behavior for rewritten files when
+        the writer doesn't emit CDC files. Partition-scoped commits
+        (``overwrite_partitions``) report only the affected partitions.
+
+        Events are projected through ``v_to``'s manifest schema, so a
+        range spanning a ``merge_schema`` evolution yields one uniform
+        frame (pre-evolution rows null-fill the added columns). Raises
+        if a needed manifest was vacuumed — keep_last bounds how far
+        back a consumer may resume."""
+        from pyspark.sql import functions as F
+
+        v_to = self.current_version() if v_to is None else int(v_to)
+        v_from = int(v_from)
+        if v_to < v_from:
+            raise ValueError(
+                f"{self.path}: changes range v{v_from}..v{v_to} is inverted"
+            )
+
+        def _manifest(v: int) -> dict:
+            try:
+                return self.manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"{self.path}: changes(v{v_from}, v{v_to}) needs "
+                    f"manifest v{v}, which was vacuumed — consumers must "
+                    "resume within the vacuum keep window"
+                ) from None
+
+        target = _manifest(v_to)
+        t_schema = target.get("meta", {}).get("schema") or {}
+        if not t_schema:
+            raise ValueError(
+                f"{self.path}: snapshot v{v_to} has no meta.schema — "
+                "every writer records it, so its absence indicates a "
+                "corrupt manifest"
+            )
+
+        def _project(df: DataFrame, change: str, v: int) -> DataFrame:
+            cols = [
+                (
+                    F.col(c).cast(t) if c in df.columns
+                    else F.lit(None).cast(t)
+                ).alias(c)
+                for c, t in t_schema.items()
+            ]
+            return df.select(*cols).select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+            )
+
+        pieces: list[DataFrame] = []
+        prev = _manifest(v_from)
+        for v in range(v_from + 1, v_to + 1):
+            cur = _manifest(v)
+            if cur.get("meta", {}).get("data_change") is False:
+                prev = cur
+                continue
+            added = sorted(set(cur["files"]) - set(prev["files"]))
+            removed = sorted(set(prev["files"]) - set(cur["files"]))
+            if added:
+                pieces.append(
+                    _project(self._read_files(spark, cur, added), "insert", v)
+                )
+            if removed:
+                pieces.append(
+                    _project(self._read_files(spark, prev, removed), "delete", v)
+                )
+            prev = cur
+        if not pieces:
+            ddl = ", ".join(f"`{c}` {t}" for c, t in t_schema.items())
+            return spark.createDataFrame(
+                [], f"{ddl}, `_change_type` string, `_commit_version` bigint"
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _all_versions(self) -> list[int]:
         """Every manifest on disk, sorted ascending — including aborted
@@ -844,7 +1033,14 @@ class AcidTable:
             return self._commit(
                 files,
                 m["partition_by"],
-                {**m.get("meta", {}), "compacted": True, **(meta or {})},
+                # data_change=False: a compaction rewrites LAYOUT, not
+                # logical content — the changes() feed skips this commit
+                {
+                    **m.get("meta", {}),
+                    "compacted": True,
+                    "data_change": False,
+                    **(meta or {}),
+                },
                 expected_parent=m["version"],
             )
         except CommitConflictError:
@@ -894,6 +1090,11 @@ class AcidTable:
                 f"(e.g. {missing[0]})"
             )
         meta = {**src.get("meta", {}), "restored_from": version}
+        # a restore CHANGES visible rows (it rolls them back) even when
+        # the restored-to manifest was itself a layout-only commit — never
+        # inherit its data_change=False marker, or the changes() feed
+        # would silently skip the rollback
+        meta.pop("data_change", None)
         if "stream_batch_id" in cur_meta:
             meta["stream_batch_id"] = cur_meta["stream_batch_id"]
         return self._commit(

@@ -231,6 +231,8 @@ def optimize_zorder(
     # already-committed micro-batches
     meta = {
         **m0.get("meta", {}),
+        # layout-only commit: the changes() CDC feed skips it
+        "data_change": False,
         "schema": table._schema_map(df),
         # record the EFFECTIVE clustering (all-NULL columns contributed
         # nothing and were skipped), plus the requested list when they
