@@ -490,3 +490,19 @@ def test_dedup_substring_matches_bruteforce(spark, sf_dir):
     assert got == want
     # the operator actually removes something on the planted corpus
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_dedup_substring_plan_shape(spark, sf_dir):
+    """The scale claims in the docstring, pinned: no window function
+    (keeper election is min-struct partial aggregation), no Python
+    evaluation anywhere (reconstruction is JVM higher-order exprs)."""
+    from dbt_jaffleshop_spark.llm.dedup import dedup_substring
+
+    plan = (
+        dedup_substring(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
