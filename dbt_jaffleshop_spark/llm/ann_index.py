@@ -243,6 +243,7 @@ def ann_search(
     query_emb: DataFrame,
     k: int = 3,
     n_probes: int = 1,
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors from the index for a (vec_id, embedding)
     query frame (queries need not be indexed; an indexed query never
@@ -251,7 +252,15 @@ def ann_search(
     driver-bounded cell list (≤ N_CELLS values), so PartitionFilters
     prune the read to the probed cells' files — the physical IVF win.
     Scoring is the same exact integer cosine as every verified search
-    operator."""
+    operator.
+
+    ``allow`` (optional, a ``vec_id`` frame) is FILTERED search — the
+    production "search within lang='en' / license=permissive" shape:
+    candidates are semi-joined to the allowlist BEFORE scoring, so only
+    allowed vectors are scored and ranked. Exactness is inherited from
+    the removal lemma (pytest cross-pin): an IVF index holds no
+    pairwise or elected state, so filtering candidates ≡ searching an
+    index whose disallowed vectors were removed."""
     _v, snap = idx.snapshot(spark)
     cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
         "cell", "ce", "cn"
@@ -267,6 +276,10 @@ def ann_search(
     cand = idx.vectors.read(spark, version=snap["vectors_v"]).where(
         F.col("cell").isin(cells)
     )
+    if allow is not None:
+        cand = cand.join(
+            allow.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     scored = (
         probes.join(cand.alias("c"), "cell")
         .where(F.col("query_id") != F.col("c.vec_id"))
@@ -421,6 +434,7 @@ def ann_search_adc(
     query_emb: DataFrame,
     k: int = 3,
     n_probes: int = 1,
+    allow: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search from the PERSISTED codes — the hot path that never
     touches stored vectors: each query precomputes an M×K LUT of
@@ -430,7 +444,8 @@ def ann_search_adc(
     (same PartitionFilters pruning as :func:`ann_search`). Identical
     arithmetic to the oracle-verified ``sim_ivfpq_topk`` via the shared
     codebook/encoder — a zero-iteration index answers it bit-for-bit
-    (pytest-pinned)."""
+    (pytest-pinned). ``allow`` filters candidates before scoring — see
+    :func:`ann_search`."""
     _v, snap = idx.snapshot(spark)
     cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
         "cell", "ce", "cn"
@@ -467,6 +482,10 @@ def ann_search_adc(
     cand = idx.codes.read(spark, version=snap["codes_v"]).where(
         F.col("cell").isin(cells)
     )
+    if allow is not None:
+        cand = cand.join(
+            allow.select("vec_id").distinct(), "vec_id", "left_semi"
+        )
     adot = (
         f"aggregate(sequence(0, {PQ_M - 1}), 0L, (acc, m) -> "
         "acc + lut[cast(codes[m] as int)].sd[m])"

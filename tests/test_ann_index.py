@@ -425,3 +425,32 @@ def test_remove_vectors_crash_before_meta_is_invisible_then_replays(
     assert _rows(
         idx.codes.read(spark, version=snap2["codes_v"])
     ) == [r for r in pre_c if r[0] not in rem_ids]
+
+
+def test_filtered_search_equals_search_after_removal(spark, sf_dir):
+    """The filtered-search exactness cross-pin: removal ≡ filter (pinned
+    above), so ann_search(allow=S) on the full index must equal
+    ann_search() on a twin index whose complement of S was removed —
+    for BOTH the exact and the ADC path, including ranks and scores."""
+    emb = _emb(spark, sf_dir)
+    allow = emb.where(F.col("vec_id") % 9 != 0).select("vec_id")
+    q = _queries(emb)
+
+    full = ai.build_ann_index(
+        spark, emb, tempfile.mkdtemp(prefix="ann_filt_a_"), train_iters=1
+    )
+    twin = ai.build_ann_index(
+        spark, emb, tempfile.mkdtemp(prefix="ann_filt_b_"), train_iters=1
+    )
+    ai.remove_vectors(
+        spark, emb.where(F.col("vec_id") % 9 == 0).select("vec_id"), twin
+    )
+
+    for search in (ai.ann_search, ai.ann_search_adc):
+        got = search(spark, full, q, k=3, n_probes=2, allow=allow)
+        want = search(spark, twin, q, k=3, n_probes=2)
+        assert _rows(got) == _rows(want), search.__name__
+        neighbors = {
+            r[0] for r in got.select("neighbor_id").distinct().collect()
+        }
+        assert all(n % 9 != 0 for n in neighbors)
