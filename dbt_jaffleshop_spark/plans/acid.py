@@ -261,6 +261,77 @@ class AcidTable:
         )
         return aligned, evolved
 
+    # ---------------------------------------------------- CHECK constraints
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints (name → boolean SQL expression),
+        as recorded in the manifest."""
+        if not self.exists():
+            return {}
+        return dict(self.manifest(version).get("meta", {}).get("constraints", {}))
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Declare a CHECK constraint (Delta's ``ADD CONSTRAINT``
+        semantics): the CURRENT snapshot must already satisfy it (one
+        scan, here and never again), and every subsequent write refuses
+        to commit rows for which the expression is not TRUE (null counts
+        as a violation, like SQL CHECK). Write-time enforcement is the
+        third quality gate beside the declarative post-materialization
+        tests (testing/generic.py) and the WAP audit (plans/wap.py) —
+        it stops bad data from LANDING instead of detecting it after.
+
+        The constraint rides in the manifest meta and is sticky across
+        appends, pinned-base appends, partition replaces, full
+        overwrites, and compaction; ``restore`` returns to the restored
+        version's constraint set (constraints are table state like
+        schema). Commits a metadata-only manifest (same files), which
+        the changes() feed ignores by construction (no file diff)."""
+        self._violations_or_raise(self.read(spark), {name: expr}, "existing rows")
+        m = self.manifest()
+        cons = {**m.get("meta", {}).get("constraints", {}), name: expr}
+        return self._commit(
+            m["files"],
+            m["partition_by"],
+            {**m.get("meta", {}), "constraints": cons},
+            expected_parent=m["version"],
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        m = self.manifest()
+        cons = dict(m.get("meta", {}).get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"{self.path}: no constraint named {name!r}")
+        del cons[name]
+        return self._commit(
+            m["files"],
+            m["partition_by"],
+            {**m.get("meta", {}), "constraints": cons},
+            expected_parent=m["version"],
+        )
+
+    def _violations_or_raise(
+        self, df: DataFrame, cons: dict[str, str], what: str
+    ) -> None:
+        """Refuse rows where any constraint is not TRUE. One filter scan
+        per constraint over the WRITTEN frame only (Delta pays the same
+        check per write); the first violating row is named so the
+        refusal is actionable."""
+        from pyspark.sql import functions as F
+
+        for name, expr in cons.items():
+            bad = df.where(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"{self.path}: CHECK constraint {name!r} ({expr}) "
+                    f"violated by {what}: {bad[0].asDict()}"
+                )
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        cons = self.constraints()
+        if cons:
+            self._violations_or_raise(df, cons, "this write")
+
     def _discard_staged(self, files: list[str]) -> None:
         """Remove staged-but-never-committed data files. They are
         exclusively this writer's (unique part-file names, referenced by
@@ -345,6 +416,15 @@ class AcidTable:
         concurrent commit since their read (raise ValueError to abort)."""
         partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        if self.exists():
+            # CHECK constraints are table state, not snapshot content —
+            # they survive a full rewrite (Delta table-property
+            # semantics) and the replacement rows must satisfy them
+            cons = self.constraints()
+            if cons:
+                self._violations_or_raise(df, cons, "this write")
+                if "constraints" not in meta:
+                    meta = {**meta, "constraints": cons}
         stage, files = self._stage(df, partition_by)
 
         def recompute() -> tuple[list[str], int]:
@@ -406,6 +486,7 @@ class AcidTable:
                 evolved_flag = True
             else:
                 self._check_append_schema(df)
+            self._enforce_constraints(df)
         else:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
@@ -457,6 +538,10 @@ class AcidTable:
             # (pre-evolution files still lack the added columns)
             if prev.get("meta", {}).get("evolved") and not attempt_meta.get("evolved"):
                 attempt_meta = {**attempt_meta, "evolved": True}
+            # CHECK constraints are sticky the same way
+            prev_cons = prev.get("meta", {}).get("constraints")
+            if prev_cons and "constraints" not in attempt_meta:
+                attempt_meta = {**attempt_meta, "constraints": prev_cons}
             return sorted(prev["files"] + files), prev["version"], attempt_meta
 
         return self._commit_with_retry(
@@ -514,6 +599,12 @@ class AcidTable:
         # predate a schema evolution, so reads must keep projecting
         if base.get("meta", {}).get("evolved"):
             meta = {**meta, "evolved": True}
+        # sticky constraints, enforced against the PINNED base's set
+        base_cons = base.get("meta", {}).get("constraints")
+        if base_cons:
+            self._violations_or_raise(df, base_cons, "this write")
+            if "constraints" not in meta:
+                meta = {**meta, "constraints": base_cons}
         stage, files = self._stage(df, partition_by)
 
         def recompute() -> tuple[list[str], int]:
@@ -610,12 +701,21 @@ class AcidTable:
         # pre-evolution files that still need manifest-schema projection
         if prev.get("meta", {}).get("evolved"):
             meta = {**meta, "evolved": True}
+        # sticky constraints (enforced below on the WRITTEN subsets only —
+        # rows outside the replaced/appended ranges are not this commit's)
+        prev_cons = prev.get("meta", {}).get("constraints")
+        if prev_cons and "constraints" not in meta:
+            meta = {**meta, "constraints": prev_cons}
         my_schema = meta["schema"]
 
         sub = replace_df.where(F.col(part_col).isin(list(values)))
+        if prev_cons:
+            self._violations_or_raise(sub, prev_cons, "this write")
         stage_r, files_r = self._stage(sub, partition_by)
         if append_df is not None:
             app = append_df.where(~F.col(part_col).isin(list(values)))
+            if prev_cons:
+                self._violations_or_raise(app, prev_cons, "this write")
             stage_a, files_a = self._stage(app, partition_by)
         else:
             stage_a, files_a = None, []

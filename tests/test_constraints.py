@@ -1,0 +1,113 @@
+"""Write-time CHECK constraints on AcidTable (r11b): declared once
+against a clean snapshot, enforced on every subsequent write path, and
+sticky across appends, pinned-base appends, partition replaces, full
+overwrites, and compaction — the write-side quality gate beside the
+declarative tests and the WAP audit."""
+
+import os
+
+import pytest
+
+from dbt_jaffleshop_spark.plans.acid import AcidTable
+
+
+def _t(spark, tmp_path, partitioned=False):
+    t = AcidTable(os.path.join(str(tmp_path), "tbl"))
+    if partitioned:
+        t.append(
+            spark.createDataFrame(
+                [(1, 10, 0), (2, 20, 1)], "id bigint, amount bigint, p int"
+            ),
+            partition_by=["p"],
+        )
+    else:
+        t.append(
+            spark.createDataFrame([(1, 10), (2, 20)], "id bigint, amount bigint")
+        )
+    return t
+
+
+def test_add_constraint_scans_existing_rows(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="violated by existing rows"):
+        t.add_constraint(spark, "big_amount", "amount > 15")
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+    assert t.constraints() == {"positive_amount": "amount > 0"}
+
+
+def test_writes_refuse_violating_rows_on_every_path(spark, tmp_path):
+    t = _t(spark, tmp_path, partitioned=True)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+
+    bad = spark.createDataFrame(
+        [(3, -1, 0)], "id bigint, amount bigint, p int"
+    )
+    ok = spark.createDataFrame(
+        [(3, 30, 0)], "id bigint, amount bigint, p int"
+    )
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append_from(bad, t.current_version())
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.overwrite_partitions(bad, "p", [0])
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.overwrite(bad, partition_by=["p"])
+    # null is a violation, like SQL CHECK
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(
+            spark.createDataFrame([(4, None, 1)], "id bigint, amount bigint, p int")
+        )
+    t.append(ok)
+    assert t.read(spark).count() == 3
+
+
+def test_constraints_are_sticky_across_every_commit_flavor(spark, tmp_path):
+    t = _t(spark, tmp_path, partitioned=True)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+    ok = lambda i, p: spark.createDataFrame(  # noqa: E731
+        [(i, i * 10, p)], "id bigint, amount bigint, p int"
+    )
+    t.append(ok(3, 0))
+    t.append_from(ok(4, 1), t.current_version())
+    t.overwrite_partitions(ok(5, 1), "p", [1])
+    t.compact(spark)
+    t.overwrite(t.read(spark), partition_by=["p"])
+    assert t.constraints() == {"positive_amount": "amount > 0"}
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(
+            spark.createDataFrame([(9, 0, 0)], "id bigint, amount bigint, p int")
+        )
+
+
+def test_drop_constraint_reopens_the_gate(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+    t.drop_constraint("positive_amount")
+    assert t.constraints() == {}
+    t.append(spark.createDataFrame([(3, -5)], "id bigint, amount bigint"))
+    with pytest.raises(ValueError, match="no constraint named"):
+        t.drop_constraint("positive_amount")
+
+
+def test_constraint_on_evolved_column_guards_null_fill(spark, tmp_path):
+    """A not-null-style CHECK on a merge_schema-added column refuses the
+    null fill an omitting write would produce — evolution and
+    constraints compose rather than bypass each other."""
+    t = _t(spark, tmp_path)
+    t.append(
+        spark.createDataFrame(
+            [(3, 30, 7)], "id bigint, amount bigint, score int"
+        ),
+        merge_schema=True,
+    )
+    # existing pre-evolution rows have score null -> constraint refused
+    with pytest.raises(ValueError, match="violated by existing rows"):
+        t.add_constraint(spark, "score_set", "score IS NOT NULL")
+    t.add_constraint(spark, "score_bound", "score IS NULL OR score < 100")
+    with pytest.raises(ValueError, match="score_bound"):
+        t.append(
+            spark.createDataFrame(
+                [(4, 40, 120)], "id bigint, amount bigint, score int"
+            )
+        )
