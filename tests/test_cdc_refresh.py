@@ -157,3 +157,41 @@ def test_vacuumed_range_fails_loudly_then_rebuild_recovers(
         refresh_agg_view(spark, up, view)
     build_agg_view(spark, up, view, key="o_custkey", val="val", n_buckets=8)
     assert _content(view.read(spark)) == _expect(spark, up)
+
+
+def test_streaming_upstream_feeds_cdc_view(spark, sf_dir, tmp_path):
+    """Subsystem composition: micro-batches land in the upstream through
+    the streaming ACID sink (per-batch atomic appends), and the CDC view
+    refresh folds exactly the landed commits — the continuous form of
+    view maintenance. Late-arriving files restart the stream, append
+    more commits, and one refresh catches the view up to a full
+    recompute."""
+    import pyarrow.parquet as pq
+
+    from dbt_jaffleshop_spark.streaming.sink import streaming_events_to_acid
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    src = tmp_path / "feed"
+    src.mkdir()
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), src / "part-0.parquet")
+
+    up = streaming_events_to_acid(
+        spark, str(src), str(tmp_path / "up"), max_files_per_trigger=1
+    )
+    view = AcidTable(os.path.join(str(tmp_path), "view"))
+    build_agg_view(spark, up, view, key="user_id", val="value", n_buckets=8)
+
+    # late files arrive; the stream restarts from its checkpoint and
+    # appends only the new batches
+    pq.write_table(t.slice(third, third), src / "part-1.parquet")
+    pq.write_table(t.slice(2 * third), src / "part-2.parquet")
+    streaming_events_to_acid(
+        spark, str(src), str(tmp_path / "up"), max_files_per_trigger=1
+    )
+
+    refresh_agg_view(spark, up, view)
+    got = sorted(map(tuple, view.read(spark).select("user_id", "cnt", "total").collect()))
+    want = sorted(map(tuple, _agg(up.read(spark), "user_id", "value").collect()))
+    assert got == want
+    assert int(view.manifest()["meta"]["upstream_version"]) == up.current_version()
