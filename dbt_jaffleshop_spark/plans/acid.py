@@ -261,6 +261,53 @@ class AcidTable:
         )
         return aligned, evolved
 
+    # ------------------------------------------------- write-time file stats
+
+    def set_stats_columns(self, cols: list[str]) -> int:
+        """Declare the columns every writer collects per-file [min, max]
+        stats for (Delta's ``dataSkippingStatsColumns`` analogue).
+        Without this, stats exist only where ``optimize_zorder`` computed
+        them — appended files were unskippable until the next layout
+        rewrite. With it, every commit's NEW files get footer-read stats
+        (O(files) driver-side, no data scan) merged into the manifest,
+        so scan-time file skipping (plans/layout.py ``prune_files``)
+        covers streaming appends the moment they land. Existing live
+        files are backfilled here, once. The declaration is sticky
+        across every commit flavor, like constraints."""
+        from .layout import file_column_stats
+
+        m = self.manifest()
+        backfill = file_column_stats(self.data_dir, m["files"], set(cols))
+        prev_stats = m.get("meta", {}).get("stats", {})
+        live = {f: s for f, s in prev_stats.items() if f in set(m["files"])}
+        return self._commit(
+            m["files"],
+            m["partition_by"],
+            {
+                **m.get("meta", {}),
+                "stats_columns": list(cols),
+                "stats": {**live, **backfill},
+            },
+            expected_parent=m["version"],
+        )
+
+    def _collect_write_stats(
+        self, files: list[str], src_meta: dict, meta: dict
+    ) -> dict:
+        """Merge footer-read stats for this commit's new files into
+        ``meta`` when the source manifest declares stats columns, and
+        carry the declaration forward (sticky rider)."""
+        cols = src_meta.get("stats_columns")
+        if not cols:
+            return meta
+        from .layout import file_column_stats
+
+        new_stats = file_column_stats(self.data_dir, files, set(cols))
+        out = {**meta, "stats_columns": list(cols)}
+        if new_stats:
+            out["stats"] = {**out.get("stats", {}), **new_stats}
+        return out
+
     # ---------------------------------------------------- CHECK constraints
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
@@ -426,6 +473,10 @@ class AcidTable:
                 if "constraints" not in meta:
                     meta = {**meta, "constraints": cons}
         stage, files = self._stage(df, partition_by)
+        if self.exists():
+            meta = self._collect_write_stats(
+                files, self.manifest().get("meta", {}), meta
+            )
 
         def recompute() -> tuple[list[str], int]:
             if not self.exists():
@@ -492,8 +543,12 @@ class AcidTable:
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         if evolved_flag:
             meta["evolved"] = True
-        my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
+        if self.exists():
+            meta = self._collect_write_stats(
+                files, self.manifest().get("meta", {}), meta
+            )
+        my_schema = meta["schema"]  # the schema being committed, verbatim
 
         def recompute() -> tuple[list[str], int, dict]:
             if not self.exists():
@@ -606,6 +661,7 @@ class AcidTable:
             if "constraints" not in meta:
                 meta = {**meta, "constraints": base_cons}
         stage, files = self._stage(df, partition_by)
+        meta = self._collect_write_stats(files, base.get("meta", {}), meta)
 
         def recompute() -> tuple[list[str], int]:
             cur = self.manifest()["version"] if self.exists() else 0
@@ -720,6 +776,7 @@ class AcidTable:
         else:
             stage_a, files_a = None, []
         new_files = files_r + files_a
+        meta = self._collect_write_stats(new_files, prev.get("meta", {}), meta)
 
         def recompute() -> tuple[list[str], int]:
             cur = self.manifest()
@@ -1130,17 +1187,27 @@ class AcidTable:
             df, m["partition_by"], max_records_per_file=max_records
         )
         try:
+            commit_meta = {
+                **m.get("meta", {}),
+                "compacted": True,
+                # data_change=False: a compaction rewrites LAYOUT, not
+                # logical content — the changes() feed skips this commit
+                "data_change": False,
+                **(meta or {}),
+            }
+            # declared stats columns: the rewritten files need FRESH
+            # footer stats (the carried entries key dead file names, and
+            # skipping would otherwise go dark until the next zorder)
+            if commit_meta.get("stats_columns"):
+                from .layout import file_column_stats
+
+                commit_meta["stats"] = file_column_stats(
+                    self.data_dir, files, set(commit_meta["stats_columns"])
+                )
             return self._commit(
                 files,
                 m["partition_by"],
-                # data_change=False: a compaction rewrites LAYOUT, not
-                # logical content — the changes() feed skips this commit
-                {
-                    **m.get("meta", {}),
-                    "compacted": True,
-                    "data_change": False,
-                    **(meta or {}),
-                },
+                commit_meta,
                 expected_parent=m["version"],
             )
         except CommitConflictError:
