@@ -511,3 +511,77 @@ def ann_search_adc(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_sim")
     )
+
+
+def ann_search_adc_refined(
+    spark: SparkSession,
+    idx: AnnIndex,
+    query_emb: DataFrame,
+    k: int = 3,
+    n_probes: int = 1,
+    refine: int = 16,
+    allow: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC + exact re-ranking (FAISS's ``IndexRefine`` pattern): the
+    ADC pass shortlists ``refine`` candidates per query from the stored
+    codes (vectors never read), then ONLY the shortlist is re-scored
+    with the exact integer cosine from the stored vectors and the top-k
+    re-ranked. The exact-vector read is bounded to the probed cells'
+    partitions (same PartitionFilters pruning as every search) and the
+    exact scoring to queries × refine rows — at 100 TB the full-width
+    vector arithmetic touches a shortlist, not a corpus, which is how
+    production IVFADC serves high-recall top-k without paying exact
+    scoring on every candidate.
+
+    Exactness anchor (pytest): with ``refine`` ≥ the probed candidate
+    count, the shortlist IS every candidate, so the result is
+    bit-identical to :func:`ann_search` at the same (k, n_probes) —
+    the refine knob trades ADC recall against exact-read volume with no
+    other drift."""
+    _v, snap = idx.snapshot(spark)
+    shortlist = ann_search_adc(
+        spark, idx, query_emb, k=refine, n_probes=n_probes, allow=allow
+    ).select("query_id", "neighbor_id")
+    cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
+        "cell", "ce", "cn"
+    )
+    qq = _quantize_frame(query_emb).localCheckpoint()
+    probes = _assign_to(qq, cents, n_probes)
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    queries = qq.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("na"),
+    )
+    vecs = (
+        idx.vectors.read(spark, version=snap["vectors_v"])
+        .where(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ne"),
+            F.col("nrm").alias("nb"),
+        )
+    )
+    exact = (
+        shortlist.join(vecs, "neighbor_id")
+        .join(queries, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qe, ne, (x, y) -> x * y), 0L,"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+            "na",
+            "nb",
+        )
+        .withColumn("cos_sim", F.expr(_COS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

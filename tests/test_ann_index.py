@@ -454,3 +454,33 @@ def test_filtered_search_equals_search_after_removal(spark, sf_dir):
             r[0] for r in got.select("neighbor_id").distinct().collect()
         }
         assert all(n % 9 != 0 for n in neighbors)
+
+
+def test_adc_refine_equals_exact_search_at_full_shortlist(spark, sf_dir):
+    """IVFADC + exact re-ranking: with refine ≥ every probed candidate,
+    the shortlist is all candidates, so the refined result must be
+    bit-identical to ann_search (exact path) — ranks, neighbors, and
+    cosines. A small refine stays within the ADC shortlist and returns
+    exact scores for what it keeps."""
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_idx_refine_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=1)
+    q = _queries(emb)
+
+    got = ai.ann_search_adc_refined(
+        spark, idx, q, k=3, n_probes=2, refine=10**6
+    )
+    want = ai.ann_search(spark, idx, q, k=3, n_probes=2)
+    assert _rows(got) == _rows(want)
+
+    # small refine: every returned (query, neighbor) pair's score is the
+    # EXACT cosine (equal to ann_search's score for that same pair)
+    small = ai.ann_search_adc_refined(
+        spark, idx, q, k=3, n_probes=2, refine=8
+    )
+    exact_scores = {
+        (r[0], r[1]): r[3]
+        for r in ai.ann_search(spark, idx, q, k=10**6, n_probes=2).collect()
+    }
+    for r in small.collect():
+        assert exact_scores[(r[0], r[1])] == r[3]
