@@ -435,6 +435,7 @@ def ann_search_adc(
     k: int = 3,
     n_probes: int = 1,
     allow: DataFrame | None = None,
+    _snap: tuple[int, dict] | None = None,
 ) -> DataFrame:
     """IVFADC search from the PERSISTED codes — the hot path that never
     touches stored vectors: each query precomputes an M×K LUT of
@@ -445,8 +446,10 @@ def ann_search_adc(
     arithmetic to the oracle-verified ``sim_ivfpq_topk`` via the shared
     codebook/encoder — a zero-iteration index answers it bit-for-bit
     (pytest-pinned). ``allow`` filters candidates before scoring — see
-    :func:`ann_search`."""
-    _v, snap = idx.snapshot(spark)
+    :func:`ann_search`. ``_snap`` lets a caller that already resolved
+    the meta pointer (``ann_search_adc_refined``) pin this search to
+    the SAME snapshot instead of re-resolving it."""
+    _v, snap = _snap if _snap is not None else idx.snapshot(spark)
     cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
         "cell", "ce", "cn"
     )
@@ -538,9 +541,15 @@ def ann_search_adc_refined(
     bit-identical to :func:`ann_search` at the same (k, n_probes) —
     the refine knob trades ADC recall against exact-read volume with no
     other drift."""
-    _v, snap = idx.snapshot(spark)
+    # ONE meta resolution shared with the ADC pass: a concurrent append
+    # between two resolutions would shortlist vec_ids absent from the
+    # older vectors snapshot, and the re-rank join would silently drop
+    # them (snapshot isolation is per-OPERATION, pinned here)
+    snapshot = idx.snapshot(spark)
+    _v, snap = snapshot
     shortlist = ann_search_adc(
-        spark, idx, query_emb, k=refine, n_probes=n_probes, allow=allow
+        spark, idx, query_emb, k=refine, n_probes=n_probes, allow=allow,
+        _snap=snapshot,
     ).select("query_id", "neighbor_id")
     cents = idx.centroids.read(spark, version=snap["centroids_v"]).select(
         "cell", "ce", "cn"

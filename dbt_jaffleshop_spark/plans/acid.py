@@ -332,9 +332,18 @@ class AcidTable:
         overwrites, and compaction; ``restore`` returns to the restored
         version's constraint set (constraints are table state like
         schema). Commits a metadata-only manifest (same files), which
-        the changes() feed ignores by construction (no file diff)."""
-        self._violations_or_raise(self.read(spark), {name: expr}, "existing rows")
+        the changes() feed ignores by construction (no file diff).
+
+        The manifest is resolved ONCE and the scan pinned to it, with
+        the commit parented on that same version — a row landing
+        between the validation scan and the commit trips
+        CommitConflictError instead of activating a constraint the
+        current snapshot violates (in-flight writers run their own
+        per-attempt recheck against the committed set)."""
         m = self.manifest()
+        self._violations_or_raise(
+            self.read(spark, version=m["version"]), {name: expr}, "existing rows"
+        )
         cons = {**m.get("meta", {}).get("constraints", {}), name: expr}
         return self._commit(
             m["files"],
@@ -378,6 +387,25 @@ class AcidTable:
         cons = self.constraints()
         if cons:
             self._violations_or_raise(df, cons, "this write")
+
+    def _recheck_constraints(
+        self, cur_manifest: dict, validated: dict[str, str], frames
+    ) -> dict[str, str]:
+        """Commit-time constraint re-validation, run INSIDE the retry
+        loop against the manifest this attempt merges with: a constraint
+        added (or changed) since the pre-stage check is enforced on the
+        written frames here, and the CURRENT set is what the commit
+        carries — a concurrent add_constraint can neither be silently
+        dropped from meta nor bypassed by in-flight rows (the same
+        reopened-race class the r6/r7 fixes closed for schema and
+        stats). Returns the current constraint set."""
+        cur = dict(cur_manifest.get("meta", {}).get("constraints", {}))
+        delta = {n: e for n, e in cur.items() if validated.get(n) != e}
+        if delta:
+            for frame in frames:
+                if frame is not None:
+                    self._violations_or_raise(frame, delta, "this write")
+        return cur
 
     def _discard_staged(self, files: list[str]) -> None:
         """Remove staged-but-never-committed data files. They are
@@ -463,24 +491,23 @@ class AcidTable:
         concurrent commit since their read (raise ValueError to abort)."""
         partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        cons_validated: dict[str, str] = {}
         if self.exists():
             # CHECK constraints are table state, not snapshot content —
             # they survive a full rewrite (Delta table-property
             # semantics) and the replacement rows must satisfy them
-            cons = self.constraints()
-            if cons:
-                self._violations_or_raise(df, cons, "this write")
-                if "constraints" not in meta:
-                    meta = {**meta, "constraints": cons}
+            cons_validated = self.constraints()
+            if cons_validated:
+                self._violations_or_raise(df, cons_validated, "this write")
         stage, files = self._stage(df, partition_by)
         if self.exists():
             meta = self._collect_write_stats(
                 files, self.manifest().get("meta", {}), meta
             )
 
-        def recompute() -> tuple[list[str], int]:
+        def recompute() -> tuple[list[str], int, dict]:
             if not self.exists():
-                return files, 0
+                return files, 0, meta
             # ONE manifest read feeds both the validation hook and the
             # expected_parent: with two separate pointer reads, a
             # concurrent commit landing between them would pass
@@ -494,7 +521,14 @@ class AcidTable:
             m = self.manifest()
             if validate is not None:
                 validate(m)
-            return files, m["version"]
+            # per-attempt constraint recheck: a concurrently added
+            # constraint is enforced on df here and carried, never
+            # silently dropped by a retry
+            cons_now = self._recheck_constraints(m, cons_validated, [df])
+            attempt_meta = meta
+            if cons_now and "constraints" not in attempt_meta:
+                attempt_meta = {**attempt_meta, "constraints": cons_now}
+            return files, m["version"], attempt_meta
 
         return self._commit_with_retry(stage, files, partition_by, meta, recompute)
 
@@ -524,6 +558,7 @@ class AcidTable:
         :meth:`read` projects EVERY file — including pre-evolution ones —
         through the manifest schema. Old files are never rewritten."""
         evolved_flag = False
+        cons_validated: dict[str, str] = {}
         if self.exists():
             existing = self.manifest()["partition_by"]
             if partition_by is not None and list(partition_by) != existing:
@@ -537,7 +572,9 @@ class AcidTable:
                 evolved_flag = True
             else:
                 self._check_append_schema(df)
-            self._enforce_constraints(df)
+            cons_validated = self.constraints()
+            if cons_validated:
+                self._violations_or_raise(df, cons_validated, "this write")
         else:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
@@ -593,10 +630,12 @@ class AcidTable:
             # (pre-evolution files still lack the added columns)
             if prev.get("meta", {}).get("evolved") and not attempt_meta.get("evolved"):
                 attempt_meta = {**attempt_meta, "evolved": True}
-            # CHECK constraints are sticky the same way
-            prev_cons = prev.get("meta", {}).get("constraints")
-            if prev_cons and "constraints" not in attempt_meta:
-                attempt_meta = {**attempt_meta, "constraints": prev_cons}
+            # CHECK constraints are sticky the same way — and rechecked
+            # per attempt, so a constraint added since the pre-stage
+            # validation is enforced on df here, not bypassed
+            cons_now = self._recheck_constraints(prev, cons_validated, [df])
+            if cons_now and "constraints" not in attempt_meta:
+                attempt_meta = {**attempt_meta, "constraints": cons_now}
             return sorted(prev["files"] + files), prev["version"], attempt_meta
 
         return self._commit_with_retry(
@@ -758,10 +797,9 @@ class AcidTable:
         if prev.get("meta", {}).get("evolved"):
             meta = {**meta, "evolved": True}
         # sticky constraints (enforced below on the WRITTEN subsets only —
-        # rows outside the replaced/appended ranges are not this commit's)
-        prev_cons = prev.get("meta", {}).get("constraints")
-        if prev_cons and "constraints" not in meta:
-            meta = {**meta, "constraints": prev_cons}
+        # rows outside the replaced/appended ranges are not this commit's;
+        # carried + rechecked per commit attempt inside recompute)
+        prev_cons = dict(prev.get("meta", {}).get("constraints", {}))
         my_schema = meta["schema"]
 
         sub = replace_df.where(F.col(part_col).isin(list(values)))
@@ -777,11 +815,16 @@ class AcidTable:
             stage_a, files_a = None, []
         new_files = files_r + files_a
         meta = self._collect_write_stats(new_files, prev.get("meta", {}), meta)
+        written_frames = [sub] + ([app] if append_df is not None else [])
 
         def recompute() -> tuple[list[str], int]:
             cur = self.manifest()
             if validate is not None:
                 validate(cur)
+            # per-attempt constraint recheck against the LIVE manifest
+            # (constraint changes always commit to it, even when file
+            # carry-forward is pinned to a base snapshot)
+            cons_now = self._recheck_constraints(cur, prev_cons, written_frames)
             # pinned mode: untouched partitions carry from the PINNED
             # snapshot; the live manifest only supplies the parent slot.
             src = cur if base_version is None else prev
@@ -811,6 +854,8 @@ class AcidTable:
                 attempt_meta = {
                     **meta, "stats": {**live, **meta.get("stats", {})}
                 }
+            if cons_now and "constraints" not in attempt_meta:
+                attempt_meta = {**attempt_meta, "constraints": cons_now}
             return sorted(kept + new_files), cur["version"], attempt_meta
 
         try:

@@ -80,7 +80,13 @@ def build_agg_view(
     point. Also the rebuild path after an upstream vacuum outruns a
     consumer."""
     v_up = upstream.current_version()
-    full = _with_bucket(_agg(upstream.read(spark), key, val), key, n_buckets)
+    # PINNED read: an upstream commit landing between the version
+    # resolution and an unpinned read would be baked into the view yet
+    # sit above the recorded resume point — the next refresh would fold
+    # it AGAIN (silent double-count). Pinning makes resume exact.
+    full = _with_bucket(
+        _agg(upstream.read(spark, version=v_up), key, val), key, n_buckets
+    )
     return view.overwrite(
         full,
         partition_by=[_BUCKET],
@@ -138,6 +144,9 @@ def refresh_agg_view(
         )
 
     cur = view.read(spark).where(F.col(_BUCKET).isin(buckets))
+    # checkpointed: both the divergence probe below and the staged write
+    # consume this join — without it the dominant refresh cost (read
+    # affected buckets + full-outer merge) runs twice
     merged = (
         cur.select(key, "cnt", "total")
         .join(delta.select(key, "d_cnt", "d_sum"), key, "full_outer")
@@ -150,7 +159,7 @@ def refresh_agg_view(
             .cast("bigint")
             .alias("total"),
         )
-    )
+    ).localCheckpoint()
     neg = merged.where(F.col("cnt") < 0).limit(1).collect()
     if neg:
         raise ValueError(

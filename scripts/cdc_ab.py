@@ -94,18 +94,14 @@ def main() -> None:
             refresh_agg_view(spark, up, view)
             refresh_s = time.time() - t0
             v_after = view.manifest()
-            rewritten = len(
-                {f.split("/", 1)[0] for f in v_after["files"]}
-                - {
-                    d
-                    for d in {f.split("/", 1)[0] for f in v_after["files"]}
-                    if sorted(
-                        x for x in v_after["files"] if x.startswith(d)
-                    ) == sorted(
-                        x for x in v_before["files"] if x.startswith(d)
-                    )
-                }
-            )
+            # match on the exact directory COMPONENT — startswith would
+            # also sweep kb=10..kb=15 into kb=1's set and over-count
+            by_dir = lambda m: {  # noqa: E731
+                d: sorted(f for f in m["files"] if f.split("/", 1)[0] == d)
+                for d in {f.split("/", 1)[0] for f in m["files"]}
+            }
+            da, db = by_dir(v_before), by_dir(v_after)
+            rewritten = sum(1 for d in db if db[d] != da.get(d))
             scratch = AcidTable(os.path.join(root, f"scratch{day}"))
             t0 = time.time()
             build_agg_view(
@@ -145,7 +141,7 @@ def main() -> None:
         refresh_s = time.time() - t0
         v_after = view.manifest()
         parts = lambda m: {  # noqa: E731
-            d: sorted(f for f in m["files"] if f.startswith(d))
+            d: sorted(f for f in m["files"] if f.split("/", 1)[0] == d)
             for d in {f.split("/", 1)[0] for f in m["files"]}
         }
         pa, pb = parts(v_before), parts(v_after)

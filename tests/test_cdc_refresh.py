@@ -103,7 +103,7 @@ def test_refresh_rewrites_only_affected_buckets(spark, sf_dir, tmp_path):
 
     post = view.manifest()
     by_part = lambda m: {  # noqa: E731
-        d: sorted(f for f in m["files"] if f.startswith(d))
+        d: sorted(f for f in m["files"] if f.split("/", 1)[0] == d)
         for d in {f.split("/", 1)[0] for f in m["files"]}
     }
     pre_p, post_p = by_part(pre), by_part(post)
@@ -195,3 +195,34 @@ def test_streaming_upstream_feeds_cdc_view(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, _agg(up.read(spark), "user_id", "value").collect()))
     assert got == want
     assert int(view.manifest()["meta"]["upstream_version"]) == up.current_version()
+
+
+def test_build_pins_the_recorded_upstream_version(spark, sf_dir, tmp_path):
+    """A commit landing between build_agg_view's version resolution and
+    its snapshot read must NOT leak into the built view (it would be
+    double-folded by the next refresh): the build reads exactly the
+    version it records as the resume point."""
+    up = AcidTable(os.path.join(str(tmp_path), "up"))
+    view = AcidTable(os.path.join(str(tmp_path), "view"))
+    up.append(_upstream_frame(spark, sf_dir), partition_by=["month"])
+    v0 = up.current_version()
+
+    real_cv = up.current_version
+
+    def stale_then_commit():
+        # resolve v0, then a racer lands BEFORE the snapshot read
+        up.current_version = real_cv
+        up.append(_upstream_frame(spark, sf_dir, 200, 260))
+        return v0
+
+    up.current_version = stale_then_commit
+    build_agg_view(spark, up, view, key="o_custkey", val="val", n_buckets=8)
+
+    # the view holds exactly v0's aggregate, not the racer's rows
+    assert _content(view.read(spark)) == _content(
+        _agg(up.read(spark, version=v0), "o_custkey", "val")
+    )
+    assert int(view.manifest()["meta"]["upstream_version"]) == v0
+    # and ONE refresh folds the racer's commit exactly once
+    refresh_agg_view(spark, up, view)
+    assert _content(view.read(spark)) == _expect(spark, up)

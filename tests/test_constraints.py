@@ -111,3 +111,72 @@ def test_constraint_on_evolved_column_guards_null_fill(spark, tmp_path):
                 [(4, 40, 120)], "id bigint, amount bigint, score int"
             )
         )
+
+
+def test_concurrent_add_constraint_is_enforced_by_inflight_write(
+    spark, tmp_path
+):
+    """The commit-time recheck: a constraint that lands AFTER a writer's
+    pre-stage validation but BEFORE its commit must still gate that
+    writer's rows (and survive in the committed meta) — staged state
+    alone can neither drop nor bypass it."""
+    t = _t(spark, tmp_path)
+    racer = AcidTable(t.path)
+
+    real_stage = t._stage
+
+    def staging_race(df, partition_by, **kw):
+        out = real_stage(df, partition_by, **kw)
+        if not racer.constraints():  # fire once
+            racer.add_constraint(spark, "positive_amount", "amount > 0")
+        return out
+
+    t._stage = staging_race
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(
+            spark.createDataFrame([(3, -1)], "id bigint, amount bigint")
+        )
+    # a clean write in the same raced situation commits AND carries the
+    # racer's constraint forward
+    t.append(spark.createDataFrame([(4, 40)], "id bigint, amount bigint"))
+    assert t.constraints() == {"positive_amount": "amount > 0"}
+
+    # same recheck on the full-overwrite path
+    t2 = _t(spark, tmp_path / "b")
+    racer2 = AcidTable(t2.path)
+    real_stage2 = t2._stage
+
+    def staging_race2(df, partition_by, **kw):
+        out = real_stage2(df, partition_by, **kw)
+        if not racer2.constraints():
+            racer2.add_constraint(spark, "positive_amount", "amount > 0")
+        return out
+
+    t2._stage = staging_race2
+    with pytest.raises(ValueError, match="positive_amount"):
+        t2.overwrite(
+            spark.createDataFrame([(9, -9)], "id bigint, amount bigint")
+        )
+
+
+def test_add_constraint_loses_race_against_inflight_append(spark, tmp_path):
+    """TOCTOU guard: a row committed between add_constraint's validation
+    scan and its commit trips CommitConflictError instead of activating
+    a constraint the live snapshot violates."""
+    from dbt_jaffleshop_spark.plans.acid import CommitConflictError
+
+    t = _t(spark, tmp_path)
+    racer = AcidTable(t.path)
+    real_check = t._violations_or_raise
+
+    def racing_check(df, cons, what):
+        if what == "existing rows" and racer.current_version() == t.current_version():
+            racer.append(
+                spark.createDataFrame([(99, -99)], "id bigint, amount bigint")
+            )
+        return real_check(df, cons, what)
+
+    t._violations_or_raise = racing_check
+    with pytest.raises(CommitConflictError):
+        t.add_constraint(spark, "positive_amount", "amount > 0")
+    assert t.constraints() == {}
