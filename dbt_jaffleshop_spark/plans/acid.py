@@ -321,8 +321,10 @@ class AcidTable:
         """Declare a CHECK constraint (Delta's ``ADD CONSTRAINT``
         semantics): the CURRENT snapshot must already satisfy it (one
         scan, here and never again), and every subsequent write refuses
-        to commit rows for which the expression is not TRUE (null counts
-        as a violation, like SQL CHECK). Write-time enforcement is the
+        to commit rows for which the expression is not TRUE — null
+        counts as a violation (Delta's CheckDeltaInvariant enforcement;
+        STRICTER than ANSI SQL CHECK, where unknown satisfies the
+        constraint). Write-time enforcement is the
         third quality gate beside the declarative post-materialization
         tests (testing/generic.py) and the WAP audit (plans/wap.py) —
         it stops bad data from LANDING instead of detecting it after.
@@ -369,43 +371,123 @@ class AcidTable:
     def _violations_or_raise(
         self, df: DataFrame, cons: dict[str, str], what: str
     ) -> None:
-        """Refuse rows where any constraint is not TRUE. One filter scan
-        per constraint over the WRITTEN frame only (Delta pays the same
-        check per write); the first violating row is named so the
-        refusal is actionable."""
+        """Refuse rows where any constraint is not TRUE. ONE filter scan
+        evaluates every constraint together (r11 ADVICE: N constraints
+        used to cost N scans per write); the first violating row and the
+        first constraint it breaks are named so the refusal is
+        actionable."""
         from pyspark.sql import functions as F
 
-        for name, expr in cons.items():
-            bad = df.where(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
-            if bad:
-                raise ValueError(
-                    f"{self.path}: CHECK constraint {name!r} ({expr}) "
-                    f"violated by {what}: {bad[0].asDict()}"
-                )
+        if not cons:
+            return
+        items = sorted(cons.items())
+        flags = [
+            F.coalesce(F.expr(expr), F.lit(False)).alias(f"__ok_{i}")
+            for i, (_name, expr) in enumerate(items)
+        ]
+        all_ok = " AND ".join(f"__ok_{i}" for i in range(len(items)))
+        bad = (
+            df.select(F.struct(*df.columns).alias("__row"), *flags)
+            .where(~F.expr(all_ok))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0]
+            name, expr = next(
+                (n, e)
+                for i, (n, e) in enumerate(items)
+                if not row[f"__ok_{i}"]
+            )
+            raise ValueError(
+                f"{self.path}: CHECK constraint {name!r} ({expr}) "
+                f"violated by {what}: {row['__row'].asDict()}"
+            )
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        cons = self.constraints()
-        if cons:
-            self._violations_or_raise(df, cons, "this write")
+    def _staged_frame(
+        self, spark: SparkSession, files: list[str], schema_map: dict
+    ) -> DataFrame:
+        """Scan staged (not-yet-committed) files under the write's
+        declared schema — partition-directory columns are cast back to
+        their pre-write types instead of inferred."""
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        ddl = ", ".join(f"`{c}` {t}" for c, t in schema_map.items())
+        return (
+            spark.read.schema(ddl)
+            .option("basePath", self.data_dir)
+            .parquet(*paths)
+        )
+
+    def _validate_staged(
+        self,
+        spark: SparkSession,
+        stages: list[str],
+        files: list[str],
+        cons: dict[str, str],
+        schema_map: dict,
+    ) -> None:
+        """Enforce ``cons`` against the STAGED files — the exact bytes
+        the commit would reference — not the caller's frame (r11
+        ADVICE): validating the unstaged DataFrame re-evaluates its
+        plan, so a nondeterministic source (rand(), a re-read of a
+        mutating table) could pass validation while the staged parquet
+        violates the constraint. Delta enforces during the write itself;
+        reading back the delta-sized staged files is the engine's
+        equivalent. On violation the staged files are discarded before
+        raising (no disk leak)."""
+        if not cons or not files:
+            return
+        try:
+            self._violations_or_raise(
+                self._staged_frame(spark, files, schema_map), cons, "this write"
+            )
+        except BaseException:
+            self._discard_staged(files)
+            for s in stages:
+                shutil.rmtree(s, ignore_errors=True)
+            raise
 
     def _recheck_constraints(
-        self, cur_manifest: dict, validated: dict[str, str], frames
+        self, cur_manifest: dict, validated: dict[str, str], staged_thunk
     ) -> dict[str, str]:
         """Commit-time constraint re-validation, run INSIDE the retry
         loop against the manifest this attempt merges with: a constraint
-        added (or changed) since the pre-stage check is enforced on the
-        written frames here, and the CURRENT set is what the commit
-        carries — a concurrent add_constraint can neither be silently
-        dropped from meta nor bypassed by in-flight rows (the same
-        reopened-race class the r6/r7 fixes closed for schema and
-        stats). Returns the current constraint set."""
+        added (or changed) since the pre-stage check is enforced here —
+        on the STAGED frame ``staged_thunk`` returns (None when nothing
+        was staged) — and the CURRENT set is what the commit carries: a
+        concurrent add_constraint can neither be silently dropped from
+        meta nor bypassed by in-flight rows (the same reopened-race
+        class the r6/r7 fixes closed for schema and stats). Returns the
+        current constraint set."""
         cur = dict(cur_manifest.get("meta", {}).get("constraints", {}))
         delta = {n: e for n, e in cur.items() if validated.get(n) != e}
         if delta:
-            for frame in frames:
-                if frame is not None:
-                    self._violations_or_raise(frame, delta, "this write")
+            frame = staged_thunk()
+            if frame is not None:
+                self._violations_or_raise(frame, delta, "this write")
         return cur
+
+    def _recheck_stats(
+        self, src_meta: dict, files: list[str], attempt_meta: dict
+    ) -> dict:
+        """Per-attempt twin of :meth:`_collect_write_stats` (r11 ADVICE):
+        a ``set_stats_columns`` that lands between the pre-stage
+        manifest read and a retried commit would otherwise lose its
+        declaration — this writer's manifest carried constraints and the
+        evolved flag through the retry but not stats — silently
+        disabling file skipping for every future append. Carries the
+        CURRENT declaration and footer-reads stats for this commit's
+        staged files when the pre-stage pass didn't."""
+        cols = src_meta.get("stats_columns")
+        if not cols or attempt_meta.get("stats_columns") == list(cols):
+            return attempt_meta
+        from .layout import file_column_stats
+
+        new_stats = file_column_stats(self.data_dir, files, set(cols))
+        out = {**attempt_meta, "stats_columns": list(cols)}
+        if new_stats:
+            out["stats"] = {**out.get("stats", {}), **new_stats}
+        return out
 
     def _discard_staged(self, files: list[str]) -> None:
         """Remove staged-but-never-committed data files. They are
@@ -491,18 +573,25 @@ class AcidTable:
         concurrent commit since their read (raise ValueError to abort)."""
         partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
+        spark = df.sparkSession
+        my_schema = meta["schema"]
         cons_validated: dict[str, str] = {}
         if self.exists():
             # CHECK constraints are table state, not snapshot content —
             # they survive a full rewrite (Delta table-property
             # semantics) and the replacement rows must satisfy them
             cons_validated = self.constraints()
-            if cons_validated:
-                self._violations_or_raise(df, cons_validated, "this write")
         stage, files = self._stage(df, partition_by)
+        # enforced on the STAGED files, the commit's actual content
+        self._validate_staged(spark, [stage], files, cons_validated, my_schema)
         if self.exists():
             meta = self._collect_write_stats(
                 files, self.manifest().get("meta", {}), meta
+            )
+
+        def _staged() -> DataFrame | None:
+            return (
+                self._staged_frame(spark, files, my_schema) if files else None
             )
 
         def recompute() -> tuple[list[str], int, dict]:
@@ -522,12 +611,17 @@ class AcidTable:
             if validate is not None:
                 validate(m)
             # per-attempt constraint recheck: a concurrently added
-            # constraint is enforced on df here and carried, never
-            # silently dropped by a retry
-            cons_now = self._recheck_constraints(m, cons_validated, [df])
+            # constraint is enforced on the staged files here and
+            # carried, never silently dropped by a retry
+            cons_now = self._recheck_constraints(m, cons_validated, _staged)
             attempt_meta = meta
             if cons_now and "constraints" not in attempt_meta:
                 attempt_meta = {**attempt_meta, "constraints": cons_now}
+            # per-attempt stats recheck: a set_stats_columns landing
+            # since the pre-stage read must not lose its declaration
+            attempt_meta = self._recheck_stats(
+                m.get("meta", {}), files, attempt_meta
+            )
             return files, m["version"], attempt_meta
 
         return self._commit_with_retry(stage, files, partition_by, meta, recompute)
@@ -573,19 +667,25 @@ class AcidTable:
             else:
                 self._check_append_schema(df)
             cons_validated = self.constraints()
-            if cons_validated:
-                self._violations_or_raise(df, cons_validated, "this write")
         else:
             partition_by = partition_by or []
         meta = {**(meta or {}), "schema": self._schema_map(df)}
         if evolved_flag:
             meta["evolved"] = True
+        spark = df.sparkSession
+        my_schema = meta["schema"]  # the schema being committed, verbatim
         stage, files = self._stage(df, partition_by)
+        # enforced on the STAGED files, the commit's actual content
+        self._validate_staged(spark, [stage], files, cons_validated, my_schema)
         if self.exists():
             meta = self._collect_write_stats(
                 files, self.manifest().get("meta", {}), meta
             )
-        my_schema = meta["schema"]  # the schema being committed, verbatim
+
+        def _staged() -> DataFrame | None:
+            return (
+                self._staged_frame(spark, files, my_schema) if files else None
+            )
 
         def recompute() -> tuple[list[str], int, dict]:
             if not self.exists():
@@ -631,11 +731,15 @@ class AcidTable:
             if prev.get("meta", {}).get("evolved") and not attempt_meta.get("evolved"):
                 attempt_meta = {**attempt_meta, "evolved": True}
             # CHECK constraints are sticky the same way — and rechecked
-            # per attempt, so a constraint added since the pre-stage
-            # validation is enforced on df here, not bypassed
-            cons_now = self._recheck_constraints(prev, cons_validated, [df])
+            # per attempt against the staged files, so a constraint
+            # added since the pre-stage read is enforced, not bypassed
+            cons_now = self._recheck_constraints(prev, cons_validated, _staged)
             if cons_now and "constraints" not in attempt_meta:
                 attempt_meta = {**attempt_meta, "constraints": cons_now}
+            # ... and so is a stats declaration (r11 ADVICE)
+            attempt_meta = self._recheck_stats(
+                prev.get("meta", {}), files, attempt_meta
+            )
             return sorted(prev["files"] + files), prev["version"], attempt_meta
 
         return self._commit_with_retry(
@@ -695,11 +799,13 @@ class AcidTable:
             meta = {**meta, "evolved": True}
         # sticky constraints, enforced against the PINNED base's set
         base_cons = base.get("meta", {}).get("constraints")
-        if base_cons:
-            self._violations_or_raise(df, base_cons, "this write")
-            if "constraints" not in meta:
-                meta = {**meta, "constraints": base_cons}
+        if base_cons and "constraints" not in meta:
+            meta = {**meta, "constraints": base_cons}
         stage, files = self._stage(df, partition_by)
+        # enforced on the STAGED files, the commit's actual content
+        self._validate_staged(
+            df.sparkSession, [stage], files, base_cons or {}, mine
+        )
         meta = self._collect_write_stats(files, base.get("meta", {}), meta)
 
         def recompute() -> tuple[list[str], int]:
@@ -802,20 +908,32 @@ class AcidTable:
         prev_cons = dict(prev.get("meta", {}).get("constraints", {}))
         my_schema = meta["schema"]
 
+        spark = replace_df.sparkSession
         sub = replace_df.where(F.col(part_col).isin(list(values)))
-        if prev_cons:
-            self._violations_or_raise(sub, prev_cons, "this write")
         stage_r, files_r = self._stage(sub, partition_by)
         if append_df is not None:
             app = append_df.where(~F.col(part_col).isin(list(values)))
-            if prev_cons:
-                self._violations_or_raise(app, prev_cons, "this write")
             stage_a, files_a = self._stage(app, partition_by)
         else:
             stage_a, files_a = None, []
         new_files = files_r + files_a
+        # both legs enforced on the STAGED files in one scan — the
+        # commit's actual content, one manifest, one validation
+        self._validate_staged(
+            spark,
+            [stage_r] + ([stage_a] if stage_a else []),
+            new_files,
+            prev_cons,
+            my_schema,
+        )
         meta = self._collect_write_stats(new_files, prev.get("meta", {}), meta)
-        written_frames = [sub] + ([app] if append_df is not None else [])
+
+        def _staged() -> DataFrame | None:
+            return (
+                self._staged_frame(spark, new_files, my_schema)
+                if new_files
+                else None
+            )
 
         def recompute() -> tuple[list[str], int]:
             cur = self.manifest()
@@ -824,7 +942,7 @@ class AcidTable:
             # per-attempt constraint recheck against the LIVE manifest
             # (constraint changes always commit to it, even when file
             # carry-forward is pinned to a base snapshot)
-            cons_now = self._recheck_constraints(cur, prev_cons, written_frames)
+            cons_now = self._recheck_constraints(cur, prev_cons, _staged)
             # pinned mode: untouched partitions carry from the PINNED
             # snapshot; the live manifest only supplies the parent slot.
             src = cur if base_version is None else prev
@@ -856,6 +974,11 @@ class AcidTable:
                 }
             if cons_now and "constraints" not in attempt_meta:
                 attempt_meta = {**attempt_meta, "constraints": cons_now}
+            # per-attempt stats-declaration recheck (r11 ADVICE) — the
+            # declaration is table state, so the LIVE manifest carries it
+            attempt_meta = self._recheck_stats(
+                cur.get("meta", {}), new_files, attempt_meta
+            )
             return sorted(kept + new_files), cur["version"], attempt_meta
 
         try:
@@ -1068,7 +1191,10 @@ class AcidTable:
         range spanning a ``merge_schema`` evolution yields one uniform
         frame (pre-evolution rows null-fill the added columns). Raises
         if a needed manifest was vacuumed — keep_last bounds how far
-        back a consumer may resume."""
+        back a consumer may resume. ``v_from=0`` reads from table
+        INCEPTION (Delta CDF's ``startingVersion 0``): version 0 has no
+        manifest, so an empty predecessor is synthesized and the first
+        commit's files all surface as inserts."""
         from pyspark.sql import functions as F
 
         v_to = self.current_version() if v_to is None else int(v_to)
@@ -1088,6 +1214,12 @@ class AcidTable:
                     "resume within the vacuum keep window"
                 ) from None
 
+        if v_to == 0:
+            raise ValueError(
+                f"{self.path}: changes(v0, v0) — the range holds no "
+                "commits (version 0 is table inception, before the "
+                "first commit)"
+            )
         target = _manifest(v_to)
         t_schema = target.get("meta", {}).get("schema") or {}
         if not t_schema:
@@ -1112,7 +1244,15 @@ class AcidTable:
             )
 
         pieces: list[DataFrame] = []
-        prev = _manifest(v_from)
+        # v_from=0 is table inception: no manifest exists below the first
+        # commit, so the predecessor is the empty table (r11 ADVICE — the
+        # old code's _manifest(0) FileNotFoundError surfaced as a
+        # misleading 'was vacuumed' failure for full-history bootstraps)
+        prev = (
+            {"version": 0, "partition_by": [], "files": [], "meta": {}}
+            if v_from == 0
+            else _manifest(v_from)
+        )
         for v in range(v_from + 1, v_to + 1):
             cur = _manifest(v)
             if cur.get("meta", {}).get("data_change") is False:

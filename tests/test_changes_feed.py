@@ -113,3 +113,22 @@ def test_changes_refuse_vacuumed_range(spark, tmp_path):
     t.vacuum(keep_last=2, orphan_grace_s=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         t.changes(spark, v0)
+
+
+def test_changes_from_inception_reads_the_full_history(spark, tmp_path):
+    """v_from=0 is Delta CDF's startingVersion 0 (r11 ADVICE): version 0
+    has no manifest, so the predecessor is the empty table and the first
+    commit's files surface as inserts — a consumer can bootstrap the
+    complete history from the feed instead of hitting a misleading
+    'was vacuumed' failure."""
+    t = _t(tmp_path)
+    t.append(spark.createDataFrame([(1, "a")], "id bigint, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, v string"))
+    got = t.changes(spark, 0)
+    assert _ev(got.select("id", "_change_type", "_commit_version")) == [
+        (1, "insert", 1),
+        (2, "insert", 2),
+    ]
+    # the degenerate empty range is refused loudly, not FileNotFoundError
+    with pytest.raises(ValueError, match="no commits"):
+        t.changes(spark, 0, 0)

@@ -180,3 +180,47 @@ def test_add_constraint_loses_race_against_inflight_append(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         t.add_constraint(spark, "positive_amount", "amount > 0")
     assert t.constraints() == {}
+
+
+def test_multi_constraint_violation_names_the_broken_one(spark, tmp_path):
+    """All constraints evaluate in ONE scan (r11 ADVICE: N constraints
+    used to cost N scans per write) and the refusal still names exactly
+    the constraint the row breaks."""
+    t = _t(spark, tmp_path)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+    t.add_constraint(spark, "small_id", "id < 100")
+    with pytest.raises(ValueError, match="small_id"):
+        t.append(
+            spark.createDataFrame([(500, 10)], "id bigint, amount bigint")
+        )
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(
+            spark.createDataFrame([(3, -1)], "id bigint, amount bigint")
+        )
+
+
+def test_violating_write_discards_its_staged_files(spark, tmp_path):
+    """Enforcement runs on the STAGED files (the commit's actual bytes,
+    closing the validate-vs-stage double-evaluation gap for
+    nondeterministic sources — r11 ADVICE) and a refused write leaves no
+    orphaned data files behind."""
+    t = _t(spark, tmp_path, partitioned=True)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+
+    def _data_files():
+        out = []
+        for root, _dirs, fs in os.walk(t.data_dir):
+            out.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+        return sorted(out)
+
+    before = _data_files()
+    bad = spark.createDataFrame([(3, -1, 0)], "id bigint, amount bigint, p int")
+    for attempt in (
+        lambda: t.append(bad),
+        lambda: t.overwrite(bad, partition_by=["p"]),
+        lambda: t.append_from(bad, t.current_version()),
+        lambda: t.overwrite_partitions(bad, "p", [0]),
+    ):
+        with pytest.raises(ValueError, match="positive_amount"):
+            attempt()
+        assert _data_files() == before

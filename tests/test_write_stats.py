@@ -85,3 +85,37 @@ def test_declaration_survives_full_overwrite(spark, tmp_path):
     m = t.manifest()
     assert m["meta"]["stats_columns"] == ["id"]
     assert set(m["meta"]["stats"]) == set(m["files"])
+
+
+def test_concurrent_declaration_survives_a_retried_commit(spark, tmp_path):
+    """The reopened-race recheck (r11 ADVICE): a set_stats_columns that
+    lands AFTER a writer's pre-stage manifest read but BEFORE its commit
+    must not be dropped by the retry — the per-attempt recompute carries
+    the declaration and footer-reads stats for the staged files, the
+    same class of fix the constraint recheck pins."""
+    from dbt_jaffleshop_spark.plans.acid import CommitConflictError  # noqa: F401
+
+    t = _t(spark, tmp_path)
+    racer = AcidTable(t.path)
+    before = set(t.manifest()["files"])
+    real_commit = t._commit
+    fired = []
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not fired:
+            fired.append(1)
+            # lands a new manifest -> t's first attempt loses its parent
+            # check and retries against the declared state
+            racer.set_stats_columns(["v"])
+        return real_commit(files, partition_by, meta, expected_parent)
+
+    t._commit = racing_commit
+    v = t.append(
+        spark.createDataFrame([(5000, 9)], "id bigint, v bigint")
+    )
+    m = t.manifest(v)
+    assert m["meta"]["stats_columns"] == ["v"]
+    new_files = set(m["files"]) - before
+    assert new_files and all(f in m["meta"]["stats"] for f in new_files)
+    # ... and the backfilled stats of the pre-existing files carried too
+    assert set(m["meta"]["stats"]) == set(m["files"])
