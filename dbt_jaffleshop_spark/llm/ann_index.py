@@ -77,9 +77,15 @@ class AnnIndex:
     scan's pruning key), and the ``meta`` commit pointer."""
 
     _TABLES = ("centroids", "vectors", "codes", "codebook")
+    # n_cells: the coarse-quantizer seed count — INDEX STATE like the
+    # dedup indexes' n_doc_buckets (r12, VERDICT r11 item 4): recorded
+    # at build, carried through every commit, grown in place by
+    # :func:`grow_ann_cells` so probe-time cell occupancy stays flat as
+    # the corpus grows (retrain re-homes vectors but can never exceed
+    # the seed count on its own).
     _META_DDL = (
         "max_vec_id bigint, centroids_v int, vectors_v int, "
-        "codes_v int, codebook_v int, train_iters int"
+        "codes_v int, codebook_v int, train_iters int, n_cells int"
     )
 
     def __init__(self, root: str):
@@ -110,11 +116,13 @@ class AnnIndex:
         versions: dict,
         expected_meta_v: int | None,
         train_iters: int = 0,
+        n_cells: int = N_CELLS,
     ) -> None:
         row = (
             int(max_id),
             *[int(versions[t]) for t in self._TABLES],
             int(train_iters),
+            int(n_cells),
         )
         validate = (
             None
@@ -133,11 +141,20 @@ class AnnIndex:
         return _vacuum_index(self, self._TABLES, keep_last)
 
 
-def _seed_centroids(q: DataFrame) -> DataFrame:
+def _n_cells(snap: dict) -> int:
+    """The index's committed seed-cell count (meta row; pre-r12 rows
+    without the column fall back to the historical constant)."""
+    return int(snap.get("n_cells") or N_CELLS)
+
+
+def _seed_centroids(q: DataFrame, n_cells: int = N_CELLS) -> DataFrame:
     """The deterministic training seeds: the corpus vectors with
-    vec_id < N_CELLS (identical to llm/similarity.py's fixed coarse
-    quantizer, so a zero-iteration index ≡ sim_ivf_topk's cells)."""
-    return q.where(F.col("vec_id") < N_CELLS).select(
+    vec_id < n_cells (at the default, identical to llm/similarity.py's
+    fixed coarse quantizer, so a zero-iteration index ≡ sim_ivf_topk's
+    cells). Cell id = seed vec_id, which makes in-place growth compose:
+    :func:`grow_ann_cells` adds the seeds in [cur_n, new_n) under ids no
+    existing cell can hold."""
+    return q.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -160,10 +177,20 @@ def _lloyd(q: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
 
 
 def build_ann_index(
-    spark: SparkSession, emb: DataFrame, root: str, train_iters: int = 2
+    spark: SparkSession,
+    emb: DataFrame,
+    root: str,
+    train_iters: int = 2,
+    n_cells: int = N_CELLS,
 ) -> AnnIndex:
     """Initial build: train the coarse quantizer (``train_iters``
-    Lloyd rounds from the seeds), assign every vector, commit."""
+    Lloyd rounds from the ``n_cells`` seeds), assign every vector,
+    commit. ``n_cells`` is recorded in meta; :func:`grow_ann_cells`
+    raises it in place as the corpus grows."""
+    if n_cells < 1:
+        raise ValueError(
+            f"build_ann_index: n_cells must be >= 1, got {n_cells}"
+        )
     idx = AnnIndex(root)
     mx = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     if mx is None:
@@ -172,7 +199,7 @@ def build_ann_index(
             "least one vector"
         )
     q = _quantize_frame(emb).localCheckpoint()
-    cents = _lloyd(q, _seed_centroids(q), train_iters)
+    cents = _lloyd(q, _seed_centroids(q, n_cells), train_iters)
     assigned = _assign_to(q, cents).select(
         "vec_id", "e", "nrm", "cell"
     ).localCheckpoint()
@@ -188,7 +215,8 @@ def build_ann_index(
         _pq_encode(assigned, cb), partition_by=["cell"]
     )
     idx._commit_meta(
-        spark, int(mx), v, expected_meta_v=None, train_iters=train_iters
+        spark, int(mx), v, expected_meta_v=None, train_iters=train_iters,
+        n_cells=n_cells,
     )
     return idx
 
@@ -232,7 +260,7 @@ def append_vectors(
     )
     idx._commit_meta(
         spark, int(d_max), v, expected_meta_v=meta_v,
-        train_iters=int(snap["train_iters"]),
+        train_iters=int(snap["train_iters"]), n_cells=_n_cells(snap),
     )
     return v["vectors"]
 
@@ -346,7 +374,82 @@ def retrain_ann_index(
     v["codes"] = idx.codes.overwrite(codes_next, partition_by=["cell"])
     idx._commit_meta(
         spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
-        train_iters=total,
+        train_iters=total, n_cells=_n_cells(snap),
+    )
+    return idx.centroids.read(spark, version=v["centroids"])
+
+
+def grow_ann_cells(
+    spark: SparkSession, idx: AnnIndex, n_cells: int, train_iters: int = 0
+) -> DataFrame:
+    """Raise the coarse-quantizer cell count IN PLACE (r12, VERDICT r11
+    item 4) — the scale knob ``retrain_ann_index`` cannot turn: retrain
+    re-homes vectors among the EXISTING cells, so a 100× corpus means
+    100× cell occupancy and probe cost; production IVF grows nlist with
+    the corpus. Mirrors the embedding index's ``rebucket_emb_index``:
+
+    * the NEW seeds are the stored corpus vectors with
+      ``cur_n <= vec_id < n_cells`` (cell id = seed vec_id — disjoint
+      from every existing cell id by construction), exactly the seeds a
+      from-scratch build at ``n_cells`` would add;
+    * optional ``train_iters`` Lloyd rounds continue from the COMBINED
+      centroid set, then every vector reassigns (one pass — inherent:
+      any assignment may move to a new cell) and each code row re-homes
+      to its vector's new cell (codebook untouched — PQ codewords are
+      independent of the coarse layout);
+    * commits through the same meta transaction, recording the new
+      ``n_cells``; vacuum reclaims the superseded files.
+
+    Exactness anchor (pytest): growing a ZERO-ITERATION index from
+    ``n0`` to ``n1`` with ``t`` training rounds is bit-identical to a
+    from-scratch build at ``(n_cells=n1, train_iters=t)`` — the
+    combined seed set IS the from-scratch seed set, and Lloyd is
+    deterministic integer arithmetic. Only growth is allowed: shrinking
+    would merge cells non-deterministically — rebuild to shrink.
+    Returns the new centroid frame."""
+    meta_v, snap = idx.snapshot(spark)
+    cur_n = _n_cells(snap)
+    if n_cells <= cur_n:
+        raise ValueError(
+            f"grow_ann_cells: n_cells={n_cells} does not GROW the index "
+            f"(current {cur_n}); only growth keeps cell ids stable — "
+            "rebuild from scratch to shrink"
+        )
+    q = (
+        idx.vectors.read(spark, version=snap["vectors_v"])
+        .select("vec_id", "e", "nrm")
+        .localCheckpoint()
+    )
+    cents0 = idx.centroids.read(
+        spark, version=snap["centroids_v"]
+    ).select("cell", "ce", "cn")
+    new_seeds = q.where(
+        (F.col("vec_id") >= cur_n) & (F.col("vec_id") < n_cells)
+    ).select(
+        F.col("vec_id").alias("cell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cents = _lloyd(q, cents0.unionByName(new_seeds), train_iters)
+    if train_iters == 0:
+        cents = cents.localCheckpoint()
+    assigned = _assign_to(q, cents).select(
+        "vec_id", "e", "nrm", "cell"
+    ).localCheckpoint()
+    codes_next = (
+        idx.codes.read(spark, version=snap["codes_v"])
+        .select("vec_id", "codes", "recon_nrm")
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .select("vec_id", "cell", "codes", "recon_nrm")
+    )
+    v: dict[str, int] = {}
+    v["centroids"] = idx.centroids.overwrite(cents)
+    v["vectors"] = idx.vectors.overwrite(assigned, partition_by=["cell"])
+    v["codebook"] = int(snap["codebook_v"])
+    v["codes"] = idx.codes.overwrite(codes_next, partition_by=["cell"])
+    idx._commit_meta(
+        spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
+        train_iters=int(snap["train_iters"]) + train_iters, n_cells=n_cells,
     )
     return idx.centroids.read(spark, version=v["centroids"])
 
@@ -423,7 +526,7 @@ def remove_vectors(
     )
     idx._commit_meta(
         spark, int(snap["max_vec_id"]), v, expected_meta_v=meta_v,
-        train_iters=int(snap["train_iters"]),
+        train_iters=int(snap["train_iters"]), n_cells=_n_cells(snap),
     )
     return v["vectors"]
 

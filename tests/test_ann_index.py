@@ -484,3 +484,106 @@ def test_adc_refine_equals_exact_search_at_full_shortlist(spark, sf_dir):
     }
     for r in small.collect():
         assert exact_scores[(r[0], r[1])] == r[3]
+
+
+# ------------------------------------------------ cell growth (r12)
+
+
+def test_grow_cells_zero_iter_equals_from_scratch_build(spark, sf_dir):
+    """The exactness anchor (VERDICT r11 item 4): growing a
+    zero-iteration index from 8 to 16 cells with 2 training rounds must
+    land on BIT-IDENTICAL centroids and assignments to a from-scratch
+    build at (n_cells=16, train_iters=2) — the combined seed set IS the
+    from-scratch seed set and Lloyd is deterministic integer
+    arithmetic, so in-place growth introduces zero drift."""
+    emb = _emb(spark, sf_dir)
+    grown_root = tempfile.mkdtemp(prefix="ann_grow_")
+    fresh_root = tempfile.mkdtemp(prefix="ann_fresh_")
+    idx = ai.build_ann_index(spark, emb, grown_root, train_iters=0, n_cells=8)
+    ai.grow_ann_cells(spark, idx, 16, train_iters=2)
+    fresh = ai.build_ann_index(
+        spark, emb, fresh_root, train_iters=2, n_cells=16
+    )
+
+    _v, snap = idx.snapshot(spark)
+    _fv, fsnap = fresh.snapshot(spark)
+    assert ai._n_cells(snap) == 16
+    assert int(snap["train_iters"]) == 2
+    for t, cols in (
+        ("centroids", ["cell", "ce", "cn"]),
+        ("vectors", ["vec_id", "cell"]),
+        ("codes", ["vec_id", "cell", "codes", "recon_nrm"]),
+    ):
+        got = getattr(idx, t).read(spark, version=snap[f"{t}_v"]).select(cols)
+        want = getattr(fresh, t).read(
+            spark, version=fsnap[f"{t}_v"]
+        ).select(cols)
+        assert _rows(got) == _rows(want), t
+    # ... so searches on the grown index ARE the from-scratch searches
+    q = _queries(emb)
+    assert _rows(ai.ann_search(spark, idx, q, k=3, n_probes=2)) == _rows(
+        ai.ann_search(spark, fresh, q, k=3, n_probes=2)
+    )
+
+
+def test_grow_cells_reduces_probe_occupancy(spark, sf_dir):
+    """The scale claim the knob exists for: mean candidates scanned per
+    1-probe query drops when the cell count quadruples — occupancy is
+    now a runtime lever, not a frozen constant."""
+    from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
+    from dbt_jaffleshop_spark.llm.similarity import _assign_to
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_occ_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=1, n_cells=8)
+
+    def mean_occupancy():
+        _v, snap = idx.snapshot(spark)
+        vecs = idx.vectors.read(spark, version=snap["vectors_v"])
+        occ = vecs.groupBy("cell").count()
+        cents = idx.centroids.read(
+            spark, version=snap["centroids_v"]
+        ).select("cell", "ce", "cn")
+        probes = _assign_to(
+            _quantize_frame(_queries(emb)), cents
+        ).select("cell")
+        return (
+            probes.join(occ, "cell")
+            .agg(F.avg("count").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    before = mean_occupancy()
+    ai.grow_ann_cells(spark, idx, 32, train_iters=1)
+    after = mean_occupancy()
+    assert after < before * 0.6, (before, after)
+
+
+def test_grow_cells_refuses_shrink_and_carries_meta(spark, sf_dir):
+    """Only growth is legal (shrinking merges cells — rebuild instead),
+    and n_cells rides through append, retrain, removal, and compaction
+    like every other piece of index state."""
+    import pytest
+
+    from dbt_jaffleshop_spark.llm.dedup_incremental import compact_index
+
+    emb = _emb(spark, sf_dir)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = mx * 7 // 10
+    root = tempfile.mkdtemp(prefix="ann_meta_")
+    idx = ai.build_ann_index(
+        spark, emb.where(F.col("vec_id") <= thr), root,
+        train_iters=0, n_cells=8,
+    )
+    with pytest.raises(ValueError, match="GROW"):
+        ai.grow_ann_cells(spark, idx, 8)
+    with pytest.raises(ValueError, match="GROW"):
+        ai.grow_ann_cells(spark, idx, 4)
+    ai.grow_ann_cells(spark, idx, 16)
+    ai.append_vectors(spark, emb.where(F.col("vec_id") > thr), idx)
+    ai.retrain_ann_index(spark, idx, train_iters=1)
+    ai.remove_vectors(
+        spark, emb.where(F.col("vec_id") % 7 == 3).select("vec_id"), idx
+    )
+    compact_index(spark, idx)
+    assert ai._n_cells(idx.snapshot(spark)[1]) == 16
