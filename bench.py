@@ -334,12 +334,11 @@ def main() -> None:
     # Auxiliary records first, in small whole-line chunks (r6: the
     # driver's tail capture cut BENCH_r05's one-line aux records
     # mid-JSON) — the driver parses the LAST JSON line, which must stay
-    # compact (see module docstring). Emission ORDER matters (r9/r10
+    # compact (see module docstring). Emission ORDER matters (r9-r12
     # fixes): the driver's tail capture keeps only the last few KB of
-    # stdout, so the expendable load telemetry goes FIRST and the
-    # queries_min floors go on ONE compact line immediately before the
-    # final line (chunked floors still scrolled out in r9 — VERDICT r9
-    # item 1).
+    # stdout, so the expendable load telemetry goes FIRST, then retries,
+    # then the floors chunks (digest rows in the LAST chunk), then the
+    # per-member digest pricing nearest the final line.
     _emit_chunked(
         "load_avg_1m",
         {
@@ -359,6 +358,42 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
+    # The min-floors arm the NEXT round's 2×-prior quiet-retry, so they
+    # must survive the driver's tail capture (which keeps only the last
+    # few KB of stdout, FRONT-truncated). r12 layout (VERDICT r11 items
+    # 1/3 of "what's wrong"): the LAST floors chunk holds EVERY digest
+    # row plus pipeline_build — regardless of cost, so a cheap digest
+    # like jaffle_staging_digest can never land in the clippable front
+    # chunk again — and the per-member digest pricing prints AFTER the
+    # floors, immediately before the final line (in r11 it printed
+    # before them and scrolled out of the capture). Non-digest rows go
+    # ascending-median in the earlier chunks: a clipped front loses
+    # only the cheapest sub-second rows.
+    digest_rows = sorted(
+        (
+            q
+            for q in mins
+            if q.endswith("_digest") or q == "pipeline_build"
+        ),
+        key=lambda q: timings.get(q, 0.0),
+    )
+    other = sorted(
+        (q for q in mins if q not in set(digest_rows)),
+        key=lambda q: timings.get(q, 0.0),
+    )
+    half = len(other) - len(other) // 2  # cheap half first, larger
+    chunks = [c for c in (other[:half], other[half:], digest_rows) if c]
+    for i, part in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "queries_min",
+                    "part": f"{i + 1}/{len(chunks)}",
+                    "queries_min": {n: round(mins[n], 2) for n in part},
+                },
+                separators=(",", ":"),
+            )
+        )
     for group in sorted(digest_members):
         print(
             json.dumps(
@@ -366,31 +401,6 @@ def main() -> None:
                     "metric": "digest_members",
                     "digest": group,
                     "seconds": digest_members[group],
-                },
-                separators=(",", ":"),
-            )
-        )
-    # The min-floors arm the NEXT round's 2×-prior quiet-retry, so they
-    # must survive the driver's tail capture (which keeps only the last
-    # few KB of stdout, FRONT-truncated). r10's single ~1.3 KB line
-    # still lost its front (~40/51 floors parseable — VERDICT r10 item
-    # 6); r11: TWO ~700-byte half-lines, each independently parseable,
-    # with the EXPENSIVE rows (digests, pipeline_build) in the LAST
-    # chunk — nearest the final line, so even if the window clips the
-    # first chunk's front, the floors that can actually move the
-    # headline survive intact. Ascending-median in chunk 1, so the
-    # clipped front loses only the cheapest sub-second rows.
-    by_cost = sorted(mins, key=lambda q: timings.get(q, 0.0))
-    half = len(by_cost) - len(by_cost) // 2  # cheap half first, larger
-    for i, part in enumerate((by_cost[:half], by_cost[half:])):
-        if not part:
-            continue
-        print(
-            json.dumps(
-                {
-                    "metric": "queries_min",
-                    "part": f"{i + 1}/2",
-                    "queries_min": {n: round(mins[n], 2) for n in part},
                 },
                 separators=(",", ":"),
             )

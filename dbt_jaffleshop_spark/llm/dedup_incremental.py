@@ -912,6 +912,19 @@ def _split_threshold(docs: DataFrame, id_col: str = "doc_id") -> int:
 # oracle's source filter.
 REMOVE_MOD, REMOVE_RES = 17, 3
 
+# Corpus bound for the registered LIFECYCLE query (r12, VERDICT r11
+# item 3): the lifecycle certifies transactional machinery, whose bench
+# weight must not scale superlinearly with sf — at sf0.1 it was 17 s of
+# a 27 s digest (~half the quiet headline), masking regressions in the
+# other members. The bound is an ABSOLUTE id cap mirrored literally in
+# the oracle, chosen ABOVE the full sf0.01 id range (max 499, so the
+# driver's correctness corpus is untouched — byte-identical history)
+# and below sf0.1's (max 4999 → the bench runs the lifecycle on the
+# 1,500-doc prefix, still 3× the correctness corpus). Scale pricing for
+# the underlying ops lives in the A/B scripts, which run them UNCAPPED
+# at multiple corpus sizes.
+DEDUP_INC_ID_CAP = 1499
+
 
 def dedup_incremental(
     spark: SparkSession, sf_dir: str | None = None
@@ -925,10 +938,16 @@ def dedup_incremental(
     FULL-RECOMPUTE star clustering over ``documents`` WITHOUT the
     removed ids — every driver run certifies that the whole
     build→fold→remove lifecycle lands exactly where a from-scratch
-    pass over the surviving corpus would."""
+    pass over the surviving corpus would. The corpus is bounded at
+    ``DEDUP_INC_ID_CAP`` (mirrored in the oracle; a no-op at the
+    driver's sf0.01 — see the constant's comment)."""
     while _last_root:
         shutil.rmtree(_last_root.pop(), ignore_errors=True)
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") <= DEDUP_INC_ID_CAP)
+        .select("doc_id", "text")
+    )
     thr = _split_threshold(docs)
     root = tempfile.mkdtemp(prefix="dedup_index_")
     _last_root.append(root)
@@ -1588,7 +1607,8 @@ def _oracle() -> str:
         star=True,
         source=(
             f"(SELECT * FROM documents"
-            f" WHERE doc_id % {REMOVE_MOD} != {REMOVE_RES})"
+            f" WHERE doc_id <= {DEDUP_INC_ID_CAP}"
+            f" AND doc_id % {REMOVE_MOD} != {REMOVE_RES})"
         ),
     )
     return f"""

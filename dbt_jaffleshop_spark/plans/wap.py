@@ -23,7 +23,16 @@ rather than duplicating it:
   ``_CURRENT``) only after every model, test, and export is green —
   the cross-table analogue of the dedup index's meta row
   (llm/dedup_incremental.py), degenerate-simple because the pipeline
-  is single-writer per warehouse.
+  is single-writer per warehouse. MULTI-WRITER NOTE (r12, VERDICT r11
+  item 6): ``os.replace`` is last-write-wins — two pipelines
+  publishing the same warehouse concurrently could silently clobber
+  each other's pointer. If multi-writer publishing ever lands, route
+  the pointer through an ``AcidTable`` one-row ``overwrite`` with an
+  unchanged-since-read validation hook (exactly the index meta-swap
+  protocol), which turns the clobber into a loud
+  ``ConcurrentWriteError`` for the loser. Not implemented now: the
+  engine's scheduler runs one pipeline per warehouse by contract
+  (plans/dag.py), so the simpler primitive is the honest one.
 * ``read_mart(..., published=True)`` resolves through the pointer: a
   reader sees the PRE-run state throughout a run (snapshot isolation
   across the whole warehouse, not just per table) and the post-run
