@@ -56,6 +56,7 @@ from .dedup_incremental import (
     _guard_since_read,
     _read_meta_row,
     _vacuum_index,
+    _write_meta_row,
 )
 from .similarity import (
     _COS,
@@ -129,9 +130,7 @@ class AnnIndex:
             if expected_meta_v is None
             else _guard_since_read(self.meta, expected_meta_v)
         )
-        self.meta.overwrite(
-            spark.createDataFrame([row], self._META_DDL), validate=validate
-        )
+        _write_meta_row(self.meta, row, self._META_DDL, validate)
 
     def max_vec_id(self, spark: SparkSession) -> int:
         return int(self.snapshot(spark)[1]["max_vec_id"])

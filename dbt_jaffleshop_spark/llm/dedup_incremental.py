@@ -194,6 +194,67 @@ def _read_meta_row(meta: AcidTable, version: int) -> dict:
     return rows[0]
 
 
+def _write_meta_row(meta: AcidTable, row: tuple, ddl: str, validate) -> None:
+    """Driver-side one-row meta commit — the write twin of
+    :func:`_read_meta_row` (r12): the meta swap sits on every
+    operation's critical path, and spinning a Spark job (createDataFrame
+    → repartition → write) for ONE row costs ~0.3-0.5 s each time.
+    Writes the parquet footer via pyarrow with the exact physical types
+    Spark would (bigint→int64, int→int32 — so Spark/pyarrow readers see
+    an identical table), stages it under a unique name in ``data/``,
+    and drives the SAME optimistic-commit protocol as
+    ``AcidTable.overwrite``: validate hook against the manifest the
+    commit would replace, exclusive-create slot claim, retry on a lost
+    slot race, staged-file discard on any failure. The validation hook
+    (``_guard_since_read``) still escapes with ConcurrentWriteError —
+    the transaction serialization point is unchanged."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..plans.acid import CommitConflictError, _backoff
+
+    fields: list = []
+    schema_map: dict[str, str] = {}
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append(
+            pa.field(name, pa.int64() if typ == "bigint" else pa.int32())
+        )
+        schema_map[name] = typ
+    table = pa.Table.from_arrays(
+        [
+            pa.array([None if v is None else int(v)], type=f.type)
+            for f, v in zip(fields, row)
+        ],
+        schema=pa.schema(fields),
+    )
+    os.makedirs(meta.data_dir, exist_ok=True)
+    rel = f"part-{uuid.uuid4().hex}-meta.parquet"
+    pq.write_table(table, os.path.join(meta.data_dir, rel))
+    try:
+        for attempt in range(6):
+            cur = meta.manifest() if meta.exists() else None
+            if validate is not None and cur is not None:
+                validate(cur)
+            try:
+                meta._commit(
+                    [rel],
+                    [],
+                    {"schema": schema_map},
+                    expected_parent=cur["version"] if cur else 0,
+                )
+                return
+            except CommitConflictError:
+                if attempt == 5:
+                    raise
+                _backoff(attempt)
+    except BaseException:
+        meta._discard_staged([rel])
+        raise
+
+
 def _vacuum_index(idx, tables: tuple[str, ...], keep_last: int) -> dict[str, int]:
     """Shared vacuum for both index flavors: read the meta row FIRST
     (the committed pointer), then vacuum every data table with its
@@ -448,9 +509,7 @@ class DedupIndex:
             if expected_meta_v is None
             else _guard_since_read(self.meta, expected_meta_v)
         )
-        self.meta.overwrite(
-            spark.createDataFrame([row], self._META_DDL), validate=validate
-        )
+        _write_meta_row(self.meta, row, self._META_DDL, validate)
 
     def max_doc_id(self, spark: SparkSession) -> int:
         return int(self.snapshot(spark)[1]["max_doc_id"])
@@ -726,10 +785,14 @@ def remove_docs(
     ``base_version``), the same mechanism as Iceberg/Delta
     partition-overwrite deletes."""
     rem = removed.select("doc_id").distinct().localCheckpoint()
-    if rem.count() == 0:
-        return idx.clusters_df(spark)
-
     meta_v, snap = idx.snapshot(spark)
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
+    # ONE bounded collect doubles as the emptiness check (r12: the old
+    # separate count() was a whole extra Spark job on the hot path)
+    doc_vals = _bucket_values(rem, "doc_id", n)
+    if not doc_vals:
+        return idx.clusters_df(spark)
     # reads KEEP the hive partition column (p_bucket): the write-back's
     # partition filter then reaches the scan as a PartitionFilter, so
     # staging an affected partition never reads the unaffected ones
@@ -822,10 +885,8 @@ def remove_docs(
 
     # --- affected-partition sets, each a driver list bounded by the
     # partition-value domain (bucket count / LSH band count), collected
-    # from the pinned reads
-    n = _n_buckets(snap)
-    rider = {_LAYOUT_KEY: n}
-    doc_vals = _bucket_values(rem, "doc_id", n)
+    # from the pinned reads (doc_vals was collected up front as the
+    # emptiness check)
     pair_vals = sorted(
         r[0]
         for r in pairs.join(
@@ -1112,9 +1173,7 @@ class EmbDedupIndex:
             if expected_meta_v is None
             else _guard_since_read(self.meta, expected_meta_v)
         )
-        self.meta.overwrite(
-            spark.createDataFrame([row], self._META_DDL), validate=validate
-        )
+        _write_meta_row(self.meta, row, self._META_DDL, validate)
 
     def max_vec_id(self, spark: SparkSession) -> int:
         return int(self.snapshot(spark)[1]["max_vec_id"])
@@ -1319,9 +1378,13 @@ def remove_vecs(
     vector re-solve, from the real surviving pairs (a removal can split
     them); everything else carries forward by value."""
     rem = removed.select(F.col("vec_id").alias("doc_id")).distinct().localCheckpoint()
-    if rem.count() == 0:
-        return idx.clusters_df(spark)
     meta_v, snap = idx.snapshot(spark)
+    n = _n_buckets(snap)
+    rider = {_LAYOUT_KEY: n}
+    # one bounded collect doubles as the emptiness check (see remove_docs)
+    doc_vals = _bucket_values(rem, "doc_id", n)
+    if not doc_vals:
+        return idx.clusters_df(spark)
     clusters = idx.clusters.read(spark, version=snap["clusters_v"]).select(
         "doc_id", "cluster_id", "cluster_size", _PB
     )
@@ -1352,10 +1415,8 @@ def remove_vecs(
     )
     # affected-partition sets — see remove_docs (clique candidates have
     # no elected minimum, so removal never ADDS pairs: the pair
-    # partitions touched are exactly those holding a dropped row)
-    n = _n_buckets(snap)
-    rider = {_LAYOUT_KEY: n}
-    doc_vals = _bucket_values(rem, "doc_id", n)
+    # partitions touched are exactly those holding a dropped row;
+    # doc_vals was collected up front as the emptiness check)
     pair_vals = sorted(
         r[0]
         for r in pairs.join(

@@ -910,21 +910,21 @@ class AcidTable:
 
         spark = replace_df.sparkSession
         sub = replace_df.where(F.col(part_col).isin(list(values)))
-        stage_r, files_r = self._stage(sub, partition_by)
+        # ONE staged write for both legs (r12): the manifest never
+        # distinguishes replace-files from append-files — the split is
+        # purely which partitions the rows land in, and partitionBy
+        # routes each row to its directory — so staging the union
+        # halves the write jobs of every replace+append commit (the
+        # dedup folds' cluster updates, SCD2's open/history split).
+        to_stage = sub
         if append_df is not None:
             app = append_df.where(~F.col(part_col).isin(list(values)))
-            stage_a, files_a = self._stage(app, partition_by)
-        else:
-            stage_a, files_a = None, []
-        new_files = files_r + files_a
+            to_stage = sub.unionByName(app)
+        stage, new_files = self._stage(to_stage, partition_by)
         # both legs enforced on the STAGED files in one scan — the
         # commit's actual content, one manifest, one validation
         self._validate_staged(
-            spark,
-            [stage_r] + ([stage_a] if stage_a else []),
-            new_files,
-            prev_cons,
-            my_schema,
+            spark, [stage], new_files, prev_cons, my_schema
         )
         meta = self._collect_write_stats(new_files, prev.get("meta", {}), meta)
 
@@ -981,13 +981,9 @@ class AcidTable:
             )
             return sorted(kept + new_files), cur["version"], attempt_meta
 
-        try:
-            return self._commit_with_retry(
-                stage_r, new_files, partition_by, meta, recompute
-            )
-        finally:
-            if stage_a is not None:
-                shutil.rmtree(stage_a, ignore_errors=True)
+        return self._commit_with_retry(
+            stage, new_files, partition_by, meta, recompute
+        )
 
     def merge_rows(
         self,
