@@ -377,8 +377,9 @@ def main() -> None:
         ),
         key=lambda q: timings.get(q, 0.0),
     )
+    digest_set = set(digest_rows)
     other = sorted(
-        (q for q in mins if q not in set(digest_rows)),
+        (q for q in mins if q not in digest_set),
         key=lambda q: timings.get(q, 0.0),
     )
     half = len(other) - len(other) // 2  # cheap half first, larger

@@ -406,6 +406,13 @@ def grow_ann_cells(
     deterministic integer arithmetic. Only growth is allowed: shrinking
     would merge cells non-deterministically — rebuild to shrink.
     Returns the new centroid frame."""
+    if train_iters < 0:
+        # range(-k) silently trains zero rounds while the committed
+        # cumulative train_iters would still absorb the negative value,
+        # corrupting the ≡-from-scratch bookkeeping (r12 review)
+        raise ValueError(
+            f"grow_ann_cells: train_iters must be >= 0, got {train_iters}"
+        )
     meta_v, snap = idx.snapshot(spark)
     cur_n = _n_cells(snap)
     if n_cells <= cur_n:

@@ -223,6 +223,14 @@ def _write_meta_row(meta: AcidTable, row: tuple, ddl: str, validate) -> None:
             pa.field(name, pa.int64() if typ == "bigint" else pa.int32())
         )
         schema_map[name] = typ
+    if len(fields) != len(row):
+        # createDataFrame raised on any arity mismatch; a silent
+        # zip-truncation here would write a short meta row that the
+        # _n_buckets/_n_cells fallbacks then quietly mask (r12 review)
+        raise ValueError(
+            f"{meta.path}: meta row has {len(row)} values but the DDL "
+            f"declares {len(fields)} columns — _META_DDL/_commit_meta drift"
+        )
     table = pa.Table.from_arrays(
         [
             pa.array([None if v is None else int(v)], type=f.type)
@@ -246,7 +254,12 @@ def _write_meta_row(meta: AcidTable, row: tuple, ddl: str, validate) -> None:
                     expected_parent=cur["version"] if cur else 0,
                 )
                 return
-            except CommitConflictError:
+            except (CommitConflictError, FileNotFoundError):
+                # FileNotFoundError = a concurrent vacuum expired the
+                # manifest between the pointer read and the open — the
+                # same retryable race _commit_with_retry handles; the
+                # next attempt reads the newer pointer (and the validate
+                # hook then decides whether this transaction still wins)
                 if attempt == 5:
                     raise
                 _backoff(attempt)
@@ -333,10 +346,13 @@ def repartition_index(spark: SparkSession, idx, n_doc_buckets: int) -> dict[str,
             v[t] = pinned
             continue
         df = table.read(spark, version=pinned).drop(_PB)
+        # data_change=False: p_bucket is DERIVED state (module comment
+        # at N_DOC_BUCKETS), so re-deriving it is a layout rewrite the
+        # changes() CDC feed must skip, exactly like compaction
         v[t] = table.overwrite(
             _with_bucket(df, id_col, n_doc_buckets),
             partition_by=[_PB],
-            meta={_LAYOUT_KEY: n_doc_buckets},
+            meta={_LAYOUT_KEY: n_doc_buckets, "data_change": False},
         )
     kwargs = {
         extra: int(snap[extra] or 0)
@@ -566,16 +582,20 @@ def compact_index(spark: SparkSession, idx) -> dict[str, int]:
         m = table.manifest(pinned)
         # the bucket-count rider is table state — a compacted snapshot
         # must keep declaring the layout it was written at, or the
-        # snapshot() cross-check would go blind after a compaction
+        # snapshot() cross-check would go blind after a compaction.
+        # data_change=False: compaction rewrites files, never rows, so
+        # the changes() CDC feed must skip it (AcidTable.compact marks
+        # the identical operation the same way — r12 review)
         rider = {
             k: m.get("meta", {})[k]
             for k in (_LAYOUT_KEY,)
             if k in m.get("meta", {})
         }
+        rider["data_change"] = False
         v[t] = table.overwrite(
             table.read(spark, version=pinned),
             partition_by=list(m["partition_by"]),
-            meta=rider or None,
+            meta=rider,
         )
     kwargs = {}
     # flavor-specific meta riders (embedding banding; ANN train count;
@@ -789,10 +809,13 @@ def remove_docs(
     n = _n_buckets(snap)
     rider = {_LAYOUT_KEY: n}
     # ONE bounded collect doubles as the emptiness check (r12: the old
-    # separate count() was a whole extra Spark job on the hot path)
+    # separate count() was a whole extra Spark job on the hot path);
+    # the no-op return reads through the snapshot already in hand
     doc_vals = _bucket_values(rem, "doc_id", n)
     if not doc_vals:
-        return idx.clusters_df(spark)
+        return idx.clusters.read(spark, version=snap["clusters_v"]).select(
+            "doc_id", "cluster_id", "cluster_size"
+        )
     # reads KEEP the hive partition column (p_bucket): the write-back's
     # partition filter then reaches the scan as a PartitionFilter, so
     # staging an affected partition never reads the unaffected ones
@@ -1381,10 +1404,13 @@ def remove_vecs(
     meta_v, snap = idx.snapshot(spark)
     n = _n_buckets(snap)
     rider = {_LAYOUT_KEY: n}
-    # one bounded collect doubles as the emptiness check (see remove_docs)
+    # one bounded collect doubles as the emptiness check (see
+    # remove_docs); the no-op return reads the snapshot already in hand
     doc_vals = _bucket_values(rem, "doc_id", n)
     if not doc_vals:
-        return idx.clusters_df(spark)
+        return idx.clusters.read(spark, version=snap["clusters_v"]).select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+        )
     clusters = idx.clusters.read(spark, version=snap["clusters_v"]).select(
         "doc_id", "cluster_id", "cluster_size", _PB
     )

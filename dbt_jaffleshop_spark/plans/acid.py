@@ -797,20 +797,64 @@ class AcidTable:
         # predate a schema evolution, so reads must keep projecting
         if base.get("meta", {}).get("evolved"):
             meta = {**meta, "evolved": True}
-        # sticky constraints, enforced against the PINNED base's set
-        base_cons = base.get("meta", {}).get("constraints")
-        if base_cons and "constraints" not in meta:
-            meta = {**meta, "constraints": base_cons}
+        # CHECK constraints are TABLE STATE, which lives on the LIVE
+        # manifest this commit parents on (the pinned base governs
+        # FILES): validated here against the live set, re-checked per
+        # commit attempt inside recompute — r12 review fix: the old
+        # base-pinned handling silently ERASED a concurrently added
+        # constraint from meta and resurrected dropped ones
+        cons_validated = self.constraints() if self.exists() else {}
+        spark = df.sparkSession
         stage, files = self._stage(df, partition_by)
         # enforced on the STAGED files, the commit's actual content
-        self._validate_staged(
-            df.sparkSession, [stage], files, base_cons or {}, mine
-        )
+        self._validate_staged(spark, [stage], files, cons_validated, mine)
         meta = self._collect_write_stats(files, base.get("meta", {}), meta)
 
-        def recompute() -> tuple[list[str], int]:
-            cur = self.manifest()["version"] if self.exists() else 0
-            return sorted(base["files"] + files), cur
+        def _staged() -> DataFrame | None:
+            return self._staged_frame(spark, files, mine) if files else None
+
+        def recompute() -> tuple[list[str], int, dict]:
+            if not self.exists():
+                return sorted(base["files"] + files), 0, meta
+            # file carry-forward is pinned to the base, but TABLE STATE
+            # (constraints, stats declaration, schema, layout) always
+            # lives on the LIVE manifest this commit parents on — the
+            # r12 review found append_from silently ERASING a
+            # concurrently added constraint or stats declaration (the
+            # same reopened-race class the sibling writers recheck).
+            cur = self.manifest()
+            if cur["partition_by"] != partition_by:
+                raise ValueError(
+                    f"{self.path}: concurrent writer changed partition_by "
+                    f"to {cur['partition_by']}; staged {partition_by}"
+                )
+            cur_schema = cur.get("meta", {}).get("schema")
+            if cur_schema and cur_schema != mine:
+                # a concurrent schema evolution cannot be silently
+                # reverted by committing the pinned base's schema —
+                # refuse; the caller re-runs against the evolved table
+                raise ValueError(
+                    f"{self.path}: concurrent writer changed the table "
+                    f"schema to {cur_schema}; this pinned append staged "
+                    f"{mine} — re-run against the new snapshot"
+                )
+            cons_now = self._recheck_constraints(cur, cons_validated, _staged)
+            # the LIVE set is authoritative either way: a concurrent add
+            # is carried AND enforced above; a concurrent drop is not
+            # resurrected by recommitting the pinned base's set
+            attempt_meta = dict(meta)
+            if cons_now:
+                attempt_meta["constraints"] = cons_now
+            else:
+                attempt_meta.pop("constraints", None)
+            if cur.get("meta", {}).get("evolved") and not attempt_meta.get(
+                "evolved"
+            ):
+                attempt_meta["evolved"] = True
+            attempt_meta = self._recheck_stats(
+                cur.get("meta", {}), files, attempt_meta
+            )
+            return sorted(base["files"] + files), cur["version"], attempt_meta
 
         return self._commit_with_retry(
             stage, files, partition_by, meta, recompute

@@ -587,3 +587,15 @@ def test_grow_cells_refuses_shrink_and_carries_meta(spark, sf_dir):
     )
     compact_index(spark, idx)
     assert ai._n_cells(idx.snapshot(spark)[1]) == 16
+
+
+def test_grow_cells_refuses_negative_training(spark, sf_dir):
+    """r12 review: range(-k) would silently skip training while the
+    cumulative train_iters bookkeeping absorbed the negative value."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_neg_")
+    idx = ai.build_ann_index(spark, emb, root, train_iters=0, n_cells=8)
+    with pytest.raises(ValueError, match="train_iters"):
+        ai.grow_ann_cells(spark, idx, 16, train_iters=-2)

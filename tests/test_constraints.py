@@ -224,3 +224,51 @@ def test_violating_write_discards_its_staged_files(spark, tmp_path):
         with pytest.raises(ValueError, match="positive_amount"):
             attempt()
         assert _data_files() == before
+
+
+def test_concurrent_add_constraint_gates_pinned_append(spark, tmp_path):
+    """r12 review: append_from pins FILE carry-forward to its base but
+    parents on the live manifest — a constraint added after its
+    pre-stage read must gate the staged rows and survive in the
+    committed meta (the sibling writers' recheck, now on the pinned
+    path too)."""
+    t = _t(spark, tmp_path)
+    racer = AcidTable(t.path)
+    real_stage = t._stage
+
+    def staging_race(df, partition_by, **kw):
+        out = real_stage(df, partition_by, **kw)
+        if not racer.constraints():
+            racer.add_constraint(spark, "positive_amount", "amount > 0")
+        return out
+
+    t._stage = staging_race
+    base_v = t.current_version()
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append_from(
+            spark.createDataFrame([(3, -1)], "id bigint, amount bigint"),
+            base_v,
+        )
+    # a clean pinned append in the same raced situation commits AND
+    # carries the racer's constraint forward
+    t.append_from(
+        spark.createDataFrame([(4, 40)], "id bigint, amount bigint"), base_v
+    )
+    assert t.constraints() == {"positive_amount": "amount > 0"}
+
+
+def test_pinned_append_does_not_resurrect_dropped_constraint(
+    spark, tmp_path
+):
+    """The flip side: a drop_constraint landing between the pinned
+    base and the commit must not be resurrected by recommitting the
+    base's constraint set — the LIVE set is authoritative."""
+    t = _t(spark, tmp_path)
+    t.add_constraint(spark, "positive_amount", "amount > 0")
+    base_v = t.current_version()
+    t.drop_constraint("positive_amount")
+    t.append_from(
+        spark.createDataFrame([(5, -50)], "id bigint, amount bigint"),
+        base_v,
+    )
+    assert t.constraints() == {}

@@ -205,3 +205,31 @@ def test_compaction_preserves_the_layout_rider(spark, sf_dir, tmp_path):
     assert di._n_buckets(snap) == 4
     m = idx.clusters.manifest(int(snap["clusters_v"]))
     assert m["meta"][di._LAYOUT_KEY] == 4
+
+
+def test_layout_rewrites_emit_no_cdc_events(spark, sf_dir, tmp_path):
+    """r12 review: repartition_index and compact_index rewrite FILES,
+    never rows (p_bucket is derived state), so the changes() CDC feed
+    over any index data table must skip their commits — the same
+    data_change=False contract as AcidTable.compact."""
+    docs = _docs(spark, sf_dir)
+    idx = di.build_dedup_index(
+        spark, docs, str(tmp_path / "idx"), n_doc_buckets=4
+    )
+    v0 = idx.clusters.current_version()
+    di.repartition_index(spark, idx, 8)
+    di.compact_index(spark, idx)
+    feed = idx.clusters.changes(spark, v0)
+    assert feed.count() == 0
+
+
+def test_meta_row_arity_drift_is_refused(spark, sf_dir, tmp_path):
+    """r12 review: the driver-side meta writer must refuse a row whose
+    arity disagrees with the DDL instead of zip-truncating into a
+    short row the layout fallbacks would silently mask."""
+    docs = _docs(spark, sf_dir)
+    idx = di.build_dedup_index(spark, docs, str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="drift"):
+        di._write_meta_row(
+            idx.meta, (1, 2, 3), idx._META_DDL, validate=None
+        )
