@@ -44,17 +44,28 @@ def streaming_vectors_append(
     index_root: str,
     train_iters: int = 1,
     max_files_per_trigger: int | None = None,
+    n_cells: int | None = None,
 ):
     """The ANN-index twin of :func:`streaming_documents_fold`:
     embedding batches arriving as files append into the persisted IVF
     index (llm/ann_index.py) — first non-empty batch builds (training
     the coarse quantizer), later ones assign against the stored
     centroids and append O(|batch|). Exactly-once via the same
-    id-high-water-mark marker; periodic ``retrain_ann_index`` runs
-    between streams are invisible to this sink (the mark is
-    training-independent)."""
-    from ..llm.ann_index import AnnIndex, append_vectors, build_ann_index
+    id-high-water-mark marker; periodic ``retrain_ann_index`` /
+    ``grow_ann_cells`` runs between streams are invisible to this sink
+    (the mark is training- and layout-independent; appends read the
+    committed cell count from meta). ``n_cells`` sets the seed-cell
+    count IF this sink performs the initial build (r12 — ignored when
+    the index already exists, where the committed layout governs)."""
+    from ..llm.ann_index import (
+        N_CELLS,
+        AnnIndex,
+        append_vectors,
+        build_ann_index,
+    )
 
+    if n_cells is None:
+        n_cells = N_CELLS
     idx = AnnIndex(index_root)
     reader = spark.readStream.schema("vec_id bigint, embedding array<float>")
     if max_files_per_trigger:
@@ -66,7 +77,10 @@ def streaming_vectors_append(
         if batch.isEmpty():
             return
         if not idx.exists():
-            build_ann_index(spark, batch, index_root, train_iters=train_iters)
+            build_ann_index(
+                spark, batch, index_root, train_iters=train_iters,
+                n_cells=n_cells,
+            )
             return
         hwm = idx.max_vec_id(spark)
         lo, hi = batch.agg(
@@ -97,11 +111,20 @@ def streaming_documents_fold(
     source_dir: str,
     index_root: str,
     max_files_per_trigger: int | None = None,
+    n_doc_buckets: int | None = None,
 ) -> DedupIndex:
     """Run the document feed to completion (availableNow) into the
     dedup index at ``index_root``; returns the index. Restart-safe on
     the same checkpoint (see module docstring); pass
-    ``max_files_per_trigger`` to exercise the per-batch fold path."""
+    ``max_files_per_trigger`` to exercise the per-batch fold path.
+    ``n_doc_buckets`` sets the hash-partition layout IF this sink
+    performs the initial build (r12 — ignored when the index already
+    exists: every fold derives buckets from the committed meta, so a
+    ``repartition_index`` between streams is invisible here)."""
+    from ..llm.dedup_incremental import N_DOC_BUCKETS
+
+    if n_doc_buckets is None:
+        n_doc_buckets = N_DOC_BUCKETS
     idx = DedupIndex(index_root)
     reader = spark.readStream.schema("doc_id bigint, text string")
     if max_files_per_trigger:
@@ -116,7 +139,9 @@ def streaming_documents_fold(
             # first batch = the one full build; a crash between the
             # build's data commits and its meta swap leaves meta absent,
             # so the replay simply rebuilds (overwrites) — idempotent
-            build_dedup_index(spark, batch, index_root)
+            build_dedup_index(
+                spark, batch, index_root, n_doc_buckets=n_doc_buckets
+            )
             return
         hwm = idx.max_doc_id(spark)
         lo, hi = batch.agg(

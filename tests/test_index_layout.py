@@ -233,3 +233,43 @@ def test_meta_row_arity_drift_is_refused(spark, sf_dir, tmp_path):
         di._write_meta_row(
             idx.meta, (1, 2, 3), idx._META_DDL, validate=None
         )
+
+
+def test_streaming_fold_builds_at_custom_layout_and_survives_repartition(
+    spark, sf_dir, tmp_path
+):
+    """r12: the streaming sink can seed the index at a chosen layout,
+    and a repartition_index run BETWEEN streams is invisible to later
+    folds — they derive buckets from the committed meta, and the
+    restarted stream lands exactly on the full recompute."""
+    from dbt_jaffleshop_spark.streaming.index_fold import (
+        streaming_documents_fold,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = mx * 6 // 10
+    src = str(tmp_path / "feed")
+    docs.where(F.col("doc_id") <= thr).repartition(1).write.parquet(
+        src, mode="overwrite"
+    )
+    root = str(tmp_path / "idx")
+    idx = streaming_documents_fold(spark, src, root, n_doc_buckets=4)
+    assert di._n_buckets(idx.snapshot(spark)[1]) == 4
+    di.repartition_index(spark, idx, 8)
+    # a later batch file arrives; the restarted stream folds it at the
+    # NEW layout read from meta
+    docs.where(F.col("doc_id") > thr).repartition(1).write.parquet(
+        src + "/late", mode="overwrite"
+    )
+    import glob
+    import shutil
+
+    for f in glob.glob(src + "/late/*.parquet"):
+        shutil.move(f, src + "/" + os.path.basename(f))
+    shutil.rmtree(src + "/late", ignore_errors=True)
+    idx = streaming_documents_fold(spark, src, root)
+    assert di._n_buckets(idx.snapshot(spark)[1]) == 8
+    assert _rows(idx.clusters_df(spark)) == _rows(
+        _full_recompute(spark, docs)
+    )
