@@ -5,10 +5,17 @@
 Emission format (round-4 fix — BENCH_r03.json recorded ``parsed: null``
 because one giant final line outgrew the driver's tail capture):
 auxiliary records (per-query minimums, per-query load-average telemetry,
-quiet-window retries) are printed as their OWN earlier JSON lines, and
-the FINAL stdout line is a compact machine-readable record — medians
-only, 2-decimal rounding — {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...} — small enough to always parse.
+quiet-window retries, per-member digest pricing) are printed as their
+OWN earlier JSON lines, and the FINAL stdout line is a compact
+machine-readable record — medians only, 1-decimal rounding (r13) —
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name:
+sec}, "sf": ..., "launch_load": ..., ["contended": true]} — small
+enough to always parse. The last-but-one line is the ``tail_summary``
+(every digest row's floor + the top-cost digest's member seconds),
+budgeted together with the final line to fit the driver's 2,000-char
+tail capture — see :func:`_tail_lines` for the arithmetic and
+tests/test_bench_tail.py for the strict self-check against the real
+registry.
 
 Quiet-window retry (round-5): a query whose timed pass is internally
 dispersed (median > $SPARK_GRAFT_BENCH_RETRY_RATIO × pass-min, default
@@ -51,13 +58,33 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _prior_round_floors() -> dict[str, float]:
+def _floor_keys(names) -> dict[str, str]:
+    """Compact floor keys for the ``tail_summary`` line: strip the
+    ``jaffle_`` prefix / ``_digest`` suffix (the digest-row names share
+    them, and every byte of the line competes with the final line for
+    the driver's 2,000-char tail capture); a collision keeps the full
+    name. The floors miner expands them through this SAME mapping, so
+    the convention lives in one place."""
+    out: dict[str, str] = {}
+    shorts: dict[str, list[str]] = {}
+    for n in names:
+        s = n.removeprefix("jaffle_").removesuffix("_digest") or n
+        shorts.setdefault(s, []).append(n)
+    for s, ns in shorts.items():
+        for n in ns:
+            out[n] = s if len(ns) == 1 else n
+    return out
+
+
+def _prior_round_floors(known=()) -> dict[str, float]:
     """Per-query floor from the newest driver bench artifact
     (BENCH_r*.json next to this script): for each query the MIN over
-    every parseable record mentioning it — queries_min aux chunks
-    surviving in the driver's tail capture and the always-parsed
-    headline medians. Missing/corrupt artifacts degrade to {} (no
-    cross-round retries), never an error."""
+    every parseable record mentioning it — queries_min aux chunks and
+    the compact ``tail_summary`` floors (whose shortened keys are
+    expanded against ``known``, the current registry names) surviving
+    in the driver's tail capture, plus the always-parsed headline
+    medians. Missing/corrupt artifacts degrade to {} (no cross-round
+    retries), never an error."""
     import glob
     import re
 
@@ -71,12 +98,27 @@ def _prior_round_floors() -> dict[str, float]:
         return {}
     paths = [p for _n, p in sorted(numbered)]
     floors: dict[str, float] = {}
+    expand = {
+        v: k
+        for k, v in _floor_keys(
+            [
+                n
+                for n in known
+                if n.endswith("_digest") or n == "pipeline_build"
+            ]
+        ).items()
+    }
 
     def _absorb(d: dict) -> None:
-        for key in ("queries", "queries_min"):
+        # "floors" = the compact tail_summary line (r13), the record
+        # specifically laid out to survive the capture for this mining;
+        # its shortened keys expand through the shared _floor_keys map
+        for key in ("queries", "queries_min", "floors"):
             sub = d.get(key)
             if isinstance(sub, dict):
                 for name, v in sub.items():
+                    if key == "floors":
+                        name = expand.get(name, name)
                     if isinstance(v, (int, float)):
                         floors[name] = min(floors.get(name, float("inf")), v)
 
@@ -117,6 +159,141 @@ def _emit_chunked(metric: str, payload: dict[str, dict], size: int = 15) -> None
             )
 
 
+def _contended(launch_load: float, n_retries: int, n_rows: int) -> bool:
+    """Headline-level contention guard (r12 verdict item 4). A raw
+    per-row load threshold cannot work here: r4/r6 telemetry shows
+    1-min loads of 8-19 during perfectly healthy runs (the bench's OWN
+    32-thread bursts dominate the average), so the guard combines the
+    two readings that ARE clean of self-load: the load sampled BEFORE
+    the Spark session exists (pure external contention at launch), and
+    the fraction of timed rows whose quiet-retry fired (dispersion /
+    2x-prior regression both mark a disturbance some run escaped).
+    Either signal alone declares the artifact contended."""
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_CONTENDED_LOAD") or 4.0)
+    return launch_load > thresh or (n_rows > 0 and n_retries > n_rows / 3)
+
+
+def _tail_lines(
+    timings: dict[str, float],
+    mins: dict[str, float],
+    digest_members: dict[str, dict[str, float]],
+    final_rec: dict,
+    budget: int = 1900,
+    strict: bool = False,
+) -> list[str]:
+    """The capture-budgeted end of stdout, as ordered lines. The
+    min-floors arm the NEXT round's 2x-prior quiet-retry and the
+    per-member pricing attributes heavyweight digest rows, so BOTH must
+    survive the driver's tail capture — which keeps only the LAST 2,000
+    characters of stdout, FRONT-truncated. BENCH_r12 measured the real
+    budget: the final headline line alone is ~1,500 chars, leaving ~500
+    for aux — the r12 layout (floors chunks, then ALL member pricing
+    alphabetically) lost every floors chunk and the heavy digests'
+    pricing to that window (r12 verdict item 1).
+
+    r13 layout, nearest-to-final-line wins survival:
+    1. non-digest floors, two ascending-median chunks (a clipped front
+       loses only the cheapest sub-second rows);
+    2. full per-member digest pricing, one line per digest in ASCENDING
+       digest-cost order — the heaviest digest prints last and wins;
+    3. ONE compact ``tail_summary`` line immediately before the final
+       line: every digest row's floor plus the top-cost digest's member
+       seconds, 1-decimal — auto-trimmed (cheapest members first) until
+       ``len(tail_summary) + len(final_line) <= budget``, then asserted,
+       so the pair can never silently outgrow the capture as the
+       registry evolves."""
+    lines: list[str] = []
+    digest_rows = sorted(
+        (q for q in mins if q.endswith("_digest") or q == "pipeline_build"),
+        key=lambda q: timings.get(q, 0.0),
+    )
+    digest_set = set(digest_rows)
+    other = sorted(
+        (q for q in mins if q not in digest_set),
+        key=lambda q: timings.get(q, 0.0),
+    )
+    half = len(other) - len(other) // 2  # cheap half first, larger
+    chunks = [c for c in (other[:half], other[half:]) if c]
+    for i, part in enumerate(chunks):
+        lines.append(
+            json.dumps(
+                {
+                    "metric": "queries_min",
+                    "part": f"{i + 1}/{len(chunks)}",
+                    "queries_min": {n: round(mins[n], 2) for n in part},
+                },
+                separators=(",", ":"),
+            )
+        )
+    for group in sorted(digest_members, key=lambda g: timings.get(g, 0.0)):
+        lines.append(
+            json.dumps(
+                {
+                    "metric": "digest_members",
+                    "digest": group,
+                    "seconds": digest_members[group],
+                },
+                separators=(",", ":"),
+            )
+        )
+    final_line = json.dumps(final_rec, separators=(",", ":"))
+    fkeys = _floor_keys(digest_rows)
+    summary: dict = {
+        "metric": "tail_summary",
+        "floors": {fkeys[n]: round(mins[n], 1) for n in digest_rows},
+    }
+    top_members: list[tuple[str, float]] = []
+    if digest_members:
+        top = max(digest_members, key=lambda g: timings.get(g, 0.0))
+        summary["top_digest"] = top
+        top_members = sorted(
+            digest_members[top].items(), key=lambda kv: -kv[1]
+        )
+
+    def _summary_line() -> str:
+        if top_members:
+            summary["members"] = {m: round(s, 1) for m, s in top_members}
+        else:
+            summary.pop("members", None)
+        return json.dumps(summary, separators=(",", ":"))
+
+    summary_line = _summary_line()
+    while len(summary_line) + len(final_line) > budget and top_members:
+        top_members.pop()  # drop the cheapest member first
+        summary_line = _summary_line()
+    while len(summary_line) + len(final_line) > budget and summary["floors"]:
+        # registry-growth backstop: shed the CHEAPEST digest floors —
+        # they are the ones quiet-retry arming can best afford to lose
+        full = {fkeys[n]: n for n in digest_rows}
+        cheapest = min(
+            summary["floors"],
+            key=lambda k: timings.get(full.get(k, k), 0.0),
+        )
+        del summary["floors"][cheapest]
+        summary_line = _summary_line()
+    if len(summary_line) + len(final_line) > budget:
+        # the final line ALONE outgrew the capture (registry growth).
+        # strict=True is the self-check pytest runs against the REAL
+        # registry so this can never regress silently; a production run
+        # degrades to a visible warning record instead of crashing away
+        # the whole artifact.
+        msg = (
+            f"bench tail budget blown: {len(summary_line)} + "
+            f"{len(final_line)} > {budget}"
+        )
+        if strict:
+            raise AssertionError(msg)
+        lines.append(
+            json.dumps(
+                {"metric": "tail_budget_blown", "detail": msg},
+                separators=(",", ":"),
+            )
+        )
+    lines.append(summary_line)
+    lines.append(final_line)
+    return lines
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS") or 3))
@@ -127,6 +304,10 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # sampled BEFORE the Spark session exists: the one load reading
+    # guaranteed clean of the bench's own 32-thread self-load (the
+    # contention guard's primary signal — see _contended)
+    launch_load = round(os.getloadavg()[0], 1)
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -207,7 +388,7 @@ def main() -> None:
     # re-times any query whose median exceeds 2× its prior-round
     # artifact floor (min of the newest BENCH_r*.json's parseable
     # queries_min entries and headline medians).
-    prior_floors = _prior_round_floors()
+    prior_floors = _prior_round_floors(set(queries) | {"pipeline_build"})
 
     def _timed_pass(run_once, n: int) -> tuple[float, list[float]]:
         start_load = round(os.getloadavg()[0], 1)
@@ -358,67 +539,29 @@ def main() -> None:
                 separators=(",", ":"),
             )
         )
-    # The min-floors arm the NEXT round's 2×-prior quiet-retry, so they
-    # must survive the driver's tail capture (which keeps only the last
-    # few KB of stdout, FRONT-truncated). r12 layout (VERDICT r11 items
-    # 1/3 of "what's wrong"): the LAST floors chunk holds EVERY digest
-    # row plus pipeline_build — regardless of cost, so a cheap digest
-    # like jaffle_staging_digest can never land in the clippable front
-    # chunk again — and the per-member digest pricing prints AFTER the
-    # floors, immediately before the final line (in r11 it printed
-    # before them and scrolled out of the capture). Non-digest rows go
-    # ascending-median in the earlier chunks: a clipped front loses
-    # only the cheapest sub-second rows.
-    digest_rows = sorted(
-        (
-            q
-            for q in mins
-            if q.endswith("_digest") or q == "pipeline_build"
-        ),
-        key=lambda q: timings.get(q, 0.0),
-    )
-    digest_set = set(digest_rows)
-    other = sorted(
-        (q for q in mins if q not in digest_set),
-        key=lambda q: timings.get(q, 0.0),
-    )
-    half = len(other) - len(other) // 2  # cheap half first, larger
-    chunks = [c for c in (other[:half], other[half:], digest_rows) if c]
-    for i, part in enumerate(chunks):
-        print(
-            json.dumps(
-                {
-                    "metric": "queries_min",
-                    "part": f"{i + 1}/{len(chunks)}",
-                    "queries_min": {n: round(mins[n], 2) for n in part},
-                },
-                separators=(",", ":"),
-            )
-        )
-    for group in sorted(digest_members):
-        print(
-            json.dumps(
-                {
-                    "metric": "digest_members",
-                    "digest": group,
-                    "seconds": digest_members[group],
-                },
-                separators=(",", ":"),
-            )
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "protocol": f"noop-write; warmup+median of {runs}",
-            },
-            separators=(",", ":"),
-        )
-    )
+    final_rec = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # 1-decimal medians (r13): the final line's length competes
+        # byte-for-byte with the tail_summary floors for the driver's
+        # 2,000-char capture, and 0.1 s precision is below this VM's
+        # 2-4x run-to-run noise anyway; precise 2-decimal minimums stay
+        # in the queries_min chunks.
+        "queries": {n: round(v, 1) for n, v in timings.items()},
+        "sf": sf_val,
+        "protocol": f"noop-write; warmup+median of {runs}",
+        "launch_load": launch_load,
+    }
+    if _contended(launch_load, len(retries), len(timings)):
+        # headline-level contention guard (r12 verdict item 4): two
+        # consecutive rounds shipped contention-inflated artifacts that
+        # needed manual paired-tree adjudication; the artifact now
+        # self-declares so the next judge/round doesn't re-litigate.
+        final_rec["contended"] = True
+        final_rec["retry_rows"] = len(retries)
+    for line in _tail_lines(timings, mins, digest_members, final_rec):
+        print(line)
     spark.stop()
 
 
