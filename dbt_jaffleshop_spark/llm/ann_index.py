@@ -185,7 +185,17 @@ def build_ann_index(
     """Initial build: train the coarse quantizer (``train_iters``
     Lloyd rounds from the ``n_cells`` seeds), assign every vector,
     commit. ``n_cells`` is recorded in meta; :func:`grow_ann_cells`
-    raises it in place as the corpus grows."""
+    raises it in place as the corpus grows.
+
+    ``n_cells`` past the stored id range under-seeds (seeds are stored
+    vectors with ``vec_id < n_cells``), and ids later appended into
+    that gap never become seeds — a subsequent grow only seeds from the
+    recorded watermark upward: the exact hazard :func:`grow_ann_cells`
+    REFUSES. Build deliberately tolerates it because a streaming
+    initial build's first micro-batch may legitimately be smaller than
+    the target layout (streaming/index_fold.py) and refusing would
+    break ingestion; callers who care about seed-set parity with a
+    later from-scratch build should pass ``n_cells <= max_vec_id + 1``."""
     if n_cells < 1:
         raise ValueError(
             f"build_ann_index: n_cells must be >= 1, got {n_cells}"
@@ -420,6 +430,26 @@ def grow_ann_cells(
             f"grow_ann_cells: n_cells={n_cells} does not GROW the index "
             f"(current {cur_n}); only growth keeps cell ids stable — "
             "rebuild from scratch to shrink"
+        )
+    max_id = int(snap["max_vec_id"])
+    if n_cells > max_id + 1:
+        # the recorded n_cells is the watermark a FUTURE grow seeds
+        # from, so recording a value past the stored id range would
+        # permanently skip ids in (max_vec_id, n_cells) as seeds —
+        # vectors appended into that gap later never become cells,
+        # and the grown index silently diverges forever from a
+        # from-scratch build at the same n_cells (r12 ADVICE). Refuse
+        # loudly; grow again once the corpus has reached n_cells ids.
+        # (Ids REMOVED inside [cur_n, n_cells) are fine: a from-scratch
+        # build at the same moment would skip them identically.)
+        raise ValueError(
+            f"grow_ann_cells: n_cells={n_cells} exceeds the stored id "
+            f"range (max_vec_id={max_id}) — seeds are stored vectors "
+            f"with vec_id < n_cells, and committing a watermark above "
+            f"the range would permanently forfeit ids in "
+            f"[{max_id + 1}, {n_cells}) as future seeds; grow to at "
+            f"most {max_id + 1} now, or after the corpus reaches "
+            f"{n_cells} vectors"
         )
     q = (
         idx.vectors.read(spark, version=snap["vectors_v"])
@@ -703,3 +733,4 @@ def ann_search_adc_refined(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+

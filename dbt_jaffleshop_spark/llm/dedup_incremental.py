@@ -243,7 +243,21 @@ def _write_meta_row(meta: AcidTable, row: tuple, ddl: str, validate) -> None:
     pq.write_table(table, os.path.join(meta.data_dir, rel))
     try:
         for attempt in range(6):
-            cur = meta.manifest() if meta.exists() else None
+            try:
+                cur = meta.manifest() if meta.exists() else None
+            except FileNotFoundError:
+                # a concurrent vacuum expired the pointer between
+                # exists() and the manifest open — the same retryable
+                # race the commit handler below (and AcidTable.
+                # _commit_with_retry) treats as a conflict; without
+                # this the staged row was discarded and the whole
+                # transaction aborted on a race it could win (r12
+                # ADVICE). validate stays OUTSIDE the retry guard: its
+                # refusals are terminal by design.
+                if attempt == 5:
+                    raise
+                _backoff(attempt)
+                continue
             if validate is not None and cur is not None:
                 validate(cur)
             try:

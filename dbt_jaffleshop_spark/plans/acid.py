@@ -854,6 +854,29 @@ class AcidTable:
             attempt_meta = self._recheck_stats(
                 cur.get("meta", {}), files, attempt_meta
             )
+            # _recheck_stats footer-reads only THIS commit's staged
+            # files; a concurrent set_stats_columns also backfilled
+            # footer stats for the carried BASE files onto the live
+            # manifest, and the pinned carry above holds only the base
+            # snapshot's (pre-declaration) entries — without this merge
+            # the committed manifest would declare stats_columns yet
+            # lack stats for every carried file, silently disabling
+            # file skipping for them until the next rewrite (r12
+            # ADVICE). Per-file stats are deterministic footer reads,
+            # so merge order is immaterial; this attempt's own entries
+            # win.
+            cur_stats = cur.get("meta", {}).get("stats", {})
+            if cur_stats:
+                carried = {
+                    f: s
+                    for f, s in cur_stats.items()
+                    if f in set(base["files"])
+                }
+                if carried:
+                    attempt_meta = {
+                        **attempt_meta,
+                        "stats": {**carried, **attempt_meta.get("stats", {})},
+                    }
             return sorted(base["files"] + files), cur["version"], attempt_meta
 
         return self._commit_with_retry(
@@ -1023,6 +1046,26 @@ class AcidTable:
             attempt_meta = self._recheck_stats(
                 cur.get("meta", {}), new_files, attempt_meta
             )
+            # pinned mode carried stats from the PINNED snapshot only;
+            # a concurrent set_stats_columns backfilled the live
+            # manifest's entries for those same kept files — merge them
+            # or the committed manifest declares stats_columns without
+            # stats for any kept file (r12 ADVICE, same fix as
+            # append_from). Unpinned mode already carried cur's stats.
+            if base_version is not None:
+                cur_stats = cur.get("meta", {}).get("stats", {})
+                if cur_stats:
+                    carried = {
+                        f: s for f, s in cur_stats.items() if f in set(kept)
+                    }
+                    if carried:
+                        attempt_meta = {
+                            **attempt_meta,
+                            "stats": {
+                                **carried,
+                                **attempt_meta.get("stats", {}),
+                            },
+                        }
             return sorted(kept + new_files), cur["version"], attempt_meta
 
         return self._commit_with_retry(
