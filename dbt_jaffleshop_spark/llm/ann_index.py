@@ -67,6 +67,7 @@ from .similarity import (
     N_CELLS,
     PQ_DSUB,
     PQ_M,
+    QUERY_STRIDE,
     centroids_from_means,
 )
 
@@ -734,3 +735,77 @@ def ann_search_adc_refined(
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
+def layout_report(
+    spark: SparkSession, idx: AnnIndex, queries: DataFrame | None = None
+) -> dict:
+    """Occupancy observability for the cell-count knob (r12 verdict
+    item 3): :func:`grow_ann_cells` is a MANUAL knob, so a production
+    operator needs the trigger signal — this report prices the current
+    committed layout the same way ``scripts/cell_grow_ab.py`` measured
+    the frozen-cell failure mode (15.9 → 31.7 candidates/probe as the
+    corpus doubled at 16 cells, back to 10.3 after grow→64; pinned
+    against this function by tests/test_layout_report.py).
+
+    Returned keys:
+
+    * ``n_cells`` / ``corpus`` / ``cells_occupied`` — committed layout
+      vs what it holds;
+    * ``mean_cell_rows`` / ``max_cell_rows`` — rows per OCCUPIED cell
+      (the per-probe candidate cost a balanced workload pays);
+    * ``balanced_rows_per_cell`` — ``corpus / n_cells``, the occupancy
+      a perfectly balanced layout at the committed cell count gives:
+      when THIS number has drifted well above its value at build time,
+      no retrain can help — only growth adds cells;
+    * ``mean/max_candidates_per_probe`` — the measured 1-probe
+      candidate count for ``queries`` (default: every stored vector at
+      the registry's ``QUERY_STRIDE``, the A/B workload), i.e. what a
+      search actually scans;
+    * ``probe_skew`` — mean candidates/probe ÷ balanced: > ~2 says the
+      probed cells are crowded relative to a balanced layout (skewed
+      centroids) — retrain; ≈ 1 with a HIGH balanced number says the
+      layout itself is saturated — grow.
+
+    Operator rule of thumb: call after build to record the baseline;
+    grow when ``mean_candidates_per_probe`` exceeds ~2× that baseline
+    (the A/B's measured doubling), retrain when ``probe_skew`` alone
+    explains the growth. Read-only: one snapshot resolution, no writes,
+    driver collect bounded to two aggregate rows."""
+    _v, snap = idx.snapshot(spark)
+    n_cells = _n_cells(snap)
+    vecs = idx.vectors.read(spark, version=snap["vectors_v"]).select(
+        "vec_id", "e", "nrm", "cell"
+    )
+    occ = vecs.groupBy("cell").count()
+    row = occ.agg(
+        F.count("*").alias("occupied"),
+        F.avg("count").alias("mean"),
+        F.max("count").alias("mx"),
+        F.sum("count").alias("corpus"),
+    ).collect()[0]
+    corpus = int(row["corpus"] or 0)
+    balanced = corpus / n_cells if n_cells else 0.0
+    report = {
+        "n_cells": n_cells,
+        "corpus": corpus,
+        "cells_occupied": int(row["occupied"]),
+        "mean_cell_rows": round(float(row["mean"] or 0.0), 1),
+        "max_cell_rows": int(row["mx"] or 0),
+        "balanced_rows_per_cell": round(balanced, 1),
+    }
+    if queries is None:
+        queries = vecs.where(F.col("vec_id") % QUERY_STRIDE == 0)
+    cents = idx.centroids.read(
+        spark, version=snap["centroids_v"]
+    ).select("cell", "ce", "cn")
+    probe = (
+        _assign_to(queries.select("vec_id", "e", "nrm"), cents)
+        .select("cell")
+        .join(occ, "cell")
+        .agg(F.avg("count").alias("mean"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    mean_cand = round(float(probe["mean"] or 0.0), 1)
+    report["mean_candidates_per_probe"] = mean_cand
+    report["max_candidates_per_probe"] = int(probe["mx"] or 0)
+    report["probe_skew"] = round(mean_cand / balanced, 2) if balanced else 0.0
+    return report

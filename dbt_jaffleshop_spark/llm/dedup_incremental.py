@@ -381,6 +381,45 @@ def repartition_index(spark: SparkSession, idx, n_doc_buckets: int) -> dict[str,
     return v
 
 
+def layout_report(spark: SparkSession, idx) -> dict:
+    """Bucket-occupancy observability for the layout knob (r12 verdict
+    item 3): :func:`repartition_index` / :func:`rebucket_emb_index` are
+    MANUAL knobs, so a production operator needs the trigger signal.
+    Works on either index flavor. Per hash-partitioned table:
+    rows-per-bucket mean/max — the I/O a partition-scoped fold or
+    removal pays per touched bucket. Operator rule of thumb: the
+    docstrings' 100 TB story sizes buckets so one bucket's rows fit an
+    executor comfortably; when ``max_rows_per_bucket`` of the largest
+    table has grown ~an order of magnitude past that, repartition
+    upward (16 → 64-1024). Read-only: one snapshot resolution, driver
+    collect bounded to one aggregate row per table."""
+    _v, snap = idx.snapshot(spark)
+    n = _n_buckets(snap)
+    report: dict = {"n_doc_buckets": n, "tables": {}}
+    for t in idx._PB_TABLES:
+        df = getattr(idx, t).read(spark, version=int(snap[f"{t}_v"]))
+        row = (
+            df.groupBy(_PB)
+            .count()
+            .agg(
+                F.count("*").alias("occupied"),
+                F.avg("count").alias("mean"),
+                F.max("count").alias("mx"),
+                F.sum("count").alias("rows"),
+            )
+            .collect()[0]
+        )
+        rows = int(row["rows"] or 0)
+        report["tables"][t] = {
+            "rows": rows,
+            "buckets_occupied": int(row["occupied"]),
+            "mean_rows_per_bucket": round(float(row["mean"] or 0.0), 1),
+            "max_rows_per_bucket": int(row["mx"] or 0),
+            "balanced_rows_per_bucket": round(rows / n, 1) if n else 0.0,
+        }
+    return report
+
+
 def _resolve_labels(
     new_pairs: DataFrame, old: DataFrame, corpus_max: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

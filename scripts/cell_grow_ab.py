@@ -44,7 +44,7 @@ def main() -> None:
 
     from dbt_jaffleshop_spark.llm import ann_index as ai
     from dbt_jaffleshop_spark.llm.dedup import _quantize_frame
-    from dbt_jaffleshop_spark.llm.similarity import QUERY_STRIDE, _assign_to
+    from dbt_jaffleshop_spark.llm.similarity import QUERY_STRIDE
     from dbt_jaffleshop_spark.session import get_spark
     from dbt_jaffleshop_spark.sources import load_table
 
@@ -67,26 +67,19 @@ def main() -> None:
         )
 
         def occupancy() -> dict:
-            _v, snap = idx.snapshot(spark)
-            vecs = idx.vectors.read(spark, version=snap["vectors_v"])
-            occ = vecs.groupBy("cell").count()
-            cents = idx.centroids.read(
-                spark, version=snap["centroids_v"]
-            ).select("cell", "ce", "cn")
-            probes = _assign_to(queries, cents).select("cell")
-            row = (
-                probes.join(occ, "cell")
-                .agg(
-                    F.avg("count").alias("mean"),
-                    F.max("count").alias("max"),
-                )
-                .collect()[0]
-            )
+            # the measurement now lives in the library (r12 verdict
+            # item 3): this A/B and production operators read the SAME
+            # signal, and tests/test_layout_report.py pins the
+            # trajectory this script measured
+            rep = ai.layout_report(spark, idx, queries=queries)
             return {
-                "n_cells": ai._n_cells(snap),
-                "corpus": vecs.count(),
-                "mean_candidates_per_probe": round(float(row["mean"]), 1),
-                "max_candidates_per_probe": int(row["max"]),
+                k: rep[k]
+                for k in (
+                    "n_cells",
+                    "corpus",
+                    "mean_candidates_per_probe",
+                    "max_candidates_per_probe",
+                )
             }
 
         report["build_1x_n16"] = occupancy()
