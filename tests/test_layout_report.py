@@ -122,3 +122,32 @@ def test_dedup_layout_report_rows_per_bucket(spark, sf_dir):
     assert sh2["balanced_rows_per_bucket"] == pytest.approx(
         sh["balanced_rows_per_bucket"] / 4, rel=0.01
     )
+
+
+def test_emb_layout_report_rows_per_bucket(spark, sf_dir):
+    """The embedding index flavor goes through the same report: both
+    flavors share _PB_TABLES, so one call prices vectors/buckets/pairs/
+    clusters per p_bucket — and rebucketing the layout shows up."""
+    import tempfile
+
+    from dbt_jaffleshop_spark.llm import dedup_incremental as di
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="layout_report_emb_")
+    idx = di.build_emb_index(spark, emb, root, n_doc_buckets=4)
+    rep = di.layout_report(spark, idx)
+    assert rep["n_doc_buckets"] == 4
+    assert set(rep["tables"]) == set(idx._PB_TABLES)
+    vc = rep["tables"]["vectors"]
+    assert vc["rows"] == emb.count()
+    assert vc["buckets_occupied"] <= 4
+    di.repartition_index(spark, idx, 8)
+    rep2 = di.layout_report(spark, idx)
+    assert rep2["n_doc_buckets"] == 8
+    assert rep2["tables"]["vectors"]["rows"] == vc["rows"]
+    assert (
+        rep2["tables"]["vectors"]["balanced_rows_per_bucket"]
+        == pytest.approx(vc["balanced_rows_per_bucket"] / 2, rel=0.01)
+    )
