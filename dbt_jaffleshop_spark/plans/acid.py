@@ -263,6 +263,35 @@ class AcidTable:
 
     # ------------------------------------------------- write-time file stats
 
+    def _commit_table_state(self, build, max_retries: int = 5) -> int:
+        """Metadata-only table-state commits (constraint add/drop, stats
+        declaration) retried like every data writer (r13 review — the
+        same reopened-race class as the r11/r12 stats/constraint
+        recheck fixes): these ops validate/compute against the manifest
+        they read, so losing a race to a concurrent append used to
+        surface a raw CommitConflictError to the caller. Each attempt
+        re-reads the LIVE manifest and re-runs ``build(m) -> meta``
+        against it — for add_constraint that re-validates the winner's
+        newly landed rows too, so a retry can still refuse loudly (a
+        ValueError from build is terminal, never retried)."""
+        for attempt in range(max_retries + 1):
+            try:
+                m = self.manifest()
+                meta = build(m)
+                return self._commit(
+                    m["files"],
+                    m["partition_by"],
+                    meta,
+                    expected_parent=m["version"],
+                )
+            except (CommitConflictError, FileNotFoundError):
+                # FileNotFoundError = concurrent vacuum expired the
+                # manifest between the pointer read and the open —
+                # retryable, like everywhere else in the protocol
+                if attempt == max_retries:
+                    raise
+                _backoff(attempt)
+
     def set_stats_columns(self, cols: list[str]) -> int:
         """Declare the columns every writer collects per-file [min, max]
         stats for (Delta's ``dataSkippingStatsColumns`` analogue).
@@ -276,20 +305,21 @@ class AcidTable:
         across every commit flavor, like constraints."""
         from .layout import file_column_stats
 
-        m = self.manifest()
-        backfill = file_column_stats(self.data_dir, m["files"], set(cols))
-        prev_stats = m.get("meta", {}).get("stats", {})
-        live = {f: s for f, s in prev_stats.items() if f in set(m["files"])}
-        return self._commit(
-            m["files"],
-            m["partition_by"],
-            {
+        def build(m: dict) -> dict:
+            backfill = file_column_stats(
+                self.data_dir, m["files"], set(cols)
+            )
+            prev_stats = m.get("meta", {}).get("stats", {})
+            live = {
+                f: s for f, s in prev_stats.items() if f in set(m["files"])
+            }
+            return {
                 **m.get("meta", {}),
                 "stats_columns": list(cols),
                 "stats": {**live, **backfill},
-            },
-            expected_parent=m["version"],
-        )
+            }
+
+        return self._commit_table_state(build)
 
     def _collect_write_stats(
         self, files: list[str], src_meta: dict, meta: dict
@@ -336,37 +366,42 @@ class AcidTable:
         schema). Commits a metadata-only manifest (same files), which
         the changes() feed ignores by construction (no file diff).
 
-        The manifest is resolved ONCE and the scan pinned to it, with
-        the commit parented on that same version — a row landing
-        between the validation scan and the commit trips
-        CommitConflictError instead of activating a constraint the
-        current snapshot violates (in-flight writers run their own
-        per-attempt recheck against the committed set)."""
-        m = self.manifest()
-        self._violations_or_raise(
-            self.read(spark, version=m["version"]), {name: expr}, "existing rows"
-        )
-        cons = {**m.get("meta", {}).get("constraints", {}), name: expr}
-        return self._commit(
-            m["files"],
-            m["partition_by"],
-            {**m.get("meta", {}), "constraints": cons},
-            expected_parent=m["version"],
-        )
+        Each commit attempt resolves the manifest, validates THAT
+        version's rows, and parents the commit on it — a row landing
+        between the validation scan and the commit loses the parent
+        check, and the retry re-validates against the winner's manifest
+        (r13: previously the raw CommitConflictError surfaced to the
+        caller), so a constraint can never activate over rows the
+        current snapshot holds unvalidated; a violating concurrent row
+        still refuses loudly. In-flight writers run their own
+        per-attempt recheck against the committed set."""
+        def build(m: dict) -> dict:
+            # per-attempt: a retry re-validates against the WINNER's
+            # manifest, so rows a concurrent append landed mid-commit
+            # are checked too (and can still refuse loudly)
+            self._violations_or_raise(
+                self.read(spark, version=m["version"]),
+                {name: expr},
+                "existing rows",
+            )
+            cons = {**m.get("meta", {}).get("constraints", {}), name: expr}
+            return {**m.get("meta", {}), "constraints": cons}
+
+        return self._commit_table_state(build)
 
     def drop_constraint(self, name: str) -> int:
         """Remove a CHECK constraint (metadata-only commit)."""
-        m = self.manifest()
-        cons = dict(m.get("meta", {}).get("constraints", {}))
-        if name not in cons:
-            raise ValueError(f"{self.path}: no constraint named {name!r}")
-        del cons[name]
-        return self._commit(
-            m["files"],
-            m["partition_by"],
-            {**m.get("meta", {}), "constraints": cons},
-            expected_parent=m["version"],
-        )
+
+        def build(m: dict) -> dict:
+            cons = dict(m.get("meta", {}).get("constraints", {}))
+            if name not in cons:
+                raise ValueError(
+                    f"{self.path}: no constraint named {name!r}"
+                )
+            del cons[name]
+            return {**m.get("meta", {}), "constraints": cons}
+
+        return self._commit_table_state(build)
 
     def _violations_or_raise(
         self, df: DataFrame, cons: dict[str, str], what: str

@@ -160,26 +160,30 @@ def test_concurrent_add_constraint_is_enforced_by_inflight_write(
 
 
 def test_add_constraint_loses_race_against_inflight_append(spark, tmp_path):
-    """TOCTOU guard: a row committed between add_constraint's validation
-    scan and its commit trips CommitConflictError instead of activating
-    a constraint the live snapshot violates."""
-    from dbt_jaffleshop_spark.plans.acid import CommitConflictError
-
+    """TOCTOU guard: a VIOLATING row committed between add_constraint's
+    validation scan and its commit can never activate the constraint.
+    r13 semantics: the lost parent check retries and the retry
+    re-validates against the winner's manifest — so the refusal is the
+    actionable ValueError naming the constraint, not a raw
+    CommitConflictError surfaced to the caller."""
     t = _t(spark, tmp_path)
     racer = AcidTable(t.path)
     real_check = t._violations_or_raise
+    fired = []
 
     def racing_check(df, cons, what):
-        if what == "existing rows" and racer.current_version() == t.current_version():
+        if what == "existing rows" and not fired:
+            fired.append(1)
             racer.append(
                 spark.createDataFrame([(99, -99)], "id bigint, amount bigint")
             )
         return real_check(df, cons, what)
 
     t._violations_or_raise = racing_check
-    with pytest.raises(CommitConflictError):
+    with pytest.raises(ValueError, match="violated by existing rows"):
         t.add_constraint(spark, "positive_amount", "amount > 0")
-    assert t.constraints() == {}
+    assert fired
+    assert t.constraints() == {}  # never activated
 
 
 def test_multi_constraint_violation_names_the_broken_one(spark, tmp_path):

@@ -248,3 +248,75 @@ def test_grow_ann_cells_loses_to_concurrent_append(spark, sf_dir):
 
     ai.grow_ann_cells(spark, idx, 32)  # the prescribed re-run wins
     assert ai._n_cells(idx.snapshot(spark)[1]) == 32
+
+
+# ------- r13 review: metadata-only DDL ops retry like every writer
+
+
+def _race_append(spark, table: AcidTable, rows, ddl):
+    """Arm the table so its NEXT commit attempt loses to a concurrent
+    append and must retry against the winner's manifest."""
+    racer = AcidTable(table.path)
+    real_commit = table._commit
+    fired = []
+
+    def racing_commit(files, partition_by, meta=None, expected_parent=None):
+        if not fired:
+            fired.append(1)
+            racer.append(spark.createDataFrame(rows, ddl))
+        return real_commit(files, partition_by, meta, expected_parent)
+
+    table._commit = racing_commit
+    return fired
+
+
+def test_set_stats_columns_survives_concurrent_append(spark, tmp_path):
+    """The declaration used to surface a raw CommitConflictError when
+    any append landed during the backfill; now it retries and the
+    committed manifest covers the racer's new file too."""
+    t = AcidTable(str(tmp_path / "s"))
+    t.append(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(50)], "id bigint, v bigint"
+        )
+    )
+    fired = _race_append(spark, t, [(999, 1)], "id bigint, v bigint")
+    t.set_stats_columns(["id"])
+    assert fired
+    m = t.manifest()
+    assert m["meta"]["stats_columns"] == ["id"]
+    assert set(m["meta"]["stats"]) == set(m["files"])  # racer's file too
+
+
+def test_add_constraint_revalidates_the_winners_rows(spark, tmp_path):
+    """A retry must validate the CONCURRENTLY APPENDED rows: a clean
+    racer lets the constraint land (covering its rows); a violating
+    racer makes add_constraint refuse loudly instead of activating a
+    constraint the current snapshot breaks."""
+    t = AcidTable(str(tmp_path / "ok"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id bigint"))
+    fired = _race_append(spark, t, [(7,)], "id bigint")
+    t.add_constraint(spark, "pos", "id > 0")
+    assert fired
+    assert t.constraints() == {"pos": "id > 0"}
+
+    bad = AcidTable(str(tmp_path / "bad"))
+    bad.append(spark.createDataFrame([(1,), (2,)], "id bigint"))
+    fired = _race_append(spark, bad, [(-5,)], "id bigint")
+    with pytest.raises(ValueError, match="violated by existing rows"):
+        bad.add_constraint(spark, "pos", "id > 0")
+    assert fired
+    assert bad.constraints() == {}  # never activated
+    # the racer's row itself survived — refusal is metadata-only
+    assert bad.read(spark).where("id = -5").count() == 1
+
+
+def test_drop_constraint_survives_concurrent_append(spark, tmp_path):
+    t = AcidTable(str(tmp_path / "d"))
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    t.add_constraint(spark, "pos", "id > 0")
+    fired = _race_append(spark, t, [(3,)], "id bigint")
+    t.drop_constraint("pos")
+    assert fired
+    assert t.constraints() == {}
+    assert t.read(spark).count() == 2
