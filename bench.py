@@ -180,6 +180,7 @@ def _tail_lines(
     final_rec: dict,
     budget: int = 1900,
     strict: bool = False,
+    suspect: dict | None = None,
 ) -> list[str]:
     """The capture-budgeted end of stdout, as ordered lines. The
     min-floors arm the NEXT round's 2x-prior quiet-retry and the
@@ -233,6 +234,17 @@ def _tail_lines(
                     "digest": group,
                     "seconds": digest_members[group],
                 },
+                separators=(",", ":"),
+            )
+        )
+    if suspect:
+        # [recorded, prior_floor] per unrecovered-retry row — printed
+        # just before the budgeted pair so it survives whenever the
+        # suspect set is small (the common case); the COUNT always
+        # survives in the final line's suspect_rows
+        lines.append(
+            json.dumps(
+                {"metric": "suspect_rows", "rows": suspect},
                 separators=(",", ":"),
             )
         )
@@ -433,6 +445,16 @@ def main() -> None:
             }
             if prior is not None:
                 retries[name]["prior_floor"] = round(prior, 2)
+                if chosen > max(2.0 * prior, 0.5):
+                    # the retry DIDN'T recover below the cross-round
+                    # trigger: either a real regression or a sustained
+                    # contention window covering both passes — either
+                    # way the row needs adjudication, so the artifact
+                    # marks it machine-readably (r13: the closing-run
+                    # streaming rows needed a manual re-measure to be
+                    # attributed; this flag is that re-measure's
+                    # trigger, recorded instead of re-derived)
+                    retries[name]["unrecovered"] = True
             med = chosen
             lo = min(lo, retry_lo)
         timings[name] = round(med, 2)
@@ -560,7 +582,19 @@ def main() -> None:
         # self-declares so the next judge/round doesn't re-litigate.
         final_rec["contended"] = True
         final_rec["retry_rows"] = len(retries)
-    for line in _tail_lines(timings, mins, digest_members, final_rec):
+    suspect = {
+        n: [r["recorded"], r["prior_floor"]]
+        for n, r in sorted(retries.items())
+        if r.get("unrecovered")
+    }
+    if suspect:
+        # row-level suspicion: a mid-run contention window hitting a
+        # minority of rows escapes the headline flag (the r13 closing
+        # run's streaming rows), so the rows themselves are marked
+        final_rec["suspect_rows"] = len(suspect)
+    for line in _tail_lines(
+        timings, mins, digest_members, final_rec, suspect=suspect
+    ):
         print(line)
     spark.stop()
 

@@ -70,6 +70,7 @@ def _realistic_inputs():
         "launch_load": 41.6,
         "contended": True,
         "retry_rows": len(names),
+        "suspect_rows": len(names),
     }
     return timings, mins, digest_members, final_rec
 
@@ -79,8 +80,31 @@ def test_budget_holds_for_real_registry_strict():
     the real registry at worst-plausible magnitudes. If adding a query
     or digest member makes the pair outgrow the capture, THIS fails."""
     timings, mins, dm, final_rec = _realistic_inputs()
-    lines = bench._tail_lines(timings, mins, dm, final_rec, strict=True)
+    suspect = {n: [timings[n], round(timings[n] / 3, 2)] for n in timings}
+    lines = bench._tail_lines(
+        timings, mins, dm, final_rec, strict=True, suspect=suspect
+    )
     assert len(lines[-2]) + len(lines[-1]) <= 1900
+
+
+def test_suspect_rows_line_sits_before_the_budgeted_pair():
+    """Unrecovered-retry rows are marked machine-readably: the aux line
+    carries [recorded, prior_floor] per row and prints immediately
+    before the tail_summary/final pair (it survives whenever the
+    suspect set is small; the count always survives in the final
+    line)."""
+    timings, mins, dm, final_rec = _realistic_inputs()
+    suspect = {"streaming_attribution": [25.73, 5.79]}
+    lines = bench._tail_lines(
+        timings, mins, dm, final_rec, suspect=suspect
+    )
+    rec = json.loads(lines[-3])
+    assert rec["metric"] == "suspect_rows"
+    assert rec["rows"] == suspect
+    assert json.loads(lines[-2])["metric"] == "tail_summary"
+    # ... and with no suspects, no line at all
+    lines2 = bench._tail_lines(timings, mins, dm, final_rec, suspect={})
+    assert json.loads(lines2[-3])["metric"] == "digest_members"
 
 
 def test_tail_summary_carries_every_digest_floor_and_top_members():
