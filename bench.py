@@ -98,16 +98,21 @@ def _prior_round_floors(known=()) -> dict[str, float]:
         return {}
     paths = [p for _n, p in sorted(numbered)]
     floors: dict[str, float] = {}
-    expand = {
-        v: k
-        for k, v in _floor_keys(
-            [
-                n
-                for n in known
-                if n.endswith("_digest") or n == "pipeline_build"
-            ]
-        ).items()
-    }
+    digest_names = [
+        n for n in known if n.endswith("_digest") or n == "pipeline_build"
+    ]
+    expand = {v: k for k, v in _floor_keys(digest_names).items()}
+    # A PRE-collision artifact may carry a SHORT key for a name that
+    # collides in the CURRENT registry (both now map to full names in
+    # the collision-aware map above), so index the unconditional short
+    # form too — sorted first-writer wins (r13 ADVICE). The ambiguity
+    # is inherent (the artifact cannot say which colliding digest it
+    # meant); a floor attributed to the wrong twin at worst arms one
+    # spurious 2x-prior retry for one round, vs silently dropping the
+    # floor entirely.
+    for n in sorted(digest_names):
+        s = n.removeprefix("jaffle_").removesuffix("_digest") or n
+        expand.setdefault(s, n)
 
     def _absorb(d: dict) -> None:
         # "floors" = the compact tail_summary line (r13), the record

@@ -897,9 +897,15 @@ class AcidTable:
             # the committed manifest would declare stats_columns yet
             # lack stats for every carried file, silently disabling
             # file skipping for them until the next rewrite (r12
-            # ADVICE). Per-file stats are deterministic footer reads,
-            # so merge order is immaterial; this attempt's own entries
-            # win.
+            # ADVICE). Merge order matters for base files (r13 ADVICE):
+            # attempt_meta may hold the PINNED snapshot's entries for
+            # them, collected under a PREVIOUS stats_columns
+            # declaration — if the concurrent set_stats_columns
+            # re-declared a DIFFERENT column set, the live backfill is
+            # the one matching the committed declaration, so ``carried``
+            # wins. Safe for this commit's own files: carried is
+            # filtered to base names, which can never collide with the
+            # freshly staged uuid file names.
             cur_stats = cur.get("meta", {}).get("stats", {})
             if cur_stats:
                 carried = {
@@ -910,7 +916,7 @@ class AcidTable:
                 if carried:
                     attempt_meta = {
                         **attempt_meta,
-                        "stats": {**carried, **attempt_meta.get("stats", {})},
+                        "stats": {**attempt_meta.get("stats", {}), **carried},
                     }
             return sorted(base["files"] + files), cur["version"], attempt_meta
 
@@ -1086,7 +1092,13 @@ class AcidTable:
             # manifest's entries for those same kept files — merge them
             # or the committed manifest declares stats_columns without
             # stats for any kept file (r12 ADVICE, same fix as
-            # append_from). Unpinned mode already carried cur's stats.
+            # append_from). The live ``carried`` entries win for kept
+            # files (r13 ADVICE): a concurrent RE-declaration to a
+            # different column set backfilled them under the committed
+            # declaration, while attempt_meta's kept entries are the
+            # pinned (pre-redeclaration) ones; kept names never collide
+            # with the staged uuid names, so this commit's own stats
+            # survive. Unpinned mode already carried cur's stats.
             if base_version is not None:
                 cur_stats = cur.get("meta", {}).get("stats", {})
                 if cur_stats:
@@ -1097,8 +1109,8 @@ class AcidTable:
                         attempt_meta = {
                             **attempt_meta,
                             "stats": {
-                                **carried,
                                 **attempt_meta.get("stats", {}),
+                                **carried,
                             },
                         }
             return sorted(kept + new_files), cur["version"], attempt_meta

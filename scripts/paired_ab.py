@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--timeout", type=float, default=600.0,
+                    help="per-measurement child timeout in seconds — a "
+                    "wedged child Spark session (the exact contended "
+                    "conditions this script adjudicates) must cost one "
+                    "error row, not hang the whole A/B (r13 ADVICE)")
     args = ap.parse_args()
 
     results: dict[str, dict[str, list]] = {
@@ -66,11 +71,23 @@ def main() -> None:
         order = args.trees if p % 2 == 0 else list(reversed(args.trees))
         for tree in order:
             for q in args.queries:
-                out = subprocess.run(
-                    [sys.executable, "-c", _CHILD, tree, q,
-                     str(args.runs), args.sf],
-                    capture_output=True, text=True,
-                )
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-c", _CHILD, tree, q,
+                         str(args.runs), args.sf],
+                        capture_output=True, text=True,
+                        timeout=args.timeout,
+                    )
+                except subprocess.TimeoutExpired as te:
+                    print(json.dumps({
+                        "tree": tree, "query": q, "pass": p + 1,
+                        "error": f"timeout after {args.timeout}s",
+                        "partial_output": ((te.stdout or b"").decode(
+                            "utf-8", "replace")
+                            if isinstance(te.stdout, bytes)
+                            else te.stdout or "")[-300:],
+                    }), flush=True)
+                    continue
                 rec = None
                 for line in out.stdout.splitlines():
                     if line.startswith("AB_RESULT "):
