@@ -164,6 +164,33 @@ def _emit_chunked(metric: str, payload: dict[str, dict], size: int = 15) -> None
             )
 
 
+def _launch_gate(
+    sample=None, sleep=None
+) -> tuple[float, int]:
+    """Dodge a contended launch window instead of only declaring it
+    (r13 verdict item 1a): when the pre-session 1-min load sample — the
+    one reading guaranteed clean of bench self-load — exceeds the
+    contention threshold, sleep-and-resample up to a bounded budget
+    (default 10 × 60 s, env-overridable) before creating the Spark
+    session. Returns (the load the bench actually launched at,
+    seconds waited). Degrades to the old behavior (sample once, launch
+    anyway) when the window never quiets: the contended flag still
+    marks the artifact downstream."""
+    sample = sample or (lambda: os.getloadavg()[0])
+    sleep = sleep or time.sleep
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_CONTENDED_LOAD") or 4.0)
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_TRIES") or 10)
+    step_s = int(os.environ.get("SPARK_GRAFT_BENCH_WAIT_STEP_S") or 60)
+    load = round(sample(), 1)
+    waited = 0
+    while load > thresh and tries > 0:
+        sleep(step_s)
+        waited += step_s
+        tries -= 1
+        load = round(sample(), 1)
+    return load, waited
+
+
 def _contended(launch_load: float, n_retries: int, n_rows: int) -> bool:
     """Headline-level contention guard (r12 verdict item 4). A raw
     per-row load threshold cannot work here: r4/r6 telemetry shows
@@ -323,8 +350,10 @@ def main() -> None:
 
     # sampled BEFORE the Spark session exists: the one load reading
     # guaranteed clean of the bench's own 32-thread self-load (the
-    # contention guard's primary signal — see _contended)
-    launch_load = round(os.getloadavg()[0], 1)
+    # contention guard's primary signal — see _contended). r14: gated —
+    # a contended launch window is WAITED OUT (bounded) instead of only
+    # declared (r13 verdict item 1a).
+    launch_load, launch_waited_s = _launch_gate()
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -475,6 +504,11 @@ def main() -> None:
             print(f"pipeline failures: {bad}", file=sys.stderr)
         return dt
 
+    # per-query run-once closures, kept for the end-of-run recovery
+    # sweep (r13 verdict item 1b): unrecovered suspect rows are re-timed
+    # once more after the last row, when self-load has decayed
+    runners: dict[str, object] = {"pipeline_build": _build_once}
+
     loads_pre["pipeline_build"] = round(os.getloadavg()[0], 1)
     _build_once()  # un-timed warm-up
     loads["pipeline_build"], build_times = _timed_pass(_build_once, runs)
@@ -494,6 +528,7 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             return time.perf_counter() - t0
 
+        runners[name] = _query_once
         loads_pre[name] = round(os.getloadavg()[0], 1)
         _query_once()  # un-timed warm-up
         loads[name], per_run = _timed_pass(_query_once, runs)
@@ -530,6 +565,28 @@ def main() -> None:
             release_cached(spark)
     except Exception as e:  # pricing must never kill the bench record
         print(f"digest member breakdown skipped: {e}", file=sys.stderr)
+
+    # End-of-run recovery sweep (r13 verdict item 1b): every retry row
+    # that stayed above 2× its prior-round floor gets ONE more timed
+    # pass now — the bench's own burst load has decayed by the end of
+    # the run, so a mid-run contention window that covered both original
+    # passes no longer does. The quieter reading wins; the row sheds its
+    # `unrecovered` mark when it recovers below the cross-round trigger.
+    # Both passes plus the sweep stay disclosed in the quiet_retry line.
+    for name, rec in sorted(retries.items()):
+        if not rec.get("unrecovered") or name not in runners:
+            continue
+        rec["sweep_load"], sweep_times = _timed_pass(runners[name], runs)
+        sweep_med = statistics.median(sweep_times)
+        rec["sweep_median"] = round(sweep_med, 2)
+        if sweep_med < timings[name]:
+            timings[name] = round(sweep_med, 2)
+            rec["recorded"] = timings[name]
+            mins[name] = round(min(mins[name], min(sweep_times)), 2)
+        prior = rec.get("prior_floor")
+        if prior is None or timings[name] <= max(2.0 * prior, 0.5):
+            del rec["unrecovered"]  # recovered in the sweep
+        release_cached(spark)
 
     total = round(
         timings["pipeline_build"] + sum(timings[n] for n in names), 2
@@ -580,6 +637,10 @@ def main() -> None:
         "protocol": f"noop-write; warmup+median of {runs}",
         "launch_load": launch_load,
     }
+    if launch_waited_s:
+        # the gate fired: record how long the bench waited for a quiet
+        # launch window (r13 verdict item 1a)
+        final_rec["launch_waited_s"] = launch_waited_s
     if _contended(launch_load, len(retries), len(timings)):
         # headline-level contention guard (r12 verdict item 4): two
         # consecutive rounds shipped contention-inflated artifacts that
