@@ -53,6 +53,14 @@ def ref(name: str, builder, spark, sf_dir):
 # already resolves to written tables there (cheap re-reads, no caching).
 
 _CACHE_MEMO: dict[tuple[int, str, str | None], DataFrame] = {}
+# Digest group queries build their members from a thread pool (r14 —
+# eager ACID lifecycles overlap instead of serializing on the local-mode
+# per-job floor); two threads missing the memo at once would each
+# .cache() a fresh frame and leak the loser's cached RDD until the
+# session dies. One lock around the memo keeps population single-shot.
+# RLock: builders may themselves call cached() for their upstreams
+# (supplier_analysis → supply_performance → order_items).
+_CACHE_LOCK = __import__("threading").RLock()
 
 
 def cached(name: str, builder, spark, sf_dir) -> DataFrame:
@@ -60,10 +68,11 @@ def cached(name: str, builder, spark, sf_dir) -> DataFrame:
     if _MATERIALIZED is not None:
         return ref(name, builder, spark, sf_dir)
     key = (id(spark), name, sf_dir)
-    df = _CACHE_MEMO.get(key)
-    if df is None:
-        df = builder(spark, sf_dir).cache()
-        _CACHE_MEMO[key] = df
+    with _CACHE_LOCK:
+        df = _CACHE_MEMO.get(key)
+        if df is None:
+            df = builder(spark, sf_dir).cache()
+            _CACHE_MEMO[key] = df
     return df
 
 

@@ -90,7 +90,16 @@ def products(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """reference: models/marts/products.sql:1-172."""
     perf = ref("product_performance", product_performance, spark, sf_dir)
     items = cached("order_items", marts_core.order_items, spark, sf_dir)
-    orders_ = cached("orders", marts_core.orders, spark, sf_dir).select("order_id", "location_id")
+    # chain orders through the CACHED order_items (the _logic seam, same
+    # policy as customer_segmentation): `marts_core.orders` as a builder
+    # would rebuild the whole order_items join tree a second time inside
+    # the cached orders plan (r14; the before-plan shows the doubled
+    # lineage). Values identical — orders_logic over the same input.
+    orders_ = cached(
+        "orders",
+        lambda s, sf: marts_core.orders_logic(staging.stg_orders(s, sf), items),
+        spark, sf_dir,
+    ).select("order_id", "location_id")
 
     def rank(col: str) -> Column:
         return F.row_number().over(

@@ -473,10 +473,30 @@ def run_pipeline(
             materialized[name] = df
 
         test_failures = {}
-        for test_name, factory in spec.tests:
-            n_bad = factory(materialized).count()
-            if n_bad:
-                test_failures[test_name] = n_bad
+        if spec.tests:
+            from functools import reduce as _reduce
+
+            from pyspark.sql import functions as F
+
+            # ONE action for all of this model's tests (r14, guide
+            # §1.2): each violations frame collapses to a marker row per
+            # violation; the union's groupBy counts every test in a
+            # single job instead of one driver-blocking .count() per
+            # test. Counts are identical to the per-test counts.
+            parts = [
+                factory(materialized).select(F.lit(tn).alias("__test"))
+                for tn, factory in spec.tests
+            ]
+            by_name = {
+                r["__test"]: r["count"]
+                for r in _reduce(DataFrame.unionByName, parts)
+                .groupBy("__test")
+                .count()
+                .collect()
+            }
+            test_failures = {
+                tn: by_name[tn] for tn, _ in spec.tests if by_name.get(tn)
+            }
         _secs = round(_time.perf_counter() - _t0, 2)
         with lock:
             if test_failures:

@@ -27,6 +27,7 @@ is pinned back to BIGINT per the established oracle policy.
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -259,11 +260,45 @@ def _digest_df(df: DataFrame, model: str) -> DataFrame:
     return digest_df(df, model, MODEL_SCHEMAS[model])
 
 
+# Digest groups whose members share the orders/order_items upstream
+# lineage (r14, guide §2.4/§5): the six rollups members each resolve
+# `orders` via ref() (the four time rollups) or through the semantic
+# layer's ref()-routed mart base (the two semantic members), so ONE
+# cached order_items→orders chain — the same seam customer_segmentation
+# uses — replaces six independent rebuilds of the full upstream join
+# tree. Before: 63 parquet scans / 127 Exchanges in the digest plan;
+# values unchanged (caching is plan reuse, not a semantic change).
+_SHARED_ORDERS_GROUPS = {"jaffle_rollups_digest"}
+
+
 def _group_query(group: str):
     models = DIGEST_GROUPS[group]
 
     def q(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-        parts = [_digest_df(BUILDERS[m](spark, sf_dir), m) for m in models]
+        ctx: dict[str, DataFrame] = {}
+        if group in _SHARED_ORDERS_GROUPS:
+            from ..models import marts_core
+            from ..models.base import cached
+
+            items = cached(
+                "order_items", marts_core.order_items, spark, sf_dir
+            )
+            ctx = {
+                "order_items": items,
+                "orders": cached(
+                    "orders",
+                    lambda s, sf: marts_core.orders_logic(
+                        staging.stg_orders(s, sf), items
+                    ),
+                    spark, sf_dir,
+                ),
+            }
+        from ..models.base import materialization_context
+
+        with materialization_context(ctx) if ctx else nullcontext():
+            parts = [
+                _digest_df(BUILDERS[m](spark, sf_dir), m) for m in models
+            ]
         return reduce(DataFrame.unionByName, parts)
 
     q.__name__ = group

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..models import marts_core, staging
+from ..models.base import ref
 from ..testing import generic
 from .oracle_jaffle import jaffle_sql
 
@@ -19,19 +20,22 @@ from .oracle_jaffle import jaffle_sql
 def t1_not_null_customers_pk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """T1 (customers.yml:11-13): customers.customer_id IS NULL rows."""
     return generic.not_null(
-        marts_core.customers(spark, sf_dir), "customer_id"
+        ref("customers", marts_core.customers, spark, sf_dir), "customer_id"
     ).select("customer_id")
 
 
 def t2_unique_orders_pk(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """T2 (orders.yml:14-16): duplicate orders.order_id values."""
-    return generic.unique(marts_core.orders(spark, sf_dir), "order_id")
+    return generic.unique(
+        ref("orders", marts_core.orders, spark, sf_dir), "order_id"
+    )
 
 
 def t3_accepted_values_customer_type(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """T3 (customers.yml:30-33): customer_type outside {new, returning}."""
     return generic.accepted_values(
-        marts_core.customers(spark, sf_dir), "customer_type", ["new", "returning"]
+        ref("customers", marts_core.customers, spark, sf_dir),
+        "customer_type", ["new", "returning"],
     )
 
 

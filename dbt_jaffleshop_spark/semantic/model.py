@@ -261,7 +261,17 @@ class MetricQuery:
     # ------------------------------------------------------ spark plan
 
     def to_df(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-        df = self.model.base(spark, sf_dir)
+        from ..models.base import ref
+
+        # Resolve the mart through ref() (r14): inside a pipeline run or
+        # a digest-group materialization context the request reads the
+        # already-materialized/cached mart instead of replanning its
+        # whole upstream join tree (standalone behavior unchanged —
+        # ref() falls back to the builder). This is what makes the
+        # export phase of run_pipeline read the WRITTEN mart and the
+        # rollups-digest semantic members share one cached orders
+        # subtree instead of rebuilding the lineage per member.
+        df = ref(self.model.mart, self.model.base, spark, sf_dir)
         # Entity-pathed dimensions join BEFORE aggregation: each hop is a
         # key-equi left join against the target mart PROJECTED down to
         # (its key, the next hop's key | the requested dim exprs) — no
@@ -271,7 +281,7 @@ class MetricQuery:
         # declared-primary-entity contract makes every hop fan-out-free.
         for path, dims in self._entity_joins():
             for i, (key, target) in enumerate(path.hops):
-                tgt = target.base(spark, sf_dir)
+                tgt = ref(target.mart, target.base, spark, sf_dir)
                 # Every hop ADDS columns to the running frame (the next
                 # hop's key, or the aliased output dims). If the base
                 # mart already defines a same-named column, the next
