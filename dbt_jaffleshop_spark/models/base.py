@@ -63,6 +63,19 @@ _CACHE_MEMO: dict[tuple[int, str, str | None], DataFrame] = {}
 _CACHE_LOCK = __import__("threading").RLock()
 
 
+# NOTE on a size gate deliberately NOT added here (r14): gating these
+# caches on the Catalyst size estimate (like plans/dag.py does for
+# staging VIEWS) was tried and rejected — without column statistics the
+# estimate of a JOIN subtree multiplies its children's sizes, so even
+# the sf0.001 order_items tree "estimates" past any sane ceiling and
+# the gate silently disables every mart-cache sharing win (the guide's
+# §3.1 warning that size estimates are often badly wrong, in action).
+# The frames cached here are dimension/order-grain aggregates orders of
+# magnitude smaller than the fact tables; the 100 TB policy lever stays
+# the pipeline path, where marts are materialized tables and ref()
+# substitutes reads for recomputes.
+
+
 def cached(name: str, builder, spark, sf_dir) -> DataFrame:
     """Memoized .cache() of `builder(spark, sf_dir)` (see note above)."""
     if _MATERIALIZED is not None:
