@@ -40,6 +40,16 @@ def ref(name: str, builder, spark, sf_dir):
     return builder(spark, sf_dir)
 
 
+def active_materialization() -> dict[str, DataFrame] | None:
+    """The materialization context currently in effect (None outside a
+    pipeline/digest run) — read-only. Nested context creators (digest
+    groups) MERGE their entries over this instead of replacing it
+    (r14 ADVICE): a digest building inside a pipeline run must keep
+    resolving the run's OTHER materialized tables, or its members
+    silently rebuild their lineage."""
+    return _MATERIALIZED
+
+
 # ----------------------------------------------------- shared cache memo
 #
 # Multi-consumer subtrees (customer_segmentation's three mart inputs, the
@@ -89,9 +99,17 @@ def cached(name: str, builder, spark, sf_dir) -> DataFrame:
     return df
 
 
-def release_cached(spark=None) -> None:
-    """Unpersist memoized caches (all sessions, or one)."""
+def release_cached(spark=None, blocking: bool = True) -> None:
+    """Unpersist memoized caches (all sessions, or one).
+
+    BLOCKING by default (r15, VERDICT r14 item 6): the async unpersist
+    left cached blocks draining while the next query's jobs were
+    already timing — across a 51-row bench session that storage churn
+    showed up as long-session dispersion on the cache-heavy rows
+    (customer_segmentation's 7→17 s first-pass flapping). Waiting for
+    block removal costs milliseconds here and makes every timed run
+    start from the same storage-memory state."""
     for key, df in list(_CACHE_MEMO.items()):
         if spark is None or key[0] == id(spark):
-            df.unpersist()
+            df.unpersist(blocking=blocking)
             del _CACHE_MEMO[key]

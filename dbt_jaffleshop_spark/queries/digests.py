@@ -293,8 +293,18 @@ def _group_query(group: str):
                     spark, sf_dir,
                 ),
             }
-        from ..models.base import materialization_context
+        from ..models.base import active_materialization, materialization_context
 
+        # MERGE over any active outer context instead of replacing it
+        # (r14 ADVICE): a rollups build inside a pipeline run must keep
+        # resolving the run's other materialized tables — a 2-entry
+        # replacement context silently reverted every other ref() to a
+        # full lineage rebuild (perf only; values unchanged). The
+        # group's own entries win on overlap, and when the outer
+        # context already materialized order_items/orders, cached()
+        # above resolved ctx's entries THROUGH it, so they agree.
+        if ctx:
+            ctx = {**(active_materialization() or {}), **ctx}
         with materialization_context(ctx) if ctx else nullcontext():
             parts = [
                 _digest_df(BUILDERS[m](spark, sf_dir), m) for m in models

@@ -1105,6 +1105,31 @@ _GROUP_SPECS: dict[str, dict[str, tuple[Callable, Schema, str]]] = {
 }
 
 
+# Module-level reusable worker pool for digest-group member builds
+# (r15; r14 ADVICE): a FRESH ThreadPoolExecutor per group invocation
+# leaks one pinned-thread-mode JVM companion thread per Python worker
+# per call across a long bench/driver session; ONE reusable pool bounds
+# the thread count for the life of the process. Job descriptions stay
+# correct — they are thread-local and each worker labels itself before
+# building its member. Deadlock-free by construction: member builders
+# never submit back into this pool (the index-transaction commit pool
+# in llm/dedup_incremental.py is a separate, also-bounded pool).
+_MEMBER_POOL = None
+_MEMBER_POOL_LOCK = __import__("threading").Lock()
+
+
+def _member_pool():
+    global _MEMBER_POOL
+    with _MEMBER_POOL_LOCK:
+        if _MEMBER_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _MEMBER_POOL = ThreadPoolExecutor(
+                max_workers=8, thread_name_prefix="digest-member"
+            )
+        return _MEMBER_POOL
+
+
 def _group_query(group: str):
     members = _GROUP_SPECS[group]
 
@@ -1120,16 +1145,15 @@ def _group_query(group: str):
         # judge-audited r10-r13), the shared cache memo is lock-guarded
         # (models/base.py), and pool.map preserves member order, so the
         # returned union is byte-identical to the sequential build.
-        from concurrent.futures import ThreadPoolExecutor
-
         def build(item):
             name, (fn, schema, _sql) = item
             spark.sparkContext.setJobDescription(f"{group}:{name}")
             return digest_df(fn(spark, sf_dir), name, schema)
 
         items = list(members.items())
-        with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
-            parts = list(pool.map(build, items))
+        # module-level reusable pool (r15, see _member_pool); map()
+        # preserves member order exactly like the r14 per-call pool
+        parts = list(_member_pool().map(build, items))
         return reduce(DataFrame.unionByName, parts)
 
     q.__name__ = group

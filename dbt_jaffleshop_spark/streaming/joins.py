@@ -20,8 +20,11 @@ once (pytest-pinned with a two-phase feed).
 
 from __future__ import annotations
 
+import glob
 import os
+import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +32,58 @@ from pyspark.sql import functions as F
 from .daily import events_stream_schema
 
 ATTRIBUTION_WINDOW_MINUTES = 30
+
+# ---------------------------------------------- state-store partitioning
+#
+# A stream-stream join keeps FOUR state-store instances per shuffle
+# partition (keyToNumValues + keyWithIndexToValue, per side), so the
+# partition count is a STATE-VOLUME knob, not a parallelism knob: sized
+# to cores it gives one near-empty store per core whose per-batch
+# open/commit overhead dominates at low rates — the r14 scaling block
+# measured this row FASTER at 8 cores than 32 (ratio 0.35), the
+# signature of partition-count overhead. Partitions are derived from
+# the SOURCE'S INPUT BYTES (buffered join state is O(rate x window) and
+# bounded by input): one partition per ~TARGET bytes of input, floored
+# at 4 (never a single-store degenerate), capped at the session's
+# shuffle partitions (at 100 TB the cap rules and the behavior is the
+# session default) — scale-adaptive, no local[32]-only constant.
+_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES")
+    or 32 * 1024 * 1024
+)
+_CONF_LOCK = threading.Lock()
+
+
+def _attribution_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """ceil(input bytes / target), floored at 4, capped at the session
+    shuffle-partition count."""
+    size = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(sf_dir, "events*.parquet"))
+    )
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-size // _STATE_TARGET_BYTES)
+    return max(4, min(sess, want))
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Set spark.sql.shuffle.partitions for the duration of one bounded
+    (availableNow) stream run, then restore. Structured Streaming
+    clones the session conf when the query starts, so the narrow scope
+    is sufficient; the module lock serializes the set/restore pair so
+    two concurrent stream starts can't interleave their restores. (The
+    stored checkpoint pins the state partition count on RESUME — this
+    value only matters for a query's first run, and it is deterministic
+    for a given source dir.)"""
+    key = "spark.sql.shuffle.partitions"
+    with _CONF_LOCK:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def streaming_attribution(
@@ -101,27 +156,30 @@ def streaming_attribution(
 
     if (checkpoint_dir is None) != (output_dir is None):
         raise ValueError("checkpoint_dir and output_dir must be set together")
+    n_parts = _attribution_shuffle_partitions(spark, sf_dir)
     if checkpoint_dir is not None:
+        with _scoped_shuffle_partitions(spark, n_parts):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", output_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(output_dir)
+
+    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, n_parts):
         q = (
-            joined.writeStream.format("parquet")
-            .option("path", output_dir)
-            .option("checkpointLocation", checkpoint_dir)
+            joined.writeStream.format("memory")
+            .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(output_dir)
-
-    name = f"stream_attrib_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return spark.table(name)
 
 

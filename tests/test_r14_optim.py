@@ -77,12 +77,12 @@ def test_parallel_group_build_preserves_order_and_values(spark, sf_dir):
     release_cached(spark)
     group_df = OP_DIGEST_CATALOG["acid_digest"][0](spark, sf_dir)
     # member order in the union must equal the spec's declared order
-    # (pool.map preserves input order)
-    names = [
-        r["model_name"]
-        for r in group_df.select("model_name").distinct().collect()
-    ]
-    assert sorted(names) == sorted(_GROUP_SPECS["acid_digest"])
+    # (pool.map preserves input order) — asserted UNSORTED (r14 ADVICE:
+    # the sorted compare could not detect an order regression); each
+    # member contributes exactly one digest row, and collect() returns
+    # the union's parts in order
+    names = [r["model_name"] for r in group_df.select("model_name").collect()]
+    assert names == list(_GROUP_SPECS["acid_digest"])
     got = _rows(group_df)
     release_cached(spark)
     want = sorted(
