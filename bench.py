@@ -523,6 +523,12 @@ def main() -> None:
         mins[name] = round(lo, 2)
 
     def _build_once() -> float:
+        # each run pays its own cache population, like _query_once
+        # (r15: run_pipeline now memo-caches non-materialized
+        # sub-analyses during the run; it releases them itself at the
+        # end, this is belt-and-braces so no timed run can inherit
+        # cached state from the warm-up)
+        release_cached(spark)
         with tempfile.TemporaryDirectory() as wh:
             t0 = time.perf_counter()
             res = run_pipeline(spark, sf_dir, warehouse_dir=wh)

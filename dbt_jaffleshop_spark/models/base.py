@@ -65,12 +65,20 @@ def active_materialization() -> dict[str, DataFrame] | None:
 _CACHE_MEMO: dict[tuple[int, str, str | None], DataFrame] = {}
 # Digest group queries build their members from a thread pool (r14 —
 # eager ACID lifecycles overlap instead of serializing on the local-mode
-# per-job floor); two threads missing the memo at once would each
-# .cache() a fresh frame and leak the loser's cached RDD until the
-# session dies. One lock around the memo keeps population single-shot.
-# RLock: builders may themselves call cached() for their upstreams
-# (supplier_analysis → supply_performance → order_items).
-_CACHE_LOCK = __import__("threading").RLock()
+# per-job floor), and pipeline model threads now reach the memo too
+# (r15); two threads missing the memo at once would each .cache() a
+# fresh frame and leak the loser's cached RDD until the session dies.
+# Population is single-shot per key via PER-KEY locks (r15): the r14
+# global lock held during builder() serialized unrelated concurrent
+# builds (supplies' perf subtree vs products') on driver-side plan
+# construction. Nested cached() calls take different keys (the builder
+# dependency graph is acyclic: supplier_analysis → supply_performance →
+# order_items), so per-key locking cannot deadlock. Key locks are never
+# deleted (tiny, bounded by distinct (session, name, sf_dir) triples) —
+# deleting one while a builder holds it would re-admit the double-cache
+# race release_cached() could otherwise reopen.
+_CACHE_LOCK = __import__("threading").Lock()
+_CACHE_KEY_LOCKS: dict[tuple[int, str, str | None], object] = {}
 
 
 # NOTE on a size gate deliberately NOT added here (r14): gating these
@@ -87,15 +95,36 @@ _CACHE_LOCK = __import__("threading").RLock()
 
 
 def cached(name: str, builder, spark, sf_dir) -> DataFrame:
-    """Memoized .cache() of `builder(spark, sf_dir)` (see note above)."""
-    if _MATERIALIZED is not None:
-        return ref(name, builder, spark, sf_dir)
+    """Memoized .cache() of `builder(spark, sf_dir)` (see note above).
+
+    Inside a materialization context, only names the context actually
+    HOLDS bypass the memo (they resolve to written tables — cheap
+    re-reads, no caching needed). Names the run did NOT materialize —
+    sub-analyses like supply_performance/product_performance that are
+    not pipeline models — keep the shared-cache policy (r15): the r14
+    full bypass made those subtrees replan and recompute per consumer
+    inside the pipeline run (the supplies mart consumes its perf
+    aggregate twice: rankings ⋈ its windowed self), measured at sf0.1
+    as supplies 6.7 s / products 5.7 s write phases vs ~4 s cached.
+    run_pipeline releases the memo at the end of the run, so no cached
+    frame outlives the warehouse it reads from."""
+    if _MATERIALIZED is not None and name in _MATERIALIZED:
+        return _MATERIALIZED[name]
     key = (id(spark), name, sf_dir)
     with _CACHE_LOCK:
         df = _CACHE_MEMO.get(key)
+        if df is not None:
+            return df
+        klock = _CACHE_KEY_LOCKS.setdefault(
+            key, __import__("threading").Lock()
+        )
+    with klock:
+        with _CACHE_LOCK:
+            df = _CACHE_MEMO.get(key)
         if df is None:
             df = builder(spark, sf_dir).cache()
-            _CACHE_MEMO[key] = df
+            with _CACHE_LOCK:
+                _CACHE_MEMO[key] = df
     return df
 
 

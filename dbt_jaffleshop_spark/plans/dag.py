@@ -514,97 +514,125 @@ def run_pipeline(
     # active for the whole run; wave ordering guarantees every upstream
     # entry exists before a downstream builder runs.
     from ..models import materialization_context
+    from ..models.base import release_cached
+
+    # -------- saved-query exports (`export_as: table`, plans/exports.py)
+    # dbt builds each mart YAML's export right after the mart; same
+    # contract here: evaluate inside the materialization context (the
+    # query's base resolves via ref() to the written mart — no lineage
+    # recompute) and commit as an atomic snapshot table. Exports whose
+    # mart failed/skipped are skipped, like any other descendant.
+    # Exports LAUNCH AS SOON AS their mart lands (r15): they read the
+    # written mart and feed nothing downstream, so running the 8-export
+    # tail only after the LAST model serialized ~2 s of independent work
+    # behind the critical path (measured timeline, sf0.1).
+    export_by_mart: dict[str, list] = {}
+    if warehouse_dir:
+        from ..semantic.jaffle_models import SAVED_QUERIES
+        from .acid import AcidTable
+        from .exports import EXPORTS
+
+        from .state import export_fingerprint
+
+        for _spec in EXPORTS.values():
+            export_by_mart.setdefault(_spec.depends_on, []).append(_spec)
+
+        def _run_export(spec) -> None:
+            _t0 = _time.perf_counter()
+            query = SAVED_QUERIES[spec.saved_query]
+            table = AcidTable(os.path.join(warehouse_dir, spec.name))
+            efp = export_fingerprint(MODELS, spec, query, sf_dir)
+            if (
+                state_aware
+                and table.exists()
+                and table.manifest().get("meta", {}).get("fingerprint")
+                == efp
+            ):
+                with lock:
+                    results[f"export:{spec.name}"] = {
+                        "status": "reused",
+                        "seconds": round(_time.perf_counter() - _t0, 2),
+                    }
+                return
+            edf = query.to_df(spark, sf_dir)
+            table.overwrite(edf, meta={"fingerprint": efp})
+            # same retention policy as the marts (each run otherwise
+            # accumulates one export snapshot forever), same publish
+            # pin under WAP
+            epub_v = (
+                publish.published_version(spec.name)
+                if publish is not None
+                else None
+            )
+            table.vacuum(
+                keep_last=2,
+                protect_versions=(
+                    {epub_v} if epub_v is not None else None
+                ),
+            )
+            with lock:
+                results[f"export:{spec.name}"] = {
+                    "status": "ok",
+                    "seconds": round(_time.perf_counter() - _t0, 2),
+                }
 
     order = topological_order()
     pending = list(order)
-    with materialization_context(materialized), ThreadPoolExecutor(
-        max_workers=max(1, threads)
-    ) as pool:
-        futures: dict = {}
-        while pending or futures:
-            ready = []
-            for name in pending:
-                deps = MODELS[name].depends_on
-                if any(d in failed for d in deps):
-                    results[name] = {"status": "skipped",
-                                     "reason": "upstream failure"}
-                    failed.add(name)
-                elif all(d in done for d in deps):
-                    ready.append(name)
-            pending = [n for n in pending
-                       if n not in failed and n not in ready]
-            for name in ready:
-                futures[pool.submit(_run_model, name)] = name
-            if not futures:
-                continue
-            finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
-            for fut in finished:
-                name = futures.pop(fut)
-                fut.result()  # propagate builder/test exceptions
-                done.add(name)
+    try:
+        with materialization_context(materialized), ThreadPoolExecutor(
+            max_workers=max(1, threads)
+        ) as pool:
+            futures: dict = {}
+            efutures: dict = {}
+            while pending or futures:
+                ready = []
+                for name in pending:
+                    deps = MODELS[name].depends_on
+                    if any(d in failed for d in deps):
+                        results[name] = {"status": "skipped",
+                                         "reason": "upstream failure"}
+                        failed.add(name)
+                    elif all(d in done for d in deps):
+                        ready.append(name)
+                pending = [n for n in pending
+                           if n not in failed and n not in ready]
+                for name in ready:
+                    futures[pool.submit(_run_model, name)] = name
+                if not futures:
+                    continue
+                finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    name = futures.pop(fut)
+                    fut.result()  # propagate builder/test exceptions
+                    done.add(name)
+                    # eager exports (r15): _run_model recorded this
+                    # model's final status (and any fail_fast failure)
+                    # before returning, so the submit/skip decision here
+                    # equals the old end-of-run decision
+                    if name not in failed:
+                        for spec in export_by_mart.get(name, []):
+                            efutures[pool.submit(_run_export, spec)] = (
+                                spec.name
+                            )
 
-        # -------- saved-query exports (`export_as: table`, plans/exports.py)
-        # dbt builds each mart YAML's export right after the mart; same
-        # contract here: evaluate inside the materialization context (the
-        # query's base resolves via ref() to the written mart — no lineage
-        # recompute) and commit as an atomic snapshot table. Exports whose
-        # mart failed/skipped are skipped, like any other descendant.
-        if warehouse_dir:
-            from ..semantic.jaffle_models import SAVED_QUERIES
-            from .acid import AcidTable
-            from .exports import EXPORTS
-
-            from .state import export_fingerprint
-
-            def _run_export(spec) -> None:
-                _t0 = _time.perf_counter()
-                query = SAVED_QUERIES[spec.saved_query]
-                table = AcidTable(os.path.join(warehouse_dir, spec.name))
-                efp = export_fingerprint(MODELS, spec, query, sf_dir)
-                if (
-                    state_aware
-                    and table.exists()
-                    and table.manifest().get("meta", {}).get("fingerprint")
-                    == efp
-                ):
-                    with lock:
+            # exports whose mart failed or was skipped (dbt
+            # skip-descendants), recorded exactly as before
+            for mart, specs in export_by_mart.items():
+                if mart in failed:
+                    for spec in specs:
                         results[f"export:{spec.name}"] = {
-                            "status": "reused",
-                            "seconds": round(_time.perf_counter() - _t0, 2),
+                            "status": "skipped", "reason": "upstream failure"
                         }
-                    return
-                edf = query.to_df(spark, sf_dir)
-                table.overwrite(edf, meta={"fingerprint": efp})
-                # same retention policy as the marts (each run otherwise
-                # accumulates one export snapshot forever), same publish
-                # pin under WAP
-                epub_v = (
-                    publish.published_version(spec.name)
-                    if publish is not None
-                    else None
-                )
-                table.vacuum(
-                    keep_last=2,
-                    protect_versions=(
-                        {epub_v} if epub_v is not None else None
-                    ),
-                )
-                with lock:
-                    results[f"export:{spec.name}"] = {
-                        "status": "ok",
-                        "seconds": round(_time.perf_counter() - _t0, 2),
-                    }
-
-            efutures = {}
-            for spec in EXPORTS.values():
-                if spec.depends_on in failed:
-                    results[f"export:{spec.name}"] = {
-                        "status": "skipped", "reason": "upstream failure"
-                    }
-                else:
-                    efutures[pool.submit(_run_export, spec)] = spec.name
             for fut in efutures:
                 fut.result()
+    finally:
+        # Release every memoized cache this run populated (r15): inside
+        # the run, cached() memoizes non-materialized sub-analyses
+        # (supply_performance etc.) whose lineage reads THIS run's
+        # written tables — a memo entry outliving the warehouse dir
+        # would serve a deleted path on eviction, and a later timed run
+        # reusing it would not be computing from its own inputs.
+        release_cached(spark)
 
     export_keys = [k for k in results if k.startswith("export:")]
     results = {
