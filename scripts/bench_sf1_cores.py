@@ -183,18 +183,17 @@ def main() -> None:
         per_cpu[cpus] = json.loads(last)
         print(last, flush=True)
 
-    cpu_lo, cpu_hi = "8", "32"
     rows: dict[str, dict] = {}
     for name in paths:
-        lo = per_cpu[cpu_lo][name]["median"]
-        hi = per_cpu[cpu_hi][name]["median"]
-        rows[name] = {
-            "sec_8c": lo,
-            "sec_32c": hi,
-            "ratio_8c_over_32c": round(lo / max(hi, 1e-9), 2),
-            "runs_8c": per_cpu[cpu_lo][name]["runs"],
-            "runs_32c": per_cpu[cpu_hi][name]["runs"],
-        }
+        row: dict = {}
+        for cpus, res in per_cpu.items():
+            row[f"sec_{cpus}c"] = res[name]["median"]
+            row[f"runs_{cpus}c"] = res[name]["runs"]
+        if "sec_8c" in row and "sec_32c" in row:
+            row["ratio_8c_over_32c"] = round(
+                row["sec_8c"] / max(row["sec_32c"], 1e-9), 2
+            )
+        rows[name] = row
     art = {
         "metric": "sf1_core_scaling",
         "factor": args.factor,
