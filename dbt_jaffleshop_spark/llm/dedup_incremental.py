@@ -45,7 +45,11 @@ partitions + delta), never O(corpus):
                     versions are invisible garbage for vacuum and the
                     re-run is idempotent; a concurrent fold loses at the
                     meta swap with ConcurrentWriteError instead of
-                    tearing the index.
+                    tearing the index. The per-table data commits of
+                    one transaction run CONCURRENTLY (r15,
+                    :func:`_commit_all`) — the protocol's guarantees
+                    come from pinned reads and the meta-last swap, not
+                    from any ordering among the data commits.
 
 **The id-ordering invariant.** Every delta doc_id must exceed the
 corpus's max_doc_id (enforced, loud ValueError). This is how ingestion
